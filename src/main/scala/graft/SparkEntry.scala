@@ -1,13 +1,422 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator of SURVEY.md §2 (reference surface + north-star
+  * extensions) is registered here as a named query over the driver parquet
+  * fixtures, with a DuckDB ANSI-SQL twin in [[oracleSql]] where the
+  * semantics are SQL-expressible (engine-specific hash functions — MinHash/
+  * SimHash/LSH — and the stubbed media decode get rows-only checks).
+  *
+  * Determinism rules applied throughout (FIXTURES.md "Harness wiring"):
+  * unique-key ORDER BY on every row-level result, exact (not approx)
+  * distinct, doubles rounded, timestamps exposed as epoch-millis BIGINT,
+  * DuckDB integer sums cast to BIGINT to match Spark's LongType.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the
+    * reference's raison d'être — "logs of container X between t1 and t2,
+    * last k lines, in order" (SURVEY.md §7 minimum slice).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_log_tail_range")(spark, "/root/testdata/sf0.001")
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  private val evCols = Seq(
+    col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+    col("user_id"), col("event_type"), col("value"))
+
+  // ---- core log-query pack (reference semantics, SURVEY §2.1) -----------
+
+  private val logQueries: Map[String, Q] = Map(
+    "q_log_range" -> ((s, d) =>
+      LogOps.readRange(ev(s, d), "user_id", "event_id", "ts",
+          LogOps.normalize(Some(42L), Some("2024-01-10T00:00:00Z"),
+            Some("2024-01-20T00:00:00Z"), tail = 0, follow = false))
+        .select(evCols: _*)),
+    "q_log_tail" -> ((s, d) =>
+      LogOps.readRange(ev(s, d), "user_id", "event_id", "ts",
+          LogOps.normalize(Some(7L), None, None, tail = 50, follow = false))
+        .select(evCols: _*)),
+    "q_log_tail_range" -> ((s, d) =>
+      LogOps.readRange(ev(s, d), "user_id", "event_id", "ts",
+          LogOps.normalize(Some(7L), Some("2024-01-05T00:00:00Z"),
+            Some("2024-01-25T00:00:00Z"), tail = 25, follow = false))
+        .select(evCols: _*)),
+    "q_log_count" -> ((s, d) =>
+      LogOps.countByContainer(ev(s, d), "user_id",
+          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+          col("ts") <= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+        .orderBy(col("user_id"))),
+    "q_log_page" -> ((s, d) =>
+      LogOps.page(ev(s, d), "event_id", offset = 500, limit = 100)
+        .select(evCols: _*)),
+    "q_log_retention_age" -> ((s, d) =>
+      LogOps.retentionSurvivors(ev(s, d), "user_id", "event_id", "ts",
+          ageCutoff = Some(java.time.Instant.parse("2024-01-15T00:00:00Z")),
+          maxLines = None)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .orderBy(col("event_id"))),
+    "q_log_retention_lines" -> ((s, d) =>
+      LogOps.retentionSurvivors(ev(s, d), "user_id", "event_id", "ts",
+          ageCutoff = None, maxLines = Some(20L))
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .orderBy(col("event_id"))),
+    "q_log_retention_both" -> ((s, d) =>
+      LogOps.retentionSurvivors(ev(s, d), "user_id", "event_id", "ts",
+          ageCutoff = Some(java.time.Instant.parse("2024-01-10T00:00:00Z")),
+          maxLines = Some(40L))
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .orderBy(col("event_id"))))
+
+  private val logOracles: Map[String, String] = Map(
+    "q_log_range" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events
+        |WHERE user_id = 42
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "q_log_tail" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM (SELECT * FROM events WHERE user_id = 7
+        |      ORDER BY event_id DESC LIMIT 50)
+        |ORDER BY event_id""".stripMargin,
+    "q_log_tail_range" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM (SELECT * FROM events
+        |      WHERE user_id = 7
+        |        AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |        AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+        |      ORDER BY event_id DESC LIMIT 25)
+        |ORDER BY event_id""".stripMargin,
+    "q_log_count" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_log_page" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events ORDER BY event_id LIMIT 100 OFFSET 500""".stripMargin,
+    "q_log_retention_age" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id""".stripMargin,
+    "q_log_retention_lines" ->
+      """SELECT event_id, user_id, ts_ms FROM (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 20 ORDER BY event_id""".stripMargin,
+    "q_log_retention_both" ->
+      """SELECT event_id, user_id, ts_ms FROM (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 40 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |ORDER BY event_id""".stripMargin)
+
+  // ---- relational pack (SURVEY §2.3 star schema) -------------------------
+
+  private val relQueries: Map[String, Q] = Map(
+    "q_rel_pricing_summary" -> (RelationalOps.pricingSummary _),
+    "q_rel_revenue_by_nation" -> (RelationalOps.revenueByNation _),
+    "q_rel_semi_join" -> (RelationalOps.customersWithUrgentOrders _),
+    "q_rel_anti_join" -> (RelationalOps.dormantCustomers _),
+    "q_rel_rollup" -> (RelationalOps.rollupReturns _),
+    "q_rel_window_rank" -> (RelationalOps.top3OrdersPerCustomer _),
+    "q_rel_window_running" -> (RelationalOps.runningRevenue _),
+    "q_rel_topk" -> (RelationalOps.topOrders _),
+    "q_rel_setops" -> (RelationalOps.buyerCohorts _),
+    "q_rel_distinct_agg" -> (RelationalOps.distinctPartsPerFlag _),
+    "q_rel_asof_lastclick" -> (RelationalOps.lastClickBeforeError _))
+
+  private val relOracles: Map[String, String] = Map(
+    "q_rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rel_revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_rel_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rel_anti_join" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rel_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |       coalesce(l_linestatus, '(all)') AS linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_rel_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_rel_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rel_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_rel_setops" ->
+      """WITH b95 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |               AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+        |     b96 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT o_custkey, cohort FROM (
+        |  SELECT o_custkey, 'both' AS cohort
+        |  FROM (SELECT o_custkey FROM b95 INTERSECT SELECT o_custkey FROM b96)
+        |  UNION ALL
+        |  SELECT o_custkey, 'only_1995' AS cohort
+        |  FROM (SELECT o_custkey FROM b95 EXCEPT SELECT o_custkey FROM b96))
+        |ORDER BY cohort, o_custkey""".stripMargin,
+    "q_rel_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rel_asof_lastclick" ->
+      """SELECT event_id, user_id, prior_click_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_id
+        |  FROM events WHERE event_type IN ('error', 'click'))
+        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin)
+
+  // ---- time-series pack ---------------------------------------------------
+
+  private val tsQueries: Map[String, Q] = Map(
+    "q_ts_hourly" -> (TimeSeriesOps.hourlyByType _),
+    "q_ts_sliding" -> (TimeSeriesOps.slidingActivity _),
+    "q_ts_sessions" -> (TimeSeriesOps.sessions _),
+    "q_ts_props_stats" -> (TimeSeriesOps.propsKeyStats _),
+    "q_ts_purchase_props" -> (TimeSeriesOps.purchaseProps _))
+
+  private val tsOracles: Map[String, String] = Map(
+    "q_ts_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    "q_ts_sliding" ->
+      """SELECT epoch_ms(ws) AS window_start_ms, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM (SELECT unnest([date_trunc('hour', ts),
+        |                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+        |             value
+        |      FROM events)
+        |GROUP BY ws ORDER BY window_start_ms""".stripMargin,
+    "q_ts_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |    CAST(sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM e)
+        |SELECT user_id, session_id,
+        |  min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_ts_props_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ts_purchase_props" ->
+      """SELECT event_id, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+        |FROM events WHERE event_type = 'purchase' AND user_id < 10
+        |ORDER BY event_id""".stripMargin)
+
+  // ---- text / dedup pack --------------------------------------------------
+
+  private val textQueries: Map[String, Q] = Map(
+    "q_text_token_stats" -> (TextOps.tokenStats _),
+    "q_text_term_freq" -> (TextOps.termFrequency _),
+    "q_text_lang_stats" -> (TextOps.langStats _),
+    "q_text_quality" -> (TextOps.qualityScore _),
+    "q_text_fingerprints" -> (TextOps.fingerprints _),
+    "q_text_langid" -> (TextOps.languageId _),
+    "q_dedup_exact" -> (DedupOps.exactDuplicates _),
+    "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2)),
+    "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
+    "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)))
+
+  private val textOracles: Map[String, String] = Map(
+    "q_text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_regex_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_measured,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_term_freq" ->
+      """SELECT term, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+    "q_text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  round((length(text) - len(toks) + 1)::DOUBLE / len(toks), 4) AS avg_token_len,
+        |  round(len(list_filter(toks, t -> t IN ('the', 'a', 'of')))::DOUBLE
+        |        / len(toks), 4) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INTEGER) AS n_punct,
+        |  round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |        * (len(list_distinct(toks))::DOUBLE / len(toks)), 4) AS quality
+        |FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprints" ->
+      """SELECT doc_id, md5(text) AS md5,
+        |  toks[1] || '|' || toks[len(toks) // 2 + 1] || '|' || toks[-1] AS sketch
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies,
+        |  md5(text) AS fp
+        |FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM shs)
+        |SELECT a, b, jaccard FROM (
+        |  SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |           count(*) AS inter
+        |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |    GROUP BY 1, 2, 3, 4))
+        |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin)
+
+  // ---- vector / multimodal pack -------------------------------------------
+
+  private val vecQueries: Map[String, Q] = Map(
+    "q_vec_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
+    "q_vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
+    "q_vec_neardup" -> ((s, d) => VectorOps.nearDupPairsExact(s, d, minSim = 0.4, maxId = 500)),
+    "q_vec_centroid_norms" -> (VectorOps.labelCentroidNorms _),
+    "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
+    "q_media_features" -> (MultimodalOps.extractFeatures _))
+
+  private def duckCos(v1: String, v2: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |    i -> CAST($v1[i] AS DOUBLE) * CAST($v2[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST($v1[i] AS DOUBLE) * CAST($v1[i] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST($v2[i] AS DOUBLE) * CAST($v2[i] AS DOUBLE)))))""".stripMargin
+
+  private val vecOracles: Map[String, String] = Map(
+    "q_vec_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  round(${duckCos("embedding", "qv")}, 6) AS cos_sim
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vec_ivf_topk" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+         |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qv, cell AS qcell FROM cells WHERE vec_id = 0)
+         |SELECT vec_id, cell,
+         |  round(${duckCos("embedding", "qv")}, 6) AS cos_sim
+         |FROM cells, q WHERE cell = qcell AND vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vec_neardup" ->
+      s"""SELECT a, b, cos_sim FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    round(${duckCos("x.embedding", "y.embedding")}, 6) AS cos_sim
+         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |  WHERE x.vec_id <= 500 AND y.vec_id <= 500)
+         |WHERE cos_sim >= 0.4 ORDER BY a, b""".stripMargin,
+    "q_vec_centroid_norms" -> {
+      val dims = (0 until 64)
+        .map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE)) AS s$i").mkString(",\n  ")
+      val normExpr = (0 until 64).map(i => s"(s$i / n) * (s$i / n)").mkString(" + ")
+      s"""SELECT label, n, round(sqrt($normExpr), 6) AS centroid_norm FROM (
+         |  SELECT label, count(*) AS n,
+         |  $dims
+         |  FROM embeddings GROUP BY label) ORDER BY label""".stripMargin
+    },
+    "q_media_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  substring(hex(encode(text)), 1, 16) AS magic
+        |FROM documents ORDER BY media_id""".stripMargin)
+
+  // ---- public contract -----------------------------------------------------
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, Q] =
+    logQueries ++ relQueries ++ tsQueries ++ textQueries ++ vecQueries
+
+  /** DuckDB twins. Keys absent here (minhash/simhash/langid/media features)
+    * use engine-specific hashing or stubbed decodes → rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    logOracles ++ relOracles ++ tsOracles ++ textOracles ++ vecOracles
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core log-query semantics of the reference engine, Spark-first.
+  *
+  * The reference (daschr/logsqlite) answers `docker logs --since --until
+  * --tail --follow` with an indexed SQLite scan per container
+  * (`src/logger.rs:291-464`). Here the same capability surface is a set of
+  * declarative DataFrame transforms over a partitioned columnar log table:
+  *
+  *  - time-range scan  (logsqlite `src/logger.rs:320-343`)  → pushed-down
+  *    range predicate + partition pruning on the container key;
+  *  - tail-k          (`src/logger.rs:345-377` count+OFFSET) → top-k by the
+  *    monotone sequence key; Catalyst plans `orderBy(desc).limit(k)` as
+  *    TakeOrderedAndProject (per-partition partial top-k + merge) — strictly
+  *    better than the reference's count+OFFSET two-pass at any scale;
+  *  - count           (`src/logger.rs:347-355`)             → partial-agg count;
+  *  - offset paging   (`src/logger.rs:358-361`)             → sort + offset/limit;
+  *  - retention       (`src/cleaner.rs:82-129`)             → survivor predicate
+  *    `ts >= age_cutoff AND rank_from_newest <= max_lines` (complement of the
+  *    reference's `DELETE ... WHERE ts < ?1 OR ROWID < ?2` OR-semantics).
+  *
+  * Scale: all of these are embarrassingly parallel per container partition.
+  * The only shuffle is the window in `retentionSurvivors` (hash-partitioned
+  * by container key — co-located with how a production log table would be
+  * bucketed). Tail-k never materializes more than k rows per partition.
+  *
+  * The driver fixture's `events` table stands in for the log table:
+  * `user_id` ≈ container_id (partition key), `event_id` ≈ ROWID (unique,
+  * monotone with ts — the `seq` column of SURVEY.md §1.3), `ts` ≈ event time.
+  */
+object LogOps {
+
+  /** Docker's zero-time sentinel: "unset" (logsqlite `src/docker.rs:150-166`). */
+  val ZeroTime = "0001-01-01T00:00:00Z"
+
+  /** Normalized read request (logsqlite `src/docker.rs:118-166`). */
+  final case class ReadRequest(
+      container: Option[Long],
+      since: Option[Instant],
+      until: Option[Instant],
+      tail: Option[Long],
+      follow: Boolean)
+
+  /** Sentinel / bounds normalization, mirroring the reference exactly:
+    *  - zero-time since/until → unset (`src/docker.rs:150-166`)
+    *  - tail < 1 → unbounded   (`src/docker.rs:144-148`)
+    *  - follow ignores tail    (`src/logger.rs:386`)
+    */
+  def normalize(
+      container: Option[Long],
+      since: Option[String],
+      until: Option[String],
+      tail: Long,
+      follow: Boolean): ReadRequest = {
+    def parse(o: Option[String]): Option[Instant] =
+      o.filter(_ != ZeroTime).map(Instant.parse)
+    val t = if (follow || tail < 1) None else Some(tail)
+    ReadRequest(container, parse(since), parse(until), t, follow)
+  }
+
+  /** Time-range scan, ordered by the sequence key. The predicate is a plain
+    * Column conjunction so Catalyst pushes it into the parquet scan.
+    */
+  def readRange(
+      logs: DataFrame,
+      containerCol: String,
+      seqCol: String,
+      tsCol: String,
+      req: ReadRequest): DataFrame = {
+    var out = logs
+    req.container.foreach(id => out = out.where(col(containerCol) === id))
+    req.since.foreach(s =>
+      out = out.where(col(tsCol) >= lit(java.sql.Timestamp.from(s))))
+    req.until.foreach(u =>
+      out = out.where(col(tsCol) <= lit(java.sql.Timestamp.from(u))))
+    req.tail match {
+      case Some(k) =>
+        // TakeOrderedAndProject: partial top-k per partition, merge on driver
+        // side of the exchange — O(k) memory, no full sort.
+        out.orderBy(col(seqCol).desc).limit(k.toInt).orderBy(col(seqCol).asc)
+      case None => out.orderBy(col(seqCol).asc)
+    }
+  }
+
+  /** COUNT(*) per container under a range predicate (O7 of SURVEY §2.1).
+    * Partial aggregation (map-side combine) then a tiny shuffle on the
+    * container key — no data movement proportional to row count.
+    */
+  def countByContainer(
+      logs: DataFrame,
+      containerCol: String,
+      pred: Column): DataFrame =
+    logs.where(pred).groupBy(col(containerCol)).agg(count(lit(1)).as("n"))
+
+  /** LIMIT/OFFSET paging on the global sequence order (O8). */
+  def page(logs: DataFrame, seqCol: String, offset: Int, limit: Int): DataFrame =
+    logs.orderBy(col(seqCol).asc).offset(offset).limit(limit)
+
+  /** Rows that SURVIVE `cleanup(age_cutoff, max_lines)` — the complement of
+    * the reference's `DELETE FROM logs WHERE ts < ?1 OR ROWID < ?2`
+    * (`src/cleaner.rs:82-102`): keep rows that are fresh enough AND within
+    * the newest `maxLines` of their container. Expressed as a pure query so
+    * it is oracle-checkable; the mutating form is a partition rewrite
+    * (see graft.streaming.Retention).
+    */
+  def retentionSurvivors(
+      logs: DataFrame,
+      containerCol: String,
+      seqCol: String,
+      tsCol: String,
+      ageCutoff: Option[Instant],
+      maxLines: Option[Long]): DataFrame = {
+    // The reference computes the max-lines ROWID cutoff over ALL rows, then
+    // ORs it with the age predicate in one DELETE — so the line rank must be
+    // taken before the age filter, and both survivor conditions AND'ed.
+    var out = logs
+    maxLines.foreach { k =>
+      val w = Window.partitionBy(col(containerCol)).orderBy(col(seqCol).desc)
+      out = out
+        .withColumn("__rank_from_newest", row_number().over(w))
+        .where(col("__rank_from_newest") <= k)
+        .drop("__rank_from_newest")
+    }
+    ageCutoff.foreach(c =>
+      out = out.where(col(tsCol) >= lit(java.sql.Timestamp.from(c))))
+    out
+  }
+}

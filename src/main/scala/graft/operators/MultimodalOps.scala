@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode / feature-extract stages as partition-local transforms.
+  *
+  * The real decode (image/audio codecs) is STUBBED — the container has no
+  * media libraries — behind `decodeStub`, a deterministic fake that maps
+  * bytes → fixed-shape features. Everything around it is the real Spark
+  * plumbing a 100 TB multimodal pipeline needs:
+  *
+  *  - payloads travel as `BinaryType` columns (columnar, dictionary-free,
+  *    never parsed by Catalyst — exactly how the reference stores its
+  *    opaque `message BLOB`, logsqlite `src/logger.rs:146`);
+  *  - metadata (size, checksum, modality) is extracted with codegen'd
+  *    built-ins so filtering/routing happens WITHOUT touching decoders;
+  *  - the decode stage runs via `mapPartitions` over a typed Dataset —
+  *    batch-at-a-time per partition, the Scala analog of `mapInPandas`
+  *    (one decoder init per partition, vectorized batches inside);
+  *  - partitioning: decode is embarrassingly parallel; repartition by
+  *    size-bucket first if payload skew is observed.
+  */
+object MultimodalOps {
+
+  /** A multimodal record: id + opaque payload + routing metadata. */
+  final case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte])
+  /** Fixed-shape fake feature vector produced by the stub decoder. */
+  final case class MediaFeatures(
+      media_id: Long, modality: String, n_bytes: Int,
+      checksum: String, features: Array[Double])
+
+  /** Fixture adapter: documents' text bytes stand in for media payloads
+    * (modality round-robined by doc_id) — the binary-column plumbing is
+    * identical whatever the bytes encode.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"))
+
+  /** Metadata extraction — no decode, pure column ops, pushdown-friendly. */
+  def mediaMetadata(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(
+      col("media_id"),
+      col("modality"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("checksum"),
+      substring(hex(col("payload")), 1, 16).as("magic"))
+      .orderBy(col("media_id"))
+
+  /** STUB decoder: a real implementation would decode the codec here
+    * (JPEG → pixels, WAV → samples). Deterministic fake: 8 features from
+    * byte statistics so the pipeline shape (fixed-size Array[Double] per
+    * record) is real and testable.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val n = payload.length.max(1)
+    val hist = new Array[Double](8)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xFF) % 8) += 1.0; i += 1 }
+    hist.map(_ / n)
+  }
+
+  /** Decode + feature-extract stage: partition-local batch transform over
+    * the typed Dataset (decoder state would be initialized once per
+    * partition, amortized over its batch — the mapInPandas shape).
+    */
+  def extractFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRecord].mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map { r =>
+        MediaFeatures(
+          r.media_id, r.modality, r.payload.length,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).map("%02x".format(_)).mkString,
+          decodeStub(r.payload))
+      }
+    }.toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 2), 6).as("f1"))
+      .orderBy(col("media_id"))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational extension pack over the star schema (SURVEY.md §2.3).
+  *
+  * The reference has no joins/group-by/windows at all (SURVEY §2.2); this
+  * pack supplies the full relational surface a log-analytics user needs,
+  * expressed declaratively so Catalyst handles pushdown, join reordering,
+  * and AQE does runtime re-planning.
+  *
+  * Scale notes:
+  *  - Dimension tables (region 5 rows → customer 1.5M at SF100) are
+  *    broadcast explicitly where they are guaranteed small; the
+  *    customer-side join is left to AQE, which converts it to broadcast
+  *    when the runtime size qualifies, and falls back to shuffled hash
+  *    join otherwise.
+  *  - All aggregates are partial-agg friendly (sum/count/min/max/avg over
+  *    groupBy) → map-side combine before the shuffle.
+  *  - Windows partition on high-cardinality keys (custkey), so the sort is
+  *    distributed, not global. Global top-k uses orderBy+limit which plans
+  *    as TakeOrderedAndProject (O(k) per partition).
+  */
+object RelationalOps {
+
+  private def r2(c: Column): Column = round(c, 2)
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** TPC-H Q1-shaped scan-heavy aggregate on lineitem: 2-col group key,
+    * 8 aggregates, one shuffle after partial aggregation.
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q5-shaped 5-table join chain: fact table joins up the dimension
+    * hierarchy. region/nation are tiny → explicit broadcast (no shuffle);
+    * orders⋈customer and lineitem⋈orders shuffle on their keys (AQE may
+    * broadcast customer at small SF).
+    */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+             col("o_orderdate") <  lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val c  = Tables.customer(s, d)
+    val n  = broadcast(Tables.nation(s, d))
+    val r  = broadcast(Tables.region(s, d).where(col("r_name") === "ASIA"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join: customers in a segment that placed at least one urgent
+    * order (EXISTS). Semi-join keeps only the probe side → no row
+    * multiplication, shuffle carries just the join key from the build side.
+    */
+  def customersWithUrgentOrders(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join: customers with NO order since 2001 (NOT EXISTS). */
+  def dormantCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus): hierarchical subtotals in one
+    * pass (Spark expands grouping sets, still partial-agg friendly).
+    * Grouping-null columns are coalesced to a sentinel so the output has no
+    * NULL ordering/hashing ambiguity between engines.
+    */
+  def rollupReturns(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(r2(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Ranking window: top-3 orders per customer by value. Partitioned by
+    * custkey → the sort is per-customer within shuffle partitions, never
+    * global; at 100 TB this is the standard distributed top-n-per-group.
+    */
+  def top3OrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Analytic window: running revenue per customer in order-date order. */
+  def runningRevenue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .where(col("o_custkey") <= 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        r2(sum(col("o_totalprice")).over(w)).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Global top-k: 10 most expensive orders → TakeOrderedAndProject. */
+  def topOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Set ops: customers ordering in BOTH 1995 and 1996 (intersect), and in
+    * 1995 but not 1996 (except), tagged and unioned into one result.
+    * INTERSECT/EXCEPT plan as aggregates + joins — all key-only shuffles.
+    */
+  def buyerCohorts(s: SparkSession, d: String): DataFrame = {
+    def buyersIn(year: Int): DataFrame =
+      Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")) &&
+               col("o_orderdate") <  lit(java.sql.Timestamp.valueOf(s"${year + 1}-01-01 00:00:00")))
+        .select(col("o_custkey")).distinct()
+    val both = buyersIn(1995).intersect(buyersIn(1996))
+      .withColumn("cohort", lit("both"))
+    val only95 = buyersIn(1995).except(buyersIn(1996))
+      .withColumn("cohort", lit("only_1995"))
+    both.union(only95).orderBy(col("cohort"), col("o_custkey"))
+  }
+
+  /** Multi-distinct aggregate: exact distinct counts per return flag.
+    * (At 100 TB prefer approx_count_distinct; exact kept here for oracle
+    * parity — Spark plans multi-distinct via expand, one extra shuffle.)
+    */
+  def distinctPartsPerFlag(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** As-of join: for each error event, the most recent strictly-prior click
+    * of the same user.
+    *
+    * Implemented scale-first with the union + last-value-carried-forward
+    * trick instead of a range join: tag both streams, sort per user on
+    * (ts, event_id), carry the last click id/ts forward with an
+    * ignore-nulls window — one shuffle on user_id, zero row explosion.
+    * A naive `e.ts >= c.ts` range join is O(errors × clicks) per user and
+    * dies at scale; this is O(n log n) per user partition.
+    */
+  def lastClickBeforeError(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("error", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      // For an error row click_id is NULL, so the running ignore-nulls last
+      // already means "most recent strictly-prior click" at that row.
+      .withColumn("prior_click_id",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("prior_click_id"))
+      .orderBy(col("event_id"))
+  }
+}

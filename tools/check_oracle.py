@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet written by graft.Verify, runs the
+matching SQL from oracle_sql.json in DuckDB against the sfDir tables, and
+compares row count, column names (sorted), and values (rows sorted by all
+columns, column order = sorted names). Prints per-query PASS/FAIL.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return repr(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    import os
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}"))
+    for name in names:
+        spark_rel = con.sql(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        s_cols = sorted(spark_rel.columns)
+        if name not in oracle:
+            n = len(spark_rel.fetchall())
+            status = "PASS(rows-only)" if n > 0 else "FAIL(rows-only: 0 rows)"
+            if n > 0:
+                n_pass += 1
+            else:
+                n_fail += 1
+            print(f"{status:24s} {name} rows={n}")
+            continue
+        try:
+            duck_rel = con.sql(oracle[name])
+        except Exception as e:
+            n_fail += 1
+            print(f"{'FAIL(oracle-sql)':24s} {name}: {e}")
+            continue
+        d_cols = sorted(duck_rel.columns)
+        if s_cols != d_cols:
+            n_fail += 1
+            print(f"{'FAIL(schema)':24s} {name}: spark={s_cols} duck={d_cols}")
+            continue
+        collist = ", ".join(f'"{c}"' for c in s_cols)
+        s_rows = con.sql(
+            f"SELECT {collist} FROM spark_rel ORDER BY ALL").fetchall()
+        d_rows = con.sql(
+            f"SELECT {collist} FROM duck_rel ORDER BY ALL").fetchall()
+        if len(s_rows) != len(d_rows):
+            n_fail += 1
+            print(f"{'FAIL(count)':24s} {name}: spark={len(s_rows)} duck={len(d_rows)}")
+            continue
+        bad = None
+        for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+            if tuple(map(canon, sr)) != tuple(map(canon, dr)):
+                bad = (i, sr, dr)
+                break
+        if bad:
+            n_fail += 1
+            print(f"{'FAIL(values)':24s} {name} row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
+        else:
+            n_pass += 1
+            print(f"{'PASS':24s} {name} rows={len(s_rows)}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
