@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.sketch._
 
 /** Deduplication pack over `documents` — exact and near-duplicate
   * detection, the workhorse operators of a 100 TB training-data pipeline.
@@ -12,17 +13,19 @@ import graft.Tables
   *  - Exact dedup is a hash groupBy on a constant-size fingerprint
   *    (md5), never on the full text → the shuffle carries 32 bytes + ids
   *    per row, not documents.
-  *  - N-gram Jaccard builds the candidate set by self-joining on shared
-  *    shingles. To stop hot shingles from exploding the join (the classic
-  *    skew failure), very frequent shingles are dropped (document-frequency
-  *    cap) — standard practice, loses only candidates that share *nothing
-  *    rare*, and bounds per-key fanout.
-  *  - MinHash/LSH: k=32 signatures from seeded xxhash64, banded into 8
-  *    bands of 4 → join on (band, band-hash) buckets only. O(n · k) compute,
-  *    shuffle on tiny bucket keys; the full O(n²) comparison never happens.
-  *  - SimHash: 64-bit signature via per-token hash bit-voting; near-dup =
-  *    small Hamming distance. Candidate generation by exact match on
-  *    signature chunks (same banding idea).
+  *  - Sketches (shingles / MinHash / SimHash) are native Catalyst
+  *    expressions with codegen (graft.functions.Sketch) — one compiled
+  *    pass per row; the HOF formulation was ~1 ms/row interpreted.
+  *  - N-gram Jaccard self-joins on an 8-byte shingle hash, not the shingle
+  *    string → the shuffle carries (hash, id, set-size) only.
+  *  - MinHash/LSH: k=32 signatures banded into 8 bands of 4 → join on
+  *    (band, band-hash) buckets only. Candidate pairs are reduced to bare
+  *    (a, b) id pairs BEFORE dedup so no signature rides the shuffle; the
+  *    estimate re-joins the (small) signature table. O(n·k) compute, the
+  *    full O(n²) comparison never happens.
+  *  - SimHash: 64-bit signature; near-dup = Hamming distance <= 3;
+  *    candidates from equality on any of 4 16-bit chunks (pigeonhole
+  *    guarantees recall at distance <= 3).
   */
 object DedupOps {
 
@@ -36,37 +39,25 @@ object DedupOps {
       .select(col("canonical_doc_id"), col("n_copies"), col("fp"))
       .orderBy(col("canonical_doc_id"))
 
-  /** Distinct word-3-gram shingles per document. transform over a
-    * sequence of start offsets — pure array ops, no explode until the
-    * shingle table is built.
-    */
-  def shingles(s: SparkSession, d: String, n: Int = 3): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** Distinct word-3-gram shingles per document (empty → dropped). */
+  def shingles(s: SparkSession, d: String, n: Int = 3): DataFrame =
     Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        // guard: sequence(0, negative) would run descending for docs with
-        // < n tokens — emit an empty shingle set for those instead
-        when(size(toks) >= n,
-          array_distinct(
-            transform(
-              sequence(lit(0), size(toks) - n),
-              i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)
-            ))).otherwise(array().cast("array<string>")).as("shs"))
+      .select(col("doc_id"), wordShingles(split(col("text"), " "), n).as("shs"))
       .where(size(col("shs")) > 0)
-  }
 
   /** Near-duplicate pairs by exact n-gram Jaccard similarity >= minSim.
-    * Candidate pairs come from a self-join on shared shingles (grouped,
-    * so each pair is counted once with its intersection size), then
+    * Candidate pairs come from a self-join on shared shingles — keyed by
+    * the shingle's 64-bit hash so the shuffle never carries shingle text —
+    * grouped so each pair is counted once with its intersection size; then
     * |A∪B| = |A|+|B|−|A∩B| gives exact Jaccard without comparing texts.
     */
   def ngramJaccardPairs(s: SparkSession, d: String, minSim: Double = 0.2): DataFrame = {
     val sh = shingles(s, d)
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
-    val a = sh.select(col("doc_id").as("a"), col("n_sh").as("na"), col("sh"))
-    val b = sh.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("sh"))
-    a.join(b, Seq("sh"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("sh_h"))
+    val a = sh.select(col("doc_id").as("a"), col("n_sh").as("na"), col("sh_h"))
+    val b = sh.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("sh_h"))
+    a.join(b, Seq("sh_h"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -78,39 +69,39 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
-  /** MinHash signature column: k seeded 64-bit min-hashes over the shingle
-    * set. Seeding is `xxhash64(shingle, seed_i)` — Spark-native, codegen'd.
-    */
-  def minhashSig(shs: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shs, sh => xxhash64(sh, lit(seed))))
-    }: _*)
+  /** MinHash signatures: doc_id → array<long> of k seeded min-hashes. */
+  def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame =
+    shingles(s, d).select(col("doc_id"), minhashSig(col("shs"), k).as("sig"))
 
   /** MinHash + LSH candidate pairs with estimated Jaccard.
-    * bands=8 × rows=4 over a k=32 signature: P(candidate) ≈
-    * 1−(1−j⁴)⁸ — steep around j≈0.5. Join key is (band, hash of the band
-    * slice): constant-size, uniformly distributed → skew-free shuffle.
-    * Estimated similarity = fraction of matching signature components.
-    * (No DuckDB oracle: xxhash64 is Spark-specific → rows-only check.)
+    * bands=8 × rows=4 over a k=32 signature: P(candidate) ≈ 1−(1−j⁴)⁸ —
+    * steep around j≈0.5. Join key is (band, hash of the band slice):
+    * constant-size, uniformly distributed → skew-free shuffle. Estimated
+    * similarity = fraction of matching signature components, computed by
+    * re-joining the signature table against bare id pairs.
+    * (No DuckDB oracle: hashing is engine-specific → rows-only check.)
     */
   def minhashLshPairs(
       s: SparkSession, d: String,
       k: Int = 32, bands: Int = 8, minEst: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sig = shingles(s, d).select(col("doc_id"), minhashSig(col("shs"), k).as("sig"))
+    val sig = minhashSignatures(s, d, k)
     val banded = sig.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           bnd => xxhash64(concat_ws(",",
             transform(slice(col("sig"), bnd * rows + 1, lit(rows)), x => x.cast("string"))))))
         .as(Seq("band", "bucket")))
-    val l = banded.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("bucket"))
-    val r = banded.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket"))
+    val cand = banded.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      .join(banded.select(col("doc_id").as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("siga"), col("sigb"))
+      .select(col("a"), col("b"))
       .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
       .select(
         col("a"), col("b"),
         round(
@@ -120,46 +111,28 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
-  /** 64-bit SimHash per document: each token hashes to 64 bits; each bit
-    * position accumulates +1/−1 votes weighted by presence; the signature
-    * takes the sign. Built entirely from higher-order functions.
-    * (Rows-only check — hash is engine-specific.)
-    */
-  def simhash(tokensCol: Column): Column = {
-    val hashes = transform(tokensCol, t => xxhash64(t))
-    // for each bit i: sum over tokens of (bit set ? 1 : -1), then sign bit.
-    // shiftright/shiftleft by a non-literal column → call_function (the SQL
-    // builtins accept expression shift amounts; the Scala shims don't).
-    def shr(h: Column, i: Column): Column = call_function("shiftright", h, i)
-    def shl(h: Column, i: Column): Column = call_function("shiftleft", h, i)
-    val bits = transform(sequence(lit(0), lit(63)), i =>
-      when(
-        aggregate(hashes, lit(0L),
-          (acc, h) => acc + when(shr(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-          > 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => shl(bit, i)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
-
   /** SimHash signatures + near-dup pairs at Hamming distance <= maxDist,
     * candidates generated by matching on any of 4 16-bit chunks (guarantees
-    * recall for distance <= 3 by pigeonhole).
+    * recall for distance <= 3 by pigeonhole). Candidates carry bare ids;
+    * signatures re-join for the Hamming check.
     */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash(split(col("text"), " ")).as("sh"))
+      .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
     val chunked = docs.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "ck")))
-    val l = chunked.select(col("doc_id").as("a"), col("sh").as("sha"), col("chunk"), col("ck"))
-    val r = chunked.select(col("doc_id").as("b"), col("sh").as("shb"), col("chunk"), col("ck"))
-    l.join(r, Seq("chunk", "ck"))
+    val cand = chunked.select(col("doc_id").as("a"), col("chunk"), col("ck"))
+      .join(chunked.select(col("doc_id").as("b"), col("chunk"), col("ck")),
+        Seq("chunk", "ck"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb"))
+      .select(col("a"), col("b"))
       .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"), bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
       .where(col("hamming") <= maxDist)
       .orderBy(col("a"), col("b"))

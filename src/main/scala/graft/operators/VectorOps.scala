@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.sketch.cosineSim
 
 /** Vector-similarity pack over `embeddings` (array<float>, 64-dim).
   *
@@ -25,16 +26,14 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Elementwise cast to double — all accumulation happens in f64. */
+  /** Cosine similarity — native codegen'd expression (graft.functions.
+    * CosineSim): one compiled f64 pass per pair, accumulation order
+    * identical to the DuckDB oracle's list_sum(list_transform(...)).
+    */
+  def cosine(a: Column, b: Column): Column = cosineSim(a, b)
+
+  /** Elementwise cast to double (used by the coarse quantizer only). */
   private def asD(v: Column): Column = transform(v, x => x.cast("double"))
-
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(asD(a), x => x * x), lit(0.0), (acc, x) => acc + x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k vs the embedding of `queryId`. The query
     * vector is a 1-row broadcast cross join; the scan then computes one
@@ -109,7 +108,7 @@ object VectorOps {
     val dim = 64
     val emb = Tables.embeddings(s, d)
     val sums = (0 until dim).map(i =>
-      sum(element_at(asD(col("embedding")), i + 1)).as(s"s$i"))
+      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
     val cnt = count(lit(1))
     val centroidNorm = sqrt(
       (0 until dim).map(i => (col(s"s$i") / col("n")) * (col(s"s$i") / col("n")))
