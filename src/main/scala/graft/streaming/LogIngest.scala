@@ -1,0 +1,187 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.ProtoLogCodec
+
+/** Structured-Streaming ingest of the reference's log stream (SURVEY.md §2.1
+  * O1/O2/O3), Spark-first.
+  *
+  * The reference reads u32-BE length-prefixed `LogEntry` protobuf frames
+  * from a per-container FIFO and group-commits them into SQLite
+  * (logsqlite `src/logger.rs:84-222`). Here the FIFO is assumed drained
+  * into staging files (one file per burst; any FIFO-to-file shipper — at
+  * cluster scale, the files land on object storage) and Spark tails the
+  * staging directory as a file stream:
+  *
+  *   staging/<container_id>/<burst>.pblog   (concatenated frames)
+  *     → readStream binaryFile → deframe/decode (ProtoLogCodec, one pass
+  *       per partition) → typed columns + verbatim re-encoded frame
+  *     → writeStream parquet, partitionBy(container_id), micro-batch
+  *       trigger 100 ms (the reference's burst timeout, `src/config.rs:177`)
+  *
+  * The micro-batch epoch IS the reference's transaction: atomic commit of
+  * the batch's files + checkpointed source offsets replace BEGIN/END and
+  * the `active_fetches` crash-recovery table (`src/statehandler.rs:84-219`)
+  * — restart with the same checkpointLocation and ingest resumes exactly
+  * where it stopped, no replay table needed.
+  *
+  * Scale: ingest is embarrassingly parallel per staged file; the sink's
+  * partitionBy(container_id) gives the per-container physical layout the
+  * reference gets from one-SQLite-per-container (`src/logger.rs:250-251`),
+  * and sortWithinPartitions(ts_nano) inside each batch keeps parquet
+  * row-group min/max stats tight so time-range reads skip row groups (the
+  * analog of the reference's `idx_ts` index, `src/logger.rs:147`).
+  */
+object LogIngest {
+
+  /** Engine log-table schema (SURVEY.md §1.3). */
+  val logSchema: StructType = StructType(Seq(
+    StructField("container_id", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("ts_nano", LongType, nullable = false),
+    StructField("source", StringType, nullable = true),
+    StructField("line", StringType, nullable = true),
+    StructField("partial", BooleanType, nullable = false),
+    StructField("partial_id", StringType, nullable = true),
+    StructField("partial_last", BooleanType, nullable = true),
+    StructField("partial_ordinal", IntegerType, nullable = true),
+    StructField("message", BinaryType, nullable = true)))
+
+  /** One decoded row of the log table. */
+  final case class LogRow(
+      container_id: String, seq: Long, ts_nano: Long, source: String,
+      line: String, partial: Boolean, partial_id: Option[String],
+      partial_last: Option[Boolean], partial_ordinal: Option[Int],
+      message: Array[Byte])
+
+  /** Decode one staged burst file into rows.
+    *
+    * `seq` (the ROWID analog) must be monotone per container across
+    * micro-batches and stable across restarts, so it is derived from data,
+    * never from `monotonically_increasing_id()`: µs event time × 1000 +
+    * in-burst ordinal (mod 1000). Nanosecond-apart lines within a burst
+    * keep arrival order; the value stays < 2^63 through year 2260.
+    *
+    * Reference semantics preserved: '\n' appended to every line before
+    * storage, and `message` is the verbatim RE-ENCODED frame of the
+    * newline-appended entry (`src/logger.rs:122-130`) so the read path can
+    * return byte-identical frames.
+    */
+  def decodeBurst(containerId: String, bytes: Array[Byte]): Iterator[LogRow] =
+    ProtoLogCodec.deframe(bytes).zipWithIndex.map { case (frame, idx) =>
+      val e = ProtoLogCodec.decode(frame)
+      val withNl = e.copy(line = e.line :+ '\n'.toByte)
+      LogRow(
+        container_id = containerId,
+        seq = (e.timeNano / 1000L) * 1000L + (idx % 1000),
+        ts_nano = e.timeNano,
+        source = e.source,
+        line = new String(withNl.line, "UTF-8"),
+        partial = e.partial,
+        partial_id = e.partialMeta.map(_.id),
+        partial_last = e.partialMeta.map(_.last),
+        partial_ordinal = e.partialMeta.map(_.ordinal),
+        message = ProtoLogCodec.encode(withNl))
+    }
+
+  /** Streaming decode: binaryFile source over `stagingDir/<container>/...`
+    * → typed log rows. Pure per-file work inside `flatMap` — no shuffle.
+    */
+  def decodedStream(spark: SparkSession, stagingDir: String): Dataset[LogRow] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.pblog")
+      .schema(StructType(Seq(  // binaryFile's fixed schema
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(s"$stagingDir/*")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        // .../<container_id>/<burst>.pblog
+        val parts = path.stripSuffix("/").split("/")
+        decodeBurst(parts(parts.length - 2), content)
+      }
+  }
+
+  /** Start the ingest query: staging files → partitioned parquet log table.
+    * 100 ms processing-time trigger mirrors the reference's burst-commit
+    * cadence; tests pass `Trigger.AvailableNow()` for run-to-completion.
+    */
+  def start(
+      spark: SparkSession,
+      stagingDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
+    import spark.implicits._
+    decodedStream(spark, stagingDir)
+      // integer div, not `/`: ns epoch values exceed double's 2^53
+      .withColumn("ts", timestamp_micros(expr("ts_nano div 1000")))
+      .select("container_id", "seq", "ts", "ts_nano", "source", "line",
+        "partial", "partial_id", "partial_last", "partial_ordinal", "message")
+      .writeStream
+      // foreachBatch + plain parquet append, NOT the streaming file sink:
+      // the file sink tracks its output in a _spark_metadata log, which (a)
+      // batch readers then treat as the source of truth, breaking the
+      // retention sweep's rewrite-and-swap, and (b) plain-parquet readers
+      // outside Spark wouldn't see. Trade-off: source offsets are still
+      // checkpointed (no reprocessing across restarts), but a crash between
+      // a batch's write and its offset commit can replay that batch —
+      // at-least-once, like the reference's restart-on-decode-error path
+      // (src/statehandler.rs:147-166). Exactly-once needs an ACID table
+      // format underneath; the swap to one is confined to this sink.
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch
+          // burst files are decoded in frame order = arrival/ts order; sort
+          // within tasks so parquet row-group min/max stats on ts_nano stay
+          // tight (the reference's idx_ts analog, src/logger.rs:147)
+          .sortWithinPartitions("container_id", "ts_nano")
+          .write.mode("append").partitionBy("container_id").parquet(tableDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Batch view of the ingested log table. */
+  def table(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.schema(logSchema).parquet(tableDir)
+
+  /** Follow-mode read (SURVEY §2.1 O9): an UNBOUNDED query over the same
+    * table — new micro-batches keep emitting as ingest appends. The 1 s
+    * default trigger mirrors the reference's poll cadence
+    * (`src/logger.rs:287`); its follow-ignores-tail rule is applied by
+    * [[graft.operators.LogOps.normalize]] before this is called.
+    */
+  def follow(
+      spark: SparkSession,
+      tableDir: String,
+      containerId: Option[String],
+      sinceNano: Option[Long],
+      untilNano: Option[Long],
+      emit: DataFrame => Unit,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    var df = spark.readStream.schema(logSchema).parquet(tableDir)
+    containerId.foreach(id => df = df.where(col("container_id") === id))
+    sinceNano.foreach(s => df = df.where(col("ts_nano") >= s))
+    untilNano.foreach(u => df = df.where(col("ts_nano") <= u))
+    df.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(batch.orderBy(col("seq")))
+      }
+      .start()
+  }
+}

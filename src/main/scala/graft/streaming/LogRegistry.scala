@@ -1,0 +1,67 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Active-stream registry (SURVEY.md §2.1 O14–O16): the Spark analog of the
+  * reference's worker pool + `active_fetches` crash-recovery table
+  * (logsqlite `src/logger.rs:229-281`, `src/statehandler.rs:84-219`).
+  *
+  * StartLogging ≈ start an ingest StreamingQuery; StopLogging ≈ stop it
+  * (optionally deleting the container's data, the reference's
+  * `delete_when_stopped`, `src/statehandler.rs:167-183`); crash recovery ≈
+  * restart with the same checkpointLocation — Structured Streaming's
+  * checkpoint subsumes the state table entirely, so `replayState` is just
+  * "start every container found under the checkpoint root".
+  */
+final class LogRegistry(
+    spark: SparkSession,
+    stagingRoot: String,
+    tableRoot: String,
+    checkpointRoot: String) {
+
+  private val active = TrieMap.empty[String, StreamingQuery]
+
+  def startLogging(
+      containerId: String,
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery =
+    active.getOrElseUpdate(containerId,
+      LogIngest.start(spark, stagingRoot, tableRoot,
+        s"$checkpointRoot/$containerId", trigger))
+
+  def stopLogging(containerId: String, deleteWhenStopped: Boolean = true): Unit = {
+    active.remove(containerId).foreach(_.stop())
+    if (deleteWhenStopped) {
+      val part = java.nio.file.Paths.get(tableRoot, s"container_id=$containerId")
+      delete(part)
+    }
+  }
+
+  /** Restart every container that has a checkpoint — crash recovery. */
+  def replayState(): Seq[String] = {
+    val root = java.nio.file.Paths.get(checkpointRoot)
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val it = java.nio.file.Files.list(root).iterator()
+    val restarted = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val id = it.next().getFileName.toString
+      startLogging(id)
+      restarted += id
+    }
+    restarted.result()
+  }
+
+  def activeContainers: Set[String] = active.keySet.toSet
+
+  def stopAll(): Unit = active.keys.foreach(stopLogging(_, deleteWhenStopped = false))
+
+  private def delete(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val it = java.nio.file.Files.list(p).iterator()
+      while (it.hasNext) delete(it.next())
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+}

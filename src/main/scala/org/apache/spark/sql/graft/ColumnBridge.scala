@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drop the session-shared file-listing cache. `refreshByPath` only
+    * re-caches CacheManager entries; path-based parquet reads keep their
+    * leaf-file lists in the shared FileStatusCache, which must be
+    * invalidated after an out-of-band partition rewrite (retention sweep).
+    */
+  def invalidateFileListing(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.execution.datasources.FileStatusCache
+      .getOrCreate(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+      .invalidateAll()
 }

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.functions.ProtoLogCodec
+import graft.functions.ProtoLogCodec.{LogEntry, PartialMeta}
+
+/** End-to-end ingest → query → follow → retention over a temp log table. */
+class LogIngestSpec extends SparkSpec {
+
+  private val t0 = 1700000000000000000L // ns
+
+  private def entry(i: Int, container: String): LogEntry =
+    LogEntry(
+      source = if (i % 2 == 0) "stdout" else "stderr",
+      timeNano = t0 + i * 1000000000L,
+      line = s"line-$i-of-$container".getBytes("UTF-8"),
+      partial = i % 10 == 0,
+      partialMeta = if (i % 10 == 0) Some(PartialMeta(last = true, s"p$i", i)) else None)
+
+  private def writeBurst(staging: String, container: String, burst: String,
+      entries: Seq[LogEntry]): Unit = {
+    val dir = Paths.get(staging, container)
+    Files.createDirectories(dir)
+    val bytes = entries.map(e => ProtoLogCodec.frame(ProtoLogCodec.encode(e)))
+      .foldLeft(Array.emptyByteArray)(_ ++ _)
+    Files.write(dir.resolve(s"$burst.pblog"), bytes)
+  }
+
+  private def tmp(): String = Files.createTempDirectory("graft-ingest").toString
+
+  test("ingest end-to-end: frames → partitioned parquet with reference semantics") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    writeBurst(staging, "c1", "b0", (0 until 50).map(entry(_, "c1")))
+    writeBurst(staging, "c2", "b0", (0 until 30).map(entry(_, "c2")))
+
+    val q = LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val df = LogIngest.table(spark, table)
+    assert(df.count() === 80)
+    // partition layout = per-container pruning (the reference's DB-per-container)
+    assert(Files.isDirectory(Paths.get(table, "container_id=c1")))
+
+    val c1 = df.where(col("container_id") === "c1").orderBy("seq")
+      .collect()
+    assert(c1.length === 50)
+    // newline appended to every stored line (src/logger.rs:123)
+    assert(c1.map(_.getAs[String]("line")).forall(_.endsWith("\n")))
+    assert(c1.head.getAs[String]("line") === "line-0-of-c1\n")
+    // seq monotone and aligned with event time
+    val seqs = c1.map(_.getAs[Long]("seq"))
+    assert(seqs.sorted.toSeq === seqs.toSeq)
+    // ns fidelity via ts_nano; µs-truncated ts for SQL ergonomics
+    assert(c1.head.getAs[Long]("ts_nano") === t0)
+    // message = verbatim re-encoded frame: decodes back to the same line
+    val m = ProtoLogCodec.decode(c1(1).getAs[Array[Byte]]("message"))
+    assert(new String(m.line, "UTF-8") === "line-1-of-c1\n")
+    assert(m.source === "stderr")
+
+    // restart with the same checkpoint ingests nothing new (exactly-once)
+    val q2 = LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(LogIngest.table(spark, table).count() === 80)
+  }
+
+  test("follow mode keeps emitting as new bursts land (src/logger.rs:287,442-451)") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    writeBurst(staging, "c1", "b0", (0 until 10).map(entry(_, "c1")))
+    LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+      .awaitTermination(60000)
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val fq = LogIngest.follow(spark, table, Some("c1"),
+      sinceNano = Some(t0 + 5 * 1000000000L), untilNano = None,
+      emit = b => b.collect().foreach(r => seen.add(r.getAs[Long]("seq"))),
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      eventually(10000)(assert(seen.size() === 5)) // rows 5..9 pass the since filter
+      // new burst arrives while following → emitted incrementally
+      writeBurst(staging, "c1", "b1", (10 until 15).map(entry(_, "c1")))
+      LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+        .awaitTermination(60000)
+      eventually(15000)(assert(seen.size() === 10))
+    } finally fq.stop()
+  }
+
+  test("retention sweep rewrites partitions atomically; survivors match the pure query") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    writeBurst(staging, "c1", "b0", (0 until 40).map(entry(_, "c1")))
+    writeBurst(staging, "c2", "b0", (0 until 20).map(entry(_, "c2")))
+    LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+      .awaitTermination(60000)
+
+    // age cutoff at i=25's timestamp, max 10 lines → c1 keeps 30..39, c2 keeps nothing older than cutoff
+    val cutoff = java.time.Instant.ofEpochSecond(0, t0 + 25 * 1000000000L)
+    val n = Retention.sweep(spark, table, Some(cutoff), Some(10L))
+    assert(n === 2)
+    val after = LogIngest.table(spark, table)
+    val c1 = after.where(col("container_id") === "c1")
+      .select("seq").collect().map(_.getLong(0)).sorted
+    assert(c1.length === 10)
+    assert(after.where(col("container_id") === "c2").count() === 0)
+    // idempotent: a second sweep rewrites nothing
+    assert(Retention.sweep(spark, table, Some(cutoff), Some(10L)) === 0)
+  }
+
+  test("registry: start/stop/replay lifecycle with delete-when-stopped") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    writeBurst(staging, "c9", "b0", (0 until 5).map(entry(_, "c9")))
+    val reg = new LogRegistry(spark, staging, table, ckpt)
+    val q = reg.startLogging("c9", Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(reg.activeContainers === Set("c9"))
+    assert(LogIngest.table(spark, table).count() === 5)
+
+    reg.stopLogging("c9", deleteWhenStopped = true) // statehandler.rs:167-183
+    assert(reg.activeContainers === Set.empty)
+    assert(!Files.exists(Paths.get(table, "container_id=c9")))
+
+    // crash recovery: checkpoints alone are enough to resume every container
+    val reg2 = new LogRegistry(spark, staging, table, ckpt)
+    assert(reg2.replayState() === Seq("c9"))
+    reg2.stopAll()
+  }
+
+  private def eventually(timeoutMs: Long)(check: => Unit): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last: Throwable = null
+    while (System.currentTimeMillis() < deadline) {
+      try { check; return } catch { case t: Throwable => last = t; Thread.sleep(200) }
+    }
+    throw last
+  }
+}
