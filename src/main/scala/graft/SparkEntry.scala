@@ -39,40 +39,40 @@ object SparkEntry {
 
   private val logQueries: Map[String, Q] = Map(
     "q_log_range" -> ((s, d) =>
-      LogOps.readRange(ev(s, d), "user_id", "event_id", "ts",
+      LogOps.readRange(ev(s, d), "user_id", "event_id", "ts_nano",
           LogOps.normalize(Some(42L), Some("2024-01-10T00:00:00Z"),
             Some("2024-01-20T00:00:00Z"), tail = 0, follow = false))
         .select(evCols: _*)),
     "q_log_tail" -> ((s, d) =>
-      LogOps.readRange(ev(s, d), "user_id", "event_id", "ts",
+      LogOps.readRange(ev(s, d), "user_id", "event_id", "ts_nano",
           LogOps.normalize(Some(7L), None, None, tail = 50, follow = false))
         .select(evCols: _*)),
     "q_log_tail_range" -> ((s, d) =>
-      LogOps.readRange(ev(s, d), "user_id", "event_id", "ts",
+      LogOps.readRange(ev(s, d), "user_id", "event_id", "ts_nano",
           LogOps.normalize(Some(7L), Some("2024-01-05T00:00:00Z"),
             Some("2024-01-25T00:00:00Z"), tail = 25, follow = false))
         .select(evCols: _*)),
     "q_log_count" -> ((s, d) =>
       LogOps.countByContainer(ev(s, d), "user_id",
-          col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
-          col("ts") <= lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+          col("ts_nano") >= LogOps.nanos(java.time.Instant.parse("2024-01-10T00:00:00Z")) &&
+          col("ts_nano") <= LogOps.nanos(java.time.Instant.parse("2024-01-15T00:00:00Z")))
         .orderBy(col("user_id"))),
     "q_log_page" -> ((s, d) =>
       LogOps.page(ev(s, d), "event_id", offset = 500, limit = 100)
         .select(evCols: _*)),
     "q_log_retention_age" -> ((s, d) =>
-      LogOps.retentionSurvivors(ev(s, d), "user_id", "event_id", "ts",
+      LogOps.retentionSurvivors(ev(s, d), "user_id", "event_id", "ts_nano",
           ageCutoff = Some(java.time.Instant.parse("2024-01-15T00:00:00Z")),
           maxLines = None)
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
         .orderBy(col("event_id"))),
     "q_log_retention_lines" -> ((s, d) =>
-      LogOps.retentionSurvivors(ev(s, d), "user_id", "event_id", "ts",
+      LogOps.retentionSurvivors(ev(s, d), "user_id", "event_id", "ts_nano",
           ageCutoff = None, maxLines = Some(20L))
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
         .orderBy(col("event_id"))),
     "q_log_retention_both" -> ((s, d) =>
-      LogOps.retentionSurvivors(ev(s, d), "user_id", "event_id", "ts",
+      LogOps.retentionSurvivors(ev(s, d), "user_id", "event_id", "ts_nano",
           ageCutoff = Some(java.time.Instant.parse("2024-01-10T00:00:00Z")),
           maxLines = Some(40L))
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))

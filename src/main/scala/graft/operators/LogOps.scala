@@ -64,21 +64,30 @@ object LogOps {
     ReadRequest(container, parse(since), parse(until), t, follow)
   }
 
-  /** Time-range scan, ordered by the sequence key. The predicate is a plain
-    * Column conjunction so Catalyst pushes it into the parquet scan.
+  /** Exact int64 nanoseconds since epoch — the authoritative filter/order
+    * domain (SURVEY.md §1.3: Spark TimestampType truncates to µs).
+    */
+  def nanos(i: Instant): Long = i.getEpochSecond * 1000000000L + i.getNano
+
+  /** Time-range scan, ordered by the sequence key.
+    *
+    * The range predicate compares the RAW int64 `ts_nano` column, never a
+    * derived timestamp: a filter on `timestamp_micros(ts_nano div 1000)` is
+    * a function of the column and cannot reach the parquet scan, while a
+    * plain long comparison shows up in `PushedFilters` and prunes row
+    * groups via min/max stats — at 100 TB this predicate IS the index
+    * (the reference's idx_ts, logsqlite src/logger.rs:147).
     */
   def readRange(
       logs: DataFrame,
       containerCol: String,
       seqCol: String,
-      tsCol: String,
+      tsNanoCol: String,
       req: ReadRequest): DataFrame = {
     var out = logs
     req.container.foreach(id => out = out.where(col(containerCol) === id))
-    req.since.foreach(s =>
-      out = out.where(col(tsCol) >= lit(java.sql.Timestamp.from(s))))
-    req.until.foreach(u =>
-      out = out.where(col(tsCol) <= lit(java.sql.Timestamp.from(u))))
+    req.since.foreach(s => out = out.where(col(tsNanoCol) >= nanos(s)))
+    req.until.foreach(u => out = out.where(col(tsNanoCol) <= nanos(u)))
     req.tail match {
       case Some(k) =>
         // TakeOrderedAndProject: partial top-k per partition, merge on driver
@@ -113,7 +122,7 @@ object LogOps {
       logs: DataFrame,
       containerCol: String,
       seqCol: String,
-      tsCol: String,
+      tsNanoCol: String,
       ageCutoff: Option[Instant],
       maxLines: Option[Long]): DataFrame = {
     // The reference computes the max-lines ROWID cutoff over ALL rows, then
@@ -127,8 +136,7 @@ object LogOps {
         .where(col("__rank_from_newest") <= k)
         .drop("__rank_from_newest")
     }
-    ageCutoff.foreach(c =>
-      out = out.where(col(tsCol) >= lit(java.sql.Timestamp.from(c))))
+    ageCutoff.foreach(c => out = out.where(col(tsNanoCol) >= nanos(c)))
     out
   }
 }

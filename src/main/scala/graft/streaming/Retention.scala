@@ -47,7 +47,7 @@ object Retention {
         val live = LogIngest.table(spark, tableDir)
           .where(col("container_id") === name.stripPrefix("container_id="))
         val survivors = LogOps.retentionSurvivors(
-          live, "container_id", "seq", "ts", ageCutoff, maxLines)
+          live, "container_id", "seq", "ts_nano", ageCutoff, maxLines)
         val before = live.count()
         val after = survivors.count()
         if (after < before) {

@@ -17,9 +17,9 @@ class LogOpsSpec extends SparkSpec {
     import spark.implicits._
     // two containers, seq strictly increasing with ts
     (1 to 100).map { i =>
-      (i.toLong % 2, i.toLong, java.sql.Timestamp.from(
-        Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 60L)))
-    }.toDF("c", "seq", "ts")
+      val t = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 60L)
+      (i.toLong % 2, i.toLong, LogOps.nanos(t))
+    }.toDF("c", "seq", "ts_nano")
   }
 
   private def seqs(df: DataFrame): Seq[Long] =
@@ -45,20 +45,20 @@ class LogOpsSpec extends SparkSpec {
     val r = normalize(Some(0L), Some("2024-01-01T00:30:00Z"),
       Some("2024-01-01T01:00:00Z"), 0, follow = false)
     // container 0 = even seq; minutes 30..60 → seq 30..60
-    assert(seqs(readRange(logs, "c", "seq", "ts", r)) ===
+    assert(seqs(readRange(logs, "c", "seq", "ts_nano", r)) ===
       (30L to 60L by 2))
   }
 
   test("tail(k) ≡ last k of the full scan, in ascending order") {
     val full = normalize(Some(1L), None, None, 0, follow = false)
     val tail = normalize(Some(1L), None, None, 7, follow = false)
-    val all = seqs(readRange(logs, "c", "seq", "ts", full))
-    assert(seqs(readRange(logs, "c", "seq", "ts", tail)) === all.takeRight(7))
+    val all = seqs(readRange(logs, "c", "seq", "ts_nano", full))
+    assert(seqs(readRange(logs, "c", "seq", "ts_nano", tail)) === all.takeRight(7))
   }
 
   test("tail > nrows starts from row 0 (src/logger.rs:367)") {
     val r = normalize(Some(1L), None, None, 1000, follow = false)
-    assert(seqs(readRange(logs, "c", "seq", "ts", r)).size === 50)
+    assert(seqs(readRange(logs, "c", "seq", "ts_nano", r)).size === 50)
   }
 
   test("page = sort + offset + limit") {
@@ -66,24 +66,24 @@ class LogOpsSpec extends SparkSpec {
   }
 
   test("retention max-lines keeps exactly min(k, n) newest per container") {
-    val out = retentionSurvivors(logs, "c", "seq", "ts", None, Some(10L))
+    val out = retentionSurvivors(logs, "c", "seq", "ts_nano", None, Some(10L))
     val byC = out.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted)
     assert(byC(0L).toSeq === (82L to 100L by 2))
     assert(byC(1L).toSeq === (81L to 99L by 2))
-    val tiny = retentionSurvivors(logs.where(col("seq") <= 4), "c", "seq", "ts", None, Some(10L))
+    val tiny = retentionSurvivors(logs.where(col("seq") <= 4), "c", "seq", "ts_nano", None, Some(10L))
     assert(tiny.count() === 4) // k > n keeps everything
   }
 
   test("combined age+lines retention: survivors must satisfy BOTH (cleaner.rs:97 OR-delete)") {
     // delete if (ts < cutoff) OR (rank > k)  ⇔  keep if fresh AND within k
     val cutoff = Instant.parse("2024-01-01T01:00:00Z") // keeps seq >= 60
-    val out = retentionSurvivors(logs, "c", "seq", "ts", Some(cutoff), Some(10L))
+    val out = retentionSurvivors(logs, "c", "seq", "ts_nano", Some(cutoff), Some(10L))
     val got = seqs(out.orderBy("seq"))
     // within-10-newest per container: evens 82..100, odds 81..99 — all >= 60
     assert(got.sorted === ((81L to 99L by 2) ++ (82L to 100L by 2)).sorted)
     // age bites when the cutoff is newer than the rank window
     val cutoff2 = Instant.parse("2024-01-01T01:30:00Z") // keeps seq >= 90
-    val out2 = retentionSurvivors(logs, "c", "seq", "ts", Some(cutoff2), Some(10L))
+    val out2 = retentionSurvivors(logs, "c", "seq", "ts_nano", Some(cutoff2), Some(10L))
     assert(seqs(out2.orderBy("seq")).forall(_ >= 90L))
   }
 }
