@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over an event stream (the streaming twin of
+  * graft.operators.TimeSeriesOps): watermarked event-time windows and
+  * custom sessionization state — the Structured Streaming surface the
+  * reference never had (its only "streaming" is ordered follow-mode
+  * emission, logsqlite `src/logger.rs:287-288,442-451`).
+  *
+  * Scale notes: the windowed aggregate is a standard partial-agg +
+  * state-store plan keyed by (window, type) — state size is bounded by the
+  * watermark horizon, late rows beyond it are dropped deterministically.
+  * Sessionization state lives per user key in the state store; the timeout
+  * closes idle sessions so state does not grow with stream length.
+  */
+object EventStreamOps {
+
+  /** Input event (µs-precision timestamp — the streaming-plane type). */
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Closed (or force-flushed) session summary. */
+  final case class Session(
+      user_id: Long, session_start_ms: Long, session_end_ms: Long, n_events: Long)
+
+  final case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+  /** Tumbling 1-hour event-time windows with a watermark: counts + sums per
+    * (window, type). Append mode — a window emits once its watermark
+    * passes, making results deterministic under reordering within the
+    * allowed lateness.
+    */
+  def windowedCounts(events: Dataset[Event], lateness: String = "10 minutes"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Custom stateful sessionization: flatMapGroupsWithState keyed by user,
+    * 30-minute inactivity gap closes a session (event-time semantics via
+    * the watermark; idle keys are flushed by the event-time timeout).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000,
+      lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // idle past the gap: close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.startMs, s.endMs, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(user, s.startMs, s.endMs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session once event time passes end + gap
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
