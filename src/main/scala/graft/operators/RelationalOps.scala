@@ -149,15 +149,17 @@ object RelationalOps {
     * INTERSECT/EXCEPT plan as aggregates + joins — all key-only shuffles.
     */
   def buyerCohorts(s: SparkSession, d: String): DataFrame = {
+    // distinct buyer sets are reused by INTERSECT and EXCEPT; materialize
+    // each once instead of re-scanning orders four times
     def buyersIn(year: Int): DataFrame =
       Tables.orders(s, d)
         .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")) &&
                col("o_orderdate") <  lit(java.sql.Timestamp.valueOf(s"${year + 1}-01-01 00:00:00")))
         .select(col("o_custkey")).distinct()
-    val both = buyersIn(1995).intersect(buyersIn(1996))
-      .withColumn("cohort", lit("both"))
-    val only95 = buyersIn(1995).except(buyersIn(1996))
-      .withColumn("cohort", lit("only_1995"))
+    val b95 = buyersIn(1995)
+    val b96 = buyersIn(1996)
+    val both = b95.intersect(b96).withColumn("cohort", lit("both"))
+    val only95 = b95.except(b96).withColumn("cohort", lit("only_1995"))
     both.union(only95).orderBy(col("cohort"), col("o_custkey"))
   }
 
