@@ -131,6 +131,8 @@ object SparkEntry {
     "q_rel_semi_join" -> (RelationalOps.customersWithUrgentOrders _),
     "q_rel_anti_join" -> (RelationalOps.dormantCustomers _),
     "q_rel_rollup" -> (RelationalOps.rollupReturns _),
+    "q_rel_cube" -> (RelationalOps.cubeReturns _),
+    "q_rel_quantiles" -> (RelationalOps.priceQuantiles _),
     "q_rel_window_rank" -> (RelationalOps.top3OrdersPerCustomer _),
     "q_rel_window_running" -> (RelationalOps.runningRevenue _),
     "q_rel_topk" -> (RelationalOps.topOrders _),
@@ -184,6 +186,20 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_rel_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |       coalesce(l_linestatus, '(all)') AS linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_rel_quantiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_rel_window_rank" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

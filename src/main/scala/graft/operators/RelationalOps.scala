@@ -110,6 +110,34 @@ object RelationalOps {
         col("sum_qty"), col("n"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** CUBE over (returnflag, linestatus): all 4 grouping sets in one pass —
+    * the full grouping-sets surface next to rollupReturns' hierarchy.
+    */
+  def cubeReturns(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(r2(sum(col("l_quantity"))).as("sum_qty"),
+           r2(avg(col("l_extendedprice"))).as("avg_price"),
+           count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("sum_qty"), col("avg_price"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). At 100 TB swap for `approx_percentile` — kept exact
+    * here for oracle parity; the query shape is identical.
+    */
+  def priceQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        r2(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r2(expr("percentile(o_totalprice, 0.95)")).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** Ranking window: top-3 orders per customer by value. Partitioned by
     * custkey → the sort is per-customer within shuffle partitions, never
     * global; at 100 TB this is the standard distributed top-n-per-group.
