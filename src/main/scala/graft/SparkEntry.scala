@@ -306,7 +306,7 @@ object SparkEntry {
     "q_text_fingerprints" -> (TextOps.fingerprints _),
     "q_text_langid" -> (TextOps.languageId _),
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
-    "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2)),
+    "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)))
 
@@ -354,7 +354,12 @@ object SparkEntry {
         |          list_distinct([array_to_string(toks[i:i+2], ' ')
         |                         for i in range(1, len(toks) - 1)]) AS shl
         |        FROM t WHERE len(toks) >= 3),
-        |sh AS (SELECT doc_id, len(shl) AS n_sh, unnest(shl) AS sh FROM shs)
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped)
         |SELECT a, b, jaccard FROM (
         |  SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard FROM (
         |    SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
@@ -371,6 +376,7 @@ object SparkEntry {
     "q_vec_neardup" -> ((s, d) => VectorOps.nearDupPairsExact(s, d, minSim = 0.4, maxId = 500)),
     "q_vec_centroid_norms" -> (VectorOps.labelCentroidNorms _),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
+    "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _))
 
   private def duckCos(v1: String, v2: String): String =
@@ -416,6 +422,12 @@ object SparkEntry {
          |  $dims
          |  FROM embeddings GROUP BY label) ORDER BY label""".stripMargin
     },
+    "q_media_frames" ->
+      """SELECT doc_id AS media_id, i AS frame_idx,
+        |  md5(text || '#' || CAST(i AS VARCHAR)) AS frame_fp
+        |FROM documents, (SELECT unnest(range(3)) AS i)
+        |WHERE doc_id % 3 = 2
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "q_media_metadata" ->
       """SELECT doc_id AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,

@@ -50,11 +50,33 @@ object DedupOps {
     * the shingle's 64-bit hash so the shuffle never carries shingle text —
     * grouped so each pair is counted once with its intersection size; then
     * |A∪B| = |A|+|B|−|A∩B| gives exact Jaccard without comparing texts.
+    *
+    * `maxDf` is the skew guard: a shingle shared by f documents contributes
+    * f·(f−1)/2 candidate rows, so one boilerplate shingle ("all rights
+    * reserved ...") at f=10⁶ would alone emit 5·10¹¹ pairs. Dropping
+    * shingles with document frequency > maxDf bounds per-key join fanout at
+    * maxDf²; pairs sharing only ultra-common shingles are below any useful
+    * similarity threshold anyway. Set maxDf = 0 to disable. NOTE: the cap
+    * removes capped shingles from the similarity computation itself (both
+    * intersection and set sizes), and the DuckDB oracle applies the same
+    * rule, so results stay exact w.r.t. the capped shingle universe.
     */
-  def ngramJaccardPairs(s: SparkSession, d: String, minSim: Double = 0.2): DataFrame = {
-    val sh = shingles(s, d)
-      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh")).as("sh_h"))
+  def ngramJaccardPairs(
+      s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    val exploded = shingles(s, d)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
+    val capped =
+      if (maxDf <= 0) exploded
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh_h"))
+        exploded.withColumn("__df", count(lit(1)).over(w))
+          .where(col("__df") <= maxDf).drop("__df")
+      }
+    val sh = capped
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     val a = sh.select(col("doc_id").as("a"), col("n_sh").as("na"), col("sh_h"))
     val b = sh.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("sh_h"))
     a.join(b, Seq("sh_h"))

@@ -68,6 +68,26 @@ object MultimodalOps {
     hist.map(_ / n)
   }
 
+  /** Frame sampling for the video modality: each payload expands to
+    * `nFrames` frame records with a per-frame fingerprint. A real decoder
+    * would seek and decode I-frames here; the STUB derives each frame's
+    * fingerprint deterministically as md5(payload ++ "#" ++ frame_idx) so
+    * the expansion plumbing (generator → per-frame rows, no shuffle) is
+    * real and oracle-checkable. Pure projection + posexplode: scales
+    * linearly, stays in whole-stage codegen.
+    */
+  def frameSample(s: SparkSession, d: String, nFrames: Int = 3): DataFrame =
+    mediaTable(s, d)
+      .where(col("modality") === "video")
+      .select(
+        col("media_id"),
+        posexplode(
+          transform(sequence(lit(0), lit(nFrames - 1)),
+            i => md5(concat(col("payload"), lit("#").cast("binary"),
+              i.cast("string").cast("binary")))))
+          .as(Seq("frame_idx", "frame_fp")))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   /** Decode + feature-extract stage: partition-local batch transform over
     * the typed Dataset (decoder state would be initialized once per
     * partition, amortized over its batch — the mapInPandas shape).

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Invariant tests for the relational + time-series packs on the sf0.001
+  * fixtures (exact values are covered by the DuckDB oracle; these check
+  * structural properties that must hold at any scale).
+  */
+class RelTimeSeriesSpec extends SparkSpec {
+
+  test("semi and anti joins partition the customer set") {
+    val urgent = RelationalOps.customersWithUrgentOrders(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val building = Tables.customer(spark, sf0001)
+      .where(col("c_mktsegment") === "BUILDING").count()
+    assert(urgent.nonEmpty && urgent.size <= building)
+    val dormant = RelationalOps.dormantCustomers(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    // anti join = exact complement of customers having a qualifying order
+    val active = Tables.orders(spark, sf0001)
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val all = Tables.customer(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(dormant === all -- active)
+  }
+
+  test("top3OrdersPerCustomer: rank bounded, per-customer counts <= 3, ordered") {
+    val rows = RelationalOps.top3OrdersPerCustomer(spark, sf0001).collect()
+    assert(rows.forall(_.getAs[Int]("rn") <= 3))
+    val perCust = rows.groupBy(_.getAs[Long]("o_custkey")).view.mapValues(_.length)
+    assert(perCust.values.forall(_ <= 3))
+  }
+
+  test("runningRevenue: last running value equals the customer's total") {
+    val rows = RelationalOps.runningRevenue(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    val totals = Tables.orders(spark, sf0001).where(col("o_custkey") <= 100)
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (ck, rs) =>
+      // prices are positive → the max running value is the customer total
+      val maxRun = rs.map(_.getAs[Double]("running_total")).max
+      assert(math.abs(maxRun - totals(ck)) < 0.5)
+    }
+  }
+
+  test("rollup and cube grand-total rows equal the full row count") {
+    val n = Tables.lineitem(spark, sf0001).count()
+    val roll = RelationalOps.rollupReturns(spark, sf0001)
+      .where(col("returnflag") === "(all)" && col("linestatus") === "(all)")
+      .collect()
+    assert(roll.length === 1 && roll.head.getAs[Long]("n") === n)
+    val cube = RelationalOps.cubeReturns(spark, sf0001).collect()
+    assert(cube.count(_.getAs[String]("returnflag") == "(all)") >= 2) // (all,*) rows
+    assert(cube.find(r => r.getAs[String]("returnflag") == "(all)" &&
+      r.getAs[String]("linestatus") == "(all)").get.getAs[Long]("n") === n)
+  }
+
+  test("buyerCohorts: 'both' and 'only_1995' are disjoint and cover b95") {
+    val rows = RelationalOps.buyerCohorts(spark, sf0001).collect()
+      .groupBy(_.getAs[String]("cohort"))
+    val both = rows.getOrElse("both", Array.empty).map(_.getLong(0)).toSet
+    val only = rows.getOrElse("only_1995", Array.empty).map(_.getLong(0)).toSet
+    assert((both & only).isEmpty)
+    val b95 = Tables.orders(spark, sf0001)
+      .where(year(col("o_orderdate")) === 1995)
+      .select("o_custkey").distinct().count()
+    assert((both.size + only.size).toLong === b95)
+  }
+
+  test("priceQuantiles: p50 <= p95 per group") {
+    RelationalOps.priceQuantiles(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p95"))
+    }
+  }
+
+  test("sessions partition each user's events exactly") {
+    val sess = TimeSeriesOps.sessions(spark, sf0001)
+      .groupBy("user_id").agg(sum("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = Tables.events(spark, sf0001)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess === events)
+    // session bounds are ordered
+    TimeSeriesOps.sessions(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("session_start_ms") <= r.getAs[Long]("session_end_ms"))
+    }
+  }
+
+  test("hourly tumbling counts sum to the table size; sliding counts to 2x") {
+    val n = Tables.events(spark, sf0001).count()
+    val hourly = TimeSeriesOps.hourlyByType(spark, sf0001)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(hourly === n)
+    val sliding = TimeSeriesOps.slidingActivity(spark, sf0001)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(sliding === 2 * n) // every event lands in exactly 2 sliding windows
+  }
+
+  test("as-of: every prior click strictly precedes its error, per user") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val asof = RelationalOps.lastClickBeforeError(spark, sf0001)
+    val joined = asof.where(col("prior_click_id").isNotNull)
+      .join(ev.select(col("event_id").as("prior_click_id"),
+        col("user_id").as("u2"), col("event_type").as("t2")), Seq("prior_click_id"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[String]("t2") === "click")
+      assert(r.getAs[Long]("u2") === r.getAs[Long]("user_id"))
+      // event_id is monotone with ts in the fixture → strict precedence
+      assert(r.getAs[Long]("prior_click_id") < r.getAs[Long]("event_id"))
+    }
+  }
+}

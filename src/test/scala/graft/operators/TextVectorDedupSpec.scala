@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic tests for the text / dedup / vector / multimodal packs on a
+  * hand-built corpus (written as fixture-shaped parquet so the operators
+  * run exactly as in production).
+  */
+class TextVectorDedupSpec extends SparkSpec {
+
+  /** Tiny corpus with planted duplicates:
+    *  0: base text, 1: exact copy of 0, 2: near-dup of 0 (one word changed),
+    *  3: unrelated, 4: too short for 3-shingles.
+    */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-corpus").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox leaps over the lazy dog again and again"
+    val other = "completely different content about spark catalyst expressions here"
+    Seq(
+      (0L, base, "en", "web", base.length.toLong),
+      (1L, base, "en", "web", base.length.toLong),
+      (2L, near, "en", "web", near.length.toLong),
+      (3L, other, "en", "web", other.length.toLong),
+      (4L, "too short", "en", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val e = (0 until 6).map { i =>
+      val v = (0 until 64).map(j =>
+        if (i < 2) (if (j == 0) 1f else 0f)           // 0,1: identical e_0
+        else if (i == 2) (if (j == 0) 0.9f else if (j == 1) 0.1f else 0f) // near 0
+        else if (j == i) 1f else 0f)                  // others: distinct axes
+      (i.toLong, v.toArray, i % 2)
+    }
+    e.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exactDuplicates groups identical texts under the min doc_id") {
+    val rows = DedupOps.exactDuplicates(spark, dir).collect()
+    assert(rows.length === 4) // 5 docs, one exact pair
+    val dup = rows.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dup.getAs[Long]("canonical_doc_id") === 0L)
+  }
+
+  test("ngramJaccardPairs: exact dup at 1.0, near-dup in (0,1), short doc excluded") {
+    val pairs = DedupOps.ngramJaccardPairs(spark, dir, minSim = 0.1, maxDf = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    val nearSim = pairs((0L, 2L))
+    assert(nearSim > 0.3 && nearSim < 1.0)
+    assert(pairs((1L, 2L)) === nearSim) // copy has identical similarity
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngramJaccard df-cap removes pairs that only share boilerplate") {
+    // cap at df<=2: shingles shared by all of 0,1,2 (df=3) are dropped;
+    // 0-1 remain dups via their full overlap; 0-2 lose their only common
+    // (df=3) shingles → the near-dup pair disappears
+    val pairs = DedupOps.ngramJaccardPairs(spark, dir, minSim = 0.1, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("minhashLshPairs surfaces the exact duplicate at estimate 1.0") {
+    val pairs = DedupOps.minhashLshPairs(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+  }
+
+  test("simhashPairs: identical docs at distance 0") {
+    val pairs = DedupOps.simhashPairs(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 1L)) === 0)
+  }
+
+  test("tokenStats / fingerprints agree with hand counts") {
+    val ts = TextOps.tokenStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+    assert(ts(0L) === 12)
+    assert(ts(4L) === 2)
+    val fp = TextOps.fingerprints(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("sketch")).toMap
+    assert(fp(0L) === "the|the|again") // first | middle | last token
+    val md5s = TextOps.fingerprints(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("md5")).toMap
+    assert(md5s(0L) === md5s(1L)); assert(md5s(0L) != md5s(2L))
+  }
+
+  test("languageId scores stopword profiles deterministically") {
+    val rows = TextOps.languageId(spark, dir).collect()
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getAs[String]("lang_predicted") === "en") // 'the'×2, 'and' hit en
+    assert(r0.getAs[Double]("confidence") > 0)
+  }
+
+  test("cosineTopK ranks the exact-copy embedding first") {
+    val top = VectorOps.cosineTopK(spark, dir, queryId = 0L, k = 3).collect()
+    assert(top.head.getAs[Long]("vec_id") === 1L)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    assert(top(1).getAs[Long]("vec_id") === 2L) // the near vector
+  }
+
+  test("ivfTopK only scans the query's cell but still finds the copy") {
+    val top = VectorOps.ivfTopK(spark, dir, queryId = 0L, k = 5).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).contains(1L))
+    assert(top.map(_.getAs[Long]("cell")).distinct.length === 1)
+  }
+
+  test("nearDupPairsExact finds exactly the planted near/exact pairs at 0.85") {
+    val pairs = VectorOps.nearDupPairsExact(spark, dir, minSim = 0.85, maxId = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("frameSample expands each video payload into n deterministic frames") {
+    val frames = MultimodalOps.frameSample(spark, dir, nFrames = 3).collect()
+    // video modality = doc_id % 3 == 2 → only doc 2
+    assert(frames.map(_.getAs[Long]("media_id")).distinct.toSeq === Seq(2L))
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 1, 2))
+    assert(frames.map(_.getAs[String]("frame_fp")).distinct.length === 3)
+  }
+
+  test("extractFeatures: stub histogram sums to ~1 and is modality-tagged") {
+    val f = MultimodalOps.extractFeatures(spark, dir).collect()
+    assert(f.length === 5)
+    assert(f.forall(r => r.getAs[String]("modality").nonEmpty))
+    val h = MultimodalOps.decodeStub("abcabc".getBytes)
+    assert(math.abs(h.sum - 1.0) < 1e-9)
+  }
+}
