@@ -67,16 +67,26 @@ object DedupOps {
     val exploded = shingles(s, d)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
-    val capped =
-      if (maxDf <= 0) exploded
+      // reused by the df aggregate, the semi-join probe, the recount, and
+      // both sides of the pair join — materialize once (16 B/row)
+      .persist()
+    val sh =
+      if (maxDf <= 0)
+        exploded.withColumn("n_sh",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh_h"))
-        exploded.withColumn("__df", count(lit(1)).over(w))
-          .where(col("__df") <= maxDf).drop("__df")
+        // aggregation + joins, not windows: the kept-shingle set and the
+        // per-doc recount are key-only aggregates that AQE broadcasts when
+        // small; a window would globally sort the exploded table twice
+        val kept = exploded.groupBy(col("sh_h"))
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxDf)
+          .select(col("sh_h"))
+        val capped = exploded.join(kept, Seq("sh_h"), "left_semi")
+        val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        capped.join(sizes, Seq("doc_id"))
       }
-    val sh = capped
-      .withColumn("n_sh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     val a = sh.select(col("doc_id").as("a"), col("n_sh").as("na"), col("sh_h"))
     val b = sh.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("sh_h"))
     a.join(b, Seq("sh_h"))
