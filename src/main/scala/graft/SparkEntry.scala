@@ -375,6 +375,7 @@ object SparkEntry {
     "q_vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
     "q_vec_neardup" -> ((s, d) => VectorOps.nearDupPairsExact(s, d, minSim = 0.4, maxId = 500)),
     "q_vec_centroid_norms" -> (VectorOps.labelCentroidNorms _),
+    "q_vec_centroids" -> (VectorOps.labelCentroids _),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _))
@@ -428,6 +429,13 @@ object SparkEntry {
         |FROM documents, (SELECT unnest(range(3)) AS i)
         |WHERE doc_id % 3 = 2
         |ORDER BY media_id, frame_idx""".stripMargin,
+    "q_vec_centroids" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0,
+        |  round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c1,
+        |  round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS c2,
+        |  round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS c3
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q_media_metadata" ->
       """SELECT doc_id AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,

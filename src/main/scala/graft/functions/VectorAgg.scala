@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF surface: elementwise vector-sum aggregator over
+  * `array<float>` columns, the building block for centroids / mean
+  * embeddings per group.
+  *
+  * Why an Aggregator (vs exploding rows or 64 scalar sum columns): the
+  * buffer is one double[dim] per group per partition — map-side partial
+  * aggregation in its natural shape, merged pairwise across partitions.
+  * At 100 TB this shuffles dim×8 bytes per (group, partition), nothing
+  * proportional to row count.
+  */
+object VectorAgg {
+
+  final case class SumState(var n: Long, var sums: Array[Double])
+
+  /** Elementwise sum + count; dims fixed at construction. */
+  final class VectorSum(dim: Int) extends Aggregator[Seq[Float], SumState, Seq[Double]] {
+    override def zero: SumState = SumState(0L, new Array[Double](dim))
+    override def reduce(b: SumState, a: Seq[Float]): SumState = {
+      var i = 0
+      while (i < dim && i < a.length) { b.sums(i) += a(i); i += 1 }
+      b.n += 1
+      b
+    }
+    override def merge(x: SumState, y: SumState): SumState = {
+      var i = 0
+      while (i < dim) { x.sums(i) += y.sums(i); i += 1 }
+      x.n += y.n
+      x
+    }
+    override def finish(r: SumState): Seq[Double] =
+      if (r.n == 0) Seq.fill(dim)(0.0)
+      else r.sums.map(_ / r.n).toSeq
+    override def bufferEncoder: Encoder[SumState] = Encoders.product[SumState]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** `centroid(embedding)` as an untyped Column aggregation. */
+  def centroid(embedding: Column, dim: Int): Column =
+    org.apache.spark.sql.functions.udaf(new VectorSum(dim))
+      .apply(embedding)
+}

@@ -100,6 +100,25 @@ object VectorOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Per-label mean embedding via the typed Aggregator UDAF
+    * (graft.functions.VectorAgg): the buffer is one double[64] per group —
+    * partial-agg shaped, nothing row-proportional crosses the shuffle.
+    * First 4 dims exposed for the oracle.
+    */
+  def labelCentroids(s: SparkSession, d: String): DataFrame = {
+    val c = graft.functions.VectorAgg.centroid(col("embedding"), 64)
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), c.as("c"))
+      .select(
+        col("label"), col("n"),
+        round(element_at(col("c"), 1), 6).as("c0"),
+        round(element_at(col("c"), 2), 6).as("c1"),
+        round(element_at(col("c"), 3), 6).as("c2"),
+        round(element_at(col("c"), 4), 6).as("c3"))
+      .orderBy(col("label"))
+  }
+
   /** Per-label centroid lengths — aggregate over the vector column using
     * elementwise array aggregation (zip_with under an agg via summing each
     * dimension): demonstrates vector reductions without exploding rows.
