@@ -141,9 +141,13 @@ object LogIngest {
       // format underneath; the swap to one is confined to this sink.
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch
-          // burst files are decoded in frame order = arrival/ts order; sort
-          // within tasks so parquet row-group min/max stats on ts_nano stay
-          // tight (the reference's idx_ts analog, src/logger.rs:147)
+          // co-locate each container's rows before the partitioned write:
+          // without this every decode task writes a file into every
+          // partition dir (tasks × containers small files per batch); with
+          // it each container gets one file per batch. The in-task sort
+          // restores ts order so parquet row-group min/max stats on ts_nano
+          // stay tight (the reference's idx_ts analog, src/logger.rs:147).
+          .repartition(org.apache.spark.sql.functions.col("container_id"))
           .sortWithinPartitions("container_id", "ts_nano")
           .write.mode("append").partitionBy("container_id").parquet(tableDir)
         ()
