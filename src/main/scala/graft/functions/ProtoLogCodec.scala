@@ -144,10 +144,18 @@ object ProtoLogCodec {
     out.array()
   }
 
-  /** Split a byte stream of concatenated frames into messages. */
+  /** Split a byte stream of concatenated frames into messages. A truncated
+    * tail (shipper flushed mid-frame, or torn write) ends iteration cleanly
+    * instead of throwing — mirroring the reference's tolerant framed reader,
+    * which treats a short read as end-of-stream (`src/logger.rs:90-104`).
+    */
   def deframe(stream: Array[Byte]): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
     private val buf = ByteBuffer.wrap(stream)
-    def hasNext: Boolean = buf.remaining() >= 4
+    def hasNext: Boolean =
+      buf.remaining() >= 4 && {
+        val len = buf.getInt(buf.position())
+        len >= 0 && buf.remaining() - 4 >= len
+      }
     def next(): Array[Byte] = {
       val len = buf.getInt()
       val arr = new Array[Byte](len)

@@ -42,6 +42,15 @@ object EventStreamOps {
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication: drops repeats of (user_id, ts) seen
+    * within the watermark horizon — the streaming half of the dedup pack
+    * (state is bounded by the watermark; an unbounded dropDuplicates would
+    * grow state forever on a 100 TB/day stream).
+    */
+  def dedupStream(events: Dataset[Event], lateness: String = "10 minutes"): Dataset[Event] =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+
   /** Custom stateful sessionization: flatMapGroupsWithState keyed by user,
     * 30-minute inactivity gap closes a session (event-time semantics via
     * the watermark; idle keys are flushed by the event-time timeout).

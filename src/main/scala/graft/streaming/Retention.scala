@@ -75,6 +75,54 @@ object Retention {
     rewritten
   }
 
+  /** Small-file compaction: the 100 ms micro-batch cadence produces one
+    * file per container per burst; compaction bin-packs each container
+    * partition back to ~`targetBytes` files with rows re-sorted on ts_nano
+    * (restoring tight row-group stats), using the same atomic
+    * rewrite-and-swap as retention. Returns partitions compacted.
+    */
+  def compact(spark: SparkSession, tableDir: String, targetBytes: Long = 128L << 20): Int = {
+    val root = Paths.get(tableDir)
+    if (!Files.isDirectory(root)) return 0
+    val parts = Files.list(root).iterator()
+    var compacted = 0
+    while (parts.hasNext) {
+      val p: Path = parts.next()
+      val name = p.getFileName.toString
+      if (name.startsWith("container_id=")) {
+        val files = Files.list(p).iterator()
+        var nFiles = 0
+        var bytes = 0L
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            nFiles += 1; bytes += Files.size(f)
+          }
+        }
+        val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        if (nFiles > want) {
+          val live = LogIngest.table(spark, tableDir)
+            .where(col("container_id") === name.stripPrefix("container_id="))
+          val shadow = root.resolveSibling(root.getFileName.toString + s".compact-$name")
+          live.drop("container_id")
+            .repartitionByRange(want, col("ts_nano"))
+            .sortWithinPartitions(col("ts_nano"))
+            .write.mode("overwrite").parquet(shadow.toString)
+          val tmp = p.resolveSibling(name + ".old")
+          Files.move(p, tmp, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(shadow, p, StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(tmp)
+          val marker = p.resolve("_SUCCESS")
+          if (Files.exists(marker)) Files.delete(marker)
+          org.apache.spark.sql.graft.ColumnBridge.invalidateFileListing(spark)
+          spark.catalog.refreshByPath(tableDir)
+          compacted += 1
+        }
+      }
+    }
+    compacted
+  }
+
   /** Periodic sweep loop (reference default 600 s, `src/config.rs:180`) —
     * driver-side scheduling like the reference's cleaner task.
     */

@@ -57,6 +57,16 @@ class ProtoLogCodecSpec extends AnyFunSuite with graft.PropSpec {
     assert(decode(withUnknown).timeNano === 42L)
   }
 
+  test("deframe tolerates a truncated tail (torn shipper write)") {
+    val e1 = LogEntry("stdout", 1L, "full".getBytes, partial = false, None)
+    val whole = frame(encode(e1))
+    val torn = whole ++ frame(encode(e1)).dropRight(3) // second frame cut short
+    val back = deframe(torn).toList
+    assert(back.size === 1)
+    assert(decode(back.head).timeNano === 1L)
+    assert(deframe(Array[Byte](0, 0)).isEmpty)         // not even a length
+  }
+
   test("framing is u32 big-endian length prefix (src/logger.rs:90-104)") {
     val msg = Array[Byte](1, 2, 3)
     val framed = frame(msg)

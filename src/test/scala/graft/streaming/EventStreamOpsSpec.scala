@@ -40,6 +40,28 @@ class EventStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeats within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = dedupStream(in.toDS(), lateness = "5 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      in.addData(
+        Event(ts(1), 1, "click", 1.0),
+        Event(ts(1), 1, "click-copy", 9.9),  // same (user, ts) → duplicate
+        Event(ts(1), 2, "click", 1.0),       // other user survives
+        Event(ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(ts(1), 1, "late-dup", 0.0)) // still within watermark
+      q.processAllAvailable()
+      val rows = spark.table("dedup").as[Event].collect()
+      assert(rows.length === 3)
+      assert(rows.map(e => (e.user_id, e.ts.getTime)).toSet.size === 3)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap splits, timeout closes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

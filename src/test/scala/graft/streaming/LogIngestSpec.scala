@@ -109,6 +109,28 @@ class LogIngestSpec extends SparkSpec {
     assert(Retention.sweep(spark, table, Some(cutoff), Some(10L)) === 0)
   }
 
+  test("compaction bin-packs many burst files into few, preserving rows") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    // 6 bursts → 6 ingest batches → >= 6 files for c1
+    (0 until 6).foreach { b =>
+      writeBurst(staging, "c1", s"b$b", (b * 10 until (b + 1) * 10).map(entry(_, "c1")))
+      LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+        .awaitTermination(60000)
+    }
+    val dir = Paths.get(table, "container_id=c1")
+    def nFiles = {
+      val l = Files.list(dir).iterator(); var n = 0
+      while (l.hasNext) { if (l.next().toString.endsWith(".parquet")) n += 1 }; n
+    }
+    assert(nFiles >= 6)
+    val before = LogIngest.table(spark, table).orderBy("seq").collect()
+    assert(Retention.compact(spark, table) === 1)
+    assert(nFiles === 1) // tiny data → one target file
+    val after = LogIngest.table(spark, table).orderBy("seq").collect()
+    assert(after.map(_.getAs[Long]("seq")).toSeq === before.map(_.getAs[Long]("seq")).toSeq)
+    assert(Retention.compact(spark, table) === 0) // idempotent
+  }
+
   test("registry: start/stop/replay lifecycle with delete-when-stopped") {
     val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
     writeBurst(staging, "c9", "b0", (0 until 5).map(entry(_, "c9")))
