@@ -133,6 +133,8 @@ object SparkEntry {
     "q_rel_rollup" -> (RelationalOps.rollupReturns _),
     "q_rel_cube" -> (RelationalOps.cubeReturns _),
     "q_rel_quantiles" -> (RelationalOps.priceQuantiles _),
+    "q_rel_distinct_approx" -> (RelationalOps.distinctPartsApprox _),
+    "q_rel_quantiles_approx" -> (RelationalOps.priceQuantilesApprox _),
     "q_rel_window_rank" -> (RelationalOps.top3OrdersPerCustomer _),
     "q_rel_window_running" -> (RelationalOps.runningRevenue _),
     "q_rel_topk" -> (RelationalOps.topOrders _),

@@ -204,6 +204,29 @@ object RelationalOps {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate distinct counts (HyperLogLog++) — the 100 TB form of
+    * distinctPartsPerFlag. Rows-only check: approximation is
+    * engine-specific by design; the exact twin above is the oracle.
+    */
+  def distinctPartsApprox(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps_approx"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate percentiles (t-digest-style sketch) — the 100 TB form of
+    * priceQuantiles. Rows-only check.
+    */
+  def priceQuantilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_approx"),
+        round(expr("approx_percentile(o_totalprice, 0.95, 1000)"), 2).as("p95_approx"))
+      .orderBy(col("o_orderpriority"))
+
   /** As-of join: for each error event, the most recent strictly-prior click
     * of the same user.
     *
