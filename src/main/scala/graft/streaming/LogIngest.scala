@@ -73,20 +73,29 @@ object LogIngest {
     * return byte-identical frames.
     */
   def decodeBurst(containerId: String, bytes: Array[Byte]): Iterator[LogRow] =
-    ProtoLogCodec.deframe(bytes).zipWithIndex.map { case (frame, idx) =>
-      val e = ProtoLogCodec.decode(frame)
-      val withNl = e.copy(line = e.line :+ '\n'.toByte)
-      LogRow(
-        container_id = containerId,
-        seq = (e.timeNano / 1000L) * 1000L + (idx % 1000),
-        ts_nano = e.timeNano,
-        source = e.source,
-        line = new String(withNl.line, "UTF-8"),
-        partial = e.partial,
-        partial_id = e.partialMeta.map(_.id),
-        partial_last = e.partialMeta.map(_.last),
-        partial_ordinal = e.partialMeta.map(_.ordinal),
-        message = ProtoLogCodec.encode(withNl))
+    ProtoLogCodec.deframe(bytes).zipWithIndex.flatMap { case (frame, idx) =>
+      // Permissive decode: a corrupt frame is skipped, not fatal. The
+      // reference's policy — kill and restart the ingest loop on a decode
+      // error (src/statehandler.rs:147-166) — also loses the bad frame
+      // (the FIFO bytes are gone), so skipping matches its effective
+      // semantics without poisoning the whole stream on one bad burst.
+      try {
+        val e = ProtoLogCodec.decode(frame)
+        val withNl = e.copy(line = e.line :+ '\n'.toByte)
+        Iterator.single(LogRow(
+          container_id = containerId,
+          seq = (e.timeNano / 1000L) * 1000L + (idx % 1000),
+          ts_nano = e.timeNano,
+          source = e.source,
+          line = new String(withNl.line, "UTF-8"),
+          partial = e.partial,
+          partial_id = e.partialMeta.map(_.id),
+          partial_last = e.partialMeta.map(_.last),
+          partial_ordinal = e.partialMeta.map(_.ordinal),
+          message = ProtoLogCodec.encode(withNl)))
+      } catch {
+        case _: RuntimeException => Iterator.empty
+      }
     }
 
   /** Streaming decode: binaryFile source over `stagingDir/<container>/...`

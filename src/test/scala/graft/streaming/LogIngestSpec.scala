@@ -109,6 +109,20 @@ class LogIngestSpec extends SparkSpec {
     assert(Retention.sweep(spark, table, Some(cutoff), Some(10L)) === 0)
   }
 
+  test("a corrupt frame is skipped, not fatal (permissive decode)") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    val good = (0 until 3).map(entry(_, "c1"))
+    val dir = Paths.get(staging, "c1"); Files.createDirectories(dir)
+    val garbage = ProtoLogCodec.frame(Array[Byte](7, 7, 7, 7)) // bad wire type
+    val bytes = ProtoLogCodec.frame(ProtoLogCodec.encode(good(0))) ++ garbage ++
+      ProtoLogCodec.frame(ProtoLogCodec.encode(good(1))) ++
+      ProtoLogCodec.frame(ProtoLogCodec.encode(good(2)))
+    Files.write(dir.resolve("b0.pblog"), bytes)
+    LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+      .awaitTermination(60000)
+    assert(LogIngest.table(spark, table).count() === 3)
+  }
+
   test("compaction bin-packs many burst files into few, preserving rows") {
     val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
     // 6 bursts → 6 ingest batches → >= 6 files for c1
