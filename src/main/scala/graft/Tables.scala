@@ -16,11 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    The flat per-table files here are the driver fixture layout.
   */
 object Tables {
+  // Memoized per (session, path): re-resolving the same parquet relation
+  // re-lists files and re-reads footers on every query — a real per-query
+  // tax in a 40-query run and the session-catalog behavior users expect.
+  // (Only the resolved relation is cached, never data.)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
     // default; read it as raw Long nanos (set per-session, idempotent).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
