@@ -1,0 +1,98 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.LogOps
+import graft.streaming.{LogIngest, LogRegistry, Retention}
+
+/** Public facade: the reference's full capability surface in one place.
+  * A daschr/logsqlite user maps their operations 1:1:
+  *
+  * | logsqlite (docker log driver)     | graft |
+  * |---|---|
+  * | StartLogging (FIFO → SQLite)      | `Graft(spark, dirs).startLogging(id)` |
+  * | StopLogging (+ delete db)         | `stopLogging(id, deleteWhenStopped)` |
+  * | ReadLogs since/until/tail         | `readLogs(id, since, until, tail)` |
+  * | ReadLogs follow=true              | `follow(id, since, emit)` |
+  * | cleanup_age / cleanup_max_lines   | `cleanup(age, maxLines)` |
+  * | crash recovery (active_fetches)   | `replayState()` |
+  *
+  * plus the analytics surface (`SparkEntry.queries`) the reference never
+  * had. Directory roots play the role of the reference's
+  * `databases_dir` (logsqlite `src/config.rs:141-145`).
+  */
+final class Graft(
+    spark: SparkSession,
+    stagingRoot: String,
+    tableRoot: String,
+    checkpointRoot: String) {
+
+  private val registry = new LogRegistry(spark, stagingRoot, tableRoot, checkpointRoot)
+
+  // ---- lifecycle (SURVEY §2.1 O1-O3, O14-O16) -----------------------------
+
+  def startLogging(
+      containerId: String,
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery =
+    registry.startLogging(containerId, trigger)
+
+  def stopLogging(containerId: String, deleteWhenStopped: Boolean = true): Unit =
+    registry.stopLogging(containerId, deleteWhenStopped)
+
+  def replayState(): Seq[String] = registry.replayState()
+
+  def activeContainers: Set[String] = registry.activeContainers
+
+  def stopAll(): Unit = registry.stopAll()
+
+  // ---- reads (O4-O8) ------------------------------------------------------
+
+  /** The log table as a DataFrame (full analytics surface applies). */
+  def logs: DataFrame = LogIngest.table(spark, tableRoot)
+
+  /** `docker logs --since --until --tail` semantics, including the zero-time
+    * sentinel, tail<1, and follow-ignores-tail rules.
+    */
+  def readLogs(
+      containerId: Option[String],
+      since: Option[String] = None,
+      until: Option[String] = None,
+      tail: Long = 0,
+      follow: Boolean = false): DataFrame = {
+    val req = LogOps.normalize(None, since, until, tail, follow)
+    var df = logs
+    containerId.foreach(id => df = df.where(col("container_id") === id))
+    LogOps.readRange(df, "container_id", "seq", "ts_nano",
+      req.copy(container = None))
+  }
+
+  def countLogs(containerId: String): Long =
+    logs.where(col("container_id") === containerId).count()
+
+  // ---- follow mode (O9) ---------------------------------------------------
+
+  def follow(
+      containerId: Option[String],
+      sinceNano: Option[Long],
+      emit: DataFrame => Unit,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    LogIngest.follow(spark, tableRoot, containerId, sinceNano, None, emit, trigger)
+
+  // ---- retention / maintenance (O10-O13) ----------------------------------
+
+  def cleanup(age: Option[java.time.Duration], maxLines: Option[Long]): Int =
+    Retention.sweep(spark, tableRoot,
+      age.map(a => Instant.now().minus(a)), maxLines)
+
+  def compact(targetBytes: Long = 128L << 20): Int =
+    Retention.compact(spark, tableRoot, targetBytes)
+}
+
+object Graft {
+  def apply(spark: SparkSession, root: String): Graft =
+    new Graft(spark, s"$root/staging", s"$root/logs", s"$root/checkpoints")
+}
