@@ -63,11 +63,8 @@ final class Graft(
       until: Option[String] = None,
       tail: Long = 0,
       follow: Boolean = false): DataFrame = {
-    val req = LogOps.normalize(None, since, until, tail, follow)
-    var df = logs
-    containerId.foreach(id => df = df.where(col("container_id") === id))
-    LogOps.readRange(df, "container_id", "seq", "ts_nano",
-      req.copy(container = None))
+    val req = LogOps.normalize(containerId, since, until, tail, follow)
+    LogOps.readRange(logs, "container_id", "seq", "ts_nano", req)
   }
 
   def countLogs(containerId: String): Long =

@@ -41,7 +41,7 @@ object LogOps {
 
   /** Normalized read request (logsqlite `src/docker.rs:118-166`). */
   final case class ReadRequest(
-      container: Option[Long],
+      container: Option[Any],
       since: Option[Instant],
       until: Option[Instant],
       tail: Option[Long],
@@ -53,7 +53,7 @@ object LogOps {
     *  - follow ignores tail    (`src/logger.rs:386`)
     */
   def normalize(
-      container: Option[Long],
+      container: Option[Any],
       since: Option[String],
       until: Option[String],
       tail: Long,
@@ -92,7 +92,9 @@ object LogOps {
       case Some(k) =>
         // TakeOrderedAndProject: partial top-k per partition, merge on driver
         // side of the exchange — O(k) memory, no full sort.
-        out.orderBy(col(seqCol).desc).limit(k.toInt).orderBy(col(seqCol).asc)
+        out.orderBy(col(seqCol).desc)
+          .limit(math.min(k, Int.MaxValue.toLong).toInt)
+          .orderBy(col(seqCol).asc)
       case None => out.orderBy(col(seqCol).asc)
     }
   }

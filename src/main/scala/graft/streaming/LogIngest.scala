@@ -101,7 +101,10 @@ object LogIngest {
   /** Streaming decode: binaryFile source over `stagingDir/<container>/...`
     * → typed log rows. Pure per-file work inside `flatMap` — no shuffle.
     */
-  def decodedStream(spark: SparkSession, stagingDir: String): Dataset[LogRow] = {
+  def decodedStream(
+      spark: SparkSession,
+      stagingDir: String,
+      containerId: Option[String] = None): Dataset[LogRow] = {
     import spark.implicits._
     spark.readStream
       .format("binaryFile")
@@ -111,7 +114,9 @@ object LogIngest {
         StructField("modificationTime", TimestampType),
         StructField("length", LongType),
         StructField("content", BinaryType))))
-      .load(s"$stagingDir/*")
+      // per-container queries scope to their own staging subdir — a query
+      // per container over the whole root would double-ingest every file
+      .load(containerId.map(id => s"$stagingDir/$id").getOrElse(s"$stagingDir/*"))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
@@ -130,9 +135,10 @@ object LogIngest {
       stagingDir: String,
       tableDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
+      containerId: Option[String] = None): StreamingQuery = {
     import spark.implicits._
-    decodedStream(spark, stagingDir)
+    decodedStream(spark, stagingDir, containerId)
       // integer div, not `/`: ns epoch values exceed double's 2^53
       .withColumn("ts", timestamp_micros(expr("ts_nano div 1000")))
       .select("container_id", "seq", "ts", "ts_nano", "source", "line",

@@ -29,13 +29,20 @@ final class LogRegistry(
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery =
     active.getOrElseUpdate(containerId,
       LogIngest.start(spark, stagingRoot, tableRoot,
-        s"$checkpointRoot/$containerId", trigger))
+        s"$checkpointRoot/$containerId", trigger, Some(containerId)))
 
   def stopLogging(containerId: String, deleteWhenStopped: Boolean = true): Unit = {
     active.remove(containerId).foreach(_.stop())
     if (deleteWhenStopped) {
-      val part = java.nio.file.Paths.get(tableRoot, s"container_id=$containerId")
-      delete(part)
+      // reference semantics: drop the container's data AND its recovery
+      // state (src/statehandler.rs:167-183) — keeping the checkpoint would
+      // let replayState() resurrect a deleted container
+      delete(java.nio.file.Paths.get(tableRoot, s"container_id=$containerId"))
+      delete(java.nio.file.Paths.get(checkpointRoot, containerId))
+      // deleted files may still be in the shared listing cache
+      org.apache.spark.sql.graft.ColumnBridge.invalidateFileListing(spark)
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tableRoot)))
+        spark.catalog.refreshByPath(tableRoot)
     }
   }
 

@@ -38,6 +38,7 @@ object Retention {
       maxLines: Option[Long]): Int = {
     if (ageCutoff.isEmpty && maxLines.isEmpty) return 0
     val root = Paths.get(tableDir)
+    if (!Files.isDirectory(root)) return 0
     val parts = Files.list(root).iterator()
     var rewritten = 0
     while (parts.hasNext) {

@@ -39,7 +39,8 @@ object IngestDemo {
     }
 
     val reg = new LogRegistry(spark, staging, table, ckpt)
-    reg.startLogging("all", Trigger.AvailableNow()).awaitTermination(60000)
+    Seq("web-1", "db-1").foreach(c =>
+      reg.startLogging(c, Trigger.AvailableNow()).awaitTermination(60000))
     val df = LogIngest.table(spark, table)
     println(s"[demo] ingested rows = ${df.count()} (expect 160)")
     df.groupBy("container_id").count().show()

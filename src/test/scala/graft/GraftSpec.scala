@@ -14,17 +14,21 @@ class GraftSpec extends SparkSpec {
 
   private val t0 = 1700000000000000000L
 
+  private def stage(root: String, container: String, n: Int, offset: Int = 0): Unit = {
+    val dir = Paths.get(root, "staging", container)
+    Files.createDirectories(dir)
+    val bytes = (offset until offset + n).map { i =>
+      ProtoLogCodec.frame(ProtoLogCodec.encode(LogEntry(
+        "stdout", t0 + i * 1000000000L, s"msg $i".getBytes, partial = false, None)))
+    }.foldLeft(Array.emptyByteArray)(_ ++ _)
+    Files.write(dir.resolve(s"b$offset.pblog"), bytes)
+  }
+
   test("start → read (since/tail) → cleanup → stop lifecycle") {
     val root = Files.createTempDirectory("graft-facade").toString
     val g = Graft(spark, root)
 
-    val dir = Paths.get(root, "staging", "web")
-    Files.createDirectories(dir)
-    val bytes = (0 until 30).map { i =>
-      ProtoLogCodec.frame(ProtoLogCodec.encode(LogEntry(
-        "stdout", t0 + i * 1000000000L, s"msg $i".getBytes, partial = false, None)))
-    }.foldLeft(Array.emptyByteArray)(_ ++ _)
-    Files.write(dir.resolve("b0.pblog"), bytes)
+    stage(root, "web", 30)
 
     g.startLogging("web", Trigger.AvailableNow()).awaitTermination(60000)
     assert(g.activeContainers === Set("web"))
@@ -44,5 +48,28 @@ class GraftSpec extends SparkSpec {
     g.stopLogging("web", deleteWhenStopped = true)
     assert(g.activeContainers.isEmpty)
     assert(!Files.exists(Paths.get(root, "logs", "container_id=web")))
+    // table remains readable after the partition delete (listing cache
+    // invalidated) and the deleted container stays gone on replay
+    assert(g.logs.count() === 0)
+    assert(g.replayState() === Nil)
+  }
+
+  test("two containers ingest independently — no cross-container double-ingest") {
+    val root = Files.createTempDirectory("graft-facade2").toString
+    val g = Graft(spark, root)
+    stage(root, "a", 10)
+    stage(root, "b", 20)
+    g.startLogging("a", Trigger.AvailableNow()).awaitTermination(60000)
+    g.startLogging("b", Trigger.AvailableNow()).awaitTermination(60000)
+    assert(g.countLogs("a") === 10)
+    assert(g.countLogs("b") === 20)
+    assert(g.logs.count() === 30)
+    g.stopAll()
+  }
+
+  test("cleanup/compact on a never-ingested root are clean no-ops") {
+    val g = Graft(spark, Files.createTempDirectory("graft-empty").toString)
+    assert(g.cleanup(Some(java.time.Duration.ofDays(1)), Some(10L)) === 0)
+    assert(g.compact() === 0)
   }
 }

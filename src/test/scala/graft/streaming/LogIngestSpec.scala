@@ -154,14 +154,19 @@ class LogIngestSpec extends SparkSpec {
     assert(reg.activeContainers === Set("c9"))
     assert(LogIngest.table(spark, table).count() === 5)
 
-    reg.stopLogging("c9", deleteWhenStopped = true) // statehandler.rs:167-183
+    // stop WITHOUT delete keeps data + recovery state: a crashed process's
+    // replacement resumes every container from checkpoints alone
+    reg.stopLogging("c9", deleteWhenStopped = false)
     assert(reg.activeContainers === Set.empty)
-    assert(!Files.exists(Paths.get(table, "container_id=c9")))
-
-    // crash recovery: checkpoints alone are enough to resume every container
     val reg2 = new LogRegistry(spark, staging, table, ckpt)
     assert(reg2.replayState() === Seq("c9"))
     reg2.stopAll()
+
+    // stop WITH delete drops data AND recovery state (statehandler.rs:167-183)
+    reg2.stopLogging("c9", deleteWhenStopped = true)
+    assert(!Files.exists(Paths.get(table, "container_id=c9")))
+    val reg3 = new LogRegistry(spark, staging, table, ckpt)
+    assert(reg3.replayState() === Nil)
   }
 
   private def eventually(timeoutMs: Long)(check: => Unit): Unit = {
