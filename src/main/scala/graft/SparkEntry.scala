@@ -140,7 +140,9 @@ object SparkEntry {
     "q_rel_topk" -> (RelationalOps.topOrders _),
     "q_rel_setops" -> (RelationalOps.buyerCohorts _),
     "q_rel_distinct_agg" -> (RelationalOps.distinctPartsPerFlag _),
-    "q_rel_asof_lastclick" -> (RelationalOps.lastClickBeforeError _))
+    "q_rel_asof_lastclick" -> (RelationalOps.lastClickBeforeError _),
+    "q_scalar_string" -> (ScalarOps.stringFuncs _),
+    "q_scalar_date" -> (ScalarOps.dateFuncs _))
 
   private val relOracles: Map[String, String] = Map(
     "q_rel_pricing_summary" ->
@@ -246,6 +248,33 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_id
         |  FROM events WHERE event_type IN ('error', 'click'))
         |WHERE event_type = 'error' ORDER BY event_id""".stripMargin)
+
+  private val scalarOracles: Map[String, String] = Map(
+    "q_scalar_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  substring(p_name, 1, 4) AS name_prefix,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
+        |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS type_lowered_vowels,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  reverse(p_name) AS name_rev,
+        |  string_split(p_name, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+        |  CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS INTEGER)
+        |    AS days_to_y2k,
+        |  epoch_ms(o_orderdate + INTERVAL 90 DAY) AS due_ms,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)
 
   // ---- time-series pack ---------------------------------------------------
 
@@ -456,5 +485,5 @@ object SparkEntry {
     * use engine-specific hashing or stubbed decodes → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    logOracles ++ relOracles ++ tsOracles ++ textOracles ++ vecOracles
+    logOracles ++ relOracles ++ scalarOracles ++ tsOracles ++ textOracles ++ vecOracles
 }
