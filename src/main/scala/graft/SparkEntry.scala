@@ -405,6 +405,7 @@ object SparkEntry {
     "q_vec_cosine_topk" -> ((s, d) => VectorOps.cosineTopK(s, d)),
     "q_vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
     "q_vec_neardup" -> ((s, d) => VectorOps.nearDupPairsExact(s, d, minSim = 0.4, maxId = 500)),
+    "q_vec_neardup_lsh" -> ((s, d) => VectorOps.nearDupPairsLsh(s, d)),
     "q_vec_centroid_norms" -> (VectorOps.labelCentroidNorms _),
     "q_vec_centroids" -> (VectorOps.labelCentroids _),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),

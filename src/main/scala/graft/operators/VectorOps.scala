@@ -100,6 +100,53 @@ object VectorOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Embedding near-duplicates at full-table scale: candidates share a
+    * coarse cell (sign-bit LSH bucket), exact cosine filters. No O(n²)
+    * stage — the join fans out only within cells. Rows-only check (the
+    * exact-slice variant above is the oracle-checked twin).
+    */
+  def nearDupPairsLsh(s: SparkSession, d: String, minSim: Double = 0.4, bits: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), cell(col("embedding"), bits).as("cell"))
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"), col("cell"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= minSim)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Materialized IVF layout: embeddings written partitioned by cell id.
+    * A probe then reads ONE partition directory (partition pruning), which
+    * is how the coarse quantizer turns into storage-level skipping at
+    * 100 TB — the scan cost of a query drops by the cell count.
+    */
+  def writeIvfIndex(s: SparkSession, d: String, indexDir: String, bits: Int = 4): Unit =
+    Tables.embeddings(s, d)
+      .withColumn("cell", cell(col("embedding"), bits))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+
+  /** Probe the materialized index: rank the query's cell by cosine. The
+    * cell predicate is a partition filter — check the scan's
+    * PartitionFilters in explain. */
+  def ivfProbe(
+      s: SparkSession, indexDir: String,
+      queryVec: Array[Float], k: Int = 10, bits: Int = 4): DataFrame = {
+    val qCell = {
+      var c = 0L
+      (0 until bits).foreach(i => if (queryVec(i) > 0) c |= (1L << i))
+      c
+    }
+    val q = lit(queryVec)
+    s.read.parquet(indexDir)
+      .where(col("cell") === qCell)
+      .select(col("vec_id"), col("cell"),
+        round(cosine(col("embedding"), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Per-label mean embedding via the typed Aggregator UDAF
     * (graft.functions.VectorAgg): the buffer is one double[64] per group —
     * partial-agg shaped, nothing row-proportional crosses the shuffle.

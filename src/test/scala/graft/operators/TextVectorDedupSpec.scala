@@ -121,6 +121,28 @@ class TextVectorDedupSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("LSH near-dup finds the planted pairs without an all-pairs stage") {
+    val pairs = VectorOps.nearDupPairsLsh(spark, dir, minSim = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies share a cell and are found; vec 2's small positive
+    // second dim flips a sign bit into another cell — the documented
+    // recall tradeoff of single-probe LSH (multi-probe would recover it)
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("materialized IVF index probe prunes to the query's cell partition") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    VectorOps.writeIvfIndex(spark, dir, idx)
+    val qv = (0 until 64).map(j => if (j == 0) 1f else 0f).toArray
+    val probe = VectorOps.ivfProbe(spark, idx, qv, k = 5)
+    // partition pruning visible in the physical plan
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition filter in:\n$plan")
+    val got = probe.collect().map(_.getAs[Long]("vec_id"))
+    assert(got.contains(1L)) // the exact copy is in the probed cell
+  }
+
   test("frameSample expands each video payload into n deterministic frames") {
     val frames = MultimodalOps.frameSample(spark, dir, nFrames = 3).collect()
     // video modality = doc_id % 3 == 2 → only doc 2
