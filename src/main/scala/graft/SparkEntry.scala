@@ -283,7 +283,8 @@ object SparkEntry {
     "q_ts_sliding" -> (TimeSeriesOps.slidingActivity _),
     "q_ts_sessions" -> (TimeSeriesOps.sessions _),
     "q_ts_props_stats" -> (TimeSeriesOps.propsKeyStats _),
-    "q_ts_purchase_props" -> (TimeSeriesOps.purchaseProps _))
+    "q_ts_purchase_props" -> (TimeSeriesOps.purchaseProps _),
+    "q_ts_pivot" -> (TimeSeriesOps.eventTypePivot _))
 
   private val tsOracles: Map[String, String] = Map(
     "q_ts_hourly" ->
@@ -321,6 +322,24 @@ object SparkEntry {
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ts_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ts_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ts_purchase_props" ->
       """SELECT event_id, user_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value

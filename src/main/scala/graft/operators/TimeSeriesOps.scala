@@ -88,6 +88,19 @@ object TimeSeriesOps {
         round(avg(col("k")), 4).as("avg_k"))
       .orderBy(col("event_type"))
 
+  /** Pivot: per-user event counts reshaped into one column per event
+    * type. Explicit value list → single-pass partial aggregation (without
+    * it Spark first runs a distinct scan to discover columns).
+    */
+  def eventTypePivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   /** Raw JSON field extraction for a slice of events (row-level check). */
   def purchaseProps(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
