@@ -82,11 +82,12 @@ final class Graft(
   // ---- retention / maintenance (O10-O13) ----------------------------------
 
   def cleanup(age: Option[java.time.Duration], maxLines: Option[Long]): Int =
-    Retention.sweep(spark, tableRoot,
-      age.map(a => Instant.now().minus(a)), maxLines)
+    registry.quiesced {
+      Retention.sweep(spark, tableRoot, age.map(a => Instant.now().minus(a)), maxLines)
+    }
 
   def compact(targetBytes: Long = 128L << 20): Int =
-    Retention.compact(spark, tableRoot, targetBytes)
+    registry.quiesced(Retention.compact(spark, tableRoot, targetBytes))
 }
 
 object Graft {

@@ -326,15 +326,6 @@ object SparkEntry {
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,
         |  count(*) FILTER (event_type = 'error') AS error,
-        |  count(*) FILTER (event_type = 'signup') AS signup,
-        |  count(*) FILTER (event_type = 'purchase') AS purchase,
-        |  count(*) FILTER (event_type = 'view') AS view
-        |FROM events WHERE user_id < 50
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "q_ts_pivot" ->
-      """SELECT user_id,
-        |  count(*) FILTER (event_type = 'click') AS click,
-        |  count(*) FILTER (event_type = 'error') AS error,
         |  count(*) FILTER (event_type = 'purchase') AS purchase,
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view

@@ -24,6 +24,9 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // evict entries of stopped sessions — a (session, path) key would
+    // otherwise strongly retain every stopped SparkSession forever
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
     // default; read it as raw Long nanos (set per-session, idempotent).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

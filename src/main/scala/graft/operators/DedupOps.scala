@@ -64,12 +64,7 @@ object DedupOps {
   def ngramJaccardPairs(
       s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
-    val exploded = shingles(s, d)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
-      // reused by the df aggregate, the semi-join probe, the recount, and
-      // both sides of the pair join — materialize once (16 B/row)
-      .persist()
+    val exploded = shingleIndex(s, d)
     val sh =
       if (maxDf <= 0)
         exploded.withColumn("n_sh",
@@ -100,6 +95,21 @@ object DedupOps {
       .where(col("jaccard") >= minSim)
       .orderBy(col("a"), col("b"))
   }
+
+  // The exploded (doc_id, sh_h) table is reused by the df aggregate, the
+  // semi-join probe, the recount, and both sides of the pair join within
+  // ONE query — persist it. Memoized per (session, dir) so repeated calls
+  // reuse a single cached copy instead of leaking one per invocation.
+  private val shingleIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    shingleIndexCache.computeIfAbsent((s, d), { case (ss, dir) =>
+      shingles(ss, dir)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
+        .persist()
+    })
 
   /** MinHash signatures: doc_id → array<long> of k seeded min-hashes. */
   def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame =

@@ -63,16 +63,22 @@ object LogIngest {
     *
     * `seq` (the ROWID analog) must be monotone per container across
     * micro-batches and stable across restarts, so it is derived from data,
-    * never from `monotonically_increasing_id()`: µs event time × 1000 +
-    * in-burst ordinal (mod 1000). Nanosecond-apart lines within a burst
-    * keep arrival order; the value stays < 2^63 through year 2260.
+    * never from `monotonically_increasing_id()`: µs event time × 1000,
+    * bumped to `prev+1` whenever the time-derived base does not advance —
+    * so seq is STRICTLY increasing in arrival order within a burst even
+    * when a coarse clock stamps many frames with the same µs (the naive
+    * `+ idx % 1000` form collides and wraps at 1000 frames/µs). Across
+    * bursts, ordering follows event time at µs resolution, like the
+    * reference's single-writer ROWID follows arrival. Values stay < 2^63
+    * through year 2260.
     *
     * Reference semantics preserved: '\n' appended to every line before
     * storage, and `message` is the verbatim RE-ENCODED frame of the
     * newline-appended entry (`src/logger.rs:122-130`) so the read path can
     * return byte-identical frames.
     */
-  def decodeBurst(containerId: String, bytes: Array[Byte]): Iterator[LogRow] =
+  def decodeBurst(containerId: String, bytes: Array[Byte]): Iterator[LogRow] = {
+    var prevSeq = Long.MinValue
     ProtoLogCodec.deframe(bytes).zipWithIndex.flatMap { case (frame, idx) =>
       // Permissive decode: a corrupt frame is skipped, not fatal. The
       // reference's policy — kill and restart the ingest loop on a decode
@@ -82,9 +88,12 @@ object LogIngest {
       try {
         val e = ProtoLogCodec.decode(frame)
         val withNl = e.copy(line = e.line :+ '\n'.toByte)
+        val base = (e.timeNano / 1000L) * 1000L
+        val seq = if (base > prevSeq) base else prevSeq + 1
+        prevSeq = seq
         Iterator.single(LogRow(
           container_id = containerId,
-          seq = (e.timeNano / 1000L) * 1000L + (idx % 1000),
+          seq = seq,
           ts_nano = e.timeNano,
           source = e.source,
           line = new String(withNl.line, "UTF-8"),
@@ -97,6 +106,7 @@ object LogIngest {
         case _: RuntimeException => Iterator.empty
       }
     }
+  }
 
   /** Streaming decode: binaryFile source over `stagingDir/<container>/...`
     * → typed log rows. Pure per-file work inside `flatMap` — no shuffle.

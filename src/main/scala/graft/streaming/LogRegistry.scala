@@ -22,23 +22,32 @@ final class LogRegistry(
     tableRoot: String,
     checkpointRoot: String) {
 
-  private val active = TrieMap.empty[String, StreamingQuery]
+  private val active = TrieMap.empty[String, (StreamingQuery, Trigger)]
 
   def startLogging(
       containerId: String,
-      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery =
-    active.getOrElseUpdate(containerId,
-      LogIngest.start(spark, stagingRoot, tableRoot,
-        s"$checkpointRoot/$containerId", trigger, Some(containerId)))
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
+    // a crashed/terminated query must not shadow a restart
+    active.get(containerId).filter(_._1.isActive) match {
+      case Some((q, _)) => q
+      case None =>
+        val q = LogIngest.start(spark, stagingRoot, tableRoot,
+          s"$checkpointRoot/$containerId", trigger, Some(containerId))
+        active.put(containerId, (q, trigger))
+        q
+    }
+  }
 
   def stopLogging(containerId: String, deleteWhenStopped: Boolean = true): Unit = {
-    active.remove(containerId).foreach(_.stop())
+    active.remove(containerId).foreach(_._1.stop())
     if (deleteWhenStopped) {
       // reference semantics: drop the container's data AND its recovery
       // state (src/statehandler.rs:167-183) — keeping the checkpoint would
-      // let replayState() resurrect a deleted container
+      // let replayState() resurrect a deleted container, and keeping the
+      // staging bursts would re-ingest the "deleted" data on a fresh start
       delete(java.nio.file.Paths.get(tableRoot, s"container_id=$containerId"))
       delete(java.nio.file.Paths.get(checkpointRoot, containerId))
+      delete(java.nio.file.Paths.get(stagingRoot, containerId))
       // deleted files may still be in the shared listing cache
       org.apache.spark.sql.graft.ColumnBridge.invalidateFileListing(spark)
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tableRoot)))
@@ -63,6 +72,19 @@ final class LogRegistry(
   def activeContainers: Set[String] = active.keySet.toSet
 
   def stopAll(): Unit = active.keys.foreach(stopLogging(_, deleteWhenStopped = false))
+
+  /** Stop every active ingest query, run `f`, restart them with their
+    * original triggers. Retention's rewrite-and-swap must not race a
+    * concurrent appender: a file landing between the survivor snapshot and
+    * the directory swap would be deleted (its offsets are already
+    * checkpointed, so it would never be re-ingested).
+    */
+  def quiesced[T](f: => T): T = {
+    val snapshot = active.toMap
+    snapshot.foreach { case (id, (q, _)) => q.stop(); active.remove(id) }
+    try f
+    finally snapshot.foreach { case (id, (_, trig)) => startLogging(id, trig) }
+  }
 
   private def delete(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
