@@ -141,6 +141,8 @@ object SparkEntry {
     "q_rel_setops" -> (RelationalOps.buyerCohorts _),
     "q_rel_distinct_agg" -> (RelationalOps.distinctPartsPerFlag _),
     "q_rel_asof_lastclick" -> (RelationalOps.lastClickBeforeError _),
+    "q_rel_subquery" -> (RelationalOps.partsAboveBrandAvg _),
+    "q_rel_window_nav" -> (RelationalOps.orderTimeline _),
     "q_scalar_string" -> (ScalarOps.stringFuncs _),
     "q_scalar_date" -> (ScalarOps.dateFuncs _))
 
@@ -248,6 +250,24 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_id
         |  FROM events WHERE event_type IN ('error', 'click'))
         |WHERE event_type = 'error' ORDER BY event_id""".stripMargin)
+
+  private val subqueryOracles: Map[String, String] = Map(
+    "q_rel_subquery" ->
+      """SELECT p.p_partkey, p.p_brand, round(p.p_retailprice, 2) AS price
+        |FROM part p
+        |WHERE p.p_retailprice > (SELECT avg(p2.p_retailprice) * 1.05
+        |                         FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p.p_partkey""".stripMargin,
+    "q_rel_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  first_value(o_orderkey) OVER w AS first_order
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 
   private val scalarOracles: Map[String, String] = Map(
     "q_scalar_string" ->
@@ -496,5 +516,5 @@ object SparkEntry {
     * use engine-specific hashing or stubbed decodes → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    logOracles ++ relOracles ++ scalarOracles ++ tsOracles ++ textOracles ++ vecOracles
+    logOracles ++ relOracles ++ subqueryOracles ++ scalarOracles ++ tsOracles ++ textOracles ++ vecOracles
 }

@@ -227,6 +227,40 @@ object RelationalOps {
         round(expr("approx_percentile(o_totalprice, 0.95, 1000)"), 2).as("p95_approx"))
       .orderBy(col("o_orderpriority"))
 
+  /** Correlated scalar subquery through the SQL interface: parts priced
+    * above their brand's average. Catalyst decorrelates this into an
+    * aggregate + join (no per-row re-execution), so it scales like the
+    * explicit-join form — demonstrated via the engine's SQL surface.
+    */
+  def partsAboveBrandAvg(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("graft_part")
+    s.sql(
+      """SELECT p.p_partkey, p.p_brand, round(p.p_retailprice, 2) AS price
+        |FROM graft_part p
+        |WHERE p.p_retailprice > (SELECT avg(p2.p_retailprice) * 1.05
+        |                         FROM graft_part p2
+        |                         WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p.p_partkey""".stripMargin)
+  }
+
+  /** Analytic window functions beyond rank/sum: lead/lag navigation,
+    * ntile bucketing, percent_rank — per-customer order timelines.
+    */
+  def orderTimeline(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .where(col("o_custkey") <= 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        first(col("o_orderkey")).over(w).as("first_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** As-of join: for each error event, the most recent strictly-prior click
     * of the same user.
     *
