@@ -114,11 +114,15 @@ object LogIngest {
   def decodedStream(
       spark: SparkSession,
       stagingDir: String,
-      containerId: Option[String] = None): Dataset[LogRow] = {
+      containerId: Option[String] = None,
+      conf: graft.functions.LogConf.LogConfig = graft.functions.LogConf.LogConfig()): Dataset[LogRow] = {
     import spark.implicits._
     spark.readStream
       .format("binaryFile")
       .option("pathGlobFilter", "*.pblog")
+      // the reference's per-tx byte cap (max_size_per_tx, config.rs:176)
+      // maps to the per-micro-batch byte budget of the file source
+      .option("maxBytesPerTrigger", conf.maxSizePerTx.toString)
       .schema(StructType(Seq(  // binaryFile's fixed schema
         StructField("path", StringType),
         StructField("modificationTime", TimestampType),
@@ -146,9 +150,10 @@ object LogIngest {
       tableDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
-      containerId: Option[String] = None): StreamingQuery = {
+      containerId: Option[String] = None,
+      conf: graft.functions.LogConf.LogConfig = graft.functions.LogConf.LogConfig()): StreamingQuery = {
     import spark.implicits._
-    decodedStream(spark, stagingDir, containerId)
+    decodedStream(spark, stagingDir, containerId, conf)
       // integer div, not `/`: ns epoch values exceed double's 2^53
       .withColumn("ts", timestamp_micros(expr("ts_nano div 1000")))
       .select("container_id", "seq", "ts", "ts_nano", "source", "line",

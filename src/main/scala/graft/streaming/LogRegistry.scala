@@ -26,17 +26,30 @@ final class LogRegistry(
 
   def startLogging(
       containerId: String,
-      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
+      conf: graft.functions.LogConf.LogConfig = graft.functions.LogConf.LogConfig()): StreamingQuery = {
     // a crashed/terminated query must not shadow a restart
     active.get(containerId).filter(_._1.isActive) match {
       case Some((q, _)) => q
       case None =>
         val q = LogIngest.start(spark, stagingRoot, tableRoot,
-          s"$checkpointRoot/$containerId", trigger, Some(containerId))
+          s"$checkpointRoot/$containerId", trigger, Some(containerId), conf)
         active.put(containerId, (q, trigger))
         q
     }
   }
+
+  /** Per-container options → running query, the reference's
+    * StartLogging(Config) contract (src/config.rs:186-231 merged over
+    * defaults; the read-timeout becomes the micro-batch trigger).
+    */
+  def startLoggingWithOptions(
+      containerId: String,
+      options: Map[String, String]): Either[String, StreamingQuery] =
+    graft.functions.LogConf.fromOptions(options).map { c =>
+      startLogging(containerId,
+        Trigger.ProcessingTime(s"${c.messageReadTimeout.toMillis} milliseconds"), c)
+    }
 
   def stopLogging(containerId: String, deleteWhenStopped: Boolean = true): Unit = {
     active.remove(containerId).foreach(_._1.stop())

@@ -145,6 +145,22 @@ class LogIngestSpec extends SparkSpec {
     assert(Retention.compact(spark, table) === 0) // idempotent
   }
 
+  test("per-container options drive the ingest query (config -> engine)") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    writeBurst(staging, "c5", "b0", (0 until 8).map(entry(_, "c5")))
+    val reg = new LogRegistry(spark, staging, table, ckpt)
+    // valid options: tiny byte budget still ingests everything (over more batches)
+    val q = reg.startLoggingWithOptions("c5", Map(
+      "max_size_per_tx" -> "1k", "message_read_timeout" -> "50"))
+    assert(q.isRight)
+    eventually(30000)(assert(LogIngest.table(spark, table).count() === 8))
+    reg.stopAll()
+    // invalid options are rejected with the reference's error, not started
+    val bad = reg.startLoggingWithOptions("c6", Map("cleanup_age" -> "oops"))
+    assert(bad.isLeft)
+    assert(reg.activeContainers === Set.empty)
+  }
+
   test("registry: start/stop/replay lifecycle with delete-when-stopped") {
     val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
     writeBurst(staging, "c9", "b0", (0 until 5).map(entry(_, "c9")))
