@@ -20,18 +20,13 @@ object Tables {
   // re-lists files and re-reads footers on every query — a real per-query
   // tax in a 40-query run and the session-catalog behavior users expect.
   // (Only the resolved relation is cached, never data.)
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val cache = new SessionCache[DataFrame]
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // evict entries of stopped sessions — a (session, path) key would
-    // otherwise strongly retain every stopped SparkSession forever
-    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
     // default; read it as raw Long nanos (set per-session, idempotent).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+    cache.getOrElseUpdate(spark, s"$sfDir/$name.parquet")((s, p) => s.read.parquet(p))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

@@ -100,16 +100,15 @@ object DedupOps {
   // semi-join probe, the recount, and both sides of the pair join within
   // ONE query — persist it. Memoized per (session, dir) so repeated calls
   // reuse a single cached copy instead of leaking one per invocation.
-  private val shingleIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val shingleIndexCache = new graft.SessionCache[DataFrame]
 
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    shingleIndexCache.computeIfAbsent((s, d), { case (ss, dir) =>
+    shingleIndexCache.getOrElseUpdate(s, d) { (ss, dir) =>
       shingles(ss, dir)
         .select(col("doc_id"), explode(col("shs")).as("sh"))
         .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
         .persist()
-    })
+    }
 
   /** MinHash signatures: doc_id → array<long> of k seeded min-hashes. */
   def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame =

@@ -95,12 +95,13 @@ object MultimodalOps {
   def extractFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d).as[MediaRecord].mapPartitions { it =>
-      // per-partition decoder init would go here
+      // per-partition init, amortized over the batch (a real decoder's
+      // codec context would be created here the same way)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         MediaFeatures(
           r.media_id, r.modality, r.payload.length,
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(r.payload).map("%02x".format(_)).mkString,
+          md5.digest(r.payload).map("%02x".format(_)).mkString,
           decodeStub(r.payload))
       }
     }.toDF()

@@ -124,11 +124,12 @@ object TextOps {
              lit(lang).as("lang"))
     }
     Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("lang_actual"),
+        greatest(scored: _*).as("best"))
       .select(
-        col("doc_id"),
-        col("lang").as("lang_actual"),
-        greatest(scored: _*).getField("lang").as("lang_predicted"),
-        greatest(scored: _*).getField("score").as("confidence"))
+        col("doc_id"), col("lang_actual"),
+        col("best.lang").as("lang_predicted"),
+        col("best.score").as("confidence"))
       .orderBy(col("doc_id"))
   }
 }

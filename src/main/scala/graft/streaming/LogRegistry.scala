@@ -58,9 +58,9 @@ final class LogRegistry(
       // state (src/statehandler.rs:167-183) — keeping the checkpoint would
       // let replayState() resurrect a deleted container, and keeping the
       // staging bursts would re-ingest the "deleted" data on a fresh start
-      delete(java.nio.file.Paths.get(tableRoot, s"container_id=$containerId"))
-      delete(java.nio.file.Paths.get(checkpointRoot, containerId))
-      delete(java.nio.file.Paths.get(stagingRoot, containerId))
+      FsUtil.deleteRecursively(java.nio.file.Paths.get(tableRoot, s"container_id=$containerId"))
+      FsUtil.deleteRecursively(java.nio.file.Paths.get(checkpointRoot, containerId))
+      FsUtil.deleteRecursively(java.nio.file.Paths.get(stagingRoot, containerId))
       // deleted files may still be in the shared listing cache
       org.apache.spark.sql.graft.ColumnBridge.invalidateFileListing(spark)
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tableRoot)))
@@ -99,11 +99,4 @@ final class LogRegistry(
     finally snapshot.foreach { case (id, (_, trig)) => startLogging(id, trig) }
   }
 
-  private def delete(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val it = java.nio.file.Files.list(p).iterator()
-      while (it.hasNext) delete(it.next())
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
 }

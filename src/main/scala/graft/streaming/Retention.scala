@@ -56,19 +56,7 @@ object Retention {
           survivors.drop("container_id")
             .sortWithinPartitions(col("ts_nano"))
             .write.mode("overwrite").parquet(shadow.toString)
-          // atomic at the partition-directory level: readers of the table
-          // root see old or new files, never a torn partition
-          val tmp = p.resolveSibling(name + ".old")
-          Files.move(p, tmp, StandardCopyOption.ATOMIC_MOVE)
-          Files.move(shadow, p, StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursively(tmp)
-          // drop the _SUCCESS marker copied from the shadow write
-          val marker = p.resolve("_SUCCESS")
-          if (Files.exists(marker)) Files.delete(marker)
-          // Spark's shared FileStatusCache still holds the pre-swap leaf
-          // files for the table root; invalidate so readers re-list
-          org.apache.spark.sql.graft.ColumnBridge.invalidateFileListing(spark)
-          spark.catalog.refreshByPath(tableDir)
+          swapPartition(spark, tableDir, p, shadow)
           rewritten += 1
         }
       }
@@ -109,14 +97,7 @@ object Retention {
             .repartitionByRange(want, col("ts_nano"))
             .sortWithinPartitions(col("ts_nano"))
             .write.mode("overwrite").parquet(shadow.toString)
-          val tmp = p.resolveSibling(name + ".old")
-          Files.move(p, tmp, StandardCopyOption.ATOMIC_MOVE)
-          Files.move(shadow, p, StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursively(tmp)
-          val marker = p.resolve("_SUCCESS")
-          if (Files.exists(marker)) Files.delete(marker)
-          org.apache.spark.sql.graft.ColumnBridge.invalidateFileListing(spark)
-          spark.catalog.refreshByPath(tableDir)
+          swapPartition(spark, tableDir, p, shadow)
           compacted += 1
         }
       }
@@ -139,11 +120,20 @@ object Retention {
       Thread.sleep(intervalMillis)
     }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
-    }
-    Files.deleteIfExists(p)
+  /** Atomically replace a live partition directory with its rewritten
+    * shadow: readers of the table root see old or new files, never a torn
+    * partition. Also drops the _SUCCESS marker and invalidates Spark's
+    * shared file-listing cache (it still holds the pre-swap leaf files).
+    */
+  private def swapPartition(
+      spark: SparkSession, tableDir: String, live: Path, shadow: Path): Unit = {
+    val tmp = live.resolveSibling(live.getFileName.toString + ".old")
+    Files.move(live, tmp, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(shadow, live, StandardCopyOption.ATOMIC_MOVE)
+    FsUtil.deleteRecursively(tmp)
+    val marker = live.resolve("_SUCCESS")
+    if (Files.exists(marker)) Files.delete(marker)
+    org.apache.spark.sql.graft.ColumnBridge.invalidateFileListing(spark)
+    spark.catalog.refreshByPath(tableDir)
   }
 }
