@@ -27,13 +27,13 @@ final class LogRegistry(
   def startLogging(
       containerId: String,
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
-      conf: graft.functions.LogConf.LogConfig = graft.functions.LogConf.LogConfig()): StreamingQuery = {
+      maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
     // a crashed/terminated query must not shadow a restart
     active.get(containerId).filter(_._1.isActive) match {
       case Some((q, _)) => q
       case None =>
         val q = LogIngest.start(spark, stagingRoot, tableRoot,
-          s"$checkpointRoot/$containerId", trigger, Some(containerId), conf)
+          s"$checkpointRoot/$containerId", trigger, Some(containerId), maxBytesPerTrigger)
         active.put(containerId, (q, trigger))
         q
     }
@@ -48,7 +48,9 @@ final class LogRegistry(
       options: Map[String, String]): Either[String, StreamingQuery] =
     graft.functions.LogConf.fromOptions(options).map { c =>
       startLogging(containerId,
-        Trigger.ProcessingTime(s"${c.messageReadTimeout.toMillis} milliseconds"), c)
+        Trigger.ProcessingTime(s"${c.messageReadTimeout.toMillis} milliseconds"),
+        // batch byte budget only when the user asked for one (see LogIngest)
+        if (options.contains("max_size_per_tx")) Some(c.maxSizePerTx) else None)
     }
 
   def stopLogging(containerId: String, deleteWhenStopped: Boolean = true): Unit = {
