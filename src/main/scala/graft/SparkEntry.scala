@@ -304,7 +304,8 @@ object SparkEntry {
     "q_ts_sessions" -> (TimeSeriesOps.sessions _),
     "q_ts_props_stats" -> (TimeSeriesOps.propsKeyStats _),
     "q_ts_purchase_props" -> (TimeSeriesOps.purchaseProps _),
-    "q_ts_pivot" -> (TimeSeriesOps.eventTypePivot _))
+    "q_ts_pivot" -> (TimeSeriesOps.eventTypePivot _),
+    "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)))
 
   private val tsOracles: Map[String, String] = Map(
     "q_ts_hourly" ->
@@ -351,6 +352,15 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events WHERE user_id < 50
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ts_range_join" ->
+      """SELECT e.event_id AS err_id, count(*) AS n_nearby,
+        |  min(epoch_ms(o.ts)) AS first_ms, max(epoch_ms(o.ts)) AS last_ms
+        |FROM events e JOIN events o
+        |  ON e.user_id = o.user_id
+        | AND abs(epoch_ms(o.ts) - epoch_ms(e.ts)) <= 300000
+        | AND o.event_id <> e.event_id
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
     "q_ts_purchase_props" ->
       """SELECT event_id, user_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value

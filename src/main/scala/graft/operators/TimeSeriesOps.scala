@@ -88,6 +88,34 @@ object TimeSeriesOps {
         round(avg(col("k")), 4).as("avg_k"))
       .orderBy(col("event_type"))
 
+  /** Bucketized range join: for each error, how many events the same user
+    * produced within ±5 minutes. A naive `|a.ts − b.ts| <= Δ` join is a
+    * cross product per user; bucketizing both sides to Δ-sized time cells
+    * and joining each error to its {cell−1, cell, cell+1} neighborhood
+    * bounds candidate fanout to the rows actually within ~2Δ, then the
+    * exact predicate filters — the standard distributed range-join shape
+    * (Spark's own range-join hints implement the same idea).
+    */
+  def eventsNearErrors(s: SparkSession, d: String, deltaMin: Int = 5): DataFrame = {
+    val deltaMs = deltaMin * 60L * 1000
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsMs(col("ts")).as("ms"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ms").as("err_ms"), (col("ms") / deltaMs).cast("long").as("cell"))
+    val neighbors = errors.select(col("err_id"), col("user_id"), col("err_ms"),
+      explode(array(col("cell") - 1, col("cell"), col("cell") + 1)).as("cell"))
+    val others = ev
+      .select(col("event_id"), col("user_id"), col("ms"),
+        (col("ms") / deltaMs).cast("long").as("cell"))
+    neighbors.join(others, Seq("user_id", "cell"))
+      .where(abs(col("ms") - col("err_ms")) <= deltaMs && col("event_id") =!= col("err_id"))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_nearby"), min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
+      .orderBy(col("err_id"))
+  }
+
   /** Pivot: per-user event counts reshaped into one column per event
     * type. Explicit value list → single-pass partial aggregation (without
     * it Spark first runs a distinct scan to discover columns).
