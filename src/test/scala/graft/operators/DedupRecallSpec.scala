@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Quality evidence for the approximate dedup operators: their recall of
+  * the exact-Jaccard near-duplicate pairs on the sf0.001 fixture.
+  * Deterministic (fixed data, fixed hashes) — the bounds are pinned from
+  * the theoretical candidate probabilities: 8 bands × 4 rows gives
+  * P(candidate) = 1−(1−j⁴)⁸ ≈ 0.92 at j=0.7, ≈ 1.0 at j≥0.9.
+  */
+class DedupRecallSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH recovers the high-similarity exact pairs") {
+    val strong = pairs(DedupOps.ngramJaccardPairs(spark, sf0001, minSim = 0.9))
+    val lsh = pairs(DedupOps.minhashLshPairs(spark, sf0001))
+    assert(strong.nonEmpty, "fixture should contain planted near-dups")
+    val recall = (strong & lsh).size.toDouble / strong.size
+    assert(recall >= 0.9, s"recall=$recall over ${strong.size} strong pairs")
+  }
+
+  test("simhash recovers most near-identical exact pairs") {
+    // SimHash distance measures bag-of-words bit agreement, not shingle
+    // Jaccard — some high-Jaccard pairs legitimately exceed Hamming 3, so
+    // the pinned bound (measured 0.78 on this fixture) is looser than LSH's
+    val strong = pairs(DedupOps.ngramJaccardPairs(spark, sf0001, minSim = 0.9))
+    val sim = pairs(DedupOps.simhashPairs(spark, sf0001))
+    val recall = (strong & sim).size.toDouble / strong.size
+    assert(recall >= 0.7, s"recall=$recall over ${strong.size} strong pairs")
+  }
+}
