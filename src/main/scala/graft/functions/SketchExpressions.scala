@@ -84,6 +84,21 @@ object Sketch {
     sig
   }
 
+  /** Fraction of positions where two long-array signatures agree — the
+    * MinHash Jaccard estimator. One compiled pass, no per-element lambda.
+    */
+  def sigMatchFraction(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
   /** Cosine similarity of two numeric arrays, accumulated in f64 in element
     * order (matches the DuckDB oracle's list_sum(list_transform(...)) form
     * bit-for-bit at the rounding precision used).
@@ -160,6 +175,30 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `sig_match_frac(a, b)`: fraction of equal components of two long-array
+  * signatures (the MinHash Jaccard estimate). Native so the LSH candidate
+  * join's estimate stays inside whole-stage codegen — the zip_with/filter
+  * HOF form evaluates interpreted, per candidate row.
+  */
+case class SigMatchFraction(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_match_frac"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got ${l.sql}, ${r.sql}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sketch.sigMatchFraction(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sketch.sigMatchFraction($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchFraction =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `cosine_sim(a, b)`: cosine similarity of two float/double arrays. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -193,5 +232,7 @@ object sketch {
   def wordShingles(tokens: Column, n: Int): Column = column(WordShingles(expression(tokens), n))
   def minhashSig(elems: Column, k: Int): Column = column(MinHashSig(expression(elems), k))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def sigMatchFrac(a: Column, b: Column): Column =
+    column(SigMatchFraction(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
 }

@@ -65,29 +65,30 @@ object DedupOps {
       s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
     val exploded = shingleIndex(s, d)
-    val sh =
-      if (maxDf <= 0)
-        exploded.withColumn("n_sh",
-          count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    // aggregation + joins, not windows: a window would globally sort the
+    // exploded table; these are key-only aggregates AQE broadcasts when small
+    val capped =
+      if (maxDf <= 0) exploded
       else {
-        // aggregation + joins, not windows: the kept-shingle set and the
-        // per-doc recount are key-only aggregates that AQE broadcasts when
-        // small; a window would globally sort the exploded table twice
         val kept = exploded.groupBy(col("sh_h"))
           .agg(count(lit(1)).as("__df"))
           .where(col("__df") <= maxDf)
           .select(col("sh_h"))
-        val capped = exploded.join(kept, Seq("sh_h"), "left_semi")
-        val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        capped.join(sizes, Seq("doc_id"))
+        exploded.join(kept, Seq("sh_h"), "left_semi")
       }
-    val a = sh.select(col("doc_id").as("a"), col("n_sh").as("na"), col("sh_h"))
-    val b = sh.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("sh_h"))
+    // Per-doc set sizes join onto the AGGREGATED pair table (one small row
+    // per doc against one row per surviving pair), never onto the exploded
+    // table — enriching pre-join would re-shuffle the whole index and widen
+    // both self-join inputs by 8 bytes/row for data the pair only needs once.
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = capped.select(col("doc_id").as("a"), col("sh_h"))
+    val b = capped.select(col("doc_id").as("b"), col("sh_h"))
     a.join(b, Seq("sh_h"))
       .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
       .select(
         col("a"), col("b"),
         round(col("inter").cast("double") /
@@ -117,9 +118,14 @@ object DedupOps {
   /** MinHash + LSH candidate pairs with estimated Jaccard.
     * bands=8 × rows=4 over a k=32 signature: P(candidate) ≈ 1−(1−j⁴)⁸ —
     * steep around j≈0.5. Join key is (band, hash of the band slice):
-    * constant-size, uniformly distributed → skew-free shuffle. Estimated
-    * similarity = fraction of matching signature components, computed by
-    * re-joining the signature table against bare id pairs.
+    * constant-size, uniformly distributed → skew-free shuffle.
+    *
+    * The full signature (k=32 longs ≈ 256 bytes) rides the band explode, so
+    * the estimate — fraction of matching signature components — is computed
+    * directly at candidate time: one self-join, no signature re-joins. A
+    * pair colliding in m bands is produced m times with the same
+    * deterministic estimate; the estimate filter runs BEFORE the distinct
+    * so the dedup shuffle carries only surviving (a, b, est) triples.
     * (No DuckDB oracle: hashing is engine-specific → rows-only check.)
     */
   def minhashLshPairs(
@@ -128,27 +134,22 @@ object DedupOps {
     val rows = k / bands
     val sig = minhashSignatures(s, d, k)
     val banded = sig.select(
-      col("doc_id"),
+      col("doc_id"), col("sig"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           bnd => xxhash64(concat_ws(",",
             transform(slice(col("sig"), bnd * rows + 1, lit(rows)), x => x.cast("string"))))))
         .as(Seq("band", "bucket")))
-    val cand = banded.select(col("doc_id").as("a"), col("band"), col("bucket"))
-      .join(banded.select(col("doc_id").as("b"), col("band"), col("bucket")),
+    banded.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("bucket"))
+      .join(
+        banded.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
-      .join(sig.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
       .select(
         col("a"), col("b"),
-        round(
-          size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), m => m))
-            .cast("double") / k, 6).as("est_jaccard"))
+        round(sigMatchFrac(col("siga"), col("sigb")), 6).as("est_jaccard"))
       .where(col("est_jaccard") >= minEst)
+      .distinct()
       .orderBy(col("a"), col("b"))
   }
 

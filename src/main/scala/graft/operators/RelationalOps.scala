@@ -174,21 +174,28 @@ object RelationalOps {
 
   /** Set ops: customers ordering in BOTH 1995 and 1996 (intersect), and in
     * 1995 but not 1996 (except), tagged and unioned into one result.
-    * INTERSECT/EXCEPT plan as aggregates + joins — all key-only shuffles.
+    *
+    * Semantically INTERSECT/EXCEPT/UNION, but planned as conditional
+    * aggregation: ONE scan of the two-year slice, ONE shuffle on custkey
+    * with map-side partial max() of the membership flags, then a CASE on
+    * the flags. The literal intersect/except form plans as 2 scans + 4+
+    * key shuffles for the identical result — pure waste at 100 TB.
     */
   def buyerCohorts(s: SparkSession, d: String): DataFrame = {
-    // distinct buyer sets are reused by INTERSECT and EXCEPT; materialize
-    // each once instead of re-scanning orders four times
-    def buyersIn(year: Int): DataFrame =
-      Tables.orders(s, d)
-        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")) &&
-               col("o_orderdate") <  lit(java.sql.Timestamp.valueOf(s"${year + 1}-01-01 00:00:00")))
-        .select(col("o_custkey")).distinct()
-    val b95 = buyersIn(1995)
-    val b96 = buyersIn(1996)
-    val both = b95.intersect(b96).withColumn("cohort", lit("both"))
-    val only95 = b95.except(b96).withColumn("cohort", lit("only_1995"))
-    both.union(only95).orderBy(col("cohort"), col("o_custkey"))
+    val y95 = lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+    val y96 = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    val y97 = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    Tables.orders(s, d)
+      .where(col("o_orderdate") >= y95 && col("o_orderdate") < y97)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("o_orderdate") < y96, 1).otherwise(0)).as("in95"),
+        max(when(col("o_orderdate") >= y96, 1).otherwise(0)).as("in96"))
+      .where(col("in95") === 1)
+      .select(
+        col("o_custkey"),
+        when(col("in96") === 1, lit("both")).otherwise(lit("only_1995")).as("cohort"))
+      .orderBy(col("cohort"), col("o_custkey"))
   }
 
   /** Multi-distinct aggregate: exact distinct counts per return flag.
