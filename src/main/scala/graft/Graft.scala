@@ -81,7 +81,7 @@ final class Graft(
 
   // ---- retention / maintenance (O10-O13) ----------------------------------
 
-  def cleanup(age: Option[java.time.Duration], maxLines: Option[Long]): Int =
+  def cleanup(age: Option[java.time.Duration], maxLines: Option[Long]): Retention.SweepStats =
     registry.quiesced {
       Retention.sweep(spark, tableRoot, age.map(a => Instant.now().minus(a)), maxLines)
     }

@@ -59,30 +59,26 @@ final class LogRegistry(
       // reference semantics: drop the container's data AND its recovery
       // state (src/statehandler.rs:167-183) — keeping the checkpoint would
       // let replayState() resurrect a deleted container, and keeping the
-      // staging bursts would re-ingest the "deleted" data on a fresh start
-      FsUtil.deleteRecursively(java.nio.file.Paths.get(tableRoot, s"container_id=$containerId"))
-      FsUtil.deleteRecursively(java.nio.file.Paths.get(checkpointRoot, containerId))
-      FsUtil.deleteRecursively(java.nio.file.Paths.get(stagingRoot, containerId))
+      // staging bursts would re-ingest the "deleted" data on a fresh start.
+      // Hadoop FileSystem, not java.nio: these roots live on object
+      // storage/HDFS at deployment scale (see FsUtil).
+      FsUtil.deleteRecursively(spark, s"$tableRoot/container_id=$containerId")
+      FsUtil.deleteRecursively(spark, s"$checkpointRoot/$containerId")
+      FsUtil.deleteRecursively(spark, s"$stagingRoot/$containerId")
       // deleted files may still be in the shared listing cache
       org.apache.spark.sql.graft.ColumnBridge.invalidateFileListing(spark)
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tableRoot)))
+      if (FsUtil.isDirectory(spark, tableRoot))
         spark.catalog.refreshByPath(tableRoot)
     }
   }
 
   /** Restart every container that has a checkpoint — crash recovery. */
-  def replayState(): Seq[String] = {
-    val root = java.nio.file.Paths.get(checkpointRoot)
-    if (!java.nio.file.Files.isDirectory(root)) return Nil
-    val it = java.nio.file.Files.list(root).iterator()
-    val restarted = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val id = it.next().getFileName.toString
+  def replayState(): Seq[String] =
+    FsUtil.listDirs(spark, checkpointRoot).map { p =>
+      val id = p.getName
       startLogging(id)
-      restarted += id
+      id
     }
-    restarted.result()
-  }
 
   def activeContainers: Set[String] = active.keySet.toSet
 

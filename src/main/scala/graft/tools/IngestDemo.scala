@@ -55,9 +55,10 @@ object IngestDemo {
     read.select("seq", "source", "line").show(truncate = false)
 
     // retention: keep 20 newest lines per container
-    val rewritten = Retention.sweep(spark, table, None, Some(20L))
+    val stats = Retention.sweep(spark, table, None, Some(20L))
     val after = LogIngest.table(spark, table)
-    println(s"[demo] retention rewrote $rewritten partitions; rows now = ${after.count()} (expect 40)")
+    println(s"[demo] retention dropped ${stats.dropped} / rewrote ${stats.rewritten} " +
+      s"partitions; rows now = ${after.count()} (expect 40)")
 
     reg.stopAll()
     spark.stop()

@@ -42,7 +42,7 @@ class GraftSpec extends SparkSpec {
     // zero-time sentinel = unset (docker sends it for "no bound")
     assert(g.readLogs(Some("web"), since = Some(operators.LogOps.ZeroTime)).count() === 30)
 
-    assert(g.cleanup(age = None, maxLines = Some(10L)) === 1)
+    assert(g.cleanup(age = None, maxLines = Some(10L)).total === 1)
     assert(g.countLogs("web") === 10)
 
     g.stopLogging("web", deleteWhenStopped = true)
@@ -69,7 +69,7 @@ class GraftSpec extends SparkSpec {
 
   test("cleanup/compact on a never-ingested root are clean no-ops") {
     val g = Graft(spark, Files.createTempDirectory("graft-empty").toString)
-    assert(g.cleanup(Some(java.time.Duration.ofDays(1)), Some(10L)) === 0)
+    assert(g.cleanup(Some(java.time.Duration.ofDays(1)), Some(10L)).total === 0)
     assert(g.compact() === 0)
   }
 }

@@ -96,20 +96,64 @@ class LogIngestSpec extends SparkSpec {
     LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
       .awaitTermination(60000)
 
-    // age cutoff at i=25's timestamp, max 10 lines → c1 keeps 30..39, c2 keeps nothing older than cutoff
+    // age cutoff at i=25's timestamp, max 10 lines → c1 keeps 30..39 (one
+    // boundary rewrite); every c2 row is older → its whole date partition
+    // is dropped without a rewrite job
     val cutoff = java.time.Instant.ofEpochSecond(0, t0 + 25 * 1000000000L)
     val n = Retention.sweep(spark, table, Some(cutoff), Some(10L))
-    assert(n === 2)
+    assert(n === Retention.SweepStats(dropped = 1, rewritten = 1))
     val after = LogIngest.table(spark, table)
     val c1 = after.where(col("container_id") === "c1")
       .select("seq").collect().map(_.getLong(0)).sorted
     assert(c1.length === 10)
     assert(after.where(col("container_id") === "c2").count() === 0)
     // idempotent: a second sweep rewrites nothing
-    assert(Retention.sweep(spark, table, Some(cutoff), Some(10L)) === 0)
+    assert(Retention.sweep(spark, table, Some(cutoff), Some(10L)).total === 0)
   }
 
-  test("a corrupt frame is skipped, not fatal (permissive decode)") {
+  test("age retention drops whole date partitions; only the boundary date is rewritten") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    val day = 86400000000000L
+    // 10 rows on each of 3 consecutive UTC days
+    val entries = for (d <- 0 until 3; i <- 0 until 10) yield
+      entry(0, "c1").copy(timeNano = t0 + d * day + i * 1000000000L,
+        line = s"d$d-i$i".getBytes("UTF-8"))
+    writeBurst(staging, "c1", "b0", entries)
+    LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+      .awaitTermination(60000)
+
+    def dateDirName(nanos: Long) = "date=" + java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(nanos, day))
+    val d0 = dateDirName(t0)
+    val d1 = dateDirName(t0 + day)
+    val d2 = dateDirName(t0 + 2 * day)
+    val cDir = Paths.get(table, "container_id=c1")
+    assert(Seq(d0, d1, d2).forall(d => Files.isDirectory(cDir.resolve(d))))
+    def filesIn(d: String): Set[String] = {
+      val it = Files.list(cDir.resolve(d)).iterator()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) { val f = it.next().getFileName.toString
+        if (f.endsWith(".parquet")) b += f }
+      b.result()
+    }
+    val d2FilesBefore = filesIn(d2)
+
+    // cutoff mid day-1: day-0 fully past (drop, no rewrite job), day-1 is
+    // the boundary (rewrite keeps i=5..9), day-2 untouched
+    val cutoff = java.time.Instant.ofEpochSecond(0, t0 + day + 5 * 1000000000L)
+    val stats = Retention.sweep(spark, table, Some(cutoff), None)
+    assert(stats === Retention.SweepStats(dropped = 1, rewritten = 1))
+    assert(!Files.exists(cDir.resolve(d0)))
+    // untouched partition = byte-identical file set, proof there was no job
+    assert(filesIn(d2) === d2FilesBefore)
+    val after = LogIngest.table(spark, table)
+    assert(after.count() === 15)
+    assert(after.where(col("date") === java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(t0 + day, day)))).count() === 5)
+    assert(Retention.sweep(spark, table, Some(cutoff), None).total === 0)
+  }
+
+  test("a corrupt frame is skipped, not fatal — and the skip is counted") {
     val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
     val good = (0 until 3).map(entry(_, "c1"))
     val dir = Paths.get(staging, "c1"); Files.createDirectories(dir)
@@ -118,9 +162,45 @@ class LogIngestSpec extends SparkSpec {
       ProtoLogCodec.frame(ProtoLogCodec.encode(good(1))) ++
       ProtoLogCodec.frame(ProtoLogCodec.encode(good(2)))
     Files.write(dir.resolve("b0.pblog"), bytes)
+    val skippedBefore = IngestMetrics.skippedFrames(spark).value
     LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
       .awaitTermination(60000)
     assert(LogIngest.table(spark, table).count() === 3)
+    // the dropped frame is observable, not silent loss (logger.rs telemetry)
+    assert(IngestMetrics.skippedFrames(spark).value - skippedBefore === 1)
+  }
+
+  test("follow gives up after the idle cap (logger.rs:287-288)") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    writeBurst(staging, "c1", "b0", (0 until 5).map(entry(_, "c1")))
+    LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+      .awaitTermination(60000)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val fq = LogIngest.follow(spark, table, Some("c1"), None, None,
+      emit = b => b.collect().foreach(r => seen.add(r.getAs[Long]("seq"))),
+      trigger = Trigger.ProcessingTime("100 milliseconds"),
+      idleGiveUp = Some(java.time.Duration.ofMillis(1500)))
+    try {
+      eventually(10000)(assert(seen.size() === 5)) // initial data emitted
+      // then nothing arrives → the watchdog stops the query on its own
+      eventually(15000)(assert(!fq.isActive))
+      assert(seen.size() === 5) // nothing emitted after the stop
+    } finally if (fq.isActive) fq.stop()
+  }
+
+  test("rate listener records per-batch and lifetime lines/s (logger.rs:187-196)") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    val listener = IngestMetrics.rates(spark)
+    writeBurst(staging, "c1", "b0", (0 until 50).map(entry(_, "c1")))
+    val q = LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    eventually(10000) { // listener events are delivered asynchronously
+      val last = listener.last(q.id)
+      assert(last.exists(_.rows === 50))
+      assert(last.exists(_.linesPerSec > 0.0))
+      val life = listener.lifetime(q.id)
+      assert(life.exists(_._1 === 50))
+    }
   }
 
   test("compaction bin-packs many burst files into few, preserving rows") {
@@ -131,7 +211,14 @@ class LogIngestSpec extends SparkSpec {
       LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
         .awaitTermination(60000)
     }
-    val dir = Paths.get(table, "container_id=c1")
+    // all bursts share one UTC day → a single date leaf under the container
+    val dir = {
+      val l = Files.list(Paths.get(table, "container_id=c1")).iterator()
+      var d: java.nio.file.Path = null
+      while (l.hasNext) { val p = l.next()
+        if (p.getFileName.toString.startsWith("date=")) d = p }
+      d
+    }
     def nFiles = {
       val l = Files.list(dir).iterator(); var n = 0
       while (l.hasNext) { if (l.next().toString.endsWith(".parquet")) n += 1 }; n
