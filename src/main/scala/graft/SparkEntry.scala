@@ -419,6 +419,27 @@ object SparkEntry {
       """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies,
         |  md5(text) AS fp
         |FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, p.lng,
+        |    round(len(list_filter(toks, x -> list_contains(p.words, x)))::DOUBLE
+        |          / greatest(len(toks), 1), 6) AS score
+        |  FROM t, (VALUES ('de', ['der','die','das','und','ist']),
+        |                  ('en', ['the','a','of','and','to']),
+        |                  ('es', ['el','la','de','que','y']),
+        |                  ('fr', ['le','la','les','et','que']),
+        |                  ('zh', ['的','是','了','在','我'])) AS p(lng, words))
+        |SELECT doc_id, lang_actual, lang_predicted, confidence FROM (
+        |  SELECT doc_id, lang AS lang_actual, lng AS lang_predicted,
+        |         score AS confidence,
+        |         -- Spark's greatest() over (score, lang) structs breaks
+        |         -- score ties on the LARGEST language code
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, lng DESC) AS rn
+        |  FROM s) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |shs AS (SELECT doc_id,
@@ -450,7 +471,8 @@ object SparkEntry {
     "q_vec_centroids" -> (VectorOps.labelCentroids _),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
-    "q_media_features" -> (MultimodalOps.extractFeatures _))
+    "q_media_features" -> (MultimodalOps.extractFeatures _),
+    "q_media_features_meta" -> (MultimodalOps.extractFeaturesMeta _))
 
   private def duckCos(v1: String, v2: String): String =
     s"""list_sum(list_transform(range(1, 65),
@@ -514,6 +536,12 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS checksum,
         |  substring(hex(encode(text)), 1, 16) AS magic
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_media_features_meta" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin)
 
   // ---- public contract -----------------------------------------------------

@@ -110,4 +110,15 @@ object MultimodalOps {
         round(element_at(col("features"), 2), 6).as("f1"))
       .orderBy(col("media_id"))
   }
+
+  /** The oracle-checkable slice of [[extractFeatures]]: everything except
+    * the stubbed feature values still flows through the SAME mapPartitions
+    * decode stage, so the partition-local plumbing (per-partition decoder
+    * init, typed batch shape, checksum computation) is hash-verified
+    * against DuckDB even though the fake features can't be.
+    */
+  def extractFeaturesMeta(s: SparkSession, d: String): DataFrame =
+    extractFeatures(s, d)
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
+      .orderBy(col("media_id"))
 }
