@@ -53,4 +53,47 @@ class PlansSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_cust")
     }
   }
+
+  // ---- plan-regression locks: the good plans of r1/r2 must stay good ------
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.count() // materialize so AQE finalizes its runtime plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("revenueByNation: dims broadcast, no cartesian product in the plan") {
+    val plan = executedPlan(
+      graft.operators.RelationalOps.revenueByNation(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // nation and region ride broadcast joins (explicitly hinted); AQE may
+    // also broadcast customer/orders at this SF, so assert at least the 2
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected nation+region broadcast joins:\n$plan")
+  }
+
+  test("readRange pushes the ts_nano range predicate into the parquet scan") {
+    import graft.operators.LogOps
+    val df = LogOps.readRange(graft.Tables.events(spark, sf0001),
+      "user_id", "event_id", "ts_nano",
+      LogOps.normalize(Some(7L), Some("2024-01-05T00:00:00Z"),
+        Some("2024-01-25T00:00:00Z"), tail = 0, follow = false))
+    // inspect the formatted plan (AQE wraps the scan node, so matching the
+    // rendered PushedFilters is the stable way to see what reached parquet)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the fixture stores the nano column as raw `ts` (Tables aliases it to
+    // ts_nano), so the pushed filter names the file column
+    assert(plan.contains("GreaterThanOrEqual(ts,") &&
+           plan.contains("LessThanOrEqual(ts,") &&
+           plan.contains("EqualTo(user_id,7)"),
+      s"ts_nano range / container key not pushed:\n$plan")
+  }
+
+  test("buyerCohorts plans exactly one hash-partitioning exchange") {
+    val plan = executedPlan(
+      graft.operators.RelationalOps.buyerCohorts(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"expected 1 aggregation shuffle, got $hashExchanges:\n$plan")
+  }
 }
