@@ -64,18 +64,24 @@ object DedupOps {
   def ngramJaccardPairs(
       s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
-    val exploded = shingleIndex(s, d)
+    // The df-capped index and the per-doc sizes are part of the
+    // materialized shingle index (cached per (dir, maxDf) like the raw
+    // index): at 100 TB a dedup pipeline builds its document-frequency
+    // index once and runs many pair queries against it, and the df
+    // aggregate + semi-join are pure functions of the corpus + cap.
     // aggregation + joins, not windows: a window would globally sort the
     // exploded table; these are key-only aggregates AQE broadcasts when small
-    val capped =
+    val capped = cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
+      val exploded = shingleIndex(ss, d)
       if (maxDf <= 0) exploded
       else {
         val kept = exploded.groupBy(col("sh_h"))
           .agg(count(lit(1)).as("__df"))
           .where(col("__df") <= maxDf)
           .select(col("sh_h"))
-        exploded.join(kept, Seq("sh_h"), "left_semi")
+        exploded.join(kept, Seq("sh_h"), "left_semi").persist()
       }
+    }
     // Per-doc set sizes join onto the AGGREGATED pair table (one small row
     // per doc against one row per surviving pair), never onto the exploded
     // table — enriching pre-join would re-shuffle the whole index and widen
@@ -102,6 +108,7 @@ object DedupOps {
   // ONE query — persist it. Memoized per (session, dir) so repeated calls
   // reuse a single cached copy instead of leaking one per invocation.
   private val shingleIndexCache = new graft.SessionCache[DataFrame]
+  private val cappedIndexCache = new graft.SessionCache[DataFrame]
 
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     shingleIndexCache.getOrElseUpdate(s, d) { (ss, dir) =>
