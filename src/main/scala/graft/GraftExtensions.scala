@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, MinHashSig, SimHash64, WordShingles}
+import graft.functions.{CosineSim, MinHashSig, SigMatchFraction, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so any session built with
@@ -61,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException(
           "cosine_sim(a, b) takes exactly 2 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sig_match_frac"),
+      new ExpressionInfo(classOf[SigMatchFraction].getName, "sig_match_frac"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => SigMatchFraction(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sig_match_frac(a, b) takes exactly 2 arguments")
       }))
   }
 }

@@ -164,6 +164,15 @@ object LogIngest {
     * 100 ms processing-time trigger mirrors the reference's burst-commit
     * cadence; tests pass `Trigger.AvailableNow()` for run-to-completion.
     */
+  /** `writeSaltBuckets`: escape hatch for a hot container. The default
+    * repartition(container_id) gives each container ONE write task per
+    * micro-batch (one file per batch — the reference's single-writer
+    * semantics, src/logger.rs:250-251); a container bursting faster than
+    * one task can serialize would bottleneck there, so salt>1 spreads each
+    * container's batch over `salt` tasks keyed on seq, trading file count
+    * for write parallelism. Opt-in because more files per partition is the
+    * wrong default at the reference's burst sizes.
+    */
   def start(
       spark: SparkSession,
       stagingDir: String,
@@ -171,7 +180,8 @@ object LogIngest {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
       containerId: Option[String] = None,
-      maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
+      maxBytesPerTrigger: Option[Long] = None,
+      writeSaltBuckets: Int = 1): StreamingQuery = {
     import spark.implicits._
     decodedStream(spark, stagingDir, containerId, maxBytesPerTrigger)
       // integer div, not `/`: ns epoch values exceed double's 2^53
@@ -197,14 +207,25 @@ object LogIngest {
       // (src/statehandler.rs:147-166). Exactly-once needs an ACID table
       // format underneath; the swap to one is confined to this sink.
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch
-          // co-locate each container's rows before the partitioned write:
-          // without this every decode task writes a file into every
-          // partition dir (tasks × containers small files per batch); with
-          // it each container gets one file per batch. The in-task sort
-          // restores ts order so parquet row-group min/max stats on ts_nano
-          // stay tight (the reference's idx_ts analog, src/logger.rs:147).
-          .repartition(org.apache.spark.sql.functions.col("container_id"))
+        // co-locate each container's rows before the partitioned write:
+        // without this every decode task writes a file into every
+        // partition dir (tasks × containers small files per batch); with
+        // it each container gets one file per batch (per salt bucket).
+        // The in-task sort restores ts order so parquet row-group min/max
+        // stats on ts_nano stay tight (the reference's idx_ts analog,
+        // src/logger.rs:147).
+        val parted =
+          if (writeSaltBuckets <= 1)
+            batch.repartition(col("container_id"))
+          else
+            // explicit partition count: AQE would otherwise coalesce a
+            // small salted shuffle back into one task, undoing the salt
+            // hash(seq), not raw seq % salt: regular timestamp spacing can
+            // make every seq congruent mod salt (1 s ticks are ≡ 0 mod 8)
+            batch.repartition(
+              batch.sparkSession.sessionState.conf.numShufflePartitions,
+              col("container_id"), pmod(hash(col("seq")), lit(writeSaltBuckets)))
+        parted
           .sortWithinPartitions("container_id", "date", "ts_nano")
           .write.mode("append").partitionBy("container_id", "date").parquet(tableDir)
         ()

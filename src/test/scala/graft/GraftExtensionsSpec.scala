@@ -27,6 +27,11 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
       .collect().head.getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
+
+    val frac = spark.sql(
+      "SELECT sig_match_frac(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS f")
+      .collect().head.getDouble(0)
+    assert(frac === 0.5)
   }
 
   test("arity errors are reported at analysis time") {

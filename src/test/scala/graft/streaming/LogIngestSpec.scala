@@ -232,6 +232,23 @@ class LogIngestSpec extends SparkSpec {
     assert(Retention.compact(spark, table) === 0) // idempotent
   }
 
+  test("salted write spreads a hot container over several files, same rows") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    writeBurst(staging, "c1", "b0", (0 until 40).map(entry(_, "c1")))
+    LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow(),
+      writeSaltBuckets = 8).awaitTermination(60000)
+    val df = LogIngest.table(spark, table)
+    assert(df.count() === 40)
+    val seqs = df.select("seq").collect().map(_.getLong(0)).toSet
+    assert(seqs.size === 40) // no duplication, no loss across salt buckets
+    // the one date leaf now holds multiple files (one per salt bucket task)
+    val cDir = Files.list(Paths.get(table, "container_id=c1")).iterator().next()
+    val files = Files.list(cDir).iterator()
+    var n = 0
+    while (files.hasNext) { if (files.next().toString.endsWith(".parquet")) n += 1 }
+    assert(n > 1, s"expected salted write to produce several files, got $n")
+  }
+
   test("per-container options drive the ingest query (config -> engine)") {
     val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
     writeBurst(staging, "c5", "b0", (0 until 8).map(entry(_, "c5")))
