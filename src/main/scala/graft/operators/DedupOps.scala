@@ -118,9 +118,18 @@ object DedupOps {
         .persist()
     }
 
-  /** MinHash signatures: doc_id → array<long> of k seeded min-hashes. */
+  /** MinHash signatures: doc_id → array<long> of k seeded min-hashes.
+    * Memoized per (dir, k) like the shingle index — signatures are the
+    * materialized artifact of a MinHash pipeline (computed once per corpus,
+    * reused by every LSH query / band configuration over it).
+    */
   def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame =
-    shingles(s, d).select(col("doc_id"), minhashSig(col("shs"), k).as("sig"))
+    sigCache.getOrElseUpdate(s, s"$d#minhash#$k") { (ss, _) =>
+      shingles(ss, d).select(col("doc_id"), minhashSig(col("shs"), k).as("sig"))
+        .persist()
+    }
+
+  private val sigCache = new graft.SessionCache[DataFrame]
 
   /** MinHash + LSH candidate pairs with estimated Jaccard.
     * bands=8 × rows=4 over a k=32 signature: P(candidate) ≈ 1−(1−j⁴)⁸ —
@@ -166,8 +175,11 @@ object DedupOps {
     * signatures re-join for the Hamming check.
     */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
+    val docs = sigCache.getOrElseUpdate(s, s"$d#simhash") { (ss, _) =>
+      Tables.documents(ss, d)
+        .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
+        .persist()
+    }
     val chunked = docs.select(
       col("doc_id"),
       posexplode(array((0 until 4).map(i =>

@@ -51,6 +51,40 @@ object EventStreamOps {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("user_id", "ts")
 
+  /** Stream-stream interval join: each error event joined to the same
+    * user's click events within `intervalMs` BEFORE it — the streaming twin
+    * of the batch as-of/range joins (RelationalOps.lastClickBeforeError,
+    * TimeSeriesOps.eventsNearErrors).
+    *
+    * Both sides carry watermarks and the join condition bounds click time
+    * to [error − interval, error], so the state store can evict a buffered
+    * click once the error-side watermark passes click_ts + interval — state
+    * is bounded by interval + lateness, never by stream length. That time
+    * bound is the difference between a join that runs forever at 100 TB/day
+    * and one that OOMs; an unbounded-condition stream join buffers
+    * everything.
+    */
+  def clicksBeforeErrors(
+      events: Dataset[Event],
+      intervalMs: Long = 5L * 60 * 1000,
+      lateness: String = "10 minutes"): DataFrame = {
+    val errors = events.toDF().where(col("event_type") === "error")
+      .select(col("ts").as("err_ts"), col("user_id").as("err_user"),
+        col("value").as("err_value"))
+      .withWatermark("err_ts", lateness)
+    val clicks = events.toDF().where(col("event_type") === "click")
+      .select(col("ts").as("click_ts"), col("user_id").as("click_user"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", lateness)
+    errors.join(clicks,
+      col("err_user") === col("click_user") &&
+      col("click_ts") >= col("err_ts") - expr(s"INTERVAL ${intervalMs / 1000} SECONDS") &&
+      col("click_ts") <= col("err_ts"))
+      .select(col("err_user").as("user_id"),
+        unix_millis(col("err_ts")).as("err_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+  }
+
   /** Custom stateful sessionization: flatMapGroupsWithState keyed by user,
     * 30-minute inactivity gap closes a session (event-time semantics via
     * the watermark; idle keys are flushed by the event-time timeout).

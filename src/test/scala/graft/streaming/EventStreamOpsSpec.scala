@@ -62,6 +62,34 @@ class EventStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs errors with prior clicks, time-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = clicksBeforeErrors(in.toDS(), intervalMs = 5L * 60 * 1000,
+        lateness = "1 minutes")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      in.addData(
+        Event(ts(0), 1, "click", 1.0),   // 8 min before the error → outside
+        Event(ts(5), 1, "click", 1.0),   // 3 min before → inside
+        Event(ts(7), 2, "click", 1.0),   // other user → excluded
+        Event(ts(8), 1, "error", 0.0),
+        Event(ts(9), 1, "click", 1.0))   // after the error → excluded
+      q.processAllAvailable()
+      // push both watermarks far ahead so the joined row is emitted
+      in.addData(Event(ts(60), 3, "click", 0.0), Event(ts(60), 3, "error", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(ts(120), 3, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, ts(8).getTime, ts(5).getTime)))
+      assert(!rows.exists { case (u, _, c) => u == 1L && c != ts(5).getTime })
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap splits, timeout closes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
