@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, MinHashSig, SigMatchFraction, SimHash64, WordShingles}
+import graft.functions.{CosineSim, MinHashSig, SigMatchFraction, SimHash64, SortedIdPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so any session built with
@@ -61,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => CosineSim(a, b)
         case _ => throw new IllegalArgumentException(
           "cosine_sim(a, b) takes exactly 2 arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_id_pairs"),
+      new ExpressionInfo(classOf[SortedIdPairs].getName, "sorted_id_pairs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ids) => SortedIdPairs(ids)
+        case _ => throw new IllegalArgumentException(
+          "sorted_id_pairs(ids_array) takes exactly 1 argument")
       }))
     ext.injectFunction((
       new FunctionIdentifier("sig_match_frac"),

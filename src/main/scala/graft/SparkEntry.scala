@@ -379,7 +379,10 @@ object SparkEntry {
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
-    "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)))
+    "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
+    "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
+    "q_curate" -> ((s, d) => CurationOps.curate(s, d)),
+    "q_curate_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)))
 
   private val textOracles: Map[String, String] = Map(
     "q_text_token_stats" ->
@@ -458,7 +461,102 @@ object SparkEntry {
         |           count(*) AS inter
         |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |    GROUP BY 1, 2, 3, 4))
-        |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin)
+        |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin,
+    // Connected components of the ngram-Jaccard pair graph. The Spark side
+    // is iterative min-label propagation; the twin computes the same
+    // components via recursive-CTE transitive closure (UNION dedups, so
+    // cycles terminate) — tractable at oracle scale, exact semantics.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, inter::DOUBLE / (na + nb - inter) AS jac FROM (
+        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |             count(*) AS inter
+        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4))
+        |  WHERE jac >= 0.2),
+        |edges AS (SELECT a AS x, b AS y FROM pairs
+        |          UNION SELECT b AS x, a AS y FROM pairs),
+        |reach AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        |  WHERE e.y <> r.x)
+        |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+        |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    // End-to-end curation pipeline: langid + quality + exact dedup + CASE
+    // decision. Rule order (too_short → low_quality → duplicate → kept)
+    // is part of the contract and mirrored exactly here.
+    "q_curate" ->
+      """WITH t AS (SELECT doc_id, text, md5(text) AS fp,
+        |             string_split(text, ' ') AS toks,
+        |             string_split(lower(text), ' ') AS ltoks
+        |           FROM documents),
+        |langs AS (
+        |  SELECT doc_id, lng AS lang_predicted, score AS confidence FROM (
+        |    SELECT doc_id, p.lng,
+        |      round(len(list_filter(ltoks, x -> list_contains(p.words, x)))::DOUBLE
+        |            / greatest(len(ltoks), 1), 6) AS score,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY round(len(list_filter(ltoks,
+        |                           x -> list_contains(p.words, x)))::DOUBLE
+        |                           / greatest(len(ltoks), 1), 6) DESC,
+        |                           p.lng DESC) AS rn
+        |    FROM t, (VALUES ('de', ['der','die','das','und','ist']),
+        |                    ('en', ['the','a','of','and','to']),
+        |                    ('es', ['el','la','de','que','y']),
+        |                    ('fr', ['le','la','les','et','que']),
+        |                    ('zh', ['的','是','了','在','我'])) AS p(lng, words))
+        |  WHERE rn = 1),
+        |sig AS (SELECT doc_id, fp,
+        |          CAST(len(toks) AS INTEGER) AS n_tokens,
+        |          round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |                * (len(list_distinct(toks))::DOUBLE / len(toks)), 4)
+        |            AS quality
+        |        FROM t),
+        |canon AS (SELECT fp, min(doc_id) AS canonical FROM sig GROUP BY fp)
+        |SELECT s.doc_id, l.lang_predicted, l.confidence, s.quality, s.n_tokens,
+        |  (s.doc_id <> c.canonical) AS is_dup_copy,
+        |  CASE WHEN s.n_tokens < 20 THEN 'too_short'
+        |       WHEN s.quality < 0.5 THEN 'low_quality'
+        |       WHEN s.doc_id <> c.canonical THEN 'duplicate'
+        |       ELSE 'kept' END AS decision
+        |FROM sig s JOIN canon c USING (fp) JOIN langs l USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+    "q_curate_funnel" ->
+      """WITH t AS (SELECT doc_id, text, md5(text) AS fp,
+        |             string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sig AS (SELECT doc_id, fp,
+        |          CAST(len(toks) AS INTEGER) AS n_tokens,
+        |          round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |                * (len(list_distinct(toks))::DOUBLE / len(toks)), 4)
+        |            AS quality
+        |        FROM t),
+        |canon AS (SELECT fp, min(doc_id) AS canonical FROM sig GROUP BY fp),
+        |dec AS (
+        |  SELECT s.doc_id, s.n_tokens, s.quality,
+        |    CASE WHEN s.n_tokens < 20 THEN 'too_short'
+        |         WHEN s.quality < 0.5 THEN 'low_quality'
+        |         WHEN s.doc_id <> c.canonical THEN 'duplicate'
+        |         ELSE 'kept' END AS decision
+        |  FROM sig s JOIN canon c USING (fp))
+        |SELECT decision, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(avg(quality), 4) AS avg_quality
+        |FROM dec GROUP BY decision ORDER BY decision""".stripMargin)
 
   // ---- vector / multimodal pack -------------------------------------------
 
@@ -467,6 +565,11 @@ object SparkEntry {
     "q_vec_ivf_topk" -> ((s, d) => VectorOps.ivfTopK(s, d)),
     "q_vec_neardup" -> ((s, d) => VectorOps.nearDupPairsExact(s, d, minSim = 0.4, maxId = 500)),
     "q_vec_neardup_lsh" -> ((s, d) => VectorOps.nearDupPairsLsh(s, d)),
+    // learned-quantizer ANN: iterative float k-means has no tractable SQL
+    // twin → rows-only; exactness vs a plain-Scala reference Lloyd's is
+    // asserted in KmeansIvfSpec
+    "q_vec_ivf_kmeans" -> ((s, d) => VectorOps.ivfKmeansTopK(s, d)),
+    "q_vec_kmeans_cells" -> ((s, d) => VectorOps.kmeansCellStats(s, d)),
     "q_vec_centroid_norms" -> (VectorOps.labelCentroidNorms _),
     "q_vec_centroids" -> (VectorOps.labelCentroids _),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),

@@ -99,6 +99,60 @@ object Sketch {
     eq.toDouble / n
   }
 
+  /** All ordered (a < b) id pairs of one posting list — the candidate
+    * generator of the shingle-bucket dedup join, as one compiled pass.
+    * Input ids are distinct (a document contributes a shingle once);
+    * sorting makes a < b canonical. Output size C(n,2) is bounded by the
+    * upstream document-frequency cap.
+    */
+  def sortedIdPairs(docs: ArrayData): ArrayData = {
+    val n = docs.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = docs.getLong(i); i += 1 }
+    java.util.Arrays.sort(ids)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ids(i), ids(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Index of the nearest centroid by squared L2 — the IVF/k-means
+    * assignment step as one compiled pass over the vector. Ties break to
+    * the lowest index (deterministic). The centroid matrix is expression
+    * state (KB-scale model), shipped to executors with the serialized
+    * plan — nothing per-row crosses the driver.
+    */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Double]], isFloat: Boolean): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - cent(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Cosine similarity of two numeric arrays, accumulated in f64 in element
     * order (matches the DuckDB oracle's list_sum(list_transform(...)) form
     * bit-for-bit at the rounding precision used).
@@ -199,6 +253,59 @@ case class SigMatchFraction(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `sorted_id_pairs(ids)`: all a < b pairs of a bigint posting list as
+  * array<struct<a,b>> — candidate-pair generation for bucketed dedup
+  * without a self-join: explode this over a (bucket → ids) index and the
+  * only shuffle left in a pair query is the final (a, b) aggregation.
+  */
+case class SortedIdPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "sorted_id_pairs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Sketch.sortedIdPairs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.sortedIdPairs($c)")
+  override protected def withNewChildInternal(newChild: Expression): SortedIdPairs =
+    copy(child = newChild)
+}
+
+/** `nearest_centroid(vec)`: index of the closest centroid (squared L2) —
+  * the k-means/IVF assignment step. The centroid matrix is carried by the
+  * expression itself (model state, k×dim doubles), so assignment is a
+  * codegen'd map-side pass with zero joins and zero shuffles.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "need at least one centroid")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.sql}")
+  }
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Sketch.nearestCentroid(input.asInstanceOf[ArrayData], centroids, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketch.nearestCentroid($c, $ref, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** `cosine_sim(a, b)`: cosine similarity of two float/double arrays. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -235,4 +342,7 @@ object sketch {
   def sigMatchFrac(a: Column, b: Column): Column =
     column(SigMatchFraction(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroid(expression(v), centroids))
+  def sortedIdPairs(ids: Column): Column = column(SortedIdPairs(expression(ids)))
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end training-data curation — the pipeline a pretraining corpus
+  * actually runs, composed into ONE auditable query:
+  * language-ID → quality gates → exact dedup → keep/drop decision, with
+  * the per-document audit record (signal values + the first rule that
+  * fired) as output.
+  *
+  * Plan shape (the point at 100 TB):
+  *  - every per-document signal — token counts, quality composite,
+  *    language scores, fingerprint — comes out of ONE scan as pure
+  *    codegen'd column arithmetic: no UDF, no shuffle, no second pass
+  *    over the text;
+  *  - the only shuffle in the whole pipeline is exact-dup canonical
+  *    resolution, and it carries (16-byte md5, doc_id) — never text;
+  *  - the decision is a CASE over already-computed columns, so adding a
+  *    rule costs zero extra passes.
+  */
+object CurationOps {
+
+  /** Per-document curation verdict. Rule order (first match wins) is part
+    * of the contract: too_short → low_quality → duplicate → kept.
+    */
+  def curate(
+      s: SparkSession, d: String,
+      minTokens: Int = 20, minQuality: Double = 0.5): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks)
+    val quality = round(
+      least(nTok.cast("double") / 50.0, lit(1.0)) *
+        (size(array_distinct(toks)).cast("double") / nTok), 4)
+    val scored = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      struct(round(TextOps.langIdScore(col("text"), prof), 6).as("score"),
+        lit(lang).as("lang"))
+    }
+    val sig = Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(col("text")).as("fp"),
+      nTok.as("n_tokens"),
+      quality.as("quality"),
+      greatest(scored: _*).as("best"))
+    // fingerprint → smallest doc_id holding that text; shuffle carries
+    // constant-size keys only. AQE broadcasts the join back when small.
+    val canon = sig.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_doc_id"))
+    sig.join(canon, Seq("fp"))
+      .select(
+        col("doc_id"),
+        col("best.lang").as("lang_predicted"),
+        col("best.score").as("confidence"),
+        col("quality"),
+        col("n_tokens"),
+        (col("doc_id") =!= col("canonical_doc_id")).as("is_dup_copy"),
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("quality") < minQuality, "low_quality")
+          .when(col("doc_id") =!= col("canonical_doc_id"), "duplicate")
+          .otherwise("kept").as("decision"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level curation funnel: documents and tokens per decision —
+    * the report a data team reads after a curation run. One extra
+    * aggregate over [[curate]]'s output.
+    */
+  def curationFunnel(
+      s: SparkSession, d: String,
+      minTokens: Int = 20, minQuality: Double = 0.5): DataFrame =
+    curate(s, d, minTokens, minQuality)
+      .groupBy(col("decision"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("decision"))
+}

@@ -71,21 +71,39 @@ object DedupOps {
     // aggregate + semi-join are pure functions of the corpus + cap.
     // aggregation + joins, not windows: a window would globally sort the
     // exploded table; these are key-only aggregates AQE broadcasts when small
+    // (Measured dead end, kept as a warning: persisting the index
+    // pre-`repartition(col("sh_h"))` to make the self-join exchange-free
+    // was 5× slower warm on local[32] — the exchange-free sort-merge join
+    // pins the pair explosion to the cache's partition count and loses
+    // AQE's runtime re-planning of that skewed stage; the saved exchange
+    // is tiny next to the pair stage itself.)
     val capped = cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
       val exploded = shingleIndex(ss, d)
-      if (maxDf <= 0) exploded
-      else {
-        val kept = exploded.groupBy(col("sh_h"))
-          .agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= maxDf)
-          .select(col("sh_h"))
-        exploded.join(kept, Seq("sh_h"), "left_semi").persist()
-      }
+      val kept0 =
+        if (maxDf <= 0) exploded
+        else {
+          val kept = exploded.groupBy(col("sh_h"))
+            .agg(count(lit(1)).as("__df"))
+            .where(col("__df") <= maxDf)
+            .select(col("sh_h"))
+          exploded.join(kept, Seq("sh_h"), "left_semi")
+        }
+      kept0.persist()
     }
+    // Pair generation stays a sh_h SELF-JOIN deliberately. The measured
+    // alternative (graft.tools.PairGenAB): fold the index into posting
+    // lists once and explode codegen'd sorted_id_pairs — one fewer index
+    // shuffle per query — is 1.6× SLOWER warm, because the sort-merge
+    // join emits candidates as an allocation-free merge of sorted unsafe
+    // rows while the explode materializes C(f,2) row objects per list.
+    // Same verdict at scale: the pair-stage volume dominates and the SMJ
+    // processes it with tighter memory behavior.
     // Per-doc set sizes join onto the AGGREGATED pair table (one small row
     // per doc against one row per surviving pair), never onto the exploded
     // table — enriching pre-join would re-shuffle the whole index and widen
     // both self-join inputs by 8 bytes/row for data the pair only needs once.
+    // (NOT force-broadcast: one row per document is huge at corpus scale;
+    // AQE broadcasts it when it is actually small.)
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = capped.select(col("doc_id").as("a"), col("sh_h"))
     val b = capped.select(col("doc_id").as("b"), col("sh_h"))
@@ -168,6 +186,77 @@ object DedupOps {
       .distinct()
       .orderBy(col("a"), col("b"))
   }
+
+  /** Connected components over a near-duplicate pair graph: label every
+    * document with the smallest doc_id reachable through pairs — its
+    * duplicate-cluster canonical id. This is the stage that turns
+    * pairwise similarity into an actual dedup decision (keep the
+    * canonical doc, drop the rest of its cluster).
+    *
+    * Algorithm: iterative min-label propagation. Each round is one
+    * distributed join (edge → neighbor label) + one aggregate
+    * (min per node) — no driver-side data, the only thing crossing to
+    * the driver per round is the improved-label COUNT for the
+    * convergence check. Converges in O(cluster diameter) rounds;
+    * near-dup clusters are near-cliques so 2–4 rounds in practice, and
+    * `maxIters` bounds pathological chains. (If a corpus ever produced
+    * deep chain components, the large-star/small-star formulation
+    * [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14] drops the bound to O(log n) with the same join-per-round
+    * structure.) Each generation is persisted and the previous one
+    * unpersisted, so lineage never cascades across rounds.
+    *
+    * Only documents appearing in >= 1 pair are labeled — singletons are
+    * trivially their own cluster and would double the output for no
+    * information.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // both edge directions from ONE evaluation of the pairs subtree — a
+    // union of two selects would compute the (possibly expensive)
+    // upstream pair query twice before the persist materializes
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("b").as("x"), col("a").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .persist()
+    // generation 0: min(own id, smallest direct neighbor)
+    var backing = edges.groupBy(col("x"))
+      .agg(min(col("y")).as("m"))
+      .select(col("x"), least(col("x"), col("m")).as("lbl"))
+      .persist()
+    var labels = backing
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("x").as("y"), col("lbl").as("ylbl")), Seq("y"))
+        .groupBy(col("x")).agg(min(col("ylbl")).as("m"))
+      // every x has >= 1 neighbor by construction → inner join is total
+      val next = labels.join(nbrMin, Seq("x"))
+        .select(col("x"), least(col("lbl"), col("m")).as("lbl"),
+          (col("m") < col("lbl")).as("improved"))
+        .persist()
+      changed = next.where(col("improved")).count() // materializes `next`
+      backing.unpersist()
+      backing = next
+      labels = next.select(col("x"), col("lbl"))
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("x").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Near-duplicate clusters of `documents` by n-gram Jaccard: pairs from
+    * [[ngramJaccardPairs]], components from [[clusters]]. The DuckDB twin
+    * computes the same components via a recursive-CTE transitive closure —
+    * exact check, not rows-only.
+    */
+  def duplicateClusters(
+      s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
+    clusters(ngramJaccardPairs(s, d, minSim, maxDf).select(col("a"), col("b")))
+      .orderBy(col("doc_id"))
 
   /** SimHash signatures + near-dup pairs at Hamming distance <= maxDist,
     * candidates generated by matching on any of 4 16-bit chunks (guarantees

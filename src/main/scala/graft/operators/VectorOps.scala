@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.sketch.cosineSim
+import graft.functions.sketch.{cosineSim, nearestCentroid}
 
 /** Vector-similarity pack over `embeddings` (array<float>, 64-dim).
   *
@@ -145,6 +145,93 @@ object VectorOps {
         round(cosine(col("embedding"), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  // ---- learned (k-means) IVF ------------------------------------------
+
+  /** Lloyd's k-means over the embedding column — the LEARNED coarse
+    * quantizer that replaces [[cell]]'s sign-bit heuristic when cell
+    * balance matters (real IVF indexes train their centroids).
+    *
+    * Scale shape: each iteration is ONE distributed pass — a codegen'd
+    * [[graft.functions.NearestCentroid]] assignment (the centroid matrix
+    * rides the serialized expression, no join) feeding the partial-agg
+    * shaped VectorSum UDAF. The only driver-side data is the model
+    * itself: k × dim doubles per iteration (the per-iteration collect is
+    * k rows, not corpus data). Deterministic: seeds are the k
+    * lowest-vec_id embeddings, ties break to the lowest cell index.
+    * Memoized per (session, dir, k, iters) like the sketch indexes — at
+    * scale the quantizer is trained once per corpus and reused by every
+    * probe.
+    */
+  def trainKmeans(
+      s: SparkSession, d: String, k: Int = 16, iters: Int = 5): Array[Array[Double]] =
+    kmeansCache.getOrElseUpdate(s, s"$d#$k#$iters") { (ss, _) =>
+      val emb = Tables.embeddings(ss, d).select(col("vec_id"), col("embedding"))
+      var cents: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val dim = cents.headOption.map(_.length).getOrElse(0)
+      var it = 0
+      while (it < iters) {
+        val updated = emb
+          .groupBy(nearestCentroid(col("embedding"), cents).as("cell"))
+          .agg(graft.functions.VectorAgg.centroid(col("embedding"), dim).as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        // empty cells keep their previous centroid (standard Lloyd's)
+        cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+        it += 1
+      }
+      cents
+    }
+
+  private val kmeansCache = new graft.SessionCache[Array[Array[Double]]]
+
+  /** ANN top-k through the learned quantizer: assign every vector its
+    * nearest trained centroid, scan only the `nProbe` cells nearest the
+    * query. Assignment and filter are one codegen'd map pass (no join,
+    * no shuffle); picking the probe cells is driver arithmetic on the
+    * k×dim model. With the table stored partitioned by cell
+    * ([[writeIvfIndex]] layout), the isin() filter becomes partition
+    * pruning and a probe reads nProbe/k of the corpus.
+    */
+  def ivfKmeansTopK(
+      s: SparkSession, d: String, queryId: Long = 0L, topK: Int = 10,
+      k: Int = 16, iters: Int = 5, nProbe: Int = 2): DataFrame = {
+    val cents = trainKmeans(s, d, k, iters)
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.where(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def d2(c: Array[Double]): Double = {
+      var dist = 0.0; var i = 0
+      val n = math.min(c.length, qv.length)
+      while (i < n) { val x = c(i) - qv(i); dist += x * x; i += 1 }
+      dist
+    }
+    val probeCells = cents.zipWithIndex.sortBy { case (c, i) => (d2(c), i) }
+      .take(nProbe).map(_._2)
+    emb
+      .select(col("vec_id"),
+        nearestCentroid(col("embedding"), cents).as("cell"),
+        round(cosineSim(col("embedding"), lit(qv)), 6).as("cos_sim"))
+      .where(col("cell").isin(probeCells.map(c => c: Any): _*) &&
+        col("vec_id") =!= queryId)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+
+  /** Cell histogram of the learned quantizer — the balance diagnostic an
+    * IVF deployment watches (empty / overfull cells mean bad recall or
+    * bad pruning). One map pass + one k-row aggregate.
+    */
+  def kmeansCellStats(
+      s: SparkSession, d: String, k: Int = 16, iters: Int = 5): DataFrame = {
+    val cents = trainKmeans(s, d, k, iters)
+    Tables.embeddings(s, d)
+      .groupBy(nearestCentroid(col("embedding"), cents).as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("cell"))
   }
 
   /** Per-label mean embedding via the typed Aggregator UDAF

@@ -181,9 +181,22 @@ object LogIngest {
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
       containerId: Option[String] = None,
       maxBytesPerTrigger: Option[Long] = None,
+      writeSaltBuckets: Int = 1): StreamingQuery =
+    startFrom(decodedStream(spark, stagingDir, containerId, maxBytesPerTrigger),
+      tableDir, checkpointDir, trigger, writeSaltBuckets)
+
+  /** Sink half of [[start]], source-agnostic: any decoded [[LogRow]]
+    * stream (framed-protobuf staging, docker json-file backfill, …) lands
+    * in the same partitioned table through the same transactional
+    * micro-batch path.
+    */
+  def startFrom(
+      rows: Dataset[LogRow],
+      tableDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("100 milliseconds"),
       writeSaltBuckets: Int = 1): StreamingQuery = {
-    import spark.implicits._
-    decodedStream(spark, stagingDir, containerId, maxBytesPerTrigger)
+    rows
       // integer div, not `/`: ns epoch values exceed double's 2^53
       .withColumn("ts", timestamp_micros(expr("ts_nano div 1000")))
       .withColumn("date",

@@ -32,6 +32,12 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT sig_match_frac(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS f")
       .collect().head.getDouble(0)
     assert(frac === 0.5)
+
+    val pairs = spark.sql(
+      "SELECT sorted_id_pairs(array(3L, 1L, 2L)) AS p")
+      .selectExpr("inline(p)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
   test("arity errors are reported at analysis time") {

@@ -84,6 +84,18 @@ class SketchSpec extends SparkSpec with PropSpec {
       - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
   }
 
+  test("sorted_id_pairs: canonical a<b pairs from an unsorted posting list") {
+    import spark.implicits._
+    val rows = Seq(Seq(30L, 10L, 20L)).toDF("ids")
+      .select(explode(sortedIdPairs(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((10L, 20L), (10L, 30L), (20L, 30L)))
+    // degenerate lists emit nothing
+    assert(Seq(Seq(7L), Seq.empty[Long]).toDF("ids")
+      .select(explode(sortedIdPairs(col("ids")))).count() == 0)
+  }
+
   test("expressions survive the interpreted (non-codegen) path too") {
     // eval() is exercised directly via the kernel + a filter that Catalyst
     // constant-folds (constant folding uses interpreted eval)
