@@ -79,6 +79,19 @@ final class Graft(
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
     LogIngest.follow(spark, tableRoot, containerId, sinceNano, None, emit, trigger)
 
+  // ---- migration ----------------------------------------------------------
+
+  /** Backfill docker json-file logs (the driver the reference replaces)
+    * into the same table: point at a dir of per-container `.log` files
+    * laid out like `/var/lib/docker/containers`, run to completion with
+    * `Trigger.AvailableNow()`, or leave the default trigger to tail it.
+    */
+  def backfillJsonFile(
+      jsonStagingDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    graft.sources.JsonFileLog.start(spark, jsonStagingDir, tableRoot,
+      s"$checkpointRoot/jsonfile-backfill", trigger)
+
   // ---- retention / maintenance (O10-O13) ----------------------------------
 
   def cleanup(age: Option[java.time.Duration], maxLines: Option[Long]): Retention.SweepStats =

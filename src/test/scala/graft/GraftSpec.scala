@@ -67,6 +67,27 @@ class GraftSpec extends SparkSpec {
     g.stopAll()
   }
 
+  test("json-file backfill lands in the same table as protobuf ingest") {
+    val root = Files.createTempDirectory("graft-facade3").toString
+    val g = Graft(spark, root)
+    stage(root, "web", 5)
+    g.startLogging("web", Trigger.AvailableNow()).awaitTermination(60000)
+    // migrated history from the json-file era of a second container
+    val jdir = Paths.get(root, "jsonfile", "old")
+    Files.createDirectories(jdir)
+    Files.write(jdir.resolve("hist.log"),
+      (0 until 7).map(i =>
+        s"""{"log":"old $i\\n","stream":"stdout","time":"2023-11-14T22:13:2$i.5Z"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    g.backfillJsonFile(s"$root/jsonfile").awaitTermination(60000)
+    assert(g.countLogs("old") === 7)
+    assert(g.logs.count() === 12)
+    // unified semantics: tail works across both wire formats
+    assert(g.readLogs(Some("old"), tail = 2).select("line")
+      .collect().map(_.getString(0)).toSeq === Seq("old 5\n", "old 6\n"))
+    g.stopAll()
+  }
+
   test("cleanup/compact on a never-ingested root are clean no-ops") {
     val g = Graft(spark, Files.createTempDirectory("graft-empty").toString)
     assert(g.cleanup(Some(java.time.Duration.ofDays(1)), Some(10L)).total === 0)
