@@ -162,6 +162,15 @@ object DedupOps {
     * so the dedup shuffle carries only surviving (a, b, est) triples.
     * (No DuckDB oracle: hashing is engine-specific → rows-only check.)
     */
+  /** Per-band LSH bucket ids of a MinHash signature column: band i's
+    * bucket = hash of its `rows` signature components. Shared by the batch
+    * pair join and the streaming near-dup tagger.
+    */
+  def bandBuckets(sig: org.apache.spark.sql.Column, bands: Int, rows: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      bnd => xxhash64(concat_ws(",",
+        transform(slice(sig, bnd * rows + 1, lit(rows)), x => x.cast("string")))))
+
   def minhashLshPairs(
       s: SparkSession, d: String,
       k: Int = 32, bands: Int = 8, minEst: Double = 0.5): DataFrame = {
@@ -169,10 +178,7 @@ object DedupOps {
     val sig = minhashSignatures(s, d, k)
     val banded = sig.select(
       col("doc_id"), col("sig"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          bnd => xxhash64(concat_ws(",",
-            transform(slice(col("sig"), bnd * rows + 1, lit(rows)), x => x.cast("string"))))))
+      posexplode(bandBuckets(col("sig"), bands, rows))
         .as(Seq("band", "bucket")))
     banded.select(col("doc_id").as("a"), col("sig").as("siga"), col("band"), col("bucket"))
       .join(

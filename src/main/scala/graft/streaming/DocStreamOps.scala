@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.sketch.{minhashSig, wordShingles}
+import graft.operators.DedupOps
+
+/** Streaming near-duplicate detection — the ONLINE half of the MinHash/LSH
+  * dedup pack: tag each arriving document that collides with a recently
+  * seen document in any LSH band and agrees on >= `minEst` of the full
+  * signature. The batch pack answers "which pairs in this corpus"; this
+  * answers "is this incoming document a near-repeat", the shape an ingest
+  * pipeline needs (drop near-spam at the door, not in tomorrow's batch).
+  *
+  * Plan: one stateless codegen'd pass computes the signature and explodes
+  * the (band, bucket) keys — embarrassingly parallel; the only stateful
+  * stage keys the state store by (band, bucket). State per bucket is a
+  * bounded ring of the `maxPerBucket` most recent (doc_id, signature)
+  * entries, and an event-time timeout clears buckets idle past the TTL —
+  * state is bounded by (active buckets × maxPerBucket × k longs),
+  * independent of stream length. At 100 TB/day that bound — not the
+  * detection math — is what makes the operator runnable.
+  *
+  * Output contract: a doc colliding with the same earlier doc in m bands
+  * emits m tags (at-least-once per matching band; `distinct` on
+  * (doc_id, dup_of) gives the pair set). Docs shorter than the shingle
+  * width carry no signature and are passed through untagged.
+  */
+object DocStreamOps {
+
+  /** Input document (event-time stamped). */
+  final case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
+  /** One near-duplicate hit: `doc_id` repeats `dup_of` (est = fraction of
+    * agreeing signature components, the MinHash Jaccard estimate).
+    */
+  final case class DupTag(doc_id: Long, dup_of: Long, est_jaccard: Double, band: Int)
+
+  // public: Catalyst's generated (de)serializers instantiate these from
+  // codegen'd classes, which cannot touch privates
+  final case class BandRow(
+      ts: Timestamp, doc_id: Long, band: Int, bucket: Long, sig: Seq[Long])
+
+  final case class SigEntry(id: Long, sig: Seq[Long])
+  final case class BucketState(entries: Seq[SigEntry])
+
+  def nearDupTags(
+      docs: Dataset[Doc],
+      k: Int = 32,
+      bands: Int = 8,
+      minEst: Double = 0.5,
+      shingleWidth: Int = 3,
+      lateness: String = "10 minutes",
+      bucketTtlMs: Long = 60L * 60 * 1000,
+      maxPerBucket: Int = 64): Dataset[DupTag] = {
+    import docs.sparkSession.implicits._
+    val rows = k / bands
+    require(bands * rows == k, s"bands ($bands) must divide k ($k)")
+
+    docs.toDF()
+      .withColumn("shs", wordShingles(split(col("text"), " "), shingleWidth))
+      .where(size(col("shs")) > 0)
+      .withColumn("sig", minhashSig(col("shs"), k))
+      .select(col("ts"), col("doc_id"),
+        posexplode(DedupOps.bandBuckets(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")),
+        col("sig"))
+      .as[BandRow]
+      .withWatermark("ts", lateness)
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketState, DupTag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rs: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // bucket idle past TTL: its candidates can no longer match
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = rs.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+            val tags = Seq.newBuilder[DupTag]
+            arrivals.foreach { r =>
+              entries.foreach { e =>
+                var eq = 0
+                var i = 0
+                while (i < k) { if (e.sig(i) == r.sig(i)) eq += 1; i += 1 }
+                val est = eq.toDouble / k
+                if (est >= minEst) tags += DupTag(r.doc_id, e.id, est, r.band)
+              }
+              entries = (entries :+ SigEntry(r.doc_id, r.sig)).takeRight(maxPerBucket)
+            }
+            state.update(BucketState(entries))
+            state.setTimeoutTimestamp(arrivals.last.ts.getTime + bucketTtlMs)
+            tags.result().iterator
+          }
+      }
+  }
+}
