@@ -376,6 +376,10 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.qualityScore _),
     "q_text_fingerprints" -> (TextOps.fingerprints _),
     "q_text_langid" -> (TextOps.languageId _),
+    // Space-Saving summary: which sub-threshold terms survive depends on
+    // per-partition arrival order (inherent to the sketch) → rows-only;
+    // the guarantee is pinned by HeavyHittersSpec
+    "q_text_heavy_hitters" -> ((s, d) => TextOps.heavyTerms(s, d)),
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),

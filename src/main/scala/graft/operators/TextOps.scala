@@ -45,6 +45,23 @@ object TextOps {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(20)
 
+  /** Approximate corpus heavy hitters via the Space-Saving typed
+    * Aggregator (graft.functions.HeavyHitters): capacity-m summary per
+    * partition, merged pairwise — memory and shuffle are O(m), never
+    * vocabulary-sized. The scale twin of [[termFrequency]]: exact top-k
+    * shuffles every distinct term; this shuffles m entries per partition.
+    * `count` upper-bounds the true frequency, `count - err` lower-bounds
+    * it; any term with true count > N/m is guaranteed present.
+    */
+  def heavyTerms(s: SparkSession, d: String, m: Int = 200, k: Int = 20): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), m).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("term"), col("e.count").as("count"), col("e.err").as("err"))
+      .orderBy(col("count").desc, col("term"))
+      .limit(k)
+
   /** Per-language corpus stats. */
   def langStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

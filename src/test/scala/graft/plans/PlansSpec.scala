@@ -96,4 +96,37 @@ class PlansSpec extends SparkSpec {
     assert(hashExchanges === 1,
       s"expected 1 aggregation shuffle, got $hashExchanges:\n$plan")
   }
+
+  test("curate: single scan, one fingerprint shuffle, no cartesian") {
+    val plan = executedPlan(graft.operators.CurationOps.curate(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // all signals come out of one pass over documents: the canonical-id
+    // aggregation is the ONLY hash shuffle (the join back is broadcast at
+    // this SF; the final orderBy is a range exchange, not hash)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"curation must not re-shuffle per signal, got $hashExchanges:\n$plan")
+  }
+
+  test("ivfKmeansTopK probe: no join, no shuffle before the top-k") {
+    val df = graft.operators.VectorOps.ivfKmeansTopK(spark, sf0001)
+    val plan = executedPlan(df)
+    // assignment + cell filter are a codegen'd map pass over one scan; the
+    // centroid matrix rides the expression, so nothing joins or shuffles —
+    // TakeOrderedAndProject handles the top-k without a global sort
+    assert(!plan.contains("Join"), s"probe must not join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe must not hash-shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$plan")
+  }
+
+  test("cosineTopK stays a broadcast + TakeOrderedAndProject plan") {
+    val plan = executedPlan(graft.operators.VectorOps.cosineTopK(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row query vector must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+  }
 }
