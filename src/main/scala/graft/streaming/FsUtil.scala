@@ -74,4 +74,30 @@ private[streaming] object FsUtil {
     if (!f.rename(from, to))
       throw new java.io.IOException(s"rename failed: $from -> $to")
   }
+
+  def mkdirs(spark: SparkSession, path: String): Unit = {
+    fs(spark, path).mkdirs(new Path(path))
+    ()
+  }
+
+  /** Write `content` to `path` via tmp-file + rename, so a reader never
+    * observes a torn file (rename is atomic on HDFS/local; on object
+    * stores the tmp simply becomes visible last).
+    */
+  def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val f = fs(spark, path)
+    val tmp = new Path(path + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    f.delete(new Path(path), false)
+    if (!f.rename(tmp, new Path(path)))
+      throw new java.io.IOException(s"rename failed: $tmp -> $path")
+  }
+
+  def readLines(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val in = f.open(new Path(path))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
 }

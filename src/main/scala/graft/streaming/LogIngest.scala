@@ -209,44 +209,120 @@ object LogIngest {
       // not lines) — this feeds IngestRateListener's lines/s
       .observe("graft_ingest", count(lit(1)).as("lines"))
       .writeStream
-      // foreachBatch + plain parquet append, NOT the streaming file sink:
-      // the file sink tracks its output in a _spark_metadata log, which (a)
-      // batch readers then treat as the source of truth, breaking the
-      // retention sweep's rewrite-and-swap, and (b) plain-parquet readers
-      // outside Spark wouldn't see. Trade-off: source offsets are still
-      // checkpointed (no reprocessing across restarts), but a crash between
-      // a batch's write and its offset commit can replay that batch —
-      // at-least-once, like the reference's restart-on-decode-error path
-      // (src/statehandler.rs:147-166). Exactly-once needs an ACID table
-      // format underneath; the swap to one is confined to this sink.
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // co-locate each container's rows before the partitioned write:
-        // without this every decode task writes a file into every
-        // partition dir (tasks × containers small files per batch); with
-        // it each container gets one file per batch (per salt bucket).
-        // The in-task sort restores ts order so parquet row-group min/max
-        // stats on ts_nano stay tight (the reference's idx_ts analog,
-        // src/logger.rs:147).
-        val parted =
-          if (writeSaltBuckets <= 1)
-            batch.repartition(col("container_id"))
-          else
-            // explicit partition count: AQE would otherwise coalesce a
-            // small salted shuffle back into one task, undoing the salt
-            // hash(seq), not raw seq % salt: regular timestamp spacing can
-            // make every seq congruent mod salt (1 s ticks are ≡ 0 mod 8)
-            batch.repartition(
-              batch.sparkSession.sessionState.conf.numShufflePartitions,
-              col("container_id"), pmod(hash(col("seq")), lit(writeSaltBuckets)))
-        parted
-          .sortWithinPartitions("container_id", "date", "ts_nano")
-          .write.mode("append").partitionBy("container_id", "date").parquet(tableDir)
-        ()
+      // foreachBatch + the manifest commit below, NOT the streaming file
+      // sink: the file sink tracks its output in a _spark_metadata log,
+      // which (a) batch readers then treat as the source of truth,
+      // breaking the retention sweep's rewrite-and-swap, and (b)
+      // plain-parquet readers outside Spark wouldn't see.
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          commitBatch(batch, batchId, tableDir, writeSaltBuckets,
+            namespace = commitNamespace(checkpointDir))
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
       .start()
+  }
+
+  /** Commit-marker namespace for one logical streaming query. batchIds
+    * are per-query (every query counts 0, 1, 2, …), so two queries
+    * appending to ONE table (per-container ingest + a json-file backfill,
+    * say) must not share markers — batch 0 of the second would look
+    * already-committed. Derived from the checkpoint location, the thing
+    * that IS the query's identity across restarts.
+    */
+  def commitNamespace(checkpointDir: String): String =
+    java.lang.Long.toHexString(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        checkpointDir.getBytes("UTF-8"),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        checkpointDir.length, 42) & 0xFFFFFFFFL)
+
+  /** Idempotent micro-batch commit — the engine's transaction (the
+    * reference's BEGIN…END, logsqlite src/logger.rs:184-222), effectively
+    * EXACTLY-ONCE: source offsets are checkpointed after this returns, so
+    * a crash in between replays the batch with the same `batchId`, and the
+    * protocol makes the replay a no-op or a clean redo:
+    *
+    *  1. `_commits/<id>` marker exists → fully committed earlier → skip.
+    *  2. A manifest from a torn attempt exists → delete exactly the files
+    *     it lists (the partial moves of the dead attempt).
+    *  3. Write the batch under `_staging/<id>/` (underscore dirs are
+    *     invisible to parquet readers), partitioned and sorted.
+    *  4. Write the manifest (tmp + rename): the destination paths, every
+    *     one carrying the `b<namespace>-<id>-` prefix so no attempt can
+    *     collide with another batch, attempt, or co-writing query.
+    *  5. Move staged files into the partition dirs (rename per file).
+    *  6. Write the commit marker, drop staging + manifest, prune markers
+    *     older than the replay horizon (only the tail batch can ever
+    *     replay; 64 is paranoid margin, and pruning keeps `_commits/`
+    *     from growing one file per 100 ms forever).
+    *
+    * On HDFS/local the renames are atomic metadata ops; on object stores
+    * rename is copy+delete, so step 5 costs a copy — the documented
+    * substitution point there is an ACID table format (FsUtil scaladoc),
+    * the protocol above is still correct, just slower.
+    */
+  def commitBatch(
+      batch: DataFrame,
+      batchId: Long,
+      tableDir: String,
+      writeSaltBuckets: Int = 1,
+      namespace: String = "q"): Unit = {
+    val spark = batch.sparkSession
+    val marker = s"$tableDir/_commits/$namespace-$batchId"
+    if (FsUtil.exists(spark, marker)) return
+    val manifest = s"$tableDir/_commits/$namespace-$batchId.manifest"
+    if (FsUtil.exists(spark, manifest))
+      FsUtil.readLines(spark, manifest).foreach { dst =>
+        FsUtil.fs(spark, dst).delete(new org.apache.hadoop.fs.Path(dst), false)
+      }
+    val staging = s"$tableDir/_staging/$namespace-$batchId"
+    // co-locate each container's rows before the partitioned write:
+    // without this every decode task writes a file into every partition
+    // dir (tasks × containers small files per batch); with it each
+    // container gets one file per batch (per salt bucket). The in-task
+    // sort restores ts order so parquet row-group min/max stats on
+    // ts_nano stay tight (the reference's idx_ts analog, src/logger.rs:147).
+    val parted =
+      if (writeSaltBuckets <= 1)
+        batch.repartition(col("container_id"))
+      else
+        // explicit partition count: AQE would otherwise coalesce a
+        // small salted shuffle back into one task, undoing the salt
+        // hash(seq), not raw seq % salt: regular timestamp spacing can
+        // make every seq congruent mod salt (1 s ticks are ≡ 0 mod 8)
+        batch.repartition(
+          batch.sparkSession.sessionState.conf.numShufflePartitions,
+          col("container_id"), pmod(hash(col("seq")), lit(writeSaltBuckets)))
+    parted
+      .sortWithinPartitions("container_id", "date", "ts_nano")
+      .write.mode("overwrite").partitionBy("container_id", "date").parquet(staging)
+    val moves =
+      for {
+        cDir <- FsUtil.listDirs(spark, staging, "container_id=")
+        dDir <- FsUtil.listDirs(spark, cDir.toString, "date=")
+        (file, _) <- FsUtil.listFiles(spark, dDir.toString, ".parquet")
+      } yield (file,
+        s"$tableDir/${cDir.getName}/${dDir.getName}/b$namespace-$batchId-${file.getName}")
+    FsUtil.writeString(spark, manifest, moves.map(_._2).mkString("\n"))
+    moves.foreach { case (src, dst) =>
+      val dstPath = new org.apache.hadoop.fs.Path(dst)
+      FsUtil.mkdirs(spark, dstPath.getParent.toString)
+      FsUtil.rename(spark, src, dstPath)
+    }
+    FsUtil.writeString(spark, marker, "")
+    FsUtil.deleteRecursively(spark, staging)
+    FsUtil.fs(spark, manifest).delete(new org.apache.hadoop.fs.Path(manifest), false)
+    FsUtil.listFiles(spark, s"$tableDir/_commits", "").foreach { case (p, _) =>
+      // prune only THIS query's old markers (other namespaces own theirs)
+      if (p.getName.startsWith(s"$namespace-")) {
+        val idStr = p.getName.drop(namespace.length + 1).takeWhile(_.isDigit)
+        if (idStr.nonEmpty && idStr.toLong < batchId - 64)
+          FsUtil.fs(spark, p.toString).delete(p, false)
+      }
+    }
   }
 
   /** Batch view of the ingested log table. */

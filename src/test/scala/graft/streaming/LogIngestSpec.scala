@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -151,6 +153,49 @@ class LogIngestSpec extends SparkSpec {
     assert(after.where(col("date") === java.sql.Date.valueOf(
       java.time.LocalDate.ofEpochDay(Math.floorDiv(t0 + day, day)))).count() === 5)
     assert(Retention.sweep(spark, table, Some(cutoff), None).total === 0)
+  }
+
+  test("manifest commit: replays are no-ops, torn attempts are cleaned up") {
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    writeBurst(staging, "cr", "b0", (0 until 40).map(entry(_, "cr")))
+    LogIngest.start(spark, staging, table, ckpt, Trigger.AvailableNow())
+      .awaitTermination(60000)
+    val n0 = LogIngest.table(spark, table).count()
+    assert(n0 === 40)
+    val ns = LogIngest.commitNamespace(ckpt)
+    assert(Files.exists(Paths.get(table, "_commits", s"$ns-0")), "batch 0 marker")
+
+    // 1. replay of a committed batch (same query + batchId) must be a
+    // no-op even with different data attached — the marker is the truth
+    val replayDf = LogIngest.table(spark, table).limit(10)
+    LogIngest.commitBatch(replayDf, 0L, table, namespace = ns)
+    assert(LogIngest.table(spark, table).count() === n0)
+
+    // 2. torn attempt: a manifest from a dead attempt lists a partially
+    // moved file (garbage bytes — it must never reach readers); the redo
+    // deletes it, re-stages, and commits exactly the batch rows.
+    // Batch rows are materialized BEFORE the garbage lands (a real replay
+    // reads from the stream source, never from the polluted table).
+    val batch7Rows = LogIngest.table(spark, table)
+      .where(col("seq") % 10 === 0)
+      .select(LogIngest.logSchema.fieldNames.map(col).toSeq: _*)
+      .collect().toSeq
+    val batch7 = spark.createDataFrame(
+      new java.util.ArrayList(batch7Rows.asJava), LogIngest.logSchema)
+    val dateDir = Files.list(Paths.get(table, "container_id=cr")).iterator()
+      .asScala.filter(p => p.getFileName.toString.startsWith("date=")).next()
+    val stale = dateDir.resolve(s"b$ns-7-stale.parquet")
+    Files.write(stale, Array[Byte](1, 2, 3))
+    Files.createDirectories(Paths.get(table, "_commits"))
+    Files.write(Paths.get(table, "_commits", s"$ns-7.manifest"),
+      stale.toString.getBytes("UTF-8"))
+    LogIngest.commitBatch(batch7, 7L, table, namespace = ns)
+    assert(!Files.exists(stale), "partial file of the dead attempt removed")
+    assert(Files.exists(Paths.get(table, "_commits", s"$ns-7")))
+    assert(LogIngest.table(spark, table).count() === n0 + batch7Rows.size)
+    // the table stays fully readable (the garbage never poisons a scan)
+    assert(LogIngest.table(spark, table).agg(max(col("ts_nano"))).collect()
+      .head.getLong(0) > 0)
   }
 
   test("a corrupt frame is skipped, not fatal — and the skip is counted") {
