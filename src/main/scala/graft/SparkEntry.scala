@@ -380,6 +380,7 @@ object SparkEntry {
     // per-partition arrival order (inherent to the sketch) → rows-only;
     // the guarantee is pinned by HeavyHittersSpec
     "q_text_heavy_hitters" -> ((s, d) => TextOps.heavyTerms(s, d)),
+    "q_text_tfidf" -> ((s, d) => TextOps.tfIdf(s, d)),
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
@@ -426,6 +427,24 @@ object SparkEntry {
       """SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies,
         |  md5(text) AS fp
         |FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id""".stripMargin,
+    // idf over the WHOLE corpus; only the doc_id < 20 slice is emitted
+    "q_text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, n_tok, term, count(*) AS cnt
+        |       FROM terms GROUP BY 1, 2, 3),
+        |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term,
+        |  round(tf.cnt::DOUBLE / tf.n_tok, 6) AS tf,
+        |  idf.df,
+        |  round((tf.cnt::DOUBLE / tf.n_tok) * ln(n.n_docs::DOUBLE / idf.df), 6)
+        |    AS tfidf
+        |FROM tf JOIN idf USING (term) CROSS JOIN n
+        |WHERE tf.doc_id < 20
+        |ORDER BY tf.doc_id, tf.term""".stripMargin,
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
         |           FROM documents),

@@ -62,6 +62,35 @@ object TextOps {
       .orderBy(col("count").desc, col("term"))
       .limit(k)
 
+  /** TF-IDF per (doc, term): tf = in-doc frequency, idf = ln(N / df) over
+    * the WHOLE corpus (df computed before any output slicing — the
+    * statistics are corpus-global even when only a doc slice is emitted).
+    * Plan: one explode → (doc, term) count [shuffle 1] → term df from the
+    * same counts [shuffle 2, vocabulary-sized keys] → joins back; N rides
+    * a 1-row broadcast. Nothing row-proportional beyond the term index
+    * crosses the shuffles.
+    */
+  def tfIdf(s: SparkSession, d: String, maxDocId: Long = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs.select(
+      col("doc_id"), size(tokens(col("text"))).as("n_tok"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("n_tok"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .where(col("doc_id") < maxDocId)
+      .select(
+        col("doc_id"), col("term"),
+        round(col("cnt").cast("double") / col("n_tok"), 6).as("tf"),
+        col("df"),
+        round((col("cnt").cast("double") / col("n_tok")) *
+          log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   /** Per-language corpus stats. */
   def langStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
