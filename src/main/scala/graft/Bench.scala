@@ -42,10 +42,16 @@ object Bench {
       if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
     }
     val results = names.map(n => n -> best(n)).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness keeps only the last ~2000 chars of stdout and parses the
+    // JSON line out of that window (BENCH_r01/r02 came back parsed:null
+    // because full-precision doubles pushed the line to ~2900 chars). Emit
+    // millisecond precision — 3 decimals — so the whole line plus sbt's
+    // trailing "[success]" line fits the window, and print it last.
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = names.sorted.map(n => "\"" + n + "\":" + sec(best(n)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
   }
 }
