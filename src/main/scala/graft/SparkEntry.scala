@@ -581,6 +581,113 @@ object SparkEntry {
         |  round(avg(quality), 4) AS avg_quality
         |FROM dec GROUP BY decision ORDER BY decision""".stripMargin)
 
+  // ---- training-set preparation pack (TrainPrepOps) -----------------------
+
+  private val prepQueries: Map[String, Q] = Map(
+    "q_prep_split" -> (TrainPrepOps.hashSplit _),
+    "q_prep_split_stats" -> (TrainPrepOps.splitStats _),
+    "q_prep_sample" -> ((s, d) => TrainPrepOps.stratifiedSample(s, d)),
+    "q_prep_decontam" -> ((s, d) => TrainPrepOps.decontaminate(s, d)),
+    "q_prep_repetition" -> ((s, d) => TrainPrepOps.repetitionStats(s, d)),
+    "q_prep_pii" -> (TrainPrepOps.piiRedact _),
+    "q_prep_chunks" -> ((s, d) => TrainPrepOps.chunk(s, d)),
+    "q_prep_mixture" -> (TrainPrepOps.mixtureStats _))
+
+  private val prepOracles: Map[String, String] = Map(
+    "q_prep_split" ->
+      """SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 'cc' THEN 'train'
+        |       WHEN bucket < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |        substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_prep_split_stats" ->
+      """WITH s AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS n_tok,
+        |    substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 'cc' THEN 'train'
+        |            WHEN bucket < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_prep_sample" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+    "q_prep_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, substring(md5(sh), 1, 16) AS shk FROM (
+        |    SELECT doc_id,
+        |      unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                            for i in range(1, len(toks) - 1)])) AS sh
+        |    FROM t WHERE len(toks) >= 3)),
+        |ev AS (SELECT DISTINCT shk FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, shk FROM sh WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_tainted FROM tr
+        |        WHERE shk IN (SELECT shk FROM ev) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  coalesce(h.n_tainted, 0) AS n_tainted,
+        |  round(coalesce(h.n_tainted, 0)::DOUBLE / t.n_shingles, 6) AS tainted_frac,
+        |  round(coalesce(h.n_tainted, 0)::DOUBLE / t.n_shingles, 6) >= 0.05
+        |    AS is_contaminated
+        |FROM tot t LEFT JOIN hit h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_prep_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest([array_to_string(toks[i:i+1], ' ')
+        |                 for i in range(1, len(toks))]) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |r AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |        count(*) AS n_distinct_bigrams, max(cnt) AS top_bigram_cnt
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_distinct_bigrams, top_bigram_cnt,
+        |  round(top_bigram_cnt::DOUBLE / n_bigrams, 6) AS top_bigram_frac,
+        |  round(1.0 - n_distinct_bigrams::DOUBLE / n_bigrams, 6) AS dup_bigram_frac,
+        |  round(1.0 - n_distinct_bigrams::DOUBLE / n_bigrams, 6) > 0.2
+        |    AS is_repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_prep_pii" ->
+      """SELECT c_custkey,
+        |  regexp_replace(substring(c_phone, 1, length(c_phone) - 4),
+        |                 '[0-9]', '*', 'g')
+        |    || substring(c_phone, length(c_phone) - 3, 4) AS phone_masked,
+        |  CAST(length(regexp_replace(c_phone, '[^0-9]', '', 'g')) AS INTEGER)
+        |    AS n_phone_digits,
+        |  regexp_replace(c_address, '[0-9]+', '#', 'g') AS address_redacted,
+        |  CAST(len(regexp_extract_all(c_comment,
+        |    '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+')) AS INTEGER) AS n_emails
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_prep_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(CAST(ceil(len(toks) / 48.0) AS BIGINT))) AS ci
+        |      FROM t)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |  CAST(len(toks[ci*48 + 1 : ci*48 + 64]) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(toks[ci*48 + 1 : ci*48 + 64], ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_prep_mixture" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |             len(string_split(text, ' ')) AS n_tok FROM documents),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tokens FROM d)
+        |SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(sum(n_tok)::DOUBLE / (SELECT tot_tokens FROM tot), 6)
+        |    AS token_share
+        |FROM d GROUP BY source ORDER BY source""".stripMargin)
+
   // ---- vector / multimodal pack -------------------------------------------
 
   private val vecQueries: Map[String, Q] = Map(
@@ -595,10 +702,12 @@ object SparkEntry {
     "q_vec_kmeans_cells" -> ((s, d) => VectorOps.kmeansCellStats(s, d)),
     "q_vec_centroid_norms" -> (VectorOps.labelCentroidNorms _),
     "q_vec_centroids" -> (VectorOps.labelCentroids _),
+    "q_vec_quantize" -> (VectorOps.quantizeInt8 _),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _),
-    "q_media_features_meta" -> (MultimodalOps.extractFeaturesMeta _))
+    "q_media_features_meta" -> (MultimodalOps.extractFeaturesMeta _),
+    "q_media_resize" -> ((s, d) => MultimodalOps.resizeStub(s, d)))
 
   private def duckCos(v1: String, v2: String): String =
     s"""list_sum(list_transform(range(1, 65),
@@ -668,17 +777,53 @@ object SparkEntry {
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS checksum
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_vec_quantize" ->
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+        |          AS max_abs
+        |      FROM e),
+        |q AS (SELECT vec_id, label, max_abs,
+        |        list_transform(v, x -> CAST(round(x * 127.0 / max_abs)
+        |                                    AS INTEGER)) AS qv
+        |      FROM m)
+        |SELECT vec_id, label, round(max_abs, 6) AS max_abs,
+        |  qv[1] AS q0, qv[2] AS q1, qv[3] AS q2, qv[4] AS q3,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |             (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+        |               AS modality,
+        |             encode(text) AS payload
+        |           FROM documents),
+        |h AS (SELECT media_id, modality,
+        |        CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+        |        hex(payload) AS hx FROM m),
+        |r AS (SELECT media_id, modality, n_bytes,
+        |        least(64, CAST(ceil(n_bytes / 4.0) AS INTEGER)) AS n_out, hx
+        |      FROM h),
+        |x AS (SELECT media_id, modality, n_bytes, n_out,
+        |        array_to_string(list_transform(range(0, n_out),
+        |          i -> substring(hx, CAST(i*8 + 1 AS INTEGER), 2)), '')
+        |          AS resized_hex
+        |      FROM r)
+        |SELECT media_id, modality, n_bytes, n_out AS n_resized_bytes,
+        |  resized_hex, md5(resized_hex) AS resized_fp
+        |FROM x ORDER BY media_id""".stripMargin)
 
   // ---- public contract -----------------------------------------------------
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    logQueries ++ relQueries ++ tsQueries ++ textQueries ++ vecQueries
+    logQueries ++ relQueries ++ tsQueries ++ textQueries ++ prepQueries ++ vecQueries
 
   /** DuckDB twins. Keys absent here (minhash/simhash/langid/media features)
     * use engine-specific hashing or stubbed decodes → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    logOracles ++ relOracles ++ subqueryOracles ++ scalarOracles ++ tsOracles ++ textOracles ++ vecOracles
+    logOracles ++ relOracles ++ subqueryOracles ++ scalarOracles ++ tsOracles ++ textOracles ++ prepOracles ++ vecOracles
 }

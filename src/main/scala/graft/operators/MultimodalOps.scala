@@ -88,6 +88,34 @@ object MultimodalOps {
           .as(Seq("frame_idx", "frame_fp")))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** STUB resize: downsample each payload by keeping the first byte of
+    * every `stride`-byte group, capped at `maxBytes` output bytes — the
+    * deterministic stand-in for an image resize / audio downsample (a real
+    * implementation decodes, resamples, and re-encodes here; the container
+    * has no media libs per the mandate). The plumbing is the real thing:
+    * per-row binary → smaller binary, pure codegen'd column ops over the
+    * hex view (byte addressing without a decoder), zero shuffle,
+    * embarrassingly parallel — and, unlike the feature stub, fully
+    * oracle-checkable because byte selection is engine-independent.
+    */
+  def resizeStub(s: SparkSession, d: String, stride: Int = 4, maxBytes: Int = 64): DataFrame = {
+    require(stride >= 1 && maxBytes >= 1, s"need stride/maxBytes >= 1, got $stride/$maxBytes")
+    val hx = hex(col("payload"))
+    val nBytes = length(col("payload"))
+    val nOut = least(lit(maxBytes), ceil(nBytes.cast("double") / stride).cast("int"))
+    val resized = array_join(
+      transform(sequence(lit(0), nOut - 1),
+        i => hx.substr(i * (2 * stride) + 1, lit(2))), "")
+    mediaTable(s, d)
+      .select(
+        col("media_id"), col("modality"),
+        nBytes.as("n_bytes"),
+        nOut.as("n_resized_bytes"),
+        resized.as("resized_hex"),
+        md5(resized).as("resized_fp"))
+      .orderBy(col("media_id"))
+  }
+
   /** Decode + feature-extract stage: partition-local batch transform over
     * the typed Dataset (decoder state would be initialized once per
     * partition, amortized over its batch — the mapInPandas shape).

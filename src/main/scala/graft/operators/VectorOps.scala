@@ -253,6 +253,32 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** Symmetric int8 quantization per embedding: q[i] = round(127 · x[i] /
+    * max|x|) — the standard compression step before shipping vectors to an
+    * ANN index or a training shard (4× smaller than f32, 8× than f64).
+    * Pure higher-order-function DOUBLE arithmetic per row (scale factor,
+    * elementwise round, reduction checksum): no shuffle, codegen'd, and
+    * byte-exact across engines so the quantized values themselves are
+    * oracle-checked (first 4 dims + the full-vector checksum). The
+    * `greatest(…, 1e-12)` guard makes the zero vector quantize to zeros
+    * instead of NaN.
+    */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val emb = asD(col("embedding"))
+    val maxAbs = greatest(array_max(transform(emb, x => abs(x))), lit(1e-12))
+    val q = transform(emb, x => round(x * 127.0 / maxAbs).cast("int"))
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"), col("label"),
+        round(maxAbs, 6).as("max_abs"),
+        element_at(q, 1).as("q0"),
+        element_at(q, 2).as("q1"),
+        element_at(q, 3).as("q2"),
+        element_at(q, 4).as("q3"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid lengths — aggregate over the vector column using
     * elementwise array aggregation (zip_with under an agg via summing each
     * dimension): demonstrates vector reductions without exploding rows.
