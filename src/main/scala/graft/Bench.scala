@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   * suite, so a single sample conflates operator cost with host jitter
   * (VERDICT r1 asked for min-of-3). The first run of the first query also
   * absorbs JVM/codegen warmup; the JSON carries the run count for honesty.
+  *
+  * Fail-loud (VERDICT r4 #3): a throwing query is reported under "errors"
+  * with its message and EXCLUDED from the per-query map and the total —
+  * r4's swallow-and-time-zero let a broken query *improve* the bench.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,24 +38,40 @@ object Bench {
     // them from any single noise burst — same work, better estimator.
     val names = SparkEntry.queries.keys.toSeq
     val best = scala.collection.mutable.Map[String, Double]()
+    val errors = scala.collection.mutable.Map[String, String]()
     for (_ <- 0 until runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
     }
-    val results = names.map(n => n -> best(n)).toMap
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that window (BENCH_r01/r02 came back parsed:null
     // because full-precision doubles pushed the line to ~2900 chars). Emit
     // millisecond precision — 3 decimals — so the whole line plus sbt's
     // trailing "[success]" line fits the window, and print it last.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = names.sorted.map(n => "\"" + n + "\":" + sec(best(n)))
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def jstr(s: String): String =
+      "\"" + s.take(60).flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    val ok = names.filter(best.contains).sorted
+    val qs = ok.map(n => "\"" + n + "\":" + sec(best(n))).mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (n, m) => "\"" + n + "\":" + jstr(m) }.mkString("{", ",", "}")
+    val total = ok.map(best).sum
     spark.stop()
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    // rc stays 0 — the driver still needs to parse the JSON line; the
+    // "errors" object (non-empty = red) is the loud part
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs}""")
   }
 }

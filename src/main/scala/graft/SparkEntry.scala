@@ -658,16 +658,20 @@ object SparkEntry {
         |    AS is_repetitive
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_prep_pii" ->
-      """SELECT c_custkey,
-        |  regexp_replace(substring(c_phone, 1, length(c_phone) - 4),
-        |                 '[0-9]', '*', 'g')
-        |    || substring(c_phone, length(c_phone) - 3, 4) AS phone_masked,
-        |  CAST(length(regexp_replace(c_phone, '[^0-9]', '', 'g')) AS INTEGER)
-        |    AS n_phone_digits,
-        |  regexp_replace(c_address, '[0-9]+', '#', 'g') AS address_redacted,
-        |  CAST(len(regexp_extract_all(c_comment,
-        |    '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+')) AS INTEGER) AS n_emails
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+')) AS INTEGER) AS n_emails,
+        |    CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)
+        |      AS n_digit_runs,
+        |    regexp_replace(regexp_replace(text,
+        |        '[a-zA-Z0-9.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |      '[0-9]+', '<NUM>', 'g') AS red
+        |  FROM documents)
+        |SELECT doc_id, n_emails, n_digit_runs,
+        |  CAST(length(red) AS INTEGER) AS n_chars_redacted,
+        |  md5(red) AS redacted_fp
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_prep_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |c AS (SELECT doc_id, toks,
@@ -742,6 +746,22 @@ object SparkEntry {
          |    round(${duckCos("x.embedding", "y.embedding")}, 6) AS cos_sim
          |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
          |  WHERE x.vec_id <= 500 AND y.vec_id <= 500)
+         |WHERE cos_sim >= 0.4 ORDER BY a, b""".stripMargin,
+    // the sign-bit cell() bucketing is deterministic arithmetic, so the
+    // LSH candidate generation itself is oracle-checkable: same cells CTE
+    // as q_vec_ivf_topk, self-joined on cell
+    "q_vec_neardup_lsh" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+         |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell
+         |  FROM embeddings)
+         |SELECT a, b, cos_sim FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    round(${duckCos("x.embedding", "y.embedding")}, 6) AS cos_sim
+         |  FROM cells x JOIN cells y
+         |    ON x.cell = y.cell AND x.vec_id < y.vec_id)
          |WHERE cos_sim >= 0.4 ORDER BY a, b""".stripMargin,
     "q_vec_centroid_norms" -> {
       val dims = (0 until 64)

@@ -127,6 +127,30 @@ object Sketch {
     new GenericArrayData(out)
   }
 
+  /** Per-document bigram repetition scalars in one compiled hash-map pass:
+    * (total bigrams, distinct bigrams, most-frequent bigram's count).
+    * Equivalent to explode → groupBy(doc, bigram) → groupBy(doc), computed
+    * without shuffling anything — the whole statistic is row-local.
+    */
+  def bigramStats(tokens: ArrayData): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val num = tokens.numElements()
+    val total = math.max(num - 1, 0)
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    val sep = UTF8String.fromString(" ")
+    var top = 0
+    var i = 0
+    while (i < total) {
+      val bg = UTF8String.concatWs(sep, tokens.getUTF8String(i), tokens.getUTF8String(i + 1))
+      var c = counts.get(bg)
+      if (c == null) { c = new Array[Int](1); counts.put(bg, c) }
+      c(0) += 1
+      if (c(0) > top) top = c(0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total.toLong, counts.size.toLong, top.toLong))
+  }
+
   /** Index of the nearest centroid by squared L2 — the IVF/k-means
     * assignment step as one compiled pass over the vector. Ties break to
     * the lowest index (deterministic). The centroid matrix is expression
@@ -276,6 +300,30 @@ case class SortedIdPairs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `bigram_stats(tokens)`: struct<n_bigrams, n_distinct_bigrams,
+  * top_bigram_cnt> — the Gopher repetition scalars as one row-local pass,
+  * replacing an explode + double-groupBy plan that shuffled the tokenized
+  * corpus for a per-document answer.
+  */
+case class BigramStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct_bigrams", LongType, nullable = false),
+    StructField("top_bigram_cnt", LongType, nullable = false)))
+  override def prettyName: String = "bigram_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Sketch.bigramStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.bigramStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramStats =
+    copy(child = newChild)
+}
+
 /** `nearest_centroid(vec)`: index of the closest centroid (squared L2) —
   * the k-means/IVF assignment step. The centroid matrix is carried by the
   * expression itself (model state, k×dim doubles), so assignment is a
@@ -339,6 +387,7 @@ object sketch {
   def wordShingles(tokens: Column, n: Int): Column = column(WordShingles(expression(tokens), n))
   def minhashSig(elems: Column, k: Int): Column = column(MinHashSig(expression(elems), k))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def bigramStats(tokens: Column): Column = column(BigramStats(expression(tokens)))
   def sigMatchFrac(a: Column, b: Column): Column =
     column(SigMatchFraction(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))

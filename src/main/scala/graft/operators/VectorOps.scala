@@ -102,8 +102,9 @@ object VectorOps {
 
   /** Embedding near-duplicates at full-table scale: candidates share a
     * coarse cell (sign-bit LSH bucket), exact cosine filters. No O(n²)
-    * stage — the join fans out only within cells. Rows-only check (the
-    * exact-slice variant above is the oracle-checked twin).
+    * stage — the join fans out only within cells. The cell id is
+    * deterministic arithmetic, so the whole query (candidate generation
+    * included) hash-matches a DuckDB twin.
     */
   def nearDupPairsLsh(s: SparkSession, d: String, minSim: Double = 0.4, bits: Int = 4): DataFrame = {
     val emb = Tables.embeddings(s, d)
