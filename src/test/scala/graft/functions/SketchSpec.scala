@@ -96,6 +96,39 @@ class SketchSpec extends SparkSpec with PropSpec {
       .select(explode(sortedIdPairs(col("ids")))).count() == 0)
   }
 
+  test("bigram_stats: counts match an explode+groupBy reference (codegen path)") {
+    import spark.implicits._
+    def stats(text: String): (Long, Long, Long) = {
+      val r = Seq(text).toDF("text")
+        .select(bigramStats(split(col("text"), " ")).as("st"))
+        .select(col("st.n_bigrams"), col("st.n_distinct_bigrams"),
+          col("st.top_bigram_cnt"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // "a b a b a": bigrams = [a b, b a, a b, b a] → 4 total, 2 distinct, top 2
+    assert(stats("a b a b a") === ((4L, 2L, 2L)))
+    assert(stats("x y z") === ((2L, 2L, 1L)))      // all distinct
+    assert(stats("w w w w") === ((3L, 1L, 3L)))    // one bigram repeated
+    assert(stats("solo") === ((0L, 0L, 0L)))       // < 2 tokens → no bigrams
+  }
+
+  test("bigram_stats matches a naive Scala reference on random docs") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d")
+    forSamples(Gen.listOf(word).suchThat(_.size >= 2), n = 40) { words =>
+      val bgs = words.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = bgs.groupBy(identity).view.mapValues(_.size)
+      val r = Seq(words.mkString(" ")).toDF("text")
+        .select(bigramStats(split(col("text"), " ")).as("st"))
+        .select(col("st.n_bigrams"), col("st.n_distinct_bigrams"),
+          col("st.top_bigram_cnt")).collect().head
+      assert(r.getLong(0) === bgs.size.toLong)
+      assert(r.getLong(1) === counts.size.toLong)
+      assert(r.getLong(2) === counts.values.max.toLong)
+    }
+  }
+
   test("expressions survive the interpreted (non-codegen) path too") {
     // eval() is exercised directly via the kernel + a filter that Catalyst
     // constant-folds (constant folding uses interpreted eval)
