@@ -129,4 +129,34 @@ class PlansSpec extends SparkSpec {
       s"top-k must be TakeOrderedAndProject:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
   }
+
+  // ---- r5 locks: the per-row prep operators must never re-grow a shuffle --
+
+  test("repetitionStats: zero hash exchanges (per-row statistic stays per-row)") {
+    val plan = executedPlan(
+      graft.operators.TrainPrepOps.repetitionStats(spark, sf0001))
+    // the r4 defect: explode → groupBy(doc,bigram) → groupBy(doc) shuffled
+    // the tokenized corpus for row-local scalars. bigram_stats keeps the
+    // whole computation in the scan stage; the only exchange allowed is the
+    // rangepartitioning for the oracle's deterministic ORDER BY
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-document stats must not hash-shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode allowed:\n$plan")
+  }
+
+  test("piiRedact: zero hash exchanges, single scan") {
+    val plan = executedPlan(graft.operators.TrainPrepOps.piiRedact(spark, sf0001))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-row redaction must not hash-shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"redaction reads one table:\n$plan")
+  }
+
+  test("decontaminate still semi-joins with no cartesian after dropping the broadcast hint") {
+    val plan = executedPlan(
+      graft.operators.TrainPrepOps.decontaminate(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // AQE should still pick a broadcast/hash semi join for the benchmark-
+    // sized key set — LeftSemi must survive un-hinted
+    assert(plan.contains("LeftSemi"), s"eval-key semi-join vanished:\n$plan")
+  }
 }
