@@ -381,7 +381,9 @@ object SparkEntry {
     // the guarantee is pinned by HeavyHittersSpec
     "q_text_heavy_hitters" -> ((s, d) => TextOps.heavyTerms(s, d)),
     "q_text_tfidf" -> ((s, d) => TextOps.tfIdf(s, d)),
+    "q_text_zipf" -> (TextOps.zipfProfile _),
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
+    "q_dedup_blocks" -> ((s, d) => DedupOps.blockDuplicates(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
@@ -579,7 +581,31 @@ object SparkEntry {
         |SELECT decision, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  round(avg(quality), 4) AS avg_quality
-        |FROM dec GROUP BY decision ORDER BY decision""".stripMargin)
+        |FROM dec GROUP BY decision ORDER BY decision""".stripMargin,
+    "q_text_zipf" ->
+      """WITH tc AS (SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term)
+        |SELECT CAST(length(bin(cnt)) - 1 AS INTEGER) AS freq_bucket,
+        |  count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+        |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
+        |FROM tc GROUP BY 1 ORDER BY freq_bucket""".stripMargin,
+    "q_dedup_blocks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) // 16 AS INTEGER) AS nb, toks
+        |      FROM t WHERE len(toks) >= 16),
+        |e AS (SELECT doc_id, nb, unnest(range(0, nb)) AS bi, toks FROM b),
+        |blk AS (SELECT doc_id, nb,
+        |          md5(array_to_string(toks[bi*16 + 1 : bi*16 + 16], ' ')) AS bfp
+        |        FROM e),
+        |wc AS (SELECT doc_id, nb,
+        |         CASE WHEN count(*) OVER (PARTITION BY bfp) > 1
+        |              THEN 1 ELSE 0 END AS is_dup
+        |       FROM blk)
+        |SELECT doc_id, nb AS n_blocks,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dup_blocks,
+        |  round(sum(is_dup)::DOUBLE / nb, 6) AS dup_block_frac
+        |FROM wc GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin)
 
   // ---- training-set preparation pack (TrainPrepOps) -----------------------
 
@@ -591,7 +617,9 @@ object SparkEntry {
     "q_prep_repetition" -> ((s, d) => TrainPrepOps.repetitionStats(s, d)),
     "q_prep_pii" -> (TrainPrepOps.piiRedact _),
     "q_prep_chunks" -> ((s, d) => TrainPrepOps.chunk(s, d)),
-    "q_prep_mixture" -> (TrainPrepOps.mixtureStats _))
+    "q_prep_mixture" -> (TrainPrepOps.mixtureStats _),
+    "q_prep_pack" -> ((s, d) => TrainPrepOps.packSequences(s, d)),
+    "q_prep_pack_stats" -> ((s, d) => TrainPrepOps.packStats(s, d)))
 
   private val prepOracles: Map[String, String] = Map(
     "q_prep_split" ->
@@ -690,7 +718,33 @@ object SparkEntry {
         |  round(avg(n_chars), 4) AS avg_chars,
         |  round(sum(n_tok)::DOUBLE / (SELECT tot_tokens FROM tot), 6)
         |    AS token_share
-        |FROM d GROUP BY source ORDER BY source""".stripMargin)
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_prep_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_tokens AS BIGINT) AS cb
+        |      FROM t)
+        |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  cb // 512 AS first_seq,
+        |  (cb + n_tokens - 1) // 512 AS last_seq,
+        |  cb % 512 AS seq_offset,
+        |  CAST((cb + n_tokens - 1) // 512 - cb // 512 + 1 AS INTEGER)
+        |    AS n_seqs_spanned
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_prep_pack_stats" ->
+      """WITH t AS (SELECT source,
+        |             len(string_split(text, ' ')) AS n_tok FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  (n_tokens + 511) // 512 AS n_seqs,
+        |  ((n_tokens + 511) // 512) * 512 - n_tokens AS pad_tokens,
+        |  round(n_tokens::DOUBLE / (((n_tokens + 511) // 512) * 512), 6)
+        |    AS utilization
+        |FROM g ORDER BY source""".stripMargin)
 
   // ---- vector / multimodal pack -------------------------------------------
 
@@ -707,6 +761,8 @@ object SparkEntry {
     "q_vec_centroid_norms" -> (VectorOps.labelCentroidNorms _),
     "q_vec_centroids" -> (VectorOps.labelCentroids _),
     "q_vec_quantize" -> (VectorOps.quantizeInt8 _),
+    "q_vec_pq" -> (VectorOps.pqEncode _),
+    "q_vec_pq_topk" -> ((s, d) => VectorOps.pqTopK(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _),
@@ -721,7 +777,24 @@ object SparkEntry {
        |  * sqrt(list_sum(list_transform(range(1, 65),
        |      i -> CAST($v2[i] AS DOUBLE) * CAST($v2[i] AS DOUBLE)))))""".stripMargin
 
+  private val duckPqCodes: String =
+    """[list_sum([CASE WHEN embedding[i*8 + j + 1] > 0 THEN (1 << j) ELSE 0 END
+      |           for j in range(0, 8)])
+      | for i in range(0, 8)]""".stripMargin
+
   private val vecOracles: Map[String, String] = Map(
+    "q_vec_pq" ->
+      s"""SELECT vec_id, label, $duckPqCodes AS codes
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_vec_pq_topk" ->
+      s"""WITH c AS (SELECT vec_id, label, $duckPqCodes AS codes
+         |           FROM embeddings),
+         |q AS (SELECT codes AS qcodes FROM c WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  CAST(list_sum([bit_count(xor(codes[i+1], qcodes[i+1]))
+         |                 for i in range(0, 8)]) AS INTEGER) AS pq_dist
+         |FROM c, q WHERE vec_id <> 0
+         |ORDER BY pq_dist, vec_id LIMIT 10""".stripMargin,
     "q_vec_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label,

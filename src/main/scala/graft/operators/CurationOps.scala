@@ -44,10 +44,14 @@ object CurationOps {
       nTok.as("n_tokens"),
       quality.as("quality"),
       greatest(scored: _*).as("best"))
-    // fingerprint → smallest doc_id holding that text; shuffle carries
-    // constant-size keys only. AQE broadcasts the join back when small.
-    val canon = sig.groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_doc_id"))
-    sig.join(canon, Seq("fp"))
+    // fingerprint → smallest doc_id holding that text, as a window min:
+    // ONE shuffle on fp at any corpus size. The aggregate+join-back form
+    // costs the same shuffle plus a join whose build side (one row per
+    // distinct text) stops being broadcastable long before 100 TB, at
+    // which point it re-shuffles the signal table a second time.
+    sig.withColumn("canonical_doc_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .select(
         col("doc_id"),
         col("best.lang").as("lang_predicted"),

@@ -77,6 +77,16 @@ object DedupOps {
     // pins the pair explosion to the cache's partition count and loses
     // AQE's runtime re-planning of that skewed stage; the saved exchange
     // is tiny next to the pair stage itself.)
+    // (Measured dead end #3: AllPairs/PPJoin prefix filtering — index only
+    // each doc's (|d| − ⌈t·|d|⌉ + 1) globally-rarest shingles; any pair
+    // with J ≥ t must collide in both prefixes, then verify exactly. At
+    // t = 0.2 the prefix keeps 80% of each set, and measured at sf0.1 it
+    // cuts the pair stage only 1.27 M → 856 k rows (−32%) while adding a
+    // candidate-dedup shuffle and an array-intersection verify join over
+    // 788 k distinct candidates. The filter's power scales with t — at
+    // t ≥ 0.8 the prefix is ~20% of each set and the idea wins — but at
+    // this query's threshold the added passes cost more than the pruning
+    // saves, so the plain sh_h self-join stands.)
     val capped = cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
       val exploded = shingleIndex(ss, d)
       val kept0 =
@@ -135,6 +145,45 @@ object DedupOps {
         .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
         .persist()
     }
+
+  /** Sub-document exact dedup at fixed token-block granularity: cut each
+    * document into consecutive `blockTokens`-token blocks (tail partial
+    * block ignored), fingerprint each block, and report per document how
+    * many of its blocks also occur anywhere else in the corpus — the
+    * cheap, alignment-fixed cousin of suffix-based exact-substring dedup
+    * (same signal a pipeline thresholds on to drop boilerplate-heavy
+    * documents that whole-document dedup can't catch).
+    *
+    * Plan: block fingerprints are per-row codegen'd arithmetic (explode ×
+    * n_blocks, md5 — no text crosses any shuffle); corpus-wide block
+    * frequency is a window count over the 16-byte fingerprint (ONE
+    * shuffle, same single-pass shape as [[CurationOps.curate]]'s
+    * canonical-id window); the per-document rollup then shuffles
+    * (doc_id, flag) pairs only.
+    */
+  def blockDuplicates(s: SparkSession, d: String, blockTokens: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        (size(col("toks")) / blockTokens).cast("int").as("nb"))
+      .where(col("nb") >= 1)
+      .select(col("doc_id"), col("nb"),
+        explode(sequence(lit(0), col("nb") - 1)).as("bi"), col("toks"))
+      .select(col("doc_id"), col("nb"),
+        md5(array_join(
+          slice(col("toks"), col("bi") * blockTokens + 1, lit(blockTokens)),
+          " ")).as("bfp"))
+    blocks
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("bfp"))))
+      .groupBy(col("doc_id"), col("nb"))
+      .agg(sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .select(
+        col("doc_id"), col("nb").as("n_blocks"), col("n_dup_blocks"),
+        round(col("n_dup_blocks").cast("double") / col("nb"), 6)
+          .as("dup_block_frac"))
+      .orderBy(col("doc_id"))
+  }
 
   /** MinHash signatures: doc_id → array<long> of k seeded min-hashes.
     * Memoized per (dir, k) like the shingle index — signatures are the

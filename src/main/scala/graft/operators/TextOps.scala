@@ -62,6 +62,30 @@ object TextOps {
       .orderBy(col("count").desc, col("term"))
       .limit(k)
 
+  /** Corpus vocabulary / Zipf profile: term frequencies bucketed by
+    * power-of-two bands (bucket = ⌊log₂ cnt⌋), with term and occurrence
+    * counts per band — the frequency-of-frequencies histogram that shows
+    * whether a corpus has a healthy Zipfian tail or is boilerplate-heavy.
+    * The bucket is computed as `length(bin(cnt)) − 1`: exact integer
+    * semantics on both engines (a floating log₂ can land a power of two on
+    * either side of the floor depending on the libm).
+    *
+    * Plan: explode → vocabulary-sized term count (map-side partial agg
+    * collapses the token stream before the shuffle) → ~60-row band rollup.
+    */
+  def zipfProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy((length(bin(col("cnt"))) - 1).cast("int").as("freq_bucket"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("cnt")).as("n_occurrences"),
+        min(col("cnt")).as("min_cnt"),
+        max(col("cnt")).as("max_cnt"))
+      .orderBy(col("freq_bucket"))
+
   /** TF-IDF per (doc, term): tf = in-doc frequency, idf = ln(N / df) over
     * the WHOLE corpus (df computed before any output slicing — the
     * statistics are corpus-global even when only a doc slice is emitted).

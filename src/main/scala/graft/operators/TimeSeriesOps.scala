@@ -34,40 +34,62 @@ object TimeSeriesOps {
       .select(tsMs(col("bucket")).as("bucket_ms"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("bucket_ms"), col("event_type"))
 
-  /** Sliding windows: 2-hour windows advancing every hour. Each event maps
-    * to exactly 2 buckets (window duration / slide) — Spark's `window()`
-    * generates them without row explosion beyond that factor.
+  /** Sliding windows: 2-hour windows advancing every hour. Because the
+    * slide divides the window, each window is the union of whole slide
+    * quanta — so aggregate per hour FIRST (map-side partial agg collapses
+    * the event table to one row per hour before the shuffle) and then
+    * combine each hour into the two windows that contain it. The naive
+    * `window(ts, "2 hours", "1 hour")` form expands every event row by
+    * the overlap factor before aggregating; at 100 TB that's duplicating
+    * the corpus ×(window/slide) through an Expand when ~thousands of
+    * hourly partials carry the same information.
     */
-  def slidingActivity(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      .select(tsMs(col("w.start")).as("window_start_ms"), col("n"), col("sum_value"))
+  def slidingActivity(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    hourly
+      .select(
+        explode(array(col("h"), col("h") - expr("INTERVAL '1' HOUR"))).as("ws"),
+        col("n"), col("sv"))
+      .groupBy(col("ws"))
+      .agg(sum(col("n")).as("n"), round(sum(col("sv")), 2).as("sum_value"))
+      .select(tsMs(col("ws")).as("window_start_ms"), col("n"), col("sum_value"))
       .orderBy(col("window_start_ms"))
+  }
 
-  /** Sessionization by inactivity gap (30 min) per user: classic
-    * gaps-and-islands — lag to detect session starts, running sum to assign
-    * session ids, then one aggregate per session. Two window passes over
-    * the same (user_id → ts,event_id) sort order, so Spark reuses a single
-    * shuffle+sort for both.
+  /** Sessionization by inactivity gap (30 min) per user, via Spark's
+    * native `session_window` aggregation: one shuffle on user_id, one
+    * merge pass that fuses session assignment WITH the per-session
+    * aggregate. (The classic gaps-and-islands form — lag + running sum +
+    * groupBy — makes two window-function passes over the full event table
+    * before it can aggregate; the native operator does the same work in
+    * the aggregation itself.) Session numbering then runs over the
+    * already-aggregated output — one small row per session, not per
+    * event — reusing the user_id partitioning, so no extra shuffle.
+    *
+    * Boundary semantics: events ≤ 30 min apart (in epoch-ms) share a
+    * session. `session_window` merges on gap < duration over the raw
+    * timestamp, so feed it ms-truncated timestamps with a gap of
+    * 30 min + 1 ms: diff_ms < 1800001 ⟺ diff_ms ≤ 1800000 exactly.
     */
   def sessions(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val gapMs = 30L * 60 * 1000
-    Tables.events(s, d)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-             (tsMs(col("ts")) - tsMs(col("prev_ts"))) > gapMs, 1).otherwise(0))
-      .withColumn("session_id",
-        sum(col("new_session")).over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("session_id"))
+    val tsMsTrunc = timestamp_millis(unix_millis(col("ts")))
+    val perSession = Tables.events(s, d)
+      .groupBy(
+        col("user_id"),
+        session_window(tsMsTrunc, "30 minutes 1 millisecond").as("sw"))
       .agg(
         min(tsMs(col("ts"))).as("session_start_ms"),
         max(tsMs(col("ts"))).as("session_end_ms"),
         count(lit(1)).as("n_events"))
+    perSession
+      .withColumn("session_id",
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("session_start_ms")))
+          .cast("long"))
+      .select(col("user_id"), col("session_id"),
+        col("session_start_ms"), col("session_end_ms"), col("n_events"))
       .orderBy(col("user_id"), col("session_id"))
   }
 

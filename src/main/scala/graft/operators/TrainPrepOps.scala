@@ -221,6 +221,61 @@ object TrainPrepOps {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  // ---- sequence packing (concat-and-chunk) --------------------------------
+
+  /** Sequence packing, concat-and-chunk style: within each source shard,
+    * documents are concatenated in doc_id order and the token stream is
+    * cut into fixed `ctx`-token training sequences; each document reports
+    * which sequences it lands in. This is the GPT-style packing reshape —
+    * zero padding inside the stream, every sequence full except the shard's
+    * last.
+    *
+    * Plan: one running sum per source shard (window partitioned on
+    * `source` — the shard key IS the unit of sequential packing, so the
+    * per-shard scan is inherent to the semantics, and shards pack in
+    * parallel). Everything after the window is per-row integer
+    * arithmetic. A global (unsharded) packing order would serialize the
+    * corpus through one partition at 100 TB — that formulation is wrong at
+    * scale, which is why the shard key is part of this operator's
+    * contract.
+    */
+  def packSequences(s: SparkSession, d: String, ctx: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum_tokens") - col("n_tokens")).as("cb"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("cb") / ctx).as("first_seq"),
+        floor((col("cb") + col("n_tokens") - 1) / ctx).as("last_seq"),
+        (col("cb") % ctx).as("seq_offset"))
+      .withColumn("n_seqs_spanned",
+        (col("last_seq") - col("first_seq") + 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Packing yield per source shard: sequence counts and utilization —
+    * the accounting that tells a training run how many optimizer steps a
+    * shard is worth and how much tail padding it carries. Pure integer
+    * arithmetic over a source-keyed rollup (one tiny shuffle).
+    */
+  def packStats(s: SparkSession, d: String, ctx: Int = 512): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(toks)).as("n_tokens"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        floor((col("n_tokens") + ctx - 1) / ctx).as("n_seqs"))
+      .withColumn("pad_tokens", col("n_seqs") * ctx - col("n_tokens"))
+      .withColumn("utilization",
+        round(col("n_tokens").cast("double") / (col("n_seqs") * ctx), 6))
+      .orderBy(col("source"))
+
   // ---- data-mixture accounting --------------------------------------------
 
   /** Per-source mixture statistics: doc/language/token counts and each

@@ -280,6 +280,55 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Binary product-quantization codes: the 64-dim vector is split into 8
+    * subspaces of 8 dims and each subvector is encoded by its sign
+    * pattern — an 8-bit code per subspace, 8 bytes per vector (32×
+    * smaller than f32). This is PQ with the deterministic ±-orthant
+    * codebook (the learned-codebook variant would train per-subspace
+    * k-means exactly like [[trainKmeans]]); deterministic codes are what
+    * make the encode oracle-checkable end to end.
+    *
+    * Per-row codegen'd integer arithmetic (the code accumulates
+    * high-bit-first: acc·2 + sign), zero shuffle.
+    */
+  def pqCodes(v: Column, subspaces: Int = 8, subDim: Int = 8): Column =
+    transform(sequence(lit(0), lit(subspaces - 1)), i =>
+      aggregate(sequence(lit(subDim - 1), lit(0), lit(-1)), lit(0),
+        (acc, j) =>
+          acc * 2 + when(
+            element_at(v, (i * subDim + j + 1).cast("int"))
+              .cast("double") > 0.0, 1)
+            .otherwise(0)))
+
+  def pqEncode(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), pqCodes(col("embedding")).as("codes"))
+      .orderBy(col("vec_id"))
+
+  /** ANN by symmetric PQ distance: rank the corpus by summed per-subspace
+    * Hamming distance between code words, cheapest-first tie-broken by
+    * vec_id. The query's codes ride a 1-row broadcast; the scan computes
+    * 8 XOR+popcounts per row against codes it would read from the (32×
+    * smaller) code table — the standard memory-bound ANN trade: scan
+    * compressed codes, re-rank survivors with true vectors
+    * ([[cosineTopK]] / [[ivfTopK]] are those exact re-rankers).
+    */
+  def pqTopK(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val codes = pqEncode(s, d)
+    val q = broadcast(
+      codes.where(col("vec_id") === queryId).select(col("codes").as("qcodes")))
+    codes.crossJoin(q)
+      .where(col("vec_id") =!= queryId)
+      .select(
+        col("vec_id"), col("label"),
+        aggregate(
+          zip_with(col("codes"), col("qcodes"),
+            (a, b) => bit_count(a.bitwiseXOR(b))),
+          lit(0), (acc, x) => acc + x).as("pq_dist"))
+      .orderBy(col("pq_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Per-label centroid lengths — aggregate over the vector column using
     * elementwise array aggregation (zip_with under an agg via summing each
     * dimension): demonstrates vector reductions without exploding rows.

@@ -100,12 +100,12 @@ class PlansSpec extends SparkSpec {
   test("curate: single scan, one fingerprint shuffle, no cartesian") {
     val plan = executedPlan(graft.operators.CurationOps.curate(spark, sf0001))
     assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
-    // all signals come out of one pass over documents: the canonical-id
-    // aggregation is the ONLY hash shuffle (the join back is broadcast at
-    // this SF; the final orderBy is a range exchange, not hash)
+    // all signals come out of one pass over documents; since r5 the
+    // canonical id is a window min over fp, so the ONLY hash shuffle is the
+    // fp partitioning (the final orderBy is a range exchange, not hash)
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashExchanges <= 2,
-      s"curation must not re-shuffle per signal, got $hashExchanges:\n$plan")
+    assert(hashExchanges === 1,
+      s"curation is ONE fingerprint shuffle, got $hashExchanges:\n$plan")
   }
 
   test("ivfKmeansTopK probe: no join, no shuffle before the top-k") {
@@ -149,6 +149,65 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"per-row redaction must not hash-shuffle:\n$plan")
     assert(!plan.contains("Join"), s"redaction reads one table:\n$plan")
+  }
+
+  test("sessions: native session aggregation, one hash exchange, no per-event window pass") {
+    val plan = executedPlan(
+      graft.operators.TimeSeriesOps.sessions(spark, sf0001))
+    // session assignment must be fused into the aggregation (MergingSessions /
+    // UpdatingSessions), not a lag+running-sum double window over raw events
+    assert(plan.contains("Sessions"), s"native session agg vanished:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"sessionization is ONE user_id shuffle, got $hashExchanges:\n$plan")
+    // the session-numbering window must ride the aggregated output (it
+    // reuses the user_id partitioning — an extra exchange means it slipped
+    // back to per-event data)
+  }
+
+  test("slidingActivity: aggregates per slide quantum BEFORE any row expansion") {
+    val df = graft.operators.TimeSeriesOps.slidingActivity(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Expand"), s"event-table expansion reappeared:\n$plan")
+    // the explode must sit ABOVE the first aggregate: scan → partial agg →
+    // exchange → Generate(2 rows per hourly partial) → final agg
+    val generateIdx = plan.indexOf("Generate")
+    val firstAggIdx = plan.lastIndexOf("HashAggregate")
+    assert(generateIdx >= 0 && firstAggIdx > generateIdx,
+      s"explode must consume hourly partials, not raw events:\n$plan")
+  }
+
+  test("packSequences: one shard-key shuffle (the window), nothing else") {
+    val plan = executedPlan(
+      graft.operators.TrainPrepOps.packSequences(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"packing is ONE source-window shuffle, got $hashExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"packing reads one table:\n$plan")
+  }
+
+  test("pqEncode: pure per-row arithmetic — zero hash exchanges, no join") {
+    val plan = executedPlan(graft.operators.VectorOps.pqEncode(spark, sf0001))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"PQ encode must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"PQ encode reads one table:\n$plan")
+  }
+
+  test("pqTopK stays a broadcast + TakeOrderedAndProject plan") {
+    val plan = executedPlan(graft.operators.VectorOps.pqTopK(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row query codes must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$plan")
+  }
+
+  test("blockDuplicates: fingerprint window + doc rollup, no join, no text in shuffle") {
+    val plan = executedPlan(
+      graft.operators.DedupOps.blockDuplicates(spark, sf0001))
+    assert(!plan.contains("Join"), s"block dedup must not join:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"block dedup is fp-window + doc-rollup, got $hashExchanges:\n$plan")
   }
 
   test("decontaminate still semi-joins with no cartesian after dropping the broadcast hint") {
