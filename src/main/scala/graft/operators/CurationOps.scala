@@ -23,17 +23,30 @@ import graft.Tables
   */
 object CurationOps {
 
+  /** Whitespace token count over a `text` column — shared by the batch
+    * pipeline and the streaming transform ([[graft.streaming.DocStreamOps
+    * .curateStream]]), so both paths score documents identically.
+    */
+  def nTokensCol: org.apache.spark.sql.Column = size(TextOps.tokens(col("text")))
+
+  /** Composite quality in [0,1]: length saturation × lexical diversity
+    * (same definition as the q_text_quality signal). Shared batch/stream.
+    */
+  def qualityCol: org.apache.spark.sql.Column = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks)
+    round(least(nTok.cast("double") / 50.0, lit(1.0)) *
+      (size(array_distinct(toks)).cast("double") / nTok), 4)
+  }
+
   /** Per-document curation verdict. Rule order (first match wins) is part
     * of the contract: too_short → low_quality → duplicate → kept.
     */
   def curate(
       s: SparkSession, d: String,
       minTokens: Int = 20, minQuality: Double = 0.5): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val nTok = size(toks)
-    val quality = round(
-      least(nTok.cast("double") / 50.0, lit(1.0)) *
-        (size(array_distinct(toks)).cast("double") / nTok), 4)
+    val nTok = nTokensCol
+    val quality = qualityCol
     val scored = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
       struct(round(TextOps.langIdScore(col("text"), prof), 6).as("score"),
         lit(lang).as("lang"))

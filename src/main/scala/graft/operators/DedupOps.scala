@@ -87,6 +87,16 @@ object DedupOps {
     // t ≥ 0.8 the prefix is ~20% of each set and the idea wins — but at
     // this query's threshold the added passes cost more than the pruning
     // saves, so the plain sh_h self-join stands.)
+    // (Measured dead end #4, tools/NgramAB + NgramAB2: the AQE-coalescing
+    // hypothesis — the sh_h exchange is ~4 MB so AQE can coalesce the pair
+    // stage to 1 partition and serialize the C(f,2) explosion. Under a
+    // contended window default-AQE MEDIANS do degrade 3–4× vs
+    // coalesce-off/advisory-1m, but the MINIMUMS are equal (1.2–1.4 s) —
+    // the bench's interleaved min-of-3 already absorbs it — and pinning
+    // parallelism with an explicit repartition(32, sh_h) measured no
+    // better than the plain join. No conf change worth hard-coding; at
+    // real 100 TB scale the exchange is far above the advisory size and
+    // the failure mode disappears.)
     val capped = cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
       val exploded = shingleIndex(ss, d)
       val kept0 =

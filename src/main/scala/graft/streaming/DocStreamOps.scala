@@ -48,6 +48,74 @@ object DocStreamOps {
   final case class SigEntry(id: Long, sig: Seq[Long])
   final case class BucketState(entries: Seq[SigEntry])
 
+  /** Streaming curation verdict — one row per arriving document. */
+  final case class CurateVerdict(
+      doc_id: Long, n_tokens: Int, quality: Double,
+      is_dup_copy: Boolean, canonical_doc_id: Long, decision: String)
+
+  final case class FpRow(
+      ts: Timestamp, doc_id: Long, fp: String, n_tokens: Int, quality: Double)
+
+  final case class FpState(canonical: Long)
+
+  /** The ONLINE half of [[graft.operators.CurationOps.curate]]: score and
+    * gate documents as they arrive, with the same signals, thresholds and
+    * rule order as the batch pipeline (the column expressions are shared,
+    * so a doc scores identically in both paths).
+    *
+    * Dedup semantics are the streaming analog of the batch canonical-id:
+    * batch picks min(doc_id) per fingerprint corpus-wide; a stream can't
+    * see the future, so the FIRST-SEEN doc (event-time order within each
+    * micro-batch) becomes the fingerprint's canonical and later copies are
+    * `duplicate`. State per fingerprint is one long (the canonical id),
+    * keyed by the 32-byte md5 — bounded by distinct active fingerprints,
+    * and an event-time TTL (`fpTtlMs` past the last sighting) retires
+    * fingerprints the stream has moved past, exactly like the batch
+    * pipeline re-run on a trailing window. All signal computation is
+    * stateless codegen'd column arithmetic; only the (fp → id) lookup
+    * touches state.
+    */
+  def curateStream(
+      docs: Dataset[Doc],
+      minTokens: Int = 20,
+      minQuality: Double = 0.5,
+      lateness: String = "10 minutes",
+      fpTtlMs: Long = 60L * 60 * 1000): Dataset[CurateVerdict] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.CurationOps
+    docs.toDF()
+      .select(col("ts"), col("doc_id"), md5(col("text")).as("fp"),
+        CurationOps.nTokensCol.as("n_tokens"),
+        CurationOps.qualityCol.as("quality"))
+      .as[FpRow]
+      .withWatermark("ts", lateness)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[FpState, CurateVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rs: Iterator[FpRow], state: GroupState[FpState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = rs.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var canon = state.getOption.map(_.canonical).getOrElse(-1L)
+            val out = arrivals.map { r =>
+              val isDup = canon >= 0 && r.doc_id != canon
+              if (canon < 0) canon = r.doc_id
+              val decision =
+                if (r.n_tokens < minTokens) "too_short"
+                else if (r.quality < minQuality) "low_quality"
+                else if (isDup) "duplicate"
+                else "kept"
+              CurateVerdict(r.doc_id, r.n_tokens, r.quality, isDup, canon, decision)
+            }
+            state.update(FpState(canon))
+            state.setTimeoutTimestamp(arrivals.last.ts.getTime + fpTtlMs)
+            out.iterator
+          }
+      }
+  }
+
   def nearDupTags(
       docs: Dataset[Doc],
       k: Int = 32,

@@ -55,6 +55,74 @@ class DocStreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: rule order, duplicate tagging, and TTL forgetting") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val good = (1 to 40).map(i => s"word$i").mkString(" ") // 40 distinct tokens
+    val spammy = Seq.fill(25)("spam").mkString(" ")        // long but degenerate
+    val in = MemoryStream[Doc]
+    val q = curateStream(in.toDS(), lateness = "1 minute",
+      fpTtlMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      in.addData(
+        Doc(ts(0), 1L, good),
+        Doc(ts(1), 2L, good),          // same text, later → duplicate
+        Doc(ts(2), 3L, "too short"),
+        Doc(ts(3), 4L, spammy))
+      q.processAllAvailable()
+      val v = spark.table("curate_stream").as[CurateVerdict].collect()
+        .map(r => r.doc_id -> r).toMap
+      assert(v(1L).decision === "kept" && !v(1L).is_dup_copy)
+      assert(v(2L).decision === "duplicate" && v(2L).is_dup_copy)
+      assert(v(2L).canonical_doc_id === 1L)
+      assert(v(3L).decision === "too_short")
+      assert(v(4L).decision === "low_quality")
+
+      // push the watermark past the fingerprint TTL; the canonical for
+      // `good` retires, so a fresh copy is kept again, not duplicate
+      in.addData(Doc(ts(90), 5L, "watermark advancing filler text that " +
+        "matches nothing else in this stream at all even slightly today"))
+      q.processAllAvailable()
+      in.addData(Doc(ts(95), 6L, good))
+      q.processAllAvailable()
+      val after = spark.table("curate_stream").as[CurateVerdict].collect()
+        .map(r => r.doc_id -> r).toMap
+      assert(after(6L).decision === "kept" && !after(6L).is_dup_copy,
+        "fingerprint state must expire with the event-time TTL")
+    } finally q.stop()
+  }
+
+  test("curateStream decisions equal the batch pipeline on the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // equal timestamps → first-seen order inside the fp group is doc_id
+    // order → streaming canonical = min(doc_id) = the batch rule, so the
+    // two paths must agree decision-for-decision
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Doc(ts(0), r.getLong(0), r.getString(1)))
+    val in = MemoryStream[Doc]
+    val q = curateStream(in.toDS())
+      .writeStream.format("memory").queryName("curate_stream_corpus")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      in.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream_corpus").as[CurateVerdict]
+        .collect().map(r => r.doc_id -> r.decision).toMap
+      val batch = graft.operators.CurationOps.curate(spark, sf0001)
+        .select(col("doc_id"), col("decision")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed.size === batch.size)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("short documents (no shingles) pass through untagged, no crash") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
