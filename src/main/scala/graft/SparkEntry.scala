@@ -382,7 +382,9 @@ object SparkEntry {
     "q_text_heavy_hitters" -> ((s, d) => TextOps.heavyTerms(s, d)),
     "q_text_tfidf" -> ((s, d) => TextOps.tfIdf(s, d)),
     "q_text_zipf" -> (TextOps.zipfProfile _),
+    "q_text_length_profile" -> (TextOps.lengthProfile _),
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
+    "q_dedup_impact" -> (DedupOps.dedupImpact _),
     "q_dedup_blocks" -> ((s, d) => DedupOps.blockDuplicates(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
@@ -590,6 +592,23 @@ object SparkEntry {
         |  count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
         |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
         |FROM tc GROUP BY 1 ORDER BY freq_bucket""".stripMargin,
+    "q_text_length_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars,
+        |  round(quantile_cont(n_chars, 0.25), 2) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 2) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 2) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 2) AS p95,
+        |  max(n_chars) AS max_chars,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_impact" ->
+      """WITH g AS (SELECT md5(text) AS fp, count(*) AS group_size
+        |           FROM documents GROUP BY fp)
+        |SELECT group_size, count(*) AS n_groups,
+        |  group_size * count(*) AS n_docs,
+        |  (group_size - 1) * count(*) AS n_removable
+        |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
     "q_dedup_blocks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, CAST(len(toks) // 16 AS INTEGER) AS nb, toks
@@ -619,7 +638,10 @@ object SparkEntry {
     "q_prep_chunks" -> ((s, d) => TrainPrepOps.chunk(s, d)),
     "q_prep_mixture" -> (TrainPrepOps.mixtureStats _),
     "q_prep_pack" -> ((s, d) => TrainPrepOps.packSequences(s, d)),
-    "q_prep_pack_stats" -> ((s, d) => TrainPrepOps.packStats(s, d)))
+    "q_prep_pack_stats" -> ((s, d) => TrainPrepOps.packStats(s, d)),
+    "q_prep_leakage" -> ((s, d) => TrainPrepOps.splitLeakage(s, d)),
+    "q_prep_mixture_weights" -> (TrainPrepOps.mixtureWeights _),
+    "q_prep_token_budget" -> ((s, d) => TrainPrepOps.tokenBudget(s, d)))
 
   private val prepOracles: Map[String, String] = Map(
     "q_prep_split" ->
@@ -744,7 +766,53 @@ object SparkEntry {
         |  ((n_tokens + 511) // 512) * 512 - n_tokens AS pad_tokens,
         |  round(n_tokens::DOUBLE / (((n_tokens + 511) // 512) * 512), 6)
         |    AS utilization
-        |FROM g ORDER BY source""".stripMargin)
+        |FROM g ORDER BY source""".stripMargin,
+    "q_prep_leakage" ->
+      """WITH f AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |              < 'cc' THEN 'train'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |              < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.split AS split_a, b.split AS split_b, a.fp AS fp
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |WHERE a.split <> b.split
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_prep_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens, sqrt(n_tokens::DOUBLE) AS w_raw FROM per),
+        |tot AS (SELECT sum(w_raw) AS tot_w,
+        |          CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM w)
+        |SELECT source, n_tokens,
+        |  round(n_tokens::DOUBLE / (SELECT tot_tokens FROM tot), 6)
+        |    AS natural_share,
+        |  round(w_raw / (SELECT tot_w FROM tot), 6) AS weight,
+        |  round(w_raw / (SELECT tot_w FROM tot)
+        |        * (SELECT tot_tokens FROM tot)::DOUBLE / n_tokens, 6) AS epochs
+        |FROM w ORDER BY source""".stripMargin,
+    "q_prep_token_budget" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id, source,
+        |        round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |              * (len(list_distinct(toks))::DOUBLE / len(toks)), 4)
+        |          AS quality,
+        |        CAST(len(toks) AS INTEGER) AS n_tokens
+        |      FROM t),
+        |c AS (SELECT doc_id, source, quality, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY quality DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_tokens
+        |      FROM q)
+        |SELECT doc_id, source, quality, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 10000 ORDER BY doc_id""".stripMargin)
 
   // ---- vector / multimodal pack -------------------------------------------
 

@@ -39,6 +39,32 @@ object DedupOps {
       .select(col("canonical_doc_id"), col("n_copies"), col("fp"))
       .orderBy(col("canonical_doc_id"))
 
+  /** Dedup impact report: the duplicate-group size histogram — for each
+    * multiplicity, how many distinct texts occur that many times, how many
+    * documents they account for, and how many rows exact dedup would
+    * remove. THE first question asked of a new corpus ("how much does
+    * dedup buy?") and the scale-safe summary of pathological duplicate
+    * groups that pair-level audits must cap (see [[graft.operators
+    * .TrainPrepOps.splitLeakage]]). Two shuffles, both on constant-size
+    * keys (32-byte fp, then a long), output rows = number of distinct
+    * multiplicities (tens).
+    */
+  def dedupImpact(s: SparkSession, d: String): DataFrame =
+    dedupImpactOf(Tables.documents(s, d))
+
+  /** [[dedupImpact]] over an arbitrary `(text, …)` frame. */
+  def dedupImpactOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(
+        col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"),
+        ((col("group_size") - 1) * col("n_groups")).as("n_removable"))
+      .orderBy(col("group_size"))
+
   /** Distinct word-3-gram shingles per document (empty → dropped). */
   def shingles(s: SparkSession, d: String, n: Int = 3): DataFrame =
     Tables.documents(s, d)

@@ -115,6 +115,29 @@ object TextOps {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** Per-source document-length profile: exact char-length percentiles
+    * (p25/p50/p75/p95) plus min/max/avg — the distribution table that
+    * length-outlier filters (truncated pages, concatenation artifacts,
+    * binary spills) derive their cutoffs from. One rollup shuffle on the
+    * source key; exact `percentile` keeps the per-group sort inside the
+    * aggregate (group cardinality = shard size, sorted distributed, never
+    * on the driver). Same exact-percentile / `quantile_cont` oracle pairing
+    * as [[graft.operators.RelationalOps.priceQuantiles]].
+    */
+  def lengthProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        round(expr("percentile(n_chars, 0.25)"), 2).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+        round(expr("percentile(n_chars, 0.75)"), 2).as("p75"),
+        round(expr("percentile(n_chars, 0.95)"), 2).as("p95"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("source"))
+
   /** Per-language corpus stats. */
   def langStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

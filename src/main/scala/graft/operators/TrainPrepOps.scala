@@ -276,6 +276,105 @@ object TrainPrepOps {
         round(col("n_tokens").cast("double") / (col("n_seqs") * ctx), 6))
       .orderBy(col("source"))
 
+  // ---- cross-split leakage audit ------------------------------------------
+
+  /** Train/val/test leakage audit: exact-duplicate pairs whose two copies
+    * land in DIFFERENT splits — the documents that silently leak eval
+    * signal into training. Composes the split assignment ([[hashSplit]])
+    * with exact fingerprinting ([[DedupOps.exactDuplicates]] semantics).
+    *
+    * Plan: self-join on the 32-byte md5 fingerprint — only ids + the
+    * 5-char split label cross the shuffle, never text. Join fanout is
+    * bounded by duplicate-group size; `maxGroup` caps pathological groups
+    * (a boilerplate document with 10⁶ copies contributes C(10⁶,2) pairs —
+    * at that multiplicity the leak is already reported by every pair
+    * sampled, so capped groups surface via the cheap [[DedupOps
+    * .dedupImpact]] histogram instead). 0 disables the cap; the oracle
+    * query runs uncapped at fixture scale.
+    */
+  def splitLeakage(s: SparkSession, d: String, maxGroup: Int = 0): DataFrame =
+    splitLeakageOf(Tables.documents(s, d), maxGroup)
+
+  /** [[splitLeakage]] over an arbitrary `(doc_id, text, …)` frame. */
+  def splitLeakageOf(docs: DataFrame, maxGroup: Int = 0): DataFrame = {
+    val f0 = docs
+      .select(col("doc_id"), md5(col("text")).as("fp"), splitName.as("split"))
+    val f =
+      if (maxGroup <= 0) f0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        f0.withColumn("gsz", count(lit(1)).over(Window.partitionBy(col("fp"))))
+          .where(col("gsz") <= maxGroup).drop("gsz")
+      }
+    val a = f.select(col("fp"), col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val b = f.select(col("fp"), col("doc_id").as("doc_b"), col("split").as("split_b"))
+    a.join(b, Seq("fp"))
+      .where(col("doc_a") < col("doc_b") && col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("fp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- temperature-scaled mixture resampling ------------------------------
+
+  /** Temperature-scaled source sampling weights at τ = 0.5:
+    * w_i ∝ tokens_i^τ, the standard up-weighting of small sources for
+    * multi-source training mixes. τ = 0.5 is computed as `sqrt`, which
+    * IEEE-754 requires to be correctly rounded — so the weights are
+    * bit-identical across engines (a general `pow(x, τ)` is libm-
+    * dependent and would break the oracle hash; callers needing other
+    * temperatures trade determinism for flexibility). `epochs` is the
+    * effective number of passes over each source when the mix is sampled
+    * to the natural corpus size. Source cardinality is tiny, so this is
+    * one rollup shuffle plus a 1-row broadcast of the totals.
+    */
+  def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(toks)).as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        sqrt(col("n_tokens").cast("double")).as("w_raw"))
+    val tot = per.agg(
+      sum(col("w_raw")).as("tot_w"), sum(col("n_tokens")).as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("natural_share"),
+        round(col("w_raw") / col("tot_w"), 6).as("weight"),
+        round(col("w_raw") / col("tot_w") * col("tot_tokens").cast("double") /
+          col("n_tokens"), 6).as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  // ---- quality-ranked token-budget selection ------------------------------
+
+  /** Token-budget corpus selection: per source shard, keep the highest-
+    * quality documents until the shard's token budget is exhausted — the
+    * "best N tokens" curation step between scoring and tokenization.
+    * Quality is the shared batch/stream signal ([[CurationOps.qualityCol]],
+    * rounded to 4 dp so the ordering is engine-portable); ties break on
+    * doc_id for determinism. One running-sum window per source shard —
+    * the same per-shard scan shape as [[packSequences]], parallel across
+    * shards at any corpus size. A document is kept iff the budget is not
+    * yet exhausted when it is reached (cum_tokens − n_tokens < budget),
+    * so selection is a prefix of the quality order even when one document
+    * overshoots the line.
+    */
+  def tokenBudget(s: SparkSession, d: String, budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        CurationOps.qualityCol.as("quality"), size(toks).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- data-mixture accounting --------------------------------------------
 
   /** Per-source mixture statistics: doc/language/token counts and each

@@ -1,0 +1,156 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Invariant tests for the corpus-audit additions: cross-split leakage,
+  * dedup-impact histogram, temperature-scaled mixture weights, token-budget
+  * selection, and the per-source length profile. Exact values are covered
+  * by the DuckDB oracles; these pin semantics on adversarial synthetic
+  * corpora (the fixtures have almost no exact duplicates) and the
+  * structural properties that must hold at any scale.
+  */
+class CorpusAuditSpec extends SparkSpec {
+
+  /** Same split rule as TrainPrepOps.splitName, computed independently. */
+  private def splitOf(docId: Long): String = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"split:$docId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val b = hex.substring(0, 2)
+    if (b < "cc") "train" else if (b < "e6") "val" else "test"
+  }
+
+  test("splitLeakage finds exactly the cross-split duplicate pairs") {
+    import spark.implicits._
+    // ids chosen so each text's copies cover >= 2 splits somewhere
+    val ids = 0L until 64L
+    val docs = ids.map { i => (i, s"text-${i % 4}") } // 4 texts x 16 copies
+      .toDF("doc_id", "text")
+    val got = TrainPrepOps.splitLeakageOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val expected = (for {
+      a <- ids; b <- ids
+      if a < b && a % 4 == b % 4 && splitOf(a) != splitOf(b)
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty) // the synthetic corpus must actually leak
+    assert(got === expected)
+    // and same-split duplicate pairs are NOT reported
+    val gotAll = TrainPrepOps.splitLeakageOf(docs).collect()
+    gotAll.foreach(r =>
+      assert(r.getAs[String]("split_a") !== r.getAs[String]("split_b")))
+  }
+
+  test("splitLeakage maxGroup caps pathological duplicate groups") {
+    import spark.implicits._
+    // one text with 40 copies (pathological), one with 3 (normal)
+    val docs = ((0L until 40L).map(i => (i, "boilerplate")) ++
+      Seq((100L, "rare"), (101L, "rare"), (102L, "rare")))
+      .toDF("doc_id", "text")
+    val capped = TrainPrepOps.splitLeakageOf(docs, maxGroup = 10).collect()
+    // the 40-copy group is dropped entirely; the 3-copy group survives
+    assert(capped.forall(_.getAs[Long]("doc_a") >= 100L))
+    val uncapped = TrainPrepOps.splitLeakageOf(docs).collect()
+    assert(uncapped.length > capped.length)
+  }
+
+  test("dedupImpact histogram: groups, docs and removables reconcile") {
+    import spark.implicits._
+    // 3 singletons + 2 pairs + 1 group of 5  =>  sizes {1:3, 2:2, 5:1}
+    val docs = (Seq("a", "b", "c") ++
+      Seq("d", "d", "e", "e") ++ Seq.fill(5)("f"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = DedupOps.dedupImpactOf(docs).collect()
+      .map(r => r.getAs[Long]("group_size") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_removable"))).toMap
+    assert(got === Map(
+      1L -> ((3L, 3L, 0L)), 2L -> ((2L, 4L, 2L)), 5L -> ((1L, 5L, 4L))))
+  }
+
+  test("dedupImpact on the fixture reconciles with corpus totals") {
+    val rows = DedupOps.dedupImpact(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val nDistinct = docs.select(md5(col("text"))).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === n)
+    assert(rows.map(_.getAs[Long]("n_groups")).sum === nDistinct)
+    assert(rows.map(_.getAs[Long]("n_removable")).sum === n - nDistinct)
+  }
+
+  test("mixtureWeights: sqrt-temperature law, shares sum to 1") {
+    val rows = TrainPrepOps.mixtureWeights(spark, sf0001).collect()
+    assert(rows.length > 1)
+    val toks = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("n_tokens")).toMap
+    val totW = toks.values.map(v => math.sqrt(v.toDouble)).sum
+    rows.foreach { r =>
+      val expected = math.sqrt(toks(r.getAs[String]("source")).toDouble) / totW
+      assert(math.abs(r.getAs[Double]("weight") - expected) < 1e-6)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("natural_share")).sum - 1.0) < 1e-4)
+    // temperature flattening: smaller sources are up-weighted (epochs > 1
+    // below-average sources, < 1 above-average), and epochs is
+    // anti-monotone in source size
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    val epochs = bySize.map(_.getAs[Double]("epochs"))
+    epochs.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 1e-9)
+      case _ => ()
+    }
+  }
+
+  test("tokenBudget selects a quality-prefix per source within budget") {
+    val budget = 300L
+    val kept = TrainPrepOps.tokenBudget(spark, sf0001, budget).collect()
+    assert(kept.nonEmpty)
+    val all = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        CurationOps.qualityCol.as("quality"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("quality"), r.getAs[Int]("n_tokens")))
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    all.groupBy(_._2).foreach { case (_, docs) =>
+      // greedy reference: walk quality-desc order, keep while budget unspent
+      val order = docs.sortBy(d => (-d._3, d._1))
+      var cum = 0L
+      val expect = scala.collection.mutable.Set[Long]()
+      order.foreach { d =>
+        if (cum < budget) { expect += d._1; cum += d._4 }
+      }
+      val got = docs.map(_._1).filter(keptIds).toSet
+      assert(got === expect.toSet)
+    }
+    // cum_tokens never exceeds budget by more than the final doc's tokens
+    kept.foreach { r =>
+      assert(r.getAs[Long]("cum_tokens") - r.getAs[Int]("n_tokens") < budget)
+    }
+  }
+
+  test("lengthProfile: ordered percentiles, bounds, doc counts") {
+    val rows = TextOps.lengthProfile(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mn = r.getAs[Long]("min_chars").toDouble
+      val mx = r.getAs[Long]("max_chars").toDouble
+      val ps = Seq(r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p75"), r.getAs[Double]("p95"))
+      ps.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b)
+        case _ => ()
+      }
+      assert(mn <= ps.head && ps.last <= mx)
+      val avg = r.getAs[Double]("avg_chars")
+      assert(avg >= mn && avg <= mx)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf0001).count())
+  }
+}

@@ -218,4 +218,51 @@ class PlansSpec extends SparkSpec {
     // sized key set — LeftSemi must survive un-hinted
     assert(plan.contains("LeftSemi"), s"eval-key semi-join vanished:\n$plan")
   }
+
+  // ---- corpus-audit pack locks --------------------------------------------
+
+  test("splitLeakage joins on the fingerprint only — no text, no cartesian") {
+    val plan = executedPlan(
+      graft.operators.TrainPrepOps.splitLeakage(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // the self-join key is the 32-byte fp; document text must never be a
+    // join/shuffle attribute (it is consumed by md5 inside the scan stage)
+    assert("Exchange hashpartitioning\\(text".r.findFirstIn(plan).isEmpty &&
+      !plan.contains("SortMergeJoin [text"),
+      s"text crossed an exchange:\n$plan")
+  }
+
+  test("dedupImpact: two constant-size-key rollups, no join") {
+    val plan = executedPlan(graft.operators.DedupOps.dedupImpact(spark, sf0001))
+    assert(!plan.contains("Join"), s"histogram must not join:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"fp rollup + size rollup, got $hashExchanges:\n$plan")
+  }
+
+  test("mixtureWeights: source rollup + 1-row broadcast, no shuffle of docs") {
+    val plan = executedPlan(
+      graft.operators.TrainPrepOps.mixtureWeights(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"totals must ride a broadcast:\n$plan")
+  }
+
+  test("tokenBudget: one shard-key window shuffle, nothing else") {
+    val plan = executedPlan(
+      graft.operators.TrainPrepOps.tokenBudget(spark, sf0001))
+    assert(!plan.contains("Join"), s"selection reads one table:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"expected only the source-window shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("lengthProfile: single source rollup, percentiles inside the aggregate") {
+    val plan = executedPlan(graft.operators.TextOps.lengthProfile(spark, sf0001))
+    assert(!plan.contains("Join"), s"profile reads one table:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"expected one source rollup shuffle, got $hashExchanges:\n$plan")
+  }
 }
