@@ -386,6 +386,8 @@ object SparkEntry {
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
     "q_dedup_impact" -> (DedupOps.dedupImpact _),
     "q_dedup_blocks" -> ((s, d) => DedupOps.blockDuplicates(s, d)),
+    "q_dedup_block_rewrite" -> ((s, d) => DedupOps.blockDedupRewrite(s, d)),
+    "q_dedup_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
@@ -609,6 +611,36 @@ object SparkEntry {
         |  group_size * count(*) AS n_docs,
         |  (group_size - 1) * count(*) AS n_removable
         |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin,
+    "q_dedup_block_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) // 16 AS INTEGER) AS nb, toks
+        |      FROM t WHERE len(toks) >= 16),
+        |e AS (SELECT doc_id, nb, unnest(range(0, nb)) AS bi, toks FROM b),
+        |blk AS (SELECT doc_id, nb, CAST(bi AS INTEGER) AS bi,
+        |          md5(array_to_string(toks[bi*16 + 1 : bi*16 + 16], ' ')) AS bfp
+        |        FROM e),
+        |k AS (SELECT doc_id, nb, bi, bfp,
+        |        row_number() OVER (PARTITION BY bfp ORDER BY doc_id, bi) = 1
+        |          AS keep
+        |      FROM blk)
+        |SELECT doc_id, nb AS n_blocks,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / nb, 6)
+        |    AS kept_frac,
+        |  md5(coalesce(string_agg(CASE WHEN keep THEN bfp END, ''
+        |                          ORDER BY bi), '')) AS kept_fp
+        |FROM k GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM d WHERE source <> 'src0'),
+        |b AS (SELECT doc_id, fp,
+        |        min(doc_id) OVER (PARTITION BY fp) AS first_id
+        |      FROM d WHERE source = 'src0')
+        |SELECT doc_id, fp,
+        |  CASE WHEN fp IN (SELECT fp FROM idx) THEN 'dup_of_corpus'
+        |       WHEN first_id < doc_id THEN 'dup_in_batch'
+        |       ELSE 'unique' END AS status
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_dedup_blocks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, CAST(len(toks) // 16 AS INTEGER) AS nb, toks
@@ -831,6 +863,9 @@ object SparkEntry {
     "q_vec_quantize" -> (VectorOps.quantizeInt8 _),
     "q_vec_pq" -> (VectorOps.pqEncode _),
     "q_vec_pq_topk" -> ((s, d) => VectorOps.pqTopK(s, d)),
+    "q_vec_ivfpq_topk" -> ((s, d) => VectorOps.ivfPqTopK(s, d)),
+    "q_vec_hard_negatives" -> ((s, d) => VectorOps.hardNegatives(s, d)),
+    "q_vec_outliers" -> ((s, d) => VectorOps.labelOutliers(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _),
@@ -863,6 +898,53 @@ object SparkEntry {
          |                 for i in range(0, 8)]) AS INTEGER) AS pq_dist
          |FROM c, q WHERE vec_id <> 0
          |ORDER BY pq_dist, vec_id LIMIT 10""".stripMargin,
+    "q_vec_ivfpq_topk" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+         |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell,
+         |    $duckPqCodes AS codes
+         |  FROM embeddings),
+         |q AS (SELECT cell AS qcell, codes AS qcodes, embedding AS qv
+         |      FROM cells WHERE vec_id = 0)
+         |SELECT vec_id, cell,
+         |  CAST(list_sum([bit_count(xor(codes[i+1], qcodes[i+1]))
+         |                 for i in range(0, 8)]) AS INTEGER) AS pq_dist,
+         |  round(${duckCos("embedding", "qv")}, 6) AS cos_sim
+         |FROM cells, q WHERE cell = qcell AND vec_id <> 0
+         |ORDER BY pq_dist, vec_id LIMIT 10""".stripMargin,
+    "q_vec_hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+         |             embedding AS av
+         |           FROM embeddings WHERE vec_id < 4),
+         |s AS (SELECT anchor_id, anchor_label, vec_id, label,
+         |        round(${duckCos("embedding", "av")}, 6) AS cos_sim
+         |      FROM embeddings, a WHERE label <> anchor_label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos_sim DESC, vec_id) AS neg_rank
+         |      FROM s)
+         |SELECT anchor_id, anchor_label, vec_id, label, cos_sim, neg_rank
+         |FROM r WHERE neg_rank <= 5 ORDER BY anchor_id, neg_rank""".stripMargin,
+    "q_vec_outliers" -> {
+      val cdefs = (0 until 64)
+        .map(i => s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 6) AS c${i}")
+        .mkString(",\n  ")
+      val dist2 = (0 until 64)
+        .map(i => s"(CAST(embedding[${i + 1}] AS DOUBLE) - c$i) * " +
+          s"(CAST(embedding[${i + 1}] AS DOUBLE) - c$i)")
+        .mkString(" + ")
+      s"""WITH cent AS (SELECT label,
+         |  $cdefs
+         |  FROM embeddings GROUP BY label),
+         |d AS (SELECT e.label, e.vec_id,
+         |        round(sqrt($dist2), 6) AS dist
+         |      FROM embeddings e JOIN cent USING (label)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY label
+         |        ORDER BY dist DESC, vec_id) AS outlier_rank FROM d)
+         |SELECT label, vec_id, dist, outlier_rank
+         |FROM r WHERE outlier_rank <= 3 ORDER BY label, outlier_rank""".stripMargin
+    },
     "q_vec_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label,

@@ -221,6 +221,97 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Sub-document dedup REWRITE at block granularity: where
+    * [[blockDuplicates]] only reports boilerplate share, this produces the
+    * deduplicated corpus — every block occurrence that is not the
+    * corpus-wide canonical copy of its content (the lexicographically
+    * first (doc_id, block_idx) holding that fingerprint) is dropped, and
+    * each document reports how many blocks survive plus a fingerprint of
+    * its rewritten block stream. Downstream consumers join the kept
+    * (doc_id, block_idx) list back to the token store to materialize text;
+    * shipping fingerprints instead of rebuilt text is what keeps the
+    * operator shuffle-light.
+    *
+    * Plan: block fingerprints are per-row codegen'd arithmetic; the
+    * canonical occurrence is ONE window min over the 16-byte fp (the same
+    * single-shuffle shape as [[blockDuplicates]] / [[CurationOps.curate]]);
+    * the per-document reassembly then shuffles (doc_id, block_idx, bfp,
+    * keep) rows — constant-size, no text.
+    */
+  def blockDedupRewrite(s: SparkSession, d: String, blockTokens: Int = 16): DataFrame =
+    blockDedupRewriteOf(Tables.documents(s, d), blockTokens)
+
+  /** [[blockDedupRewrite]] over an arbitrary `(doc_id, text, …)` frame. */
+  def blockDedupRewriteOf(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        (size(col("toks")) / blockTokens).cast("int").as("nb"))
+      .where(col("nb") >= 1)
+      .select(col("doc_id"), col("nb"),
+        explode(sequence(lit(0), col("nb") - 1)).as("bi"), col("toks"))
+      .select(col("doc_id"), col("nb"), col("bi"),
+        md5(array_join(
+          slice(col("toks"), col("bi") * blockTokens + 1, lit(blockTokens)),
+          " ")).as("bfp"))
+    blocks
+      .withColumn("canon",
+        min(struct(col("doc_id"), col("bi"))).over(Window.partitionBy(col("bfp"))))
+      .withColumn("keep",
+        col("canon.doc_id") === col("doc_id") && col("canon.bi") === col("bi"))
+      .groupBy(col("doc_id"), col("nb"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws("",
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("bi"), col("bfp"))))),
+            x => x.getField("bfp")))).as("kept_fp"))
+      .select(
+        col("doc_id"), col("nb").as("n_blocks"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("nb"), 6).as("kept_frac"),
+        col("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental ingest dedup: classify an incoming batch (here the
+    * `source = batchSource` slice stands in for a new crawl shard) against
+    * the already-ingested corpus — the steady-state shape of a production
+    * dedup pipeline, which never re-deduplicates the whole corpus; it
+    * probes the new batch against a persistent fingerprint index.
+    * Statuses: `dup_of_corpus` (fingerprint already in the index),
+    * `dup_in_batch` (first seen earlier in this batch), `unique`.
+    *
+    * Plan: the corpus index contributes DISTINCT fingerprints only (32
+    * bytes/doc — at 100 TB this is the materialized index table, not a
+    * scan); the batch side resolves in-batch firsts with one window min
+    * over fp; the index probe is a left semi/anti-shaped left join on fp
+    * that AQE broadcasts when the BATCH is small (the common case: a daily
+    * shard vs a multi-year index — the big index side never shuffles more
+    * than its fp column).
+    */
+  def incrementalDedup(s: SparkSession, d: String, batchSource: String = "src0"): DataFrame =
+    incrementalDedupOf(Tables.documents(s, d), batchSource)
+
+  /** [[incrementalDedup]] over an arbitrary `(doc_id, source, text)` frame. */
+  def incrementalDedupOf(docsIn: DataFrame, batchSource: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsIn
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val index = docs.where(col("source") =!= batchSource)
+      .select(col("fp")).distinct().withColumn("in_corpus", lit(true))
+    val batch = docs.where(col("source") === batchSource)
+      .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    batch.join(index, Seq("fp"), "left")
+      .select(
+        col("doc_id"), col("fp"),
+        when(coalesce(col("in_corpus"), lit(false)), "dup_of_corpus")
+          .when(col("first_id") < col("doc_id"), "dup_in_batch")
+          .otherwise("unique").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signatures: doc_id → array<long> of k seeded min-hashes.
     * Memoized per (dir, k) like the shingle index — signatures are the
     * materialized artifact of a MinHash pipeline (computed once per corpus,

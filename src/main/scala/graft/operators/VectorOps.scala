@@ -329,6 +329,107 @@ object VectorOps {
       .limit(k)
   }
 
+  /** IVF + PQ composed probe — the two index layers an ANN deployment
+    * actually stacks: the coarse quantizer ([[cell]]) prunes the scan to
+    * the query's cell, then ranking runs on 8-byte PQ codes instead of
+    * 256-byte float vectors ([[pqCodes]]), with the true cosine carried as
+    * the re-rank signal for survivors. Everything is deterministic integer
+    * /f64 arithmetic, so unlike most ANN stacks the whole pipeline —
+    * pruning, code distance, re-rank — hash-matches a SQL twin.
+    *
+    * Scale shape: with the code table stored partitioned by cell
+    * ([[writeIvfIndex]] layout), the probe reads nProbe/2^bits of a table
+    * that is itself 32× smaller than the vectors; the query's cell + codes
+    * ride a 1-row broadcast and the scan stays one codegen'd pass feeding
+    * TakeOrderedAndProject.
+    */
+  def ivfPqTopK(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+      bits: Int = 4): DataFrame = {
+    val pqDist = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+        lit(0), (acc, x) => acc + x)
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"),
+      cell(col("embedding"), bits).as("cell"),
+      pqCodes(col("embedding")).as("codes"))
+    val q = broadcast(
+      emb.where(col("vec_id") === queryId).select(
+        col("cell").as("qcell"), col("codes").as("qcodes"),
+        col("embedding").as("qv")))
+    emb.join(q, col("cell") === col("qcell"))
+      .where(col("vec_id") =!= queryId)
+      .select(
+        col("vec_id"), col("cell"),
+        pqDist(col("codes"), col("qcodes")).as("pq_dist"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("pq_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the k most cosine-similar vectors carrying a DIFFERENT label —
+    * the near-miss examples a contrastive or reranker objective learns the
+    * most from. Anchors are a designed (small) sample by contract, so the
+    * plan is a broadcast nested-loop of the anchor set against one corpus
+    * scan — the corpus side never shuffles; ranking is a per-anchor window
+    * (anchor cardinality = partition count). Ranking happens on the
+    * ROUNDED similarity with vec_id tie-break, so the result is
+    * deterministic and engine-portable.
+    */
+  def hardNegatives(s: SparkSession, d: String, nAnchors: Int = 4, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val anchors = broadcast(
+      emb.where(col("vec_id") < nAnchors).select(
+        col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("av")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    emb.join(anchors, col("label") =!= col("anchor_label"))
+      .select(
+        col("anchor_id"), col("anchor_label"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("av")), 6).as("cos_sim"))
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= k)
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
+  /** Embedding outlier audit: each vector's L2 distance to its label's
+    * centroid, surfacing the top `k` farthest per label — the scrub that
+    * catches corrupt or mislabeled embeddings before they poison a
+    * training mix. Centroid components are ROUNDED (6 dp) before the
+    * distance so the result is independent of aggregation order — the
+    * property that lets an iterative-float statistic hash-match across
+    * engines.
+    *
+    * Plan: one per-label aggregate (64 avgs — partial-agg shaped, the
+    * shuffle carries one 512-byte buffer per label per partition), the
+    * label-keyed centroid model broadcasts back (labels ≪ corpus by
+    * contract, same stance as the k-means model), and the distance is one
+    * codegen'd expression per row feeding a per-label window rank.
+    */
+  def labelOutliers(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.groupBy(col("label")).agg(
+      round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("c0"),
+      (1 until dim).map(i =>
+        round(avg(element_at(col("embedding"), i + 1).cast("double")), 6)
+          .as(s"c$i")): _*)
+    val dist2 = (0 until dim).map { i =>
+      val diff = element_at(col("embedding"), i + 1).cast("double") - col(s"c$i")
+      diff * diff
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    emb.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"), round(sqrt(dist2), 6).as("dist"))
+      .withColumn("outlier_rank", row_number().over(w))
+      .where(col("outlier_rank") <= k)
+      .orderBy(col("label"), col("outlier_rank"))
+  }
+
   /** Per-label centroid lengths — aggregate over the vector column using
     * elementwise array aggregation (zip_with under an agg via summing each
     * dimension): demonstrates vector reductions without exploding rows.
