@@ -305,7 +305,10 @@ object SparkEntry {
     "q_ts_props_stats" -> (TimeSeriesOps.propsKeyStats _),
     "q_ts_purchase_props" -> (TimeSeriesOps.purchaseProps _),
     "q_ts_pivot" -> (TimeSeriesOps.eventTypePivot _),
-    "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)))
+    "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)),
+    "q_ts_funnel" -> (EventAnalyticsOps.funnel _),
+    "q_ts_cohort" -> (EventAnalyticsOps.cohortRetention _),
+    "q_ts_transitions" -> (EventAnalyticsOps.transitionMatrix _))
 
   private val tsOracles: Map[String, String] = Map(
     "q_ts_hourly" ->
@@ -365,7 +368,45 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
         |FROM events WHERE event_type = 'purchase' AND user_id < 10
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    // Stepwise-min CTE chain ≡ the Spark greedy walk: the greedy
+    // earliest-match chain exists iff any ordered chain does, and both
+    // sides sequence on the unique event_id.
+    "q_ts_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(event_id) AS e1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(event_id) AS e2 FROM events e
+        |       JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND event_id > e1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(event_id) AS e3 FROM events e
+        |       JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND event_id > e2 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(event_id) AS e4 FROM events e
+        |       JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND event_id > e3 GROUP BY e.user_id)
+        |SELECT step_idx, step, n_users FROM (
+        |  SELECT 1 AS step_idx, 'signup' AS step, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+        |WHERE n_users > 0 ORDER BY step_idx""".stripMargin,
+    "q_ts_cohort" ->
+      """WITH u AS (SELECT user_id, min(date_trunc('day', ts)) AS d0
+        |           FROM events GROUP BY user_id)
+        |SELECT epoch_ms(d0) AS cohort_ms,
+        |  CAST(datediff('day', d0, date_trunc('day', ts)) AS INTEGER) AS offset_days,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN u USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_ms, offset_days""".stripMargin,
+    "q_ts_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS n,
+        |  round(count(*) / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
+        |FROM o WHERE from_type IS NOT NULL
+        |GROUP BY from_type, event_type ORDER BY from_type, to_type""".stripMargin)
 
   // ---- text / dedup pack --------------------------------------------------
 
@@ -383,6 +424,9 @@ object SparkEntry {
     "q_text_tfidf" -> ((s, d) => TextOps.tfIdf(s, d)),
     "q_text_zipf" -> (TextOps.zipfProfile _),
     "q_text_length_profile" -> (TextOps.lengthProfile _),
+    "q_text_bm25" -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
+    "q_text_inverted_index" -> (RetrievalOps.invertedIndex _),
+    "q_text_unigram_logprob" -> (RetrievalOps.unigramLogProb _),
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
     "q_dedup_impact" -> (DedupOps.dedupImpact _),
     "q_dedup_blocks" -> ((s, d) => DedupOps.blockDuplicates(s, d)),
@@ -656,7 +700,51 @@ object SparkEntry {
         |SELECT doc_id, nb AS n_blocks,
         |  CAST(sum(is_dup) AS BIGINT) AS n_dup_blocks,
         |  round(sum(is_dup)::DOUBLE / nb, 6) AS dup_block_frac
-        |FROM wc GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin)
+        |FROM wc GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin,
+    "q_text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(t)) AS avgdl,
+        |  sum(CASE WHEN list_contains(t, 'spark') THEN 1.0 ELSE 0.0 END) AS df0,
+        |  sum(CASE WHEN list_contains(t, 'hash') THEN 1.0 ELSE 0.0 END) AS df1,
+        |  sum(CASE WHEN list_contains(t, 'join') THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM t),
+        |sc AS (SELECT doc_id,
+        |  round(
+        |    ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+        |      * len(list_filter(t, x -> x = 'spark'))::DOUBLE * 2.2
+        |      / (len(list_filter(t, x -> x = 'spark'))::DOUBLE
+        |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl))
+        |  + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+        |      * len(list_filter(t, x -> x = 'hash'))::DOUBLE * 2.2
+        |      / (len(list_filter(t, x -> x = 'hash'))::DOUBLE
+        |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl))
+        |  + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+        |      * len(list_filter(t, x -> x = 'join'))::DOUBLE * 2.2
+        |      / (len(list_filter(t, x -> x = 'join'))::DOUBLE
+        |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl)), 6) AS bm25
+        |FROM t, st)
+        |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    "q_text_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT term, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY term, doc_id)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |    AS postings_fp
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    "q_text_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |v AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |tot AS (SELECT sum(cnt)::DOUBLE AS total FROM v),
+        |lp AS (SELECT term, ln(cnt::DOUBLE / total) AS logp FROM v, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(logp), 4) AS avg_logp
+        |FROM tok JOIN lp USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   // ---- training-set preparation pack (TrainPrepOps) -----------------------
 

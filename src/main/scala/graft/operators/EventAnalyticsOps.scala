@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics pack over `events`: ordered funnels, cohort
+  * retention, and transition matrices — the query shapes a log-analytics
+  * user reaches for once the reference's raw scans (SURVEY.md §2.1 O4/O6)
+  * have answered "what happened" and the question becomes "in what order".
+  *
+  * Ordering contract: within a user, `event_id` is unique and ascends with
+  * event time in the fixture, so sequence logic keys on `event_id` — an
+  * integer total order with no equal-timestamp ambiguity (ms truncation
+  * can collide; ids cannot).
+  */
+object EventAnalyticsOps {
+
+  /** The funnel step sequence: signup → view → click → purchase. */
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered funnel: for each step k, how many users produced the first k
+    * step types as an ordered subsequence of their event stream. Greedy
+    * earliest-match is exact here: if ANY ordered chain exists, the chain
+    * taking the earliest valid event at each step exists.
+    *
+    * Plan: ONE shuffle on user_id after filtering to funnel event types
+    * only (per-user state is the user's funnel events, not their whole
+    * stream); the greedy walk over each user's sorted (event_id, type)
+    * list is a codegen'd `aggregate` HOF — no second pass, no join chain.
+    * The per-step rollup then reduces ≤ |steps| rows per user. The
+    * stepwise min-join alternative — step k's table joined to step
+    * k−1's — scans the event table once per step and shuffles k times.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelOf(Tables.events(s, d))
+
+  /** [[funnel]] over an arbitrary `(user_id, event_id, event_type)` frame. */
+  def funnelOf(events: DataFrame): DataFrame = {
+    val walk = (acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) => {
+      val t = x.getField("event_type")
+      FunnelSteps.zipWithIndex.foldLeft(acc) { case (e, (step, i)) =>
+        when(acc === i && t === step, i + 1).otherwise(e)
+      }
+    }
+    events
+      .where(col("event_type").isin(FunnelSteps: _*))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("event_type")))).as("evs"))
+      .select(aggregate(col("evs"), lit(0), walk).as("furthest"))
+      .where(col("furthest") >= 1)
+      // a user at step k counts toward every step ≤ k: explode the ≤ 4
+      // reached indices so absent intermediate histogram bins can't drop
+      // a step row, then roll up
+      .select(explode(sequence(lit(1), col("furthest"))).as("step_idx"))
+      .groupBy(col("step_idx"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        col("step_idx").cast("int").as("step_idx"),
+        element_at(array(FunnelSteps.map(lit): _*), col("step_idx").cast("int")).as("step"),
+        col("n_users"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Daily cohort retention: users grouped by first-seen day; for each
+    * (cohort day, day offset) the distinct users active that day. The
+    * classic triangle matrix behind every retention curve.
+    *
+    * Plan: the cohort day is a window min over user_id — one shuffle —
+    * and the per-(cohort, offset) distinct count shuffles constant-width
+    * rows; no user-dimension join materializes (at 100 TB the user dim is
+    * itself large — deriving the cohort from the fact table keeps this a
+    * window + one distinct-aggregate plan).
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame =
+    cohortRetentionOf(Tables.events(s, d))
+
+  /** [[cohortRetention]] over an arbitrary `(user_id, ts)` frame. */
+  def cohortRetentionOf(events: DataFrame): DataFrame = {
+    val day = date_trunc("day", col("ts"))
+    events
+      .select(col("user_id"), day.as("d"))
+      .withColumn("cohort", min(col("d")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(
+        unix_millis(col("cohort")).as("cohort_ms"),
+        datediff(col("d"), col("cohort")).cast("int").as("offset_days"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_ms"), col("offset_days"))
+  }
+
+  /** Event-type transition matrix: counts and row-normalized probabilities
+    * of consecutive (prev → next) event pairs per user — the first-order
+    * Markov summary of user behavior.
+    *
+    * Plan: one lag window over (user_id, event_id) — the same shuffle
+    * shape as sessionization — then a partial-agg rollup to the
+    * |types|² matrix; the row normalization runs over that ≤ 25-row
+    * result, not the event table.
+    */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame =
+    transitionMatrixOf(Tables.events(s, d))
+
+  /** [[transitionMatrix]] over an arbitrary `(user_id, event_id, event_type)` frame. */
+  def transitionMatrixOf(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(wUser))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(wFrom), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-retrieval pack over `documents`: BM25 ranking, inverted-index
+  * construction, and a corpus unigram-LM log-probability score — the
+  * retrieval/quality trio a training-data pipeline runs next to the
+  * dedup and curation passes (TF-IDF's siblings in `TextOps.tfIdf`).
+  */
+object RetrievalOps {
+
+  /** Demo query for [[bm25TopK]]: terms present in the fixture vocab. */
+  private val QueryTerms = Seq("spark", "hash", "join")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** BM25 ranking of the corpus against a (small, fixed) term query.
+    *
+    * Okapi BM25 (Robertson/Spärck Jones; the Lucene-default variant):
+    * score(D,Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Plan: corpus statistics (N, avgdl, per-term df) reduce in ONE scan to
+    * a single row that rides a broadcast; scoring is then per-row
+    * codegen'd arithmetic on a second scan (per-term tf via
+    * `filter(toks, _ = t)` — no explode, no shuffle) feeding
+    * TakeOrderedAndProject. Nothing but the k result rows crosses an
+    * exchange, at any corpus size. Determinism: scores are rounded to
+    * 6 dp and tie-broken by doc_id before the limit.
+    */
+  def bm25TopK(s: SparkSession, d: String, k: Int = 15,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKOf(Tables.documents(s, d), QueryTerms, k, k1, b)
+
+  /** [[bm25TopK]] over an arbitrary `(doc_id, text)` frame and term set. */
+  def bm25TopKOf(docsIn: DataFrame, terms: Seq[String], k: Int = 15,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val QueryTerms = terms
+    val docs = docsIn.select(col("doc_id"), toks.as("t"))
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") ::
+        avg(size(col("t"))).as("avgdl") ::
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("t"), t), 1d).otherwise(0d)).as(s"df$i")
+        }.toList
+    val stats = broadcast(docs.agg(statCols.head, statCols.tail: _*))
+    val dl = size(col("t")).cast("double")
+    val score = QueryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("t"), x => x === t)).cast("double")
+      val idf = log(lit(1d) + (col("n_docs") - col(s"df$i") + 0.5d) / (col(s"df$i") + 0.5d))
+      idf * tf * lit(k1 + 1d) / (tf + lit(k1) * (lit(1d - b) + lit(b) * dl / col("avgdl")))
+    }.reduce(_ + _)
+    docs.crossJoin(stats)
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .where(col("bm25") > 0d)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Inverted-index build: term → document frequency, total term
+    * frequency, and a fingerprint of the sorted postings list. The
+    * fingerprint stands in for the postings payload so the result (and
+    * its oracle hash) stays vocabulary-sized however large the corpus —
+    * the same ship-fingerprints-not-payload stance as the dedup rewrite.
+    *
+    * Plan: explode → (term, doc_id) partial-agg rollup → per-term rollup;
+    * both shuffles carry (term, id, count) — never text. Postings are
+    * sorted within the term group, so the fingerprint is
+    * aggregation-order independent.
+    */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    invertedIndexOf(Tables.documents(s, d))
+
+  /** [[invertedIndex]] over an arbitrary `(doc_id, text)` frame. */
+  def invertedIndexOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("postings_fp"))
+      .orderBy(col("term"))
+
+  /** Corpus unigram-LM score: each document's mean log-probability of its
+    * tokens under the corpus unigram distribution — the cheap
+    * perplexity-style quality signal (a fluency proxy: documents made of
+    * globally rare tokens score low; CCNet-style pipelines threshold on
+    * exactly this family of statistic).
+    *
+    * Plan: the vocabulary table (term → count) is corpus-derived but
+    * vocabulary-sized, so it broadcasts to the scoring join; the exploded
+    * token stream never shuffles — the only exchange is the per-doc
+    * average's doc_id rollup. Mean is rounded to 4 dp (double summation
+    * order differs across engines at ~1e-13).
+    */
+  def unigramLogProb(s: SparkSession, d: String): DataFrame =
+    unigramLogProbOf(Tables.documents(s, d))
+
+  /** [[unigramLogProb]] over an arbitrary `(doc_id, text)` frame. */
+  def unigramLogProbOf(docsIn: DataFrame): DataFrame = {
+    val tok = docsIn.select(col("doc_id"), explode(toks).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val lookup = broadcast(vocab.crossJoin(broadcast(total))
+      .select(col("term"), log(col("cnt").cast("double") / col("total").cast("double")).as("logp")))
+    tok.join(lookup, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("logp")), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+}

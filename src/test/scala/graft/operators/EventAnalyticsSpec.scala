@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Semantics tests for the event-analytics pack (funnel / cohort /
+  * transitions) on hand-built event streams; exact fixture values are
+  * covered by the DuckDB oracles (`q_ts_funnel`, `q_ts_cohort`,
+  * `q_ts_transitions`).
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ev(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_id", "event_type")
+  }
+
+  test("funnel counts ordered subsequences, not mere presence") {
+    // u1: full chain in order → reaches 4
+    // u2: purchase BEFORE the chain starts → only signup+view+click (3)
+    // u3: view without signup → reaches 0 (not counted)
+    val events = ev(
+      (1L, 1L, "signup"), (1L, 2L, "view"), (1L, 3L, "click"), (1L, 4L, "purchase"),
+      (2L, 1L, "purchase"), (2L, 2L, "signup"), (2L, 3L, "view"), (2L, 4L, "click"),
+      (3L, 1L, "view"), (3L, 2L, "click"))
+    val got = EventAnalyticsOps.funnelOf(events).collect()
+      .map(r => r.getAs[Int]("step_idx") -> r.getAs[Long]("n_users")).toMap
+    assert(got === Map(1 -> 2L, 2 -> 2L, 3 -> 2L, 4 -> 1L))
+  }
+
+  test("funnel emits intermediate steps even when every user passes them") {
+    val events = ev(
+      (1L, 1L, "signup"), (1L, 2L, "view"), (1L, 3L, "click"), (1L, 4L, "purchase"),
+      (2L, 1L, "signup"), (2L, 2L, "view"), (2L, 3L, "click"), (2L, 4L, "purchase"))
+    val got = EventAnalyticsOps.funnelOf(events).collect()
+    assert(got.length === 4)
+    assert(got.forall(_.getAs[Long]("n_users") === 2L))
+    assert(got.map(_.getAs[String]("step")).toSeq ===
+      Seq("signup", "view", "click", "purchase"))
+  }
+
+  test("funnel greedy walk matches events on the same step type repeatedly") {
+    // signup, signup, view: the second signup must not consume the view slot
+    val events = ev((1L, 1L, "signup"), (1L, 2L, "signup"), (1L, 3L, "view"))
+    val got = EventAnalyticsOps.funnelOf(events).collect()
+      .map(r => r.getAs[Int]("step_idx") -> r.getAs[Long]("n_users")).toMap
+    assert(got === Map(1 -> 1L, 2 -> 1L))
+  }
+
+  test("cohort retention assigns first-seen day and day offsets") {
+    import spark.implicits._
+    val d0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val d1 = Timestamp.valueOf("2024-01-02 09:00:00")
+    val d2 = Timestamp.valueOf("2024-01-03 23:59:59")
+    // u1 active day0+day2, u2 active day0 only, u3 cohort day1
+    val events = Seq(
+      (1L, d0), (1L, d2), (2L, d0), (3L, d1), (3L, d1))
+      .toDF("user_id", "ts")
+    val got = EventAnalyticsOps.cohortRetentionOf(events).collect()
+      .map(r => (r.getAs[Long]("cohort_ms"), r.getAs[Int]("offset_days")) ->
+        r.getAs[Long]("n_users")).toMap
+    val day0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val day1 = Timestamp.valueOf("2024-01-02 00:00:00").getTime
+    assert(got === Map(
+      (day0, 0) -> 2L,  // u1 + u2 on their cohort day
+      (day0, 2) -> 1L,  // u1 returns two days later
+      (day1, 0) -> 1L)) // u3's cohort
+  }
+
+  test("transition matrix counts consecutive pairs per user with row-normalized p") {
+    val events = ev(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view"), (1L, 4L, "click"),
+      (2L, 1L, "view"), (2L, 2L, "purchase"))
+    val got = EventAnalyticsOps.transitionMatrixOf(events).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    // from view: 2×click + 1×purchase; from click: 1×view
+    assert(got(("view", "click")) === ((2L, 0.666667)))
+    assert(got(("view", "purchase")) === ((1L, 0.333333)))
+    assert(got(("click", "view")) === ((1L, 1.0)))
+    // no cross-user pair: (purchase→view) from u2's end to u1 must not exist
+    assert(!got.contains(("purchase", "view")))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+/** Semantics tests for the retrieval pack (BM25 / inverted index / unigram
+  * log-prob) on hand-built corpora; exact fixture values are covered by the
+  * DuckDB oracles (`q_text_bm25`, `q_text_inverted_index`,
+  * `q_text_unigram_logprob`).
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private def md5hex(t: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bm25 ranks higher term frequency above lower at equal length") {
+    val corpus = docs(
+      (0L, "spark spark spark pad1 pad2 pad3"),
+      (1L, "spark pad1 pad2 pad3 pad4 pad5"),
+      (2L, "pad1 pad2 pad3 pad4 pad5 pad6"))
+    val got = RetrievalOps.bm25TopKOf(corpus, Seq("spark"), k = 10).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 1L))
+    assert(got(0).getAs[Double]("bm25") > got(1).getAs[Double]("bm25"))
+  }
+
+  test("bm25 length normalization prefers the shorter doc at equal tf") {
+    val corpus = docs(
+      (0L, "spark pad1 pad2 pad3"),
+      (1L, "spark pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8 pad9 pad10 pad11"),
+      (2L, "pad1 pad2"))
+    val got = RetrievalOps.bm25TopKOf(corpus, Seq("spark"), k = 10).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 1L))
+  }
+
+  test("inverted index: df, total_tf, and order-independent postings fingerprint") {
+    val corpus = docs(
+      (2L, "a b a"),
+      (0L, "a c"),
+      (1L, "b a"))
+    val got = RetrievalOps.invertedIndexOf(corpus).collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("total_tf"),
+          r.getAs[String]("postings_fp"))).toMap
+    assert(got("a") === ((3L, 4L, md5hex("0,1,2"))))
+    assert(got("b") === ((2L, 2L, md5hex("1,2"))))
+    assert(got("c") === ((1L, 1L, md5hex("0"))))
+  }
+
+  test("unigram log-prob: docs of rare tokens score below docs of common tokens") {
+    val corpus = docs(
+      (0L, "the the the the"),
+      (1L, "the the the the"),
+      (2L, "zq xk vj wp"))
+    val got = RetrievalOps.unigramLogProbOf(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logp"))).toMap
+    assert(got(0L)._1 === 4L)
+    assert(got(0L)._2 === got(1L)._2)
+    assert(got(2L)._2 < got(0L)._2)
+    // exact: p(the) = 8/12, p(each rare) = 1/12
+    assert(math.abs(got(0L)._2 - math.log(8.0 / 12)) < 5e-5)
+    assert(math.abs(got(2L)._2 - math.log(1.0 / 12)) < 5e-5)
+  }
+}
