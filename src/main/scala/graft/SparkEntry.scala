@@ -249,7 +249,17 @@ object SparkEntry {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_id
         |  FROM events WHERE event_type IN ('error', 'click'))
-        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin)
+        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "q_rel_skew_audit" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+        |           GROUP BY user_id),
+        |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |             count(*) AS n_keys FROM c)
+        |SELECT user_id, cnt,
+        |  round(cnt::DOUBLE / total_rows, 6) AS share,
+        |  round(cnt::DOUBLE * n_keys / total_rows, 4) AS skew_factor,
+        |  total_rows, n_keys
+        |FROM c, s ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)
 
   private val subqueryOracles: Map[String, String] = Map(
     "q_rel_subquery" ->
@@ -427,6 +437,10 @@ object SparkEntry {
     "q_text_bm25" -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
     "q_text_inverted_index" -> (RetrievalOps.invertedIndex _),
     "q_text_unigram_logprob" -> (RetrievalOps.unigramLogProb _),
+    "q_prep_snapshot_diff" -> (TrainPrepOps.snapshotDiff _),
+    "q_prep_quality_tiers" -> ((s, d) => TrainPrepOps.qualityTiers(s, d)),
+    "q_rel_skew_audit" ->
+      ((s, d) => graft.plans.SkewOps.keySkewAudit(Tables.events(s, d), "user_id")),
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
     "q_dedup_impact" -> (DedupOps.dedupImpact _),
     "q_dedup_blocks" -> ((s, d) => DedupOps.blockDuplicates(s, d)),
@@ -932,7 +946,41 @@ object SparkEntry {
         |          AS cum_tokens
         |      FROM q)
         |SELECT doc_id, source, quality, n_tokens, cum_tokens
-        |FROM c WHERE cum_tokens - n_tokens < 10000 ORDER BY doc_id""".stripMargin)
+        |FROM c WHERE cum_tokens - n_tokens < 10000 ORDER BY doc_id""".stripMargin,
+    "q_prep_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END)
+        |      AS old_fp
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |n AS (SELECT doc_id, md5(text) AS new_fp
+        |      FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_fp <> new_fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  old_fp, new_fp
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_prep_quality_tiers" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id, source,
+        |        round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |              * (len(list_distinct(toks))::DOUBLE / len(toks)), 4)
+        |          AS quality,
+        |        len(toks) AS n_tokens
+        |      FROM t),
+        |r AS (SELECT source, quality, n_tokens,
+        |        CAST(ntile(4) OVER (PARTITION BY source
+        |          ORDER BY quality DESC, doc_id) AS INTEGER) AS tier
+        |      FROM q)
+        |SELECT source, tier, count(*) AS n_docs,
+        |  round(min(quality), 4) AS min_quality,
+        |  round(max(quality), 4) AS max_quality,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY source, tier ORDER BY source, tier""".stripMargin)
 
   // ---- vector / multimodal pack -------------------------------------------
 
@@ -954,6 +1002,7 @@ object SparkEntry {
     "q_vec_ivfpq_topk" -> ((s, d) => VectorOps.ivfPqTopK(s, d)),
     "q_vec_hard_negatives" -> ((s, d) => VectorOps.hardNegatives(s, d)),
     "q_vec_outliers" -> ((s, d) => VectorOps.labelOutliers(s, d)),
+    "q_vec_semdedup" -> ((s, d) => VectorOps.semanticDedup(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _),
@@ -1074,6 +1123,21 @@ object SparkEntry {
          |  FROM cells x JOIN cells y
          |    ON x.cell = y.cell AND x.vec_id < y.vec_id)
          |WHERE cos_sim >= 0.4 ORDER BY a, b""".stripMargin,
+    "q_vec_semdedup" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+         |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell
+         |  FROM embeddings)
+         |SELECT y.vec_id, y.cell,
+         |  CASE WHEN min(x.vec_id) IS NULL THEN 'kept' ELSE 'dropped' END
+         |    AS status,
+         |  min(x.vec_id) AS dropped_by
+         |FROM cells y LEFT JOIN cells x
+         |  ON x.cell = y.cell AND x.vec_id < y.vec_id
+         | AND round(${duckCos("x.embedding", "y.embedding")}, 6) >= 0.4
+         |GROUP BY y.vec_id, y.cell ORDER BY y.vec_id""".stripMargin,
     "q_vec_centroid_norms" -> {
       val dims = (0 until 64)
         .map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE)) AS s$i").mkString(",\n  ")

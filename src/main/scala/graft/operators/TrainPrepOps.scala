@@ -400,4 +400,73 @@ object TrainPrepOps {
           .as("token_share"))
       .orderBy(col("source"))
   }
+
+  // ---- snapshot diff (CDC between corpus versions) ------------------------
+
+  /** Diff two corpus snapshots keyed by doc_id: `added` / `removed` /
+    * `changed` / `unchanged`, comparing content fingerprints — the
+    * change-data-capture pass an incremental crawl pipeline runs before
+    * deciding what to re-process. Only (doc_id, 32-byte fp) crosses the
+    * full-outer join; text never shuffles.
+    */
+  def snapshotDiffOf(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_fp"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_fp"), col("new_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[snapshotDiffOf]] demo over the fixture: the "old" snapshot is a
+    * deterministic slice (doc_id % 5 ≠ 4, with a mutation suffix on
+    * doc_id % 7 = 0) and the "new" snapshot is doc_id % 5 ≠ 0 — yielding
+    * all four statuses from one table with no synthesized data files.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.where(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+    val nw = docs.where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"))
+    snapshotDiffOf(old, nw)
+  }
+
+  // ---- quality tiers ------------------------------------------------------
+
+  /** Per-source quality tiers: rank documents by the shared curation
+    * quality signal within each source shard and cut into `tiers` ntiles,
+    * rolling up token mass per (source, tier) — the table behind
+    * quality-weighted mixture sampling (keep tier 1 fully, downsample the
+    * tail).
+    *
+    * Plan: the ntile window partitions by source — shards rank in
+    * parallel and no global sort exists (a corpus-wide ntile would
+    * serialize 100 TB through one task; per-shard tiers are the
+    * scale-honest contract, same stance as [[packSequences]]).
+    */
+  def qualityTiers(s: SparkSession, d: String, tiers: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.operators.CurationOps.qualityCol.as("quality"),
+        size(toks).as("n_tokens"))
+      .withColumn("tier", ntile(tiers).over(w))
+      .groupBy(col("source"), col("tier"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(min(col("quality")), 4).as("min_quality"),
+        round(max(col("quality")), 4).as("max_quality"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("source"), col("tier"))
+  }
 }

@@ -448,4 +448,41 @@ object VectorOps {
       .select(col("label"), col("n"), round(centroidNorm, 6).as("centroid_norm"))
       .orderBy(col("label"))
   }
+
+  /** Semantic dedup (the SemDeDup recipe): within each coarse cell, drop
+    * every vector that is ≥ `minSim` cosine-similar to a LOWER-id vector
+    * in the same cell; the surviving lowest id is each ε-ball's canonical.
+    * Reported as a per-vector verdict (`kept` / `dropped` + the anchoring
+    * id) so downstream filters join on it.
+    *
+    * Plan: the candidate join fans out only within cells (sign-bit cells
+    * here — deterministic arithmetic, so the whole query hash-matches its
+    * twin; swap in the learned k-means cells of [[ivfKmeansTopK]] at
+    * scale), and the per-vector verdict is a min-rollup on vec_id — the
+    * same bounded-candidate stance as [[nearDupPairsLsh]], never O(n²).
+    */
+  def semanticDedup(s: SparkSession, d: String, minSim: Double = 0.4,
+      bits: Int = 4): DataFrame =
+    semanticDedupOf(Tables.embeddings(s, d), minSim, bits)
+
+  /** [[semanticDedup]] over an arbitrary `(vec_id, embedding)` frame. */
+  def semanticDedupOf(embIn: DataFrame, minSim: Double = 0.4,
+      bits: Int = 4): DataFrame = {
+    val emb = embIn
+      .select(col("vec_id"), col("embedding"), cell(col("embedding"), bits).as("cell"))
+    val y = emb.select(col("vec_id"), col("cell"), col("embedding").as("vy"))
+    val x = emb.select(col("vec_id").as("anchor_id"), col("cell").as("xcell"),
+      col("embedding").as("vx"))
+    y.join(x,
+        col("cell") === col("xcell") && col("anchor_id") < col("vec_id") &&
+          round(cosine(col("vx"), col("vy")), 6) >= minSim,
+        "left")
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(col("anchor_id")).as("dropped_by"))
+      .select(
+        col("vec_id"), col("cell"),
+        when(col("dropped_by").isNull, "kept").otherwise("dropped").as("status"),
+        col("dropped_by"))
+      .orderBy(col("vec_id"))
+  }
 }

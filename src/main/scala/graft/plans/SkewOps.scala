@@ -35,4 +35,31 @@ object SkewOps {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-key skew audit: the diagnostic that tells you WHEN to reach for
+    * [[saltedEquiJoin]] or AQE skew thresholds. For a key column, the top
+    * `k` heaviest keys with their share of total rows and skew factor
+    * (count ÷ mean count per key) — run it on a join's key before sizing
+    * salt buckets.
+    *
+    * Plan: one partial-agg rollup on the key; the global (total, n_keys)
+    * reduce off that rollup to a 1-row broadcast; top-k via
+    * TakeOrderedAndProject. Nothing but the k result rows leaves the
+    * cluster.
+    */
+  def keySkewAudit(df: DataFrame, keyName: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyName)).agg(count(lit(1)).as("cnt"))
+    val stats = broadcast(counts.agg(
+      sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys")))
+    counts.crossJoin(stats)
+      .select(
+        col(keyName), col("cnt"),
+        round(col("cnt").cast("double") / col("total_rows"), 6).as("share"),
+        round(col("cnt").cast("double") * col("n_keys") / col("total_rows"), 4)
+          .as("skew_factor"),
+        col("total_rows"), col("n_keys"))
+      .orderBy(col("cnt").desc, col(keyName).asc)
+      .limit(k)
+  }
 }

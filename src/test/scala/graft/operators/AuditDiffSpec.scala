@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.plans.SkewOps
+
+/** Semantics tests for the round-5c additions: semantic dedup, snapshot
+  * diff, quality tiers, and the join-key skew audit. Exact fixture values
+  * are covered by the DuckDB oracles (`q_vec_semdedup`,
+  * `q_prep_snapshot_diff`, `q_prep_quality_tiers`, `q_rel_skew_audit`).
+  */
+class AuditDiffSpec extends SparkSpec {
+
+  test("semanticDedup drops the higher id of a similar same-cell pair, keeps dissimilar") {
+    import spark.implicits._
+    // v0 ≈ v1 (same direction, same sign cell); v2 orthogonal in dims 5+
+    // but same sign cell — below threshold; v3 in a different cell.
+    def vec(head: Seq[Double], tail: Seq[Double]): Seq[Float] =
+      (head ++ tail ++ Seq.fill(64 - head.size - tail.size)(0.0)).map(_.toFloat)
+    val rows = Seq(
+      (0L, vec(Seq(1.0, 1.0, 1.0, 1.0), Seq(1.0, 0.0))),
+      (1L, vec(Seq(1.0, 1.0, 1.0, 1.0), Seq(0.9, 0.0))),
+      (2L, vec(Seq(0.1, 0.1, 0.1, 0.1), Seq(0.0, -9.0))),
+      (3L, vec(Seq(-1.0, 1.0, 1.0, 1.0), Seq(1.0, 0.0))))
+    val got = VectorOps.semanticDedupOf(rows.toDF("vec_id", "embedding"), minSim = 0.8)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("status"), Option(r.getAs[java.lang.Long]("dropped_by")))).toMap
+    assert(got(0L) === (("kept", None)))
+    assert(got(1L) === (("dropped", Some(0L))))
+    assert(got(2L)._1 === "kept")
+    assert(got(3L)._1 === "kept")
+  }
+
+  test("snapshotDiffOf classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
+    val nw = Seq((2L, "bb"), (3L, "cc2"), (4L, "dd")).toDF("doc_id", "text")
+    val got = TrainPrepOps.snapshotDiffOf(old, nw).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("qualityTiers: tier 1 holds the best quality; tiers partition each source") {
+    val got = TrainPrepOps.qualityTiers(spark, sf0001).collect()
+    val bySource = got.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    for ((_, rows) <- bySource) {
+      val sorted = rows.sortBy(_.getAs[Int]("tier"))
+      assert(sorted.map(_.getAs[Int]("tier")).toSeq === (1 to sorted.length))
+      // descending quality across tiers: tier k's min >= tier k+1's max
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Double]("min_quality") >= lo.getAs[Double]("max_quality"))
+        case _ =>
+      }
+    }
+  }
+
+  test("keySkewAudit computes share and skew factor against hand counts") {
+    import spark.implicits._
+    // key 1 → 6 rows, key 2 → 2, key 3 → 2, key 4 → 2: total 12, 4 keys
+    val df = (Seq.fill(6)(1) ++ Seq.fill(2)(2) ++ Seq.fill(2)(3) ++ Seq.fill(2)(4))
+      .zipWithIndex.map { case (k, i) => (k.toLong, i.toLong) }.toDF("k", "row_id")
+    val got = SkewOps.keySkewAudit(df, "k", k = 2).collect()
+    assert(got.length === 2)
+    val top = got.head
+    assert(top.getAs[Long]("k") === 1L)
+    assert(top.getAs[Long]("cnt") === 6L)
+    assert(top.getAs[Double]("share") === 0.5)
+    assert(top.getAs[Double]("skew_factor") === 2.0) // 6 / (12/4)
+    assert(top.getAs[Long]("total_rows") === 12L)
+    assert(top.getAs[Long]("n_keys") === 4L)
+    assert(got(1).getAs[Long]("k") === 2L) // ties broken by key asc
+  }
+}
