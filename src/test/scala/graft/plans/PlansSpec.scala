@@ -265,4 +265,31 @@ class PlansSpec extends SparkSpec {
     assert(hashExchanges === 1,
       s"expected one source rollup shuffle, got $hashExchanges:\n$plan")
   }
+
+  test("bm25TopK: stats ride a broadcast, scoring scan has zero hash exchanges") {
+    val plan = executedPlan(graft.operators.RetrievalOps.bm25TopK(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row stats must broadcast:\n$plan")
+    // the only exchange allowed is the SinglePartition reduce of the 1-row
+    // stats aggregate — the corpus-side scoring scan must not shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scoring scan must not hash-shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"tf must not explode tokens:\n$plan")
+  }
+
+  test("funnel: one user_id shuffle; the walk adds no join") {
+    val plan = executedPlan(graft.operators.EventAnalyticsOps.funnel(spark, sf0001))
+    assert(!plan.contains("Join"), s"greedy walk must not join:\n$plan")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userExchanges === 1,
+      s"expected exactly one user_id shuffle, got $userExchanges:\n$plan")
+  }
+
+  test("semanticDedup: candidates join inside cells, never a cartesian") {
+    val plan = executedPlan(graft.operators.VectorOps.semanticDedup(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    assert(plan.contains("cell"), s"cell key vanished from the plan:\n$plan")
+  }
 }
