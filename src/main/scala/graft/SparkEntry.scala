@@ -259,7 +259,14 @@ object SparkEntry {
         |  round(cnt::DOUBLE / total_rows, 6) AS share,
         |  round(cnt::DOUBLE * n_keys / total_rows, 4) AS skew_factor,
         |  total_rows, n_keys
-        |FROM c, s ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)
+        |FROM c, s ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+    "q_rel_order_dist" ->
+      """SELECT c_count, count(*) AS n_custs FROM (
+        |  SELECT c.c_custkey,
+        |    CAST(coalesce(count(o.o_orderkey), 0) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY c_count""".stripMargin)
 
   private val subqueryOracles: Map[String, String] = Map(
     "q_rel_subquery" ->
@@ -438,9 +445,11 @@ object SparkEntry {
     "q_text_inverted_index" -> (RetrievalOps.invertedIndex _),
     "q_text_unigram_logprob" -> (RetrievalOps.unigramLogProb _),
     "q_prep_snapshot_diff" -> (TrainPrepOps.snapshotDiff _),
+    "q_prep_merge_changes" -> (TrainPrepOps.mergeChanges _),
     "q_prep_quality_tiers" -> ((s, d) => TrainPrepOps.qualityTiers(s, d)),
     "q_rel_skew_audit" ->
       ((s, d) => graft.plans.SkewOps.keySkewAudit(Tables.events(s, d), "user_id")),
+    "q_rel_order_dist" -> (RelationalOps.orderCountDistribution _),
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
     "q_dedup_impact" -> (DedupOps.dedupImpact _),
     "q_dedup_blocks" -> ((s, d) => DedupOps.blockDuplicates(s, d)),
@@ -963,6 +972,22 @@ object SparkEntry {
         |  old_fp, new_fp
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_prep_merge_changes" ->
+      """WITH snap AS (
+        |  SELECT doc_id, text, 'S' AS op, 1 AS pri FROM documents
+        |  WHERE doc_id % 5 <> 4),
+        |chg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, 0 AS pri
+        |  FROM documents
+        |  WHERE doc_id % 7 = 0 OR doc_id % 5 = 4 OR doc_id % 11 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY pri)
+        |        AS rn FROM u)
+        |SELECT doc_id, md5(text) AS fp,
+        |  CASE WHEN op = 'S' THEN 'carried' ELSE 'applied' END AS provenance
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id""".stripMargin,
     "q_prep_quality_tiers" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
         |           FROM documents),

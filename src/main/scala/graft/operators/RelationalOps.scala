@@ -295,4 +295,26 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("prior_click_id"))
       .orderBy(col("event_id"))
   }
+
+  /** Orders-per-customer distribution (the TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … orders — the outer-join histogram that
+    * needs customers with NO orders to appear as the zero bin.
+    *
+    * Plan: orders pre-aggregate to per-custkey counts BEFORE the join —
+    * the join's right side is one row per customer, not one per order
+    * (joining raw orders first would shuffle the full fact table wide and
+    * count after). The left join fills the zero bin via coalesce, and the
+    * final histogram rollup is |distinct counts| rows.
+    */
+  def orderCountDistribution(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("c_count"))
+  }
 }

@@ -439,6 +439,54 @@ object TrainPrepOps {
     snapshotDiffOf(old, nw)
   }
 
+  // ---- CDC apply (merge a changes batch into a snapshot) ------------------
+
+  /** Apply a change batch (upserts + deletes) to a snapshot, producing the
+    * next snapshot — the MERGE INTO half of the CDC pair whose read half
+    * is [[snapshotDiffOf]]. Latest-wins per key: a change row beats the
+    * snapshot row; `op = 'D'` drops the key.
+    *
+    * Plan: union + one window min-by over (doc_id) picking the change row
+    * when present — a single hash shuffle on the key carrying (id, fp,
+    * priority), the exact shape a distributed MERGE compiles to when the
+    * change batch is too large to broadcast (the common case for a daily
+    * CDC batch at 100 TB; with a small batch AQE would broadcast a join
+    * form, but the union form never needs the planner to guess).
+    */
+  def mergeChangesOf(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snap = snapshot.select(col("doc_id"), col("text"), lit("S").as("op"),
+      lit(1).as("pri"))
+    val chg = changes.select(col("doc_id"), col("text"), col("op"),
+      lit(0).as("pri"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pri"))
+    snap.unionByName(chg)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") =!= "D")
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        when(col("op") === "S", "carried").otherwise("applied").as("provenance"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[mergeChangesOf]] demo over the fixture: snapshot = doc_id % 5 ≠ 4;
+    * changes = upserts for doc_id % 7 = 0 (mutated text) plus inserts for
+    * doc_id % 5 = 4 and deletes for doc_id % 11 = 0 — all three MERGE
+    * verbs from one table, deterministically.
+    */
+  def mergeChanges(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val snapshot = docs.where(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), col("text"))
+    val changes = docs
+      .where(col("doc_id") % 7 === 0 || col("doc_id") % 5 === 4 ||
+        col("doc_id") % 11 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 11 === 0, "D").otherwise("U").as("op"))
+    mergeChangesOf(snapshot, changes)
+  }
+
   // ---- quality tiers ------------------------------------------------------
 
   /** Per-source quality tiers: rank documents by the shared curation

@@ -58,6 +58,28 @@ class AuditDiffSpec extends SparkSpec {
     }
   }
 
+  test("mergeChangesOf: upsert wins, delete drops, snapshot carries") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val chg = Seq((2L, "b2", "U"), (3L, "c", "D"), (4L, "d", "U"), (5L, "x", "D"))
+      .toDF("doc_id", "text", "op")
+    val got = TrainPrepOps.mergeChangesOf(snap, chg).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("provenance")).toMap
+    // 1 carried, 2 upserted, 3 deleted, 4 inserted, 5 delete-of-absent = no row
+    assert(got === Map(1L -> "carried", 2L -> "applied", 4L -> "applied"))
+  }
+
+  test("orderCountDistribution includes the zero-order bin") {
+    val got = RelationalOps.orderCountDistribution(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("n_custs")).toMap
+    import org.apache.spark.sql.functions._
+    val nCust = graft.Tables.customer(spark, sf0001).count()
+    val nWithOrders = graft.Tables.orders(spark, sf0001)
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(got.getOrElse(0L, 0L) === nCust - nWithOrders)
+    assert(got.values.sum === nCust)
+  }
+
   test("keySkewAudit computes share and skew factor against hand counts") {
     import spark.implicits._
     // key 1 → 6 rows, key 2 → 2, key 3 → 2, key 4 → 2: total 12, 4 keys
