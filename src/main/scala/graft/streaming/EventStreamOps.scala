@@ -130,4 +130,53 @@ object EventStreamOps {
           }
       }
   }
+
+  /** A user's funnel-step advance: emitted when the user first reaches
+    * `step` (1-based index into `steps`). */
+  final case class FunnelAdvance(user_id: Long, step: Int, step_type: String, ts_ms: Long)
+
+  /** Streaming ordered funnel — the online twin of
+    * [[graft.operators.EventAnalyticsOps.funnel]]: per-user state is ONE
+    * integer (the furthest step reached); an event advances the state iff
+    * it matches the next needed step type, and each advance is emitted as
+    * it happens. Aggregating `FunnelAdvance` by step downstream gives the
+    * live funnel table with exactly the batch semantics (greedy
+    * earliest-match over the per-user event order).
+    *
+    * State is O(1) per user forever — no event buffering — so the
+    * operator's state-store footprint is #active-users × one int,
+    * independent of stream length; users idle past `ttl` are evicted (a
+    * re-appearing user restarts, the deliberate bounded-state trade
+    * documented on the other streaming ops).
+    */
+  def funnelStream(
+      events: Dataset[Event],
+      steps: Seq[String] = Seq("signup", "view", "click", "purchase"),
+      lateness: String = "10 minutes",
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Int]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var furthest = state.getOption.getOrElse(0)
+            val out = Seq.newBuilder[FunnelAdvance]
+            var maxTs = 0L
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              if (furthest < steps.length && e.event_type == steps(furthest)) {
+                furthest += 1
+                out += FunnelAdvance(user, furthest, e.event_type, e.ts.getTime)
+              }
+            }
+            state.update(furthest)
+            if (maxTs > 0) state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -115,4 +115,32 @@ class EventStreamOpsSpec extends SparkSpec {
       assert(all.contains(Session(1, ts(30).getTime, ts(30).getTime, 1)))
     } finally q.stop()
   }
+
+  test("funnelStream advances per-user state in order and matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = funnelStream(in.toDS(), lateness = "1 minutes")
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      // u1 completes the first three steps across two batches; u2's
+      // purchase arrives before any signup → no advance for u2
+      in.addData(
+        Event(ts(0), 1, "signup", 0), Event(ts(1), 1, "view", 0),
+        Event(ts(2), 2, "purchase", 0))
+      q.processAllAvailable()
+      in.addData(
+        Event(ts(3), 1, "click", 0),
+        Event(ts(4), 1, "view", 0)) // repeat of a passed step: no advance
+      q.processAllAvailable()
+      val rows = spark.table("funnel_adv").as[FunnelAdvance].collect()
+      assert(rows.filter(_.user_id == 2L).isEmpty)
+      val u1 = rows.filter(_.user_id == 1L).sortBy(_.step)
+      assert(u1.map(a => (a.step, a.step_type)).toSeq ===
+        Seq((1, "signup"), (2, "view"), (3, "click")))
+      // cross-batch persistence: the click advance must cite the batch-2 ts
+      assert(u1.last.ts_ms === ts(3).getTime)
+    } finally q.stop()
+  }
 }
