@@ -446,6 +446,7 @@ object SparkEntry {
     "q_text_unigram_logprob" -> (RetrievalOps.unigramLogProb _),
     "q_prep_snapshot_diff" -> (TrainPrepOps.snapshotDiff _),
     "q_prep_merge_changes" -> (TrainPrepOps.mergeChanges _),
+    "q_prep_weighted_sample" -> ((s, d) => TrainPrepOps.weightedSample(s, d)),
     "q_prep_quality_tiers" -> ((s, d) => TrainPrepOps.qualityTiers(s, d)),
     "q_rel_skew_audit" ->
       ((s, d) => graft.plans.SkewOps.keySkewAudit(Tables.events(s, d), "user_id")),
@@ -988,6 +989,22 @@ object SparkEntry {
         |SELECT doc_id, md5(text) AS fp,
         |  CASE WHEN op = 'S' THEN 'carried' ELSE 'applied' END AS provenance
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id""".stripMargin,
+    "q_prep_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id, source,
+        |        greatest(round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |          * (len(list_distinct(toks))::DOUBLE / len(toks)), 4), 0.0001)
+        |          AS weight,
+        |        ((doc_id * 2654435761) % 1000003 + 1)::DOUBLE / 1000004 AS u
+        |      FROM t),
+        |r AS (SELECT doc_id, source, weight,
+        |        round(power(u, 1.0 / weight), 6) AS es_key FROM q),
+        |w AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY es_key DESC, doc_id) AS INTEGER) AS sample_rank
+        |      FROM r)
+        |SELECT doc_id, source, weight, es_key, sample_rank
+        |FROM w WHERE sample_rank <= 25 ORDER BY source, sample_rank""".stripMargin,
     "q_prep_quality_tiers" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
         |           FROM documents),

@@ -94,6 +94,37 @@ object TrainPrepOps {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  // ---- weighted sampling (Efraimidis–Spirakis A-ES) -----------------------
+
+  /** Quality-weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES): each document draws key = u^(1/w) from a deterministic
+    * uniform u and weight w = its curation quality; the top-k keys per
+    * source shard ARE a weighted sample without replacement — the
+    * principled way to oversample high-quality documents in a training
+    * mix without the bias of threshold cuts.
+    *
+    * Determinism: u comes from a Knuth multiplicative hash of doc_id
+    * (pure integer arithmetic — portable to the oracle, unlike rand());
+    * keys are rounded before ranking so both engines rank identical
+    * values, with doc_id as the total-order tiebreak. The ranking window
+    * partitions by source shard — no global sort at any corpus size, the
+    * same stance as [[stratifiedSample]] / [[packSequences]].
+    */
+  def weightedSample(s: SparkSession, d: String, k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = ((col("doc_id") * lit(2654435761L)) % 1000003L + 1L)
+      .cast("double") / 1000004d
+    val weight = greatest(CurationOps.qualityCol, lit(0.0001))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), weight.as("weight"),
+        round(pow(u, lit(1.0) / weight), 6).as("es_key"))
+      .withColumn("sample_rank", row_number().over(win))
+      .where(col("sample_rank") <= k)
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
   // ---- benchmark decontamination ------------------------------------------
 
   /** N-gram benchmark decontamination: flag training documents sharing

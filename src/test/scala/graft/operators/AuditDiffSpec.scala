@@ -80,6 +80,32 @@ class AuditDiffSpec extends SparkSpec {
     assert(got.values.sum === nCust)
   }
 
+  test("weightedSample matches a driver-side Efraimidis-Spirakis reference") {
+    import org.apache.spark.sql.functions._
+    // independent reference: same u/weight/key math in plain Scala over the
+    // collected corpus, per-source top-25 — must agree row for row
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+    val ref = docs.map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = r.getAs[String]("text").split(" ", -1)
+      val q = math.min(toks.length / 50.0, 1.0) * (toks.distinct.length.toDouble / toks.length)
+      val w = math.max(BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.0001)
+      val u = ((id * 2654435761L) % 1000003L + 1L).toDouble / 1000004d
+      val key = BigDecimal(math.pow(u, 1.0 / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r.getAs[String]("source"), id, key)
+    }.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(25).zipWithIndex
+        .map { case ((_, id, key), i) => (src, i + 1) -> ((id, key)) }
+    }.toMap
+    val got = TrainPrepOps.weightedSample(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("sample_rank")) ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Double]("es_key")))).toMap
+    assert(got.size === ref.size)
+    ref.foreach { case (k, v) => assert(got(k) === v, s"mismatch at $k") }
+  }
+
   test("keySkewAudit computes share and skew factor against hand counts") {
     import spark.implicits._
     // key 1 → 6 rows, key 2 → 2, key 3 → 2, key 4 → 2: total 12, 4 keys
