@@ -444,6 +444,8 @@ object SparkEntry {
     "q_text_bm25" -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
     "q_text_inverted_index" -> (RetrievalOps.invertedIndex _),
     "q_text_unigram_logprob" -> (RetrievalOps.unigramLogProb _),
+    "q_text_bpe_pairs" -> ((s, d) => RetrievalOps.bpePairCounts(s, d)),
+    "q_text_bigram_lm" -> ((s, d) => RetrievalOps.bigramLm(s, d)),
     "q_prep_snapshot_diff" -> (TrainPrepOps.snapshotDiff _),
     "q_prep_merge_changes" -> (TrainPrepOps.mergeChanges _),
     "q_prep_weighted_sample" -> ((s, d) => TrainPrepOps.weightedSample(s, d)),
@@ -768,7 +770,27 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(logp), 4) AS avg_logp
         |FROM tok JOIN lp USING (term)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT substr(w, i, 1) AS left_sym,
+        |             substr(w, i + 1, 1) AS right_sym
+        |      FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w))
+        |SELECT left_sym, right_sym, count(*) AS n
+        |FROM p GROUP BY left_sym, right_sym
+        |ORDER BY n DESC, left_sym, right_sym LIMIT 30""".stripMargin,
+    "q_text_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t)),
+        |c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2),
+        |r AS (SELECT w1, w2, n,
+        |        round(n / sum(n) OVER (PARTITION BY w1), 6) AS p,
+        |        CAST(row_number() OVER (PARTITION BY w1
+        |          ORDER BY n DESC, w2) AS INTEGER) AS rank
+        |      FROM c)
+        |SELECT w1, w2, n, p, rank FROM r WHERE rank <= 3
+        |ORDER BY w1, rank""".stripMargin)
 
   // ---- training-set preparation pack (TrainPrepOps) -----------------------
 

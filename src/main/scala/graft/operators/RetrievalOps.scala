@@ -116,4 +116,66 @@ object RetrievalOps {
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("logp")), 4).as("avg_logp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Adjacent-symbol pair counts over in-token character sequences — the
+    * inner-loop statistic of BPE tokenizer training (each merge round of
+    * the Sennrich/Gage algorithm picks argmax of exactly this table and
+    * re-counts). One round is emitted — at corpus scale the driver loop
+    * ships each round's winning pair back as a literal and re-runs this
+    * count; the corpus-side work per round is one explode + rollup,
+    * constant-size (2-char key) shuffle rows.
+    */
+  def bpePairCounts(s: SparkSession, d: String, k: Int = 30): DataFrame =
+    bpePairCountsOf(Tables.documents(s, d), k)
+
+  /** [[bpePairCounts]] over an arbitrary `(text)` frame. */
+  def bpePairCountsOf(docs: DataFrame, k: Int = 30): DataFrame =
+    docs
+      .select(explode(toks).as("w"))
+      // guard: Spark's sequence(1, 0) counts DOWN, so a 1-char token would
+      // fabricate pair indices instead of none
+      .where(length(col("w")) >= 2)
+      .select(explode(sequence(lit(1), length(col("w")) - 1)).as("i"), col("w"))
+      .select(
+        expr("substr(w, i, 1)").as("left_sym"),
+        expr("substr(w, i + 1, 1)").as("right_sym"))
+      .groupBy(col("left_sym"), col("right_sym"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("left_sym"), col("right_sym"))
+      .limit(k)
+
+  /** Bigram conditional-probability table: P(next | current) over token
+    * bigrams, top `k` continuations per current token — the corpus-level
+    * n-gram LM statistic (the model behind perplexity filters and
+    * contamination heuristics; [[unigramLogProb]] is its order-1 sibling).
+    *
+    * Plan: explode to bigrams via a 1-offset self-zip inside the row (no
+    * join), one (w1, w2) rollup, then the conditional normalizer is a
+    * window over w1 groups — vocabulary², not corpus, sized.
+    */
+  def bigramLm(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    bigramLmOf(Tables.documents(s, d), k)
+
+  /** [[bigramLm]] over an arbitrary `(text)` frame. */
+  def bigramLmOf(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = docs
+      .select(toks.as("t"))
+      .select(explode(zip_with(col("t"),
+        slice(concat(col("t"), array(lit(""))), lit(2), size(col("t"))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("w2") =!= "")
+    val wNorm = Window.partitionBy(col("w1"))
+    val wRank = Window.partitionBy(col("w1"))
+      .orderBy(col("n").desc, col("w2"))
+    bigrams
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(wNorm), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("w1"), col("w2"), col("n"), col("p"), col("rank"))
+      .orderBy(col("w1"), col("rank"))
+  }
 }

@@ -53,6 +53,27 @@ class RetrievalSpec extends SparkSpec {
     assert(got("c") === ((1L, 1L, md5hex("0"))))
   }
 
+  test("bpe pair counts match hand-counted adjacent character pairs") {
+    val corpus = docs((0L, "abab cd x"), (1L, "ab"))
+    val got = RetrievalOps.bpePairCountsOf(corpus).collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")) ->
+        r.getAs[Long]("n")).toMap
+    // "abab": ab, ba, ab; "cd": cd; "x": none (1-char guard); "ab": ab
+    assert(got === Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("c", "d") -> 1L))
+  }
+
+  test("bigram LM: conditional p normalizes per w1 and ranks continuations") {
+    val corpus = docs((0L, "a b a b a c"), (1L, "b a"))
+    val got = RetrievalOps.bigramLmOf(corpus, k = 3).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p"), r.getAs[Int]("rank")))).toMap
+    // bigrams: doc0 = a>b, b>a, a>b, b>a, a>c; doc1 = b>a  (no cross-doc pair)
+    assert(got(("a", "b")) === ((2L, 0.666667, 1)))
+    assert(got(("a", "c")) === ((1L, 0.333333, 2)))
+    assert(got(("b", "a")) === ((3L, 1.0, 1)))
+    assert(got.size === 3)
+  }
+
   test("unigram log-prob: docs of rare tokens score below docs of common tokens") {
     val corpus = docs(
       (0L, "the the the the"),
