@@ -92,6 +92,14 @@ final class Graft(
     graft.sources.JsonFileLog.start(spark, jsonStagingDir, tableRoot,
       s"$checkpointRoot/jsonfile-backfill", trigger)
 
+  /** Backfill/tail RFC 5424 syslog captures into the same table (third
+    * wire format; see [[graft.sources.SyslogLog]]). */
+  def backfillSyslog(
+      syslogStagingDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    graft.sources.SyslogLog.start(spark, syslogStagingDir, tableRoot,
+      s"$checkpointRoot/syslog-backfill", trigger)
+
   // ---- retention / maintenance (O10-O13) ----------------------------------
 
   def cleanup(age: Option[java.time.Duration], maxLines: Option[Long]): Retention.SweepStats =
