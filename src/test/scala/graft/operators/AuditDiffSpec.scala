@@ -10,7 +10,38 @@ import graft.plans.SkewOps
   * are covered by the DuckDB oracles (`q_vec_semdedup`,
   * `q_prep_snapshot_diff`, `q_prep_quality_tiers`, `q_rel_skew_audit`).
   */
-class AuditDiffSpec extends SparkSpec {
+class AuditDiffSpec extends SparkSpec with graft.PropSpec {
+
+  test("property: funnel step counts are monotonically non-increasing") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val stepGen = Gen.oneOf("signup", "view", "click", "purchase", "error")
+    val evGen = for {
+      nUsers <- Gen.choose(1, 6)
+      evs <- Gen.listOfN(nUsers * 6, stepGen)
+    } yield evs.zipWithIndex.map { case (t, i) =>
+      ((i % nUsers).toLong, i.toLong, t)
+    }
+    forSamples(evGen, n = 12) { rows =>
+      val got = EventAnalyticsOps.funnelOf(rows.toDF("user_id", "event_id", "event_type"))
+        .collect().sortBy(_.getAs[Int]("step_idx")).map(_.getAs[Long]("n_users"))
+      assert(got.sameElements(got.sorted.reverse), s"not monotone: ${got.toSeq}")
+    }
+  }
+
+  test("property: merging an empty change batch carries the snapshot unchanged") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val snapGen = Gen.listOfN(8, Gen.alphaStr.map(_.take(6))).map(_.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) })
+    forSamples(snapGen, n = 10) { rows =>
+      val snap = rows.toDF("doc_id", "text")
+      val noChanges = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "op")
+      val got = TrainPrepOps.mergeChangesOf(snap, noChanges).collect()
+      assert(got.length === rows.length)
+      assert(got.forall(_.getAs[String]("provenance") === "carried"))
+    }
+  }
 
   test("semanticDedup drops the higher id of a similar same-cell pair, keeps dissimilar") {
     import spark.implicits._

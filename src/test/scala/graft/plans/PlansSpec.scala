@@ -292,4 +292,26 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
     assert(plan.contains("cell"), s"cell key vanished from the plan:\n$plan")
   }
+
+  test("weightedSample: one source-window shuffle, no join, no global sort before rank") {
+    val plan = executedPlan(graft.operators.TrainPrepOps.weightedSample(spark, sf0001))
+    assert(!plan.contains("Join"), s"sampling reads one table:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"expected one source-window shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("mergeChanges: union + one keyed window, no broadcast requirement") {
+    val plan = executedPlan(graft.operators.TrainPrepOps.mergeChanges(spark, sf0001))
+    assert(plan.contains("Union"), s"the MERGE shape is a union:\n$plan")
+    assert(!plan.contains("Join"), s"the union form must not join:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"expected one doc_id window shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("bigramLm: in-row bigram generation, no join") {
+    val plan = executedPlan(graft.operators.RetrievalOps.bigramLm(spark, sf0001))
+    assert(!plan.contains("Join"), s"bigrams zip in-row, no join:\n$plan")
+  }
 }
