@@ -153,10 +153,22 @@ object DedupOps {
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = capped.select(col("doc_id").as("a"), col("sh_h"))
     val b = capped.select(col("doc_id").as("b"), col("sh_h"))
+    // The candidate pair is packed into ONE long (a<<32 | b) before the
+    // pair-count shuffle: 8-byte instead of 16-byte grouping keys across
+    // the dominant exchange, single-long hash/compare in the aggregate.
+    // Measured win #5 (tools/PairEncodeAB, min-of-3 ×3 sessions at sf0.1):
+    // 1.04/1.00/1.26 s vs 1.12/1.10/1.36 s two-long — a consistent ~8%.
+    // Constraint: ids must fit 32 bits (4.3 B docs); a deployment with
+    // wider ids shards the corpus or reverts to the two-long groupBy.
     a.join(b, Seq("sh_h"))
       .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+      .select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
+      .groupBy(col("pair"))
       .agg(count(lit(1)).as("inter"))
+      .select(
+        shiftright(col("pair"), 32).as("a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
+        col("inter"))
       .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
       .select(
