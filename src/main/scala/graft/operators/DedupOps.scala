@@ -373,11 +373,18 @@ object DedupOps {
         banded.select(col("doc_id").as("b"), col("sig").as("sigb"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .where(col("a") < col("b"))
+      // same packed-pair trick as ngramJaccardPairs (measured win #5): the
+      // cross-band candidate dedup shuffles one 8-byte key; est_jaccard is
+      // a function of the pair so it rides along without widening the key
       .select(
-        col("a"), col("b"),
+        shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"),
         round(sigMatchFrac(col("siga"), col("sigb")), 6).as("est_jaccard"))
       .where(col("est_jaccard") >= minEst)
       .distinct()
+      .select(
+        shiftright(col("pair"), 32).as("a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
+        col("est_jaccard"))
       .orderBy(col("a"), col("b"))
   }
 
@@ -472,8 +479,12 @@ object DedupOps {
       .join(chunked.select(col("doc_id").as("b"), col("chunk"), col("ck")),
         Seq("chunk", "ck"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
+      // packed-pair candidate dedup (measured win #5 in ngramJaccardPairs)
+      .select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
       .distinct()
+      .select(
+        shiftright(col("pair"), 32).as("a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
     cand
       .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
