@@ -1067,6 +1067,7 @@ object SparkEntry {
     "q_vec_hard_negatives" -> ((s, d) => VectorOps.hardNegatives(s, d)),
     "q_vec_outliers" -> ((s, d) => VectorOps.labelOutliers(s, d)),
     "q_vec_semdedup" -> ((s, d) => VectorOps.semanticDedup(s, d)),
+    "q_vec_batch_topk" -> ((s, d) => VectorOps.batchTopK(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _),
@@ -1202,6 +1203,25 @@ object SparkEntry {
          |  ON x.cell = y.cell AND x.vec_id < y.vec_id
          | AND round(${duckCos("x.embedding", "y.embedding")}, 6) >= 0.4
          |GROUP BY y.vec_id, y.cell ORDER BY y.vec_id""".stripMargin,
+    "q_vec_batch_topk" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+         |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |    round(${duckCos("c.embedding", "q.embedding")}, 6) AS cos_sim
+         |  FROM cells q JOIN cells c
+         |    ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8),
+         |r AS (SELECT query_id, vec_id, cos_sim,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
+         |      FROM cand)
+         |SELECT query_id, rk, vec_id, cos_sim FROM r WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
     "q_vec_centroid_norms" -> {
       val dims = (0 until 64)
         .map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE)) AS s$i").mkString(",\n  ")

@@ -449,6 +449,41 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** Batched ANN: cosine top-k for a SET of query vectors in one pass —
+    * the serving/training shape (a retrieval batch, a hard-negative miner's
+    * anchor set) where per-query scans would rescan the corpus |Q| times.
+    *
+    * Plan: the query batch is small by contract and rides ONE broadcast;
+    * candidates are corpus rows sharing each query's coarse cell (the same
+    * IVF pruning as [[ivfTopK]] — with the table partitioned by cell the
+    * scan touches only the batch's cell set); ranking is a per-query
+    * window over candidates (|Q| partitions). The corpus is scanned once
+    * for the whole batch, and nothing but candidate (query, id, sim) rows
+    * shuffles.
+    */
+  def batchTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+      bits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), cell(col("embedding"), bits).as("cell"))
+    val queries = broadcast(
+      emb.where(col("vec_id") < nQueries).select(
+        col("vec_id").as("query_id"), col("cell").as("qcell"),
+        col("embedding").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    emb.join(queries, col("cell") === col("qcell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("vec_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Semantic dedup (the SemDeDup recipe): within each coarse cell, drop
     * every vector that is ≥ `minSim` cosine-similar to a LOWER-id vector
     * in the same cell; the surviving lowest id is each ε-ball's canonical.

@@ -158,4 +158,17 @@ class TextVectorDedupSpec extends SparkSpec {
     val h = MultimodalOps.decodeStub("abcabc".getBytes)
     assert(math.abs(h.sum - 1.0) < 1e-9)
   }
+
+  test("batchTopK agrees with per-query ivfTopK on every query in the batch") {
+    val batch = VectorOps.batchTopK(spark, sf0001, nQueries = 3, k = 4).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(batch.keySet === Set(0L, 1L, 2L))
+    for (q <- 0L to 2L) {
+      val single = VectorOps.ivfTopK(spark, sf0001, queryId = q, k = 4).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      val fromBatch = batch(q).sortBy(_.getAs[Int]("rk"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      assert(fromBatch === single, s"query $q diverged")
+    }
+  }
 }
