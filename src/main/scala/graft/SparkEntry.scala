@@ -76,7 +76,10 @@ object SparkEntry {
           ageCutoff = Some(java.time.Instant.parse("2024-01-10T00:00:00Z")),
           maxLines = Some(40L))
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
-        .orderBy(col("event_id"))))
+        .orderBy(col("event_id"))),
+    "q_log_templates" -> ((s, d) =>
+      LogOps.templates(ev(s, d), "user_id", "event_id", "ts_nano",
+        concat_ws(" ", col("event_type"), col("props")))))
 
   private val logOracles: Map[String, String] = Map(
     "q_log_range" ->
@@ -121,7 +124,17 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events)
         |WHERE rn <= 40 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q_log_templates" ->
+      """SELECT regexp_replace(event_type || ' ' || props, '[0-9]+', '<N>', 'g') AS template,
+        |       count(*) AS n,
+        |       count(DISTINCT user_id) AS n_containers,
+        |       min(epoch_ms(ts)) AS first_ms,
+        |       max(epoch_ms(ts)) AS last_ms,
+        |       min(event_id) AS example_seq
+        |FROM events
+        |GROUP BY template
+        |ORDER BY n DESC, template""".stripMargin)
 
   // ---- relational pack (SURVEY §2.3 star schema) -------------------------
 
@@ -325,7 +338,8 @@ object SparkEntry {
     "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)),
     "q_ts_funnel" -> (EventAnalyticsOps.funnel _),
     "q_ts_cohort" -> (EventAnalyticsOps.cohortRetention _),
-    "q_ts_transitions" -> (EventAnalyticsOps.transitionMatrix _))
+    "q_ts_transitions" -> (EventAnalyticsOps.transitionMatrix _),
+    "q_ts_anomaly" -> ((s, d) => TimeSeriesOps.anomalies(s, d)))
 
   private val tsOracles: Map[String, String] = Map(
     "q_ts_hourly" ->
@@ -423,7 +437,31 @@ object SparkEntry {
         |SELECT from_type, event_type AS to_type, count(*) AS n,
         |  round(count(*) / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
         |FROM o WHERE from_type IS NOT NULL
-        |GROUP BY from_type, event_type ORDER BY from_type, to_type""".stripMargin)
+        |GROUP BY from_type, event_type ORDER BY from_type, to_type""".stripMargin,
+    // Rolling stats from exact-integer window sums (Σn, Σn², c) combined
+    // with the same double expression on both engines — see
+    // TimeSeriesOps.anomalies determinism note.
+    "q_ts_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, h, n,
+        |        sum(n) OVER win AS s,
+        |        sum(n * n) OVER win AS sq,
+        |        count(n) OVER win AS c
+        |      FROM h
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT event_type, epoch_ms(h) AS bucket_ms, n,
+        |        CAST(s AS DOUBLE) / c AS mean,
+        |        (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / c) / (c - 1) AS vr
+        |      FROM w WHERE c = 24)
+        |SELECT event_type, bucket_ms, n,
+        |  round(mean, 4) AS mean_n,
+        |  CASE WHEN vr > 0 THEN round((n - mean) / sqrt(vr), 4) END AS z,
+        |  coalesce(abs(CASE WHEN vr > 0
+        |                    THEN round((n - mean) / sqrt(vr), 4) END) >= 3,
+        |           false) AS is_anomaly
+        |FROM m ORDER BY event_type, bucket_ms""".stripMargin)
 
   // ---- text / dedup pack --------------------------------------------------
 
@@ -444,6 +482,7 @@ object SparkEntry {
     "q_text_bm25" -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
     "q_text_inverted_index" -> (RetrievalOps.invertedIndex _),
     "q_text_unigram_logprob" -> (RetrievalOps.unigramLogProb _),
+    "q_text_bigram_logprob" -> (RetrievalOps.bigramLogProb _),
     "q_text_bpe_pairs" -> ((s, d) => RetrievalOps.bpePairCounts(s, d)),
     "q_text_bigram_lm" -> ((s, d) => RetrievalOps.bigramLm(s, d)),
     "q_prep_snapshot_diff" -> (TrainPrepOps.snapshotDiff _),
@@ -770,6 +809,18 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(logp), 4) AS avg_logp
         |FROM tok JOIN lp USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM t)),
+        |lm0 AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY w1, w2),
+        |lm AS (SELECT w1, w2,
+        |         ln(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1)) AS logp
+        |       FROM lm0)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(logp), 4) AS avg_logp
+        |FROM b JOIN lm USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -113,6 +113,45 @@ object LogOps {
   def page(logs: DataFrame, seqCol: String, offset: Int, limit: Int): DataFrame =
     logs.orderBy(col(seqCol).asc).offset(offset).limit(limit)
 
+  /** Log template mining: collapse the variable parts of each line to a
+    * placeholder and roll up by the resulting template — the Drain-family
+    * "log parsing" operation every log-analytics engine runs first (the
+    * reference stores lines verbatim and leaves pattern discovery to the
+    * reader; this is that reader). Masking digit runs covers ids, counts,
+    * sizes, ports, and timestamps-in-text, which is the bulk of log-line
+    * variability.
+    *
+    * Per template: occurrence count, distinct containers emitting it,
+    * first/last time seen, and the smallest sequence id as a retrievable
+    * example. Scale: the masked template is a low-cardinality key BY
+    * CONSTRUCTION (masking exists to collapse cardinality), so the rollup
+    * partial-aggregates map-side and the shuffle carries one row per
+    * (partition, template); distinct-container counting is the standard
+    * two-phase partial distinct. No text beyond the template strings —
+    * bounded by the template vocabulary, not the corpus — crosses the wire.
+    */
+  def templates(
+      logs: DataFrame,
+      containerCol: String,
+      seqCol: String,
+      tsNanoCol: String,
+      lineCol: Column): DataFrame =
+    logs
+      .select(
+        col(containerCol).as("container"),
+        col(seqCol).as("seq"),
+        // integer `div`, not `/`: double division loses ulps at ns magnitude
+        expr(s"$tsNanoCol div 1000000").as("ts_ms"),
+        regexp_replace(lineCol, "[0-9]+", "<N>").as("template"))
+      .groupBy(col("template"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("container")).as("n_containers"),
+        min(col("ts_ms")).as("first_ms"),
+        max(col("ts_ms")).as("last_ms"),
+        min(col("seq")).as("example_seq"))
+      .orderBy(col("n").desc, col("template"))
+
   /** Rows that SURVIVE `cleanup(age_cutoff, max_lines)` — the complement of
     * the reference's `DELETE FROM logs WHERE ts < ?1 OR ROWID < ?2`
     * (`src/cleaner.rs:82-102`): keep rows that are fresh enough AND within

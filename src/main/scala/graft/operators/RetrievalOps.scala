@@ -117,6 +117,49 @@ object RetrievalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document bigram-LM score: mean log P(w₂|w₁) of each document's
+    * token bigrams under the corpus bigram MLE — the order-2 upgrade of
+    * [[unigramLogProb]] and the statistic CCNet-family quality filters
+    * threshold (a KenLM perplexity with the model trained on the corpus
+    * itself; repetitive or formulaic text scores high, incoherent text
+    * low).
+    *
+    * Plan: bigrams form in-row (1-offset self-zip — no join, no explode
+    * until the pair is a constant-size (w1, w2) key). The LM table is
+    * vocabulary²-bounded — sublinear in the corpus (Heaps' law), unlike a
+    * corpus-linear key set — so it broadcasts to the scoring join and the
+    * exploded bigram stream never shuffles; the only exchange is the
+    * per-doc average's doc_id rollup. At larger vocabularies, prune the
+    * model with `minCount` (standard KenLM pruning); scoring then averages
+    * over the bigrams the pruned model retains.
+    */
+  def bigramLogProb(s: SparkSession, d: String): DataFrame =
+    bigramLogProbOf(Tables.documents(s, d))
+
+  /** [[bigramLogProb]] over an arbitrary `(doc_id, text)` frame. */
+  def bigramLogProbOf(docs: DataFrame, minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(zip_with(col("t"),
+        slice(concat(col("t"), array(lit(""))), lit(2), size(col("t"))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("w2") =!= "")
+    val lm = bg
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("logp",
+        log(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("w1")))))
+      .where(col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("logp"))
+    bg.join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Adjacent-symbol pair counts over in-token character sequences — the
     * inner-loop statistic of BPE tokenizer training (each merge round of
     * the Sennrich/Gage algorithm picks argmax of exactly this table and

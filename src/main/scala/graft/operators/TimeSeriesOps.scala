@@ -93,6 +93,54 @@ object TimeSeriesOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Rolling z-score anomaly detection over per-(type, hour) event counts —
+    * the "error-rate spike" alert a log-analytics deployment runs on every
+    * stream (the reference stores the lines; this is the monitor reading
+    * them). Each hourly bucket is scored against the mean/stddev of the
+    * `lookback` preceding buckets of the same type; |z| ≥ 3 flags it.
+    *
+    * Determinism across engines: the rolling mean and variance are derived
+    * from WINDOW SUMS OF INTEGERS (Σn, Σn², frame count) — exact in both
+    * engines — and then combined with one fixed double expression
+    * (var = (Σn² − (Σn)²/c)/(c−1)), so Spark and the DuckDB twin compute
+    * bit-identical doubles; a windowed `stddev_samp` would compare two
+    * engines' different accumulation algorithms at the last ulp.
+    *
+    * Scale: one (type, hour) rollup with map-side partial aggregation —
+    * the shuffle carries one row per bucket, not per event. The z-window
+    * partitions by event_type; a series is bounded by the time range
+    * (8,760 buckets/year), and a production deployment keys the series by
+    * (container, metric) — high cardinality, naturally parallel.
+    */
+  def anomalies(s: SparkSession, d: String, lookback: Int = 24): DataFrame =
+    anomaliesOf(Tables.events(s, d), lookback)
+
+  /** [[anomalies]] over an arbitrary `(event_type, ts)` frame. */
+  def anomaliesOf(events: DataFrame, lookback: Int = 24): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-lookback, -1)
+    val zRaw = (col("n") - col("mean")) / sqrt(col("vr"))
+    val z = when(col("vr") > 0d, round(zRaw, 4))
+    hourly
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("sq", sum(col("n") * col("n")).over(w))
+      .withColumn("c", count(col("n")).over(w))
+      .where(col("c") === lookback) // score only full-history buckets
+      .withColumn("mean", col("s").cast("double") / col("c"))
+      .withColumn("vr",
+        (col("sq").cast("double") - col("s").cast("double") * col("s") / col("c")) /
+          (col("c") - 1))
+      .select(
+        col("event_type"), tsMs(col("h")).as("bucket_ms"), col("n"),
+        round(col("mean"), 4).as("mean_n"),
+        z.as("z"),
+        coalesce(abs(z) >= 3d, lit(false)).as("is_anomaly"))
+      .orderBy(col("event_type"), col("bucket_ms"))
+  }
+
   /** JSON extraction from the `props` payload column (get_json_object is a
     * codegen'd built-in; no UDF). Aggregates the extracted field so the
     * query also exercises group-by over a derived column.

@@ -86,4 +86,29 @@ class LogOpsSpec extends SparkSpec {
     val out2 = retentionSurvivors(logs, "c", "seq", "ts_nano", Some(cutoff2), Some(10L))
     assert(seqs(out2.orderBy("seq")).forall(_ >= 90L))
   }
+
+  test("template mining: digit runs mask to one template; stats per template") {
+    import spark.implicits._
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    val rows = Seq(
+      (0L, 1L, "GET /api/user/123 took 45ms"),
+      (1L, 2L, "GET /api/user/9876 took 7ms"),
+      (0L, 3L, "GET /api/user/5 took 120ms"),
+      (0L, 4L, "connection lost"))
+      .map { case (c, seq, line) =>
+        (c, seq, LogOps.nanos(t0.plusSeconds(seq * 60L)), line)
+      }.toDF("c", "seq", "ts_nano", "line")
+    val got = templates(rows, "c", "seq", "ts_nano", col("line")).collect()
+    assert(got.length === 2)
+    // most frequent first
+    val top = got(0)
+    assert(top.getAs[String]("template") === "GET /api/user/<N> took <N>ms")
+    assert(top.getAs[Long]("n") === 3L)
+    assert(top.getAs[Long]("n_containers") === 2L)
+    assert(top.getAs[Long]("example_seq") === 1L)
+    assert(top.getAs[Long]("first_ms") === t0.plusSeconds(60L).toEpochMilli)
+    assert(top.getAs[Long]("last_ms") === t0.plusSeconds(180L).toEpochMilli)
+    assert(got(1).getAs[String]("template") === "connection lost")
+    assert(got(1).getAs[Long]("n") === 1L)
+  }
 }

@@ -117,4 +117,35 @@ class RelTimeSeriesSpec extends SparkSpec {
       assert(r.getAs[Long]("prior_click_id") < r.getAs[Long]("event_id"))
     }
   }
+
+  test("anomalies: spike over a varying history is flagged, normal buckets are not") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    // 24 history hours alternating 9/11 events, then an hour with 20
+    val counts = (0 until 24).map(h => (h, if (h % 2 == 0) 9 else 11)) :+ ((24, 20))
+    val rows = counts.flatMap { case (h, n) =>
+      (0 until n).map(i =>
+        ("error", java.sql.Timestamp.from(t0.plusSeconds(h * 3600L + i))))
+    }
+    val got = TimeSeriesOps.anomaliesOf(rows.toDF("event_type", "ts"), lookback = 24)
+      .collect()
+    // only the spike hour has a full 24-bucket history
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Double]("mean_n") === 10.0)
+    // var = (Σn² − (Σn)²/24)/23 = (2424 − 2400)/23; z = 10/sqrt(var)
+    val z = 10.0 / math.sqrt(24.0 / 23.0)
+    assert(math.abs(r.getAs[Double]("z") - z) < 5e-4)
+    assert(r.getAs[Boolean]("is_anomaly"))
+    // replace the spike with an in-band value → not flagged
+    val calm = counts.dropRight(1) :+ ((24, 11))
+    val rows2 = calm.flatMap { case (h, n) =>
+      (0 until n).map(i =>
+        ("error", java.sql.Timestamp.from(t0.plusSeconds(h * 3600L + i))))
+    }
+    val got2 = TimeSeriesOps.anomaliesOf(rows2.toDF("event_type", "ts"), lookback = 24)
+      .collect()
+    assert(got2.length === 1 && !got2(0).getAs[Boolean]("is_anomaly"))
+  }
 }

@@ -89,4 +89,22 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(got(0L)._2 - math.log(8.0 / 12)) < 5e-5)
     assert(math.abs(got(2L)._2 - math.log(1.0 / 12)) < 5e-5)
   }
+
+  test("bigram log-prob: exact MLE means on a hand-computed corpus") {
+    // doc0 "a b a b": bigrams (a,b),(b,a),(a,b); doc1 "a b c": (a,b),(b,c)
+    // LM: P(b|a) = 3/3 = 1 → 0; P(a|b) = 1/2, P(c|b) = 1/2 → ln 0.5
+    val corpus = docs((0L, "a b a b"), (1L, "a b c"))
+    val got = RetrievalOps.bigramLogProbOf(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp")))).toMap
+    val ln05 = math.log(0.5)
+    assert(got(0L)._1 === 3L)
+    assert(math.abs(got(0L)._2 - (0 + ln05 + 0) / 3) < 5e-5)
+    assert(got(1L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - (0 + ln05) / 2) < 5e-5)
+    // model pruning drops singleton bigrams from scoring
+    val pruned = RetrievalOps.bigramLogProbOf(corpus, minCount = 2L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bigrams")).toMap
+    assert(pruned === Map(0L -> 2L, 1L -> 1L)) // only (a,b) survives
+  }
 }
