@@ -478,6 +478,7 @@ object SparkEntry {
     "q_text_heavy_hitters" -> ((s, d) => TextOps.heavyTerms(s, d)),
     "q_text_tfidf" -> ((s, d) => TextOps.tfIdf(s, d)),
     "q_text_zipf" -> (TextOps.zipfProfile _),
+    "q_text_typo_pairs" -> ((s, d) => TextOps.typoPairs(s, d)),
     "q_text_length_profile" -> (TextOps.lengthProfile _),
     "q_text_bm25" -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
     "q_text_inverted_index" -> (RetrievalOps.invertedIndex _),
@@ -703,6 +704,30 @@ object SparkEntry {
         |  count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
         |  min(cnt) AS min_cnt, max(cnt) AS max_cnt
         |FROM tc GROUP BY 1 ORDER BY freq_bucket""".stripMargin,
+    // SymSpell deletion-neighborhood join (see TextOps.typoPairs): two
+    // terms within edit distance 2 always share a depth-2 deletion.
+    "q_text_typo_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |v AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term
+        |      HAVING length(term) >= 2),
+        |d1 AS (SELECT term, cnt,
+        |         substr(term, 1, i - 1) || substr(term, i + 1, length(term) - i) AS key
+        |       FROM (SELECT term, cnt, unnest(range(1, length(term) + 1)) AS i FROM v)),
+        |d2 AS (SELECT term, cnt,
+        |         substr(term, 1, i - 1) || substr(term, i + 1, j - i - 1)
+        |           || substr(term, j + 1, length(term) - j) AS key
+        |       FROM (SELECT term, cnt, i, unnest(range(i + 1, length(term) + 1)) AS j
+        |             FROM (SELECT term, cnt, unnest(range(1, length(term))) AS i FROM v))),
+        |k AS (SELECT DISTINCT term, cnt, key FROM (
+        |        SELECT term, cnt, term AS key FROM v
+        |        UNION ALL SELECT * FROM d1
+        |        UNION ALL SELECT * FROM d2))
+        |SELECT DISTINCT a.term AS term_a, b.term AS term_b,
+        |       a.cnt AS cnt_a, b.cnt AS cnt_b,
+        |       CAST(levenshtein(a.term, b.term) AS INTEGER) AS lev
+        |FROM k a JOIN k b USING (key)
+        |WHERE a.term < b.term AND levenshtein(a.term, b.term) <= 2
+        |ORDER BY term_a, term_b""".stripMargin,
     "q_text_length_profile" ->
       """SELECT source, count(*) AS n_docs,
         |  min(n_chars) AS min_chars,

@@ -34,6 +34,70 @@ object TextOps {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Vocabulary typo/variant pairs within edit distance `maxEdit`, found
+    * SymSpell-style: every term joins on its deletion neighborhood (the
+    * term plus every string reachable by deleting ≤ `maxEdit` characters),
+    * and candidates sharing a key are confirmed with `levenshtein` — two
+    * terms within edit distance k ALWAYS share a depth-k deletion, so the
+    * neighborhood join is exact, never all-pairs. The spelling-variant
+    * detector a corpus-normalization pass runs over its vocabulary
+    * (OCR noise, typo mining, tokenizer-vocab coalescing).
+    *
+    * Scale: operates on the VOCABULARY (Heaps-sublinear in the corpus),
+    * never the token stream; per-term key fanout is 1 + L + L(L−1)/2 for
+    * term length L — constant-size short-string keys. Frequencies ride
+    * along so consumers can orient pairs (the rare member of a pair with a
+    * frequency cliff is the probable typo). Skew note: depth-2 deletions
+    * of 2-character terms all hit the empty-string bucket, making that one
+    * bucket quadratic in the 2-char vocabulary — bounded (≤ ~1k such
+    * terms in any alphabet), and the levenshtein confirm keeps output
+    * exact; production SymSpell bounds it further with prefix windows.
+    */
+  def typoPairs(s: SparkSession, d: String, maxEdit: Int = 2): DataFrame =
+    typoPairsOf(Tables.documents(s, d), maxEdit)
+
+  /** [[typoPairs]] over an arbitrary `(text)` frame. */
+  def typoPairsOf(docs: DataFrame, maxEdit: Int = 2, minTermLen: Int = 2): DataFrame = {
+    require(maxEdit == 1 || maxEdit == 2, "maxEdit must be 1 or 2")
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .where(length(col("term")) >= minTermLen)
+    val t = col("term")
+    def del1(i: Column): Column =
+      concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t) - i))
+    def del2(i: Column, j: Column): Column =
+      concat(t.substr(lit(1), i - 1), t.substr(i + 1, j - i - 1),
+        t.substr(j + 1, length(t) - j))
+    val id = vocab.select(t, col("cnt"), t.as("key"))
+    val d1 = vocab
+      .select(t, col("cnt"), explode(sequence(lit(1), length(t))).as("i"))
+      .select(t, col("cnt"), del1(col("i")).as("key"))
+    val keyed0 =
+      if (maxEdit == 1) id.union(d1)
+      else {
+        // i < j over the ORIGINAL positions; sequence(i+1, len) is never
+        // descending because i ≤ len − 1
+        val d2 = vocab
+          .where(length(t) >= 2) // sequence(1, 0) would count DOWN
+          .select(t, col("cnt"), explode(sequence(lit(1), length(t) - 1)).as("i"))
+          .select(t, col("cnt"), col("i"),
+            explode(sequence(col("i") + 1, length(t))).as("j"))
+          .select(t, col("cnt"), del2(col("i"), col("j")).as("key"))
+        id.union(d1).union(d2)
+      }
+    val keyed = keyed0.distinct()
+    val a = keyed.select(col("key"), t.as("term_a"), col("cnt").as("cnt_a"))
+    val b = keyed.select(col("key"), t.as("term_b"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("key"))
+      .where(col("term_a") < col("term_b") &&
+        levenshtein(col("term_a"), col("term_b")) <= maxEdit)
+      .select(col("term_a"), col("term_b"), col("cnt_a"), col("cnt_b"),
+        levenshtein(col("term_a"), col("term_b")).as("lev"))
+      .distinct()
+      .orderBy(col("term_a"), col("term_b"))
+  }
+
   /** Corpus term frequency: top-20 terms. explode → partial count →
     * shuffle on term → global count; vocabulary-sized state only.
     */

@@ -171,4 +171,37 @@ class TextVectorDedupSpec extends SparkSpec {
       assert(fromBatch === single, s"query $q diverged")
     }
   }
+
+  test("typoPairs: deletion-neighborhood join finds exactly the ed<=k pairs") {
+    import spark.implicits._
+    val corpus = Seq((0L, "spark spark spork sprk hello")).toDF("doc_id", "text")
+    def pairs(maxEdit: Int) =
+      TextOps.typoPairsOf(corpus, maxEdit).collect()
+        .map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b"),
+          r.getAs[Int]("lev"))).toSet
+    // ed=1: substitution (spark/spork share deletion "sprk"), deletion
+    // (sprk IS a deletion of both); hello pairs with nothing
+    assert(pairs(1) === Set(
+      ("spark", "spork", 1), ("spark", "sprk", 1), ("spork", "sprk", 1)))
+    // ed=2 is a superset; counts ride along
+    assert(pairs(2).contains(("spark", "spork", 1)))
+    val withCnt = TextOps.typoPairsOf(corpus, maxEdit = 1).collect()
+      .map(r => (r.getAs[String]("term_a"), r.getAs[Long]("cnt_a"))).toMap
+    assert(withCnt("spark") === 2L)
+    // exhaustive cross-check: neighborhood join ≡ brute-force levenshtein
+    val vocab = Seq("spark", "spork", "sprk", "hello")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b))).toSet
+    assert(pairs(2) === brute)
+  }
 }
