@@ -279,7 +279,54 @@ object SparkEntry {
         |    CAST(coalesce(count(o.o_orderkey), 0) AS BIGINT) AS c_count
         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY c.c_custkey)
-        |GROUP BY c_count ORDER BY c_count""".stripMargin)
+        |GROUP BY c_count ORDER BY c_count""".stripMargin,
+    "q_rel_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  round(CAST(min(o_orderkey) AS DOUBLE), 4) AS min_num,
+        |  round(CAST(max(o_orderkey) AS DOUBLE), 4) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_custkey),
+        |  round(CAST(min(o_custkey) AS DOUBLE), 4),
+        |  round(CAST(max(o_custkey) AS DOUBLE), 4),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_totalprice),
+        |  round(CAST(min(o_totalprice) AS DOUBLE), 4),
+        |  round(CAST(max(o_totalprice) AS DOUBLE), 4),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*),
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderdate),
+        |  CAST(epoch_ms(min(o_orderdate)) AS DOUBLE),
+        |  CAST(epoch_ms(max(o_orderdate)) AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin)
 
   private val subqueryOracles: Map[String, String] = Map(
     "q_rel_subquery" ->
@@ -493,6 +540,7 @@ object SparkEntry {
     "q_rel_skew_audit" ->
       ((s, d) => graft.plans.SkewOps.keySkewAudit(Tables.events(s, d), "user_id")),
     "q_rel_order_dist" -> (RelationalOps.orderCountDistribution _),
+    "q_rel_profile" -> (RelationalOps.profileOrders _),
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
     "q_dedup_impact" -> (DedupOps.dedupImpact _),
     "q_dedup_blocks" -> ((s, d) => DedupOps.blockDuplicates(s, d)),

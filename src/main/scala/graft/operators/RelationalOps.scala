@@ -317,4 +317,63 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_custs"))
       .orderBy(col("c_count"))
   }
+
+  /** Column profiler — the engine's ANALYZE/describe surface: one result
+    * row per column with row/null/exact-distinct counts and typed min/max
+    * (numerics and timestamps land in `min_num`/`max_num` — timestamps as
+    * epoch-ms — strings in `min_str`/`max_str`).
+    *
+    * Plan: ONE scan, one global aggregation row holding every column's
+    * stats side by side (Catalyst plans the multi-distinct via a single
+    * Expand — still one job, no per-column re-scan), then an in-row
+    * struct-array explode unpivots it to the per-column result. Output is
+    * |columns| rows regardless of table size; nothing but partial-agg
+    * state crosses the exchange.
+    */
+  def profileOrders(s: SparkSession, d: String): DataFrame =
+    profileOf(Tables.orders(s, d), Seq("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+
+  /** [[profileOrders]] over any frame and column subset. */
+  def profileOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
+    val fields = cols.map(n => df.schema.fields.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $n")))
+    def minMaxNum(name: String, f: Column => Column): Column =
+      df.schema(name).dataType match {
+        case _: NumericType => round(f(col(name)).cast("double"), 4)
+        case _: TimestampType => f(unix_millis(col(name))).cast("double")
+        // parquet timestamp[ms] reads as NTZ; session tz is UTC everywhere
+        // in this library, so the cast is the identity instant
+        case _: TimestampNTZType =>
+          f(unix_millis(col(name).cast("timestamp"))).cast("double")
+        case _ => lit(null).cast("double")
+      }
+    def minMaxStr(name: String, f: Column => Column): Column =
+      df.schema(name).dataType match {
+        case org.apache.spark.sql.types.StringType => f(col(name))
+        case _ => lit(null).cast("string")
+      }
+    val aggExprs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { fd =>
+      Seq(
+        sum(when(col(fd.name).isNull, 1L).otherwise(0L)).as(s"${fd.name}__nulls"),
+        countDistinct(col(fd.name)).as(s"${fd.name}__nd"),
+        minMaxNum(fd.name, min).as(s"${fd.name}__minn"),
+        minMaxNum(fd.name, max).as(s"${fd.name}__maxn"),
+        minMaxStr(fd.name, min).as(s"${fd.name}__mins"),
+        minMaxStr(fd.name, max).as(s"${fd.name}__maxs"))
+    }
+    df.agg(aggExprs.head, aggExprs.tail: _*)
+      .select(explode(array(fields.map(fd => struct(
+        lit(fd.name).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"${fd.name}__nulls").as("n_nulls"),
+        col(s"${fd.name}__nd").as("n_distinct"),
+        col(s"${fd.name}__minn").as("min_num"),
+        col(s"${fd.name}__maxn").as("max_num"),
+        col(s"${fd.name}__mins").as("min_str"),
+        col(s"${fd.name}__maxs").as("max_str"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
 }

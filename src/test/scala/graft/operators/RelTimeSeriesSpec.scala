@@ -118,6 +118,33 @@ class RelTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("profileOf: per-column nulls/distinct/min-max with typed routing") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("b"), Some(2.5)),
+      (Some(3L), None, Some(0.5)),
+      (None, Some("a"), Some(2.5)))
+      .toDF("k", "s", "v")
+    val got = RelationalOps.profileOf(df, Seq("k", "s", "v")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(got.keySet === Set("k", "s", "v"))
+    got.values.foreach(r => assert(r.getAs[Long]("n_rows") === 3L))
+    val k = got("k")
+    assert(k.getAs[Long]("n_nulls") === 1L)
+    assert(k.getAs[Long]("n_distinct") === 2L)
+    assert(k.getAs[Double]("min_num") === 1.0)
+    assert(k.getAs[Double]("max_num") === 3.0)
+    assert(k.isNullAt(k.fieldIndex("min_str")))
+    val s = got("s")
+    assert(s.getAs[Long]("n_nulls") === 1L)
+    assert(s.getAs[String]("min_str") === "a")
+    assert(s.getAs[String]("max_str") === "b")
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+    val v = got("v")
+    assert(v.getAs[Long]("n_distinct") === 2L) // 2.5 dup collapses
+    assert(v.getAs[Double]("min_num") === 0.5)
+  }
+
   test("anomalies: spike over a varying history is flagged, normal buckets are not") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
