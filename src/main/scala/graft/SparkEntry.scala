@@ -326,7 +326,50 @@ object SparkEntry {
         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         |  min(o_orderpriority), max(o_orderpriority)
         |FROM orders
-        |ORDER BY col_name""".stripMargin)
+        |ORDER BY col_name""".stripMargin,
+    // Quintiles via broadcast boundaries, not ntile — see
+    // RelationalOps.rfmSegments; boundary ties score low on both engines.
+    "q_rel_rfm" ->
+      """WITH pc AS (SELECT o_custkey, max(epoch_ms(o_orderdate)) AS last_ms,
+        |              count(*) AS n_orders,
+        |              round(sum(o_totalprice), 2) AS monetary
+        |            FROM orders GROUP BY o_custkey),
+        |ref AS (SELECT max(last_ms) AS ref_ms FROM pc),
+        |rc AS (SELECT o_custkey AS c_custkey,
+        |         CAST((ref_ms - last_ms) // 86400000 AS INTEGER) AS recency_days,
+        |         n_orders, monetary
+        |       FROM pc, ref),
+        |b AS (SELECT
+        |  round(quantile_cont(recency_days, 0.2), 4) AS r20,
+        |  round(quantile_cont(recency_days, 0.4), 4) AS r40,
+        |  round(quantile_cont(recency_days, 0.6), 4) AS r60,
+        |  round(quantile_cont(recency_days, 0.8), 4) AS r80,
+        |  round(quantile_cont(n_orders, 0.2), 4) AS f20,
+        |  round(quantile_cont(n_orders, 0.4), 4) AS f40,
+        |  round(quantile_cont(n_orders, 0.6), 4) AS f60,
+        |  round(quantile_cont(n_orders, 0.8), 4) AS f80,
+        |  round(quantile_cont(monetary, 0.2), 4) AS m20,
+        |  round(quantile_cont(monetary, 0.4), 4) AS m40,
+        |  round(quantile_cont(monetary, 0.6), 4) AS m60,
+        |  round(quantile_cont(monetary, 0.8), 4) AS m80
+        |FROM rc),
+        |scored AS (SELECT c_custkey, recency_days, n_orders, monetary,
+        |  1 + CASE WHEN recency_days < r80 THEN 1 ELSE 0 END
+        |    + CASE WHEN recency_days < r60 THEN 1 ELSE 0 END
+        |    + CASE WHEN recency_days < r40 THEN 1 ELSE 0 END
+        |    + CASE WHEN recency_days < r20 THEN 1 ELSE 0 END AS r,
+        |  1 + CASE WHEN n_orders > f20 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_orders > f40 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_orders > f60 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_orders > f80 THEN 1 ELSE 0 END AS f,
+        |  1 + CASE WHEN monetary > m20 THEN 1 ELSE 0 END
+        |    + CASE WHEN monetary > m40 THEN 1 ELSE 0 END
+        |    + CASE WHEN monetary > m60 THEN 1 ELSE 0 END
+        |    + CASE WHEN monetary > m80 THEN 1 ELSE 0 END AS m
+        |FROM rc, b)
+        |SELECT c_custkey, recency_days, n_orders, monetary, r, f, m,
+        |  r * 100 + f * 10 + m AS segment
+        |FROM scored ORDER BY c_custkey""".stripMargin)
 
   private val subqueryOracles: Map[String, String] = Map(
     "q_rel_subquery" ->
@@ -386,7 +429,8 @@ object SparkEntry {
     "q_ts_funnel" -> (EventAnalyticsOps.funnel _),
     "q_ts_cohort" -> (EventAnalyticsOps.cohortRetention _),
     "q_ts_transitions" -> (EventAnalyticsOps.transitionMatrix _),
-    "q_ts_anomaly" -> ((s, d) => TimeSeriesOps.anomalies(s, d)))
+    "q_ts_anomaly" -> ((s, d) => TimeSeriesOps.anomalies(s, d)),
+    "q_ts_paths" -> ((s, d) => EventAnalyticsOps.topPaths(s, d)))
 
   private val tsOracles: Map[String, String] = Map(
     "q_ts_hourly" ->
@@ -508,7 +552,16 @@ object SparkEntry {
         |  coalesce(abs(CASE WHEN vr > 0
         |                    THEN round((n - mean) / sqrt(vr), 4) END) >= 3,
         |           false) AS is_anomaly
-        |FROM m ORDER BY event_type, bucket_ms""".stripMargin)
+        |FROM m ORDER BY event_type, bucket_ms""".stripMargin,
+    "q_ts_paths" ->
+      """WITH o AS (SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS s2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS s3
+        |  FROM events)
+        |SELECT s1, s2, s3, count(*) AS n
+        |FROM o WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY s1, s2, s3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin)
 
   // ---- text / dedup pack --------------------------------------------------
 
@@ -541,6 +594,7 @@ object SparkEntry {
       ((s, d) => graft.plans.SkewOps.keySkewAudit(Tables.events(s, d), "user_id")),
     "q_rel_order_dist" -> (RelationalOps.orderCountDistribution _),
     "q_rel_profile" -> (RelationalOps.profileOrders _),
+    "q_rel_rfm" -> (RelationalOps.rfmSegments _),
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
     "q_dedup_impact" -> (DedupOps.dedupImpact _),
     "q_dedup_blocks" -> ((s, d) => DedupOps.blockDuplicates(s, d)),

@@ -90,6 +90,31 @@ object EventAnalyticsOps {
       .orderBy(col("cohort_ms"), col("offset_days"))
   }
 
+  /** Top event-type trigram paths: the most frequent length-3 consecutive
+    * sequences across users — [[transitionMatrix]]'s order-2 sibling and
+    * the "common user journeys" query behind path-analysis UIs.
+    *
+    * Plan: two leads over the SAME (user_id, event_id) window — one
+    * shuffle, the sessionization shape — then a rollup bounded by
+    * |types|³, never the event count; top-k ties break on the full path.
+    */
+  def topPaths(s: SparkSession, d: String, k: Int = 15): DataFrame =
+    topPathsOf(Tables.events(s, d), k)
+
+  /** [[topPaths]] over an arbitrary `(user_id, event_id, event_type)` frame. */
+  def topPathsOf(events: DataFrame, k: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .where(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(k)
+  }
+
   /** Event-type transition matrix: counts and row-normalized probabilities
     * of consecutive (prev → next) event pairs per user — the first-order
     * Markov summary of user behavior.

@@ -318,6 +318,53 @@ object RelationalOps {
       .orderBy(col("c_count"))
   }
 
+  /** RFM customer segmentation (recency / frequency / monetary quintiles) —
+    * the classic mart rollup, built scale-first: the textbook `ntile(5)`
+    * needs a GLOBAL sort per metric (one partition holds every customer);
+    * instead, exact quintile BOUNDARIES reduce to one row that broadcasts,
+    * and each customer scores with four comparisons per metric — same
+    * buckets, no global sort at any customer count (boundary ties land in
+    * the lower score on both engines).
+    *
+    * Plan: the only corpus-sized shuffle is the per-customer rollup of
+    * orders; everything after runs on the customer dimension. Boundaries
+    * are rounded to 4 dp on both engines before comparison so interpolated
+    * quantiles can't flip a bucket at the last ulp.
+    */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_ms"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+    val ref = perCust.agg(max(col("last_ms")).as("ref_ms"))
+    val rc = perCust.crossJoin(broadcast(ref))
+      .select(
+        col("o_custkey").as("c_custkey"),
+        expr("(ref_ms - last_ms) div 86400000").cast("int").as("recency_days"),
+        col("n_orders"), col("monetary"))
+    def qs(metric: String, tag: String): Seq[Column] =
+      Seq(20, 40, 60, 80).map(p =>
+        round(expr(s"percentile($metric, 0.$p)"), 4).as(s"$tag$p"))
+    val allQs = qs("recency_days", "r") ++ qs("n_orders", "f") ++ qs("monetary", "m")
+    val bounds = rc.agg(allQs.head, allQs.tail: _*)
+    def scoreUp(v: Column, tag: String): Column =
+      lit(1) + Seq(20, 40, 60, 80)
+        .map(p => (v > col(s"$tag$p")).cast("int")).reduce(_ + _)
+    def scoreDown(v: Column, tag: String): Column =
+      lit(1) + Seq(80, 60, 40, 20)
+        .map(p => (v < col(s"$tag$p")).cast("int")).reduce(_ + _)
+    rc.crossJoin(broadcast(bounds))
+      .select(
+        col("c_custkey"), col("recency_days"), col("n_orders"), col("monetary"),
+        scoreDown(col("recency_days"), "r").as("r"),
+        scoreUp(col("n_orders"), "f").as("f"),
+        scoreUp(col("monetary"), "m").as("m"))
+      .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Column profiler — the engine's ANALYZE/describe surface: one result
     * row per column with row/null/exact-distinct counts and typed min/max
     * (numerics and timestamps land in `min_num`/`max_num` — timestamps as

@@ -82,4 +82,18 @@ class EventAnalyticsSpec extends SparkSpec {
     // no cross-user pair: (purchase→view) from u2's end to u1 must not exist
     assert(!got.contains(("purchase", "view")))
   }
+
+  test("topPaths counts length-3 consecutive sequences, never across users") {
+    val events = ev(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))
+    val got = EventAnalyticsOps.topPathsOf(events, k = 10).collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"),
+        r.getAs[String]("s3")) -> r.getAs[Long]("n")).toMap
+    assert(got === Map(("a", "b", "c") -> 2L, ("b", "c", "d") -> 1L))
+    // k truncates after the count-desc, path-asc order
+    val top1 = EventAnalyticsOps.topPathsOf(events, k = 1).collect()
+    assert(top1.length === 1 &&
+      top1(0).getAs[String]("s1") === "a" && top1(0).getAs[Long]("n") === 2L)
+  }
 }

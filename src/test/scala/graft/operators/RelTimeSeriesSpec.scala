@@ -118,6 +118,26 @@ class RelTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("rfmSegments: scores in 1..5, monotone with their metric, segment composed") {
+    val rows = RelationalOps.rfmSegments(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for (c <- Seq("r", "f", "m"))
+        assert(r.getAs[Int](c) >= 1 && r.getAs[Int](c) <= 5)
+      assert(r.getAs[Int]("segment") ===
+        r.getAs[Int]("r") * 100 + r.getAs[Int]("f") * 10 + r.getAs[Int]("m"))
+    }
+    // boundary scoring is monotone: sorted by monetary, m never decreases
+    val byMonetary = rows.sortBy(_.getAs[Double]("monetary")).map(_.getAs[Int]("m"))
+    assert(byMonetary.zip(byMonetary.tail).forall { case (a, b) => a <= b })
+    // and recency scores INVERT: sorted by recency_days, r never increases
+    val byRecency = rows.sortBy(_.getAs[Int]("recency_days")).map(_.getAs[Int]("r"))
+    assert(byRecency.zip(byRecency.tail).forall { case (a, b) => a >= b })
+    // quintile boundaries split ~evenly (ties may skew buckets slightly)
+    val mCounts = rows.groupBy(_.getAs[Int]("m")).view.mapValues(_.length)
+    assert(mCounts.keySet === Set(1, 2, 3, 4, 5))
+  }
+
   test("profileOf: per-column nulls/distinct/min-max with typed routing") {
     import spark.implicits._
     val df = Seq(
