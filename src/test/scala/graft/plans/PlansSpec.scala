@@ -314,4 +314,33 @@ class PlansSpec extends SparkSpec {
     val plan = executedPlan(graft.operators.RetrievalOps.bigramLm(spark, sf0001))
     assert(!plan.contains("Join"), s"bigrams zip in-row, no join:\n$plan")
   }
+
+  test("bigramLogProb: LM broadcasts; the scoring token stream never hash-shuffles") {
+    val df = graft.operators.RetrievalOps.bigramLogProb(spark, sf0001)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"LM must broadcast:\n$plan")
+    // exchanges belong to the LM build (w1 window + its rollup) and the
+    // per-doc rollup — the scoring side's exploded bigrams must meet the
+    // join without repartitioning, i.e. no SortMergeJoin anywhere
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring stream must not shuffle into the join:\n$plan")
+  }
+
+  test("profile: one scan of orders, aggregation only — no join, no window") {
+    val plan = executedPlan(graft.operators.RelationalOps.profileOrders(spark, sf0001))
+    assert(!plan.contains("Join"), s"profiler reads one table:\n$plan")
+    assert(!plan.contains("Window"), s"profiler is pure aggregation:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 1,
+      s"profiler must scan orders exactly once:\n$plan")
+  }
+
+  test("rfmSegments: boundaries broadcast; no global one-partition sort") {
+    val plan = executedPlan(graft.operators.RelationalOps.rfmSegments(spark, sf0001))
+    // the ntile formulation would put every customer in one partition via
+    // Exchange SinglePartition + Window; the boundary form must not
+    assert(!plan.contains("Window"), s"no ntile window allowed:\n$plan")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      s"boundary rows must ride broadcasts:\n$plan")
+  }
 }
