@@ -307,6 +307,68 @@ object TrainPrepOps {
         round(col("n_tokens").cast("double") / (col("n_seqs") * ctx), 6))
       .orderBy(col("source"))
 
+  /** Export the corpus as training shards — the WRITE side of the prep
+    * pack: documents pack into ~`targetTokens`-token shards per source (the
+    * same per-shard running-sum assignment as [[packSequences]] — a global
+    * order would serialize the corpus), each shard lands as ONE parquet
+    * file under `source=<s>/shard=<k>/` sorted by doc_id, and a manifest
+    * (`_manifest/`, underscore-prefixed so table readers skip it) records
+    * every shard's doc count, token count, and a content fingerprint.
+    *
+    * Commit protocol: the whole layout is written to a `.staging`
+    * directory and swapped in with directory renames via the shared
+    * Hadoop-FS plumbing ([[graft.streaming.FsUtil]], same
+    * local/HDFS/object-store stance as retention) — a reader of `outDir`
+    * sees the previous export or the new one, never a torn one. Returns
+    * the manifest.
+    */
+  def writeShards(s: SparkSession, d: String, outDir: String,
+      targetTokens: Long = 2000L): DataFrame =
+    writeShardsOf(Tables.documents(s, d), outDir, targetTokens)
+
+  /** [[writeShards]] over an arbitrary `(doc_id, source, text)` frame. */
+  def writeShardsOf(docs: DataFrame, outDir: String, targetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetTokens >= 1, s"need targetTokens >= 1, got $targetTokens")
+    val spark = docs.sparkSession
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = docs
+      .select(col("doc_id"), col("source"), col("text"), size(toks).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        floor((col("cum") - col("n_tokens")) / targetTokens).cast("int"))
+      .drop("cum")
+    val staging = outDir + ".staging"
+    graft.streaming.FsUtil.deleteRecursively(spark, staging)
+    assigned
+      // one task per (source, shard) → exactly one file per shard dir
+      .repartition(col("source"), col("shard"))
+      .sortWithinPartitions(col("source"), col("shard"), col("doc_id"))
+      .write.mode("overwrite")
+      .partitionBy("source", "shard")
+      .parquet(staging)
+    val manifest = assigned
+      .groupBy(col("source"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("shard_fp"))
+      .orderBy(col("source"), col("shard"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$staging/_manifest")
+    val old = outDir + ".old"
+    graft.streaming.FsUtil.deleteRecursively(spark, old)
+    if (graft.streaming.FsUtil.exists(spark, outDir))
+      graft.streaming.FsUtil.rename(spark,
+        new org.apache.hadoop.fs.Path(outDir), new org.apache.hadoop.fs.Path(old))
+    graft.streaming.FsUtil.rename(spark,
+      new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(outDir))
+    graft.streaming.FsUtil.deleteRecursively(spark, old)
+    spark.read.parquet(s"$outDir/_manifest")
+  }
+
   // ---- cross-split leakage audit ------------------------------------------
 
   /** Train/val/test leakage audit: exact-duplicate pairs whose two copies

@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   *    the swap is confined to [[Retention.swapDir]] so that substitution
   *    is one function.
   */
-private[streaming] object FsUtil {
+private[graft] object FsUtil {
 
   /** The FileSystem owning `path`, resolved from the session's Hadoop conf
     * (picks up s3a/abfs/hdfs credentials and endpoints the deployment set).

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Training-shard export: layout (one file per shard), manifest
+  * reconciliation, roundtrip fidelity, and in-place re-export.
+  */
+class CorpusExportSpec extends SparkSpec {
+
+  test("writeShards: one file per shard, manifest reconciles, re-export swaps") {
+    val out = Files.createTempDirectory("graft-shards").toString + "/corpus"
+    val manifest = TrainPrepOps.writeShards(spark, sf0001, out, targetTokens = 2000L)
+      .collect()
+    assert(manifest.nonEmpty)
+
+    // layout: every manifest shard is a dir with exactly one parquet file
+    manifest.foreach { r =>
+      val dir = Paths.get(out, s"source=${r.getAs[String]("source")}",
+        s"shard=${r.getAs[Int]("shard")}")
+      assert(Files.isDirectory(dir), s"missing shard dir $dir")
+      val files = Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(files.size === 1, s"expected 1 file in $dir, got ${files.size}")
+    }
+
+    // roundtrip: the read-back table is the corpus (underscore manifest
+    // dir must be invisible to the table reader)
+    val back = spark.read.parquet(out)
+    val docs = Tables.documents(spark, sf0001)
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    // manifest reconciles with what's actually on disk, fingerprints included
+    val fromDisk = back.groupBy(col("source"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")))).as("shard_fp"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("shard")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[String]("shard_fp"))))
+      .toMap
+    manifest.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Int]("shard"))
+      assert(fromDisk(k) === ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("shard_fp"))), s"manifest mismatch for $k")
+    }
+
+    // every shard except possibly a source's last must reach the target
+    // (holds whenever docs are smaller than the target, as in the fixture;
+    // an over-target doc legitimately leaves a following short shard)
+    val lastPerSource = manifest.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Int]("shard")).max).toMap
+    manifest.foreach { r =>
+      if (r.getAs[Int]("shard") != lastPerSource(r.getAs[String]("source")))
+        assert(r.getAs[Long]("n_tokens") >= 2000L,
+          s"non-final shard under target: $r")
+    }
+
+    // re-export swaps in place: same layout, no staging residue
+    TrainPrepOps.writeShards(spark, sf0001, out, targetTokens = 2000L)
+    assert(spark.read.parquet(out).count() === docs.count())
+    assert(!Files.exists(Paths.get(out + ".staging")))
+    assert(!Files.exists(Paths.get(out + ".old")))
+  }
+}
