@@ -430,7 +430,8 @@ object SparkEntry {
     "q_ts_cohort" -> (EventAnalyticsOps.cohortRetention _),
     "q_ts_transitions" -> (EventAnalyticsOps.transitionMatrix _),
     "q_ts_anomaly" -> ((s, d) => TimeSeriesOps.anomalies(s, d)),
-    "q_ts_paths" -> ((s, d) => EventAnalyticsOps.topPaths(s, d)))
+    "q_ts_paths" -> ((s, d) => EventAnalyticsOps.topPaths(s, d)),
+    "q_ts_funnel_timing" -> (EventAnalyticsOps.funnelTiming _))
 
   private val tsOracles: Map[String, String] = Map(
     "q_ts_hourly" ->
@@ -561,7 +562,31 @@ object SparkEntry {
         |SELECT s1, s2, s3, count(*) AS n
         |FROM o WHERE s2 IS NOT NULL AND s3 IS NOT NULL
         |GROUP BY s1, s2, s3
-        |ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin)
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin,
+    // Same stepwise-min chain as q_ts_funnel, carrying the endpoint
+    // timestamps: the greedy walk's chain IS (e1, e2, e3, e4).
+    "q_ts_funnel_timing" ->
+      """WITH s1 AS (SELECT user_id, min(event_id) AS e1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(event_id) AS e2 FROM events e
+        |       JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND event_id > e1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(event_id) AS e3 FROM events e
+        |       JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND event_id > e2 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(event_id) AS e4 FROM events e
+        |       JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND event_id > e3 GROUP BY e.user_id),
+        |conv AS (SELECT epoch_ms(b.ts) - epoch_ms(a.ts) AS dur_ms
+        |         FROM s4 JOIN s1 USING (user_id)
+        |         JOIN events a ON a.event_id = e1
+        |         JOIN events b ON b.event_id = e4)
+        |SELECT count(*) AS n_converted,
+        |  min(dur_ms) AS min_ms,
+        |  round(quantile_cont(dur_ms, 0.5), 2) AS p50_ms,
+        |  round(quantile_cont(dur_ms, 0.9), 2) AS p90_ms,
+        |  max(dur_ms) AS max_ms
+        |FROM conv""".stripMargin)
 
   // ---- text / dedup pack --------------------------------------------------
 
@@ -598,6 +623,7 @@ object SparkEntry {
     "q_dedup_exact" -> (DedupOps.exactDuplicates _),
     "q_dedup_impact" -> (DedupOps.dedupImpact _),
     "q_dedup_blocks" -> ((s, d) => DedupOps.blockDuplicates(s, d)),
+    "q_dedup_dup_shingles" -> ((s, d) => DedupOps.dupShingleFrac(s, d)),
     "q_dedup_block_rewrite" -> ((s, d) => DedupOps.blockDedupRewrite(s, d)),
     "q_dedup_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
@@ -893,6 +919,19 @@ object SparkEntry {
         |  CAST(sum(is_dup) AS BIGINT) AS n_dup_blocks,
         |  round(sum(is_dup)::DOUBLE / nb, 6) AS dup_block_frac
         |FROM wc GROUP BY doc_id, nb ORDER BY doc_id""".stripMargin,
+    "q_dedup_dup_shingles" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         substr(md5(array_to_string(t[i : i + 4], ' ')), 1, 16) AS sfp
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |             FROM t WHERE len(t) >= 5)),
+        |c AS (SELECT sfp, count(*) AS cnt FROM sh GROUP BY sfp)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+        |  round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS dup_frac
+        |FROM sh JOIN c USING (sfp)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_bm25" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(t)) AS avgdl,

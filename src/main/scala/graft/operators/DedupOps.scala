@@ -209,6 +209,44 @@ object DedupOps {
     * canonical-id window); the per-document rollup then shuffles
     * (doc_id, flag) pairs only.
     */
+  /** Per-document duplicate-shingle fraction: the share of a document's
+    * sliding `n`-gram shingles that occur more than once in the corpus —
+    * the `dup_ngram_frac` quality signal web-scale curation pipelines
+    * threshold on (boilerplate and templated text score high). Counts
+    * ALL repeats, cross-doc and within-doc (within-doc-only repetition is
+    * the sibling signal `TrainPrepOps.repetitionStats`); [[blockDuplicates]]
+    * is the disjoint-block variant of the same idea.
+    *
+    * Plan: one shuffle on the 8-byte shingle fingerprint (window count),
+    * then the doc rollup — fingerprints and ids cross the wire, never
+    * text.
+    */
+  def dupShingleFrac(s: SparkSession, d: String, n: Int = 5): DataFrame =
+    dupShingleFracOf(Tables.documents(s, d), n)
+
+  /** [[dupShingleFrac]] over an arbitrary `(doc_id, text)` frame. */
+  def dupShingleFracOf(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // sequence(1, 0) would count DOWN for docs shorter than n tokens
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"), col("t"))
+      .select(col("doc_id"),
+        substring(md5(array_join(slice(col("t"), col("i"), lit(n)), " ")), 1, 16)
+          .as("sfp"))
+    sh
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("sfp"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_frac",
+        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   def blockDuplicates(s: SparkSession, d: String, blockTokens: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val blocks = Tables.documents(s, d)

@@ -90,6 +90,56 @@ object EventAnalyticsOps {
       .orderBy(col("cohort_ms"), col("offset_days"))
   }
 
+  /** Funnel conversion timing: among users completing the whole funnel
+    * (greedy earliest-match chain, exactly [[funnel]]'s walk), the
+    * distribution of signup→purchase duration — the "how long does
+    * conversion take" companion to the step counts.
+    *
+    * Plan: the same single user_id shuffle as [[funnel]]; the walk
+    * additionally carries the chain's first/last timestamps in its
+    * aggregate state (a 3-field struct instead of an int — still one
+    * codegen'd HOF pass, no join); converted users reduce to ONE summary
+    * row with exact percentiles inside the aggregate.
+    */
+  def funnelTiming(s: SparkSession, d: String): DataFrame =
+    funnelTimingOf(Tables.events(s, d))
+
+  /** [[funnelTiming]] over an arbitrary `(user_id, event_id, event_type, ts)` frame. */
+  def funnelTimingOf(events: DataFrame): DataFrame = {
+    val zero = struct(
+      lit(0).as("stage"), lit(0L).as("start_ms"), lit(0L).as("end_ms"))
+    val walk = (acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) => {
+      val t = x.getField("event_type")
+      val ms = x.getField("ts_ms")
+      val stage = acc.getField("stage")
+      val start = acc.getField("start_ms")
+      when(stage === 0 && t === FunnelSteps(0),
+          struct(lit(1).as("stage"), ms.as("start_ms"), lit(0L).as("end_ms")))
+        .when(stage === 1 && t === FunnelSteps(1),
+          struct(lit(2).as("stage"), start.as("start_ms"), lit(0L).as("end_ms")))
+        .when(stage === 2 && t === FunnelSteps(2),
+          struct(lit(3).as("stage"), start.as("start_ms"), lit(0L).as("end_ms")))
+        .when(stage === 3 && t === FunnelSteps(3),
+          struct(lit(4).as("stage"), start.as("start_ms"), ms.as("end_ms")))
+        .otherwise(acc)
+    }
+    events
+      .where(col("event_type").isin(FunnelSteps: _*))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms")))).as("evs"))
+      .select(aggregate(col("evs"), zero, walk).as("w"))
+      .where(col("w.stage") === 4)
+      .select((col("w.end_ms") - col("w.start_ms")).as("dur_ms"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        min(col("dur_ms")).as("min_ms"),
+        round(expr("percentile(dur_ms, 0.5)"), 2).as("p50_ms"),
+        round(expr("percentile(dur_ms, 0.9)"), 2).as("p90_ms"),
+        max(col("dur_ms")).as("max_ms"))
+  }
+
   /** Top event-type trigram paths: the most frequent length-3 consecutive
     * sequences across users — [[transitionMatrix]]'s order-2 sibling and
     * the "common user journeys" query behind path-analysis UIs.

@@ -83,6 +83,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!got.contains(("purchase", "view")))
   }
 
+  test("funnelTiming: greedy-chain duration for converted users only") {
+    import spark.implicits._
+    def evt(rows: (Long, Long, String, Long)*) =
+      rows.map { case (u, e, t, ms) => (u, e, t, new Timestamp(ms)) }
+        .toDF("user_id", "event_id", "event_type", "ts")
+    val events = evt(
+      // u1 converts start→end = 1000..4000
+      (1L, 1L, "signup", 1000L), (1L, 2L, "view", 2000L),
+      (1L, 3L, "click", 3000L), (1L, 4L, "purchase", 4000L),
+      // u2 never converts
+      (2L, 1L, "signup", 1000L),
+      // u3: early purchase must NOT end the chain; greedy start at 1000,
+      // end at the purchase AFTER the chain = 5000
+      (3L, 1L, "signup", 1000L), (3L, 2L, "purchase", 2000L),
+      (3L, 3L, "view", 3000L), (3L, 4L, "click", 4000L),
+      (3L, 5L, "purchase", 5000L))
+    val r = EventAnalyticsOps.funnelTimingOf(events).collect()(0)
+    assert(r.getAs[Long]("n_converted") === 2L)
+    assert(r.getAs[Long]("min_ms") === 3000L)  // u1
+    assert(r.getAs[Long]("max_ms") === 4000L)  // u3
+    assert(r.getAs[Double]("p50_ms") === 3500.0)
+  }
+
   test("topPaths counts length-3 consecutive sequences, never across users") {
     val events = ev(
       (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),

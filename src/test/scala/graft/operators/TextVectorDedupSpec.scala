@@ -172,6 +172,24 @@ class TextVectorDedupSpec extends SparkSpec {
     }
   }
 
+  test("dupShingleFrac: shared 5-grams count as dup, short docs drop out") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e f"), // shingles: abcde (shared), bcdef (unique)
+      (1L, "a b c d e"),   // abcde (shared)
+      (2L, "v w x y z"),   // unique
+      (3L, "a b"))         // too short: no row
+      .toDF("doc_id", "text")
+    val got = DedupOps.dupShingleFracOf(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup_shingles"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(got === Map(
+      0L -> ((2L, 1L, 0.5)),
+      1L -> ((1L, 1L, 1.0)),
+      2L -> ((1L, 0L, 0.0))))
+  }
+
   test("typoPairs: deletion-neighborhood join finds exactly the ed<=k pairs") {
     import spark.implicits._
     val corpus = Seq((0L, "spark spark spork sprk hello")).toDF("doc_id", "text")
