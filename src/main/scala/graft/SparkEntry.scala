@@ -1276,6 +1276,8 @@ object SparkEntry {
     "q_vec_ivf_kmeans" -> ((s, d) => VectorOps.ivfKmeansTopK(s, d)),
     "q_vec_kmeans_cells" -> ((s, d) => VectorOps.kmeansCellStats(s, d)),
     "q_vec_centroid_norms" -> (VectorOps.labelCentroidNorms _),
+    "q_vec_dim_stats" -> (VectorOps.dimStats _),
+    "q_text_hybrid_topk" -> ((s, d) => RetrievalOps.hybridTopK(s, d)),
     "q_vec_centroids" -> (VectorOps.labelCentroids _),
     "q_vec_quantize" -> (VectorOps.quantizeInt8 _),
     "q_vec_pq" -> (VectorOps.pqEncode _),
@@ -1447,6 +1449,58 @@ object SparkEntry {
          |  SELECT label, count(*) AS n,
          |  $dims
          |  FROM embeddings GROUP BY label) ORDER BY label""".stripMargin
+    },
+    "q_vec_dim_stats" ->
+      """WITH x AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(0, 64)) AS dim
+        |           FROM embeddings)
+        |SELECT dim, count(*) AS n,
+        |  round(sum(x) / count(*), 6) AS mean,
+        |  round(sqrt((sum(x * x) - sum(x) * sum(x) / count(*)) / (count(*) - 1)), 4)
+        |    AS std,
+        |  min(x) AS min_x, max(x) AS max_x
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+    "q_text_hybrid_topk" -> {
+      val bmBody =
+        """SELECT doc_id,
+          |  round(
+          |    ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+          |      * len(list_filter(t, x -> x = 'spark'))::DOUBLE * 2.2
+          |      / (len(list_filter(t, x -> x = 'spark'))::DOUBLE
+          |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl))
+          |  + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+          |      * len(list_filter(t, x -> x = 'hash'))::DOUBLE * 2.2
+          |      / (len(list_filter(t, x -> x = 'hash'))::DOUBLE
+          |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl))
+          |  + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+          |      * len(list_filter(t, x -> x = 'join'))::DOUBLE * 2.2
+          |      / (len(list_filter(t, x -> x = 'join'))::DOUBLE
+          |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl)), 6) AS bm25
+          |FROM t, st""".stripMargin
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(t)) AS avgdl,
+         |  sum(CASE WHEN list_contains(t, 'spark') THEN 1.0 ELSE 0.0 END) AS df0,
+         |  sum(CASE WHEN list_contains(t, 'hash') THEN 1.0 ELSE 0.0 END) AS df1,
+         |  sum(CASE WHEN list_contains(t, 'join') THEN 1.0 ELSE 0.0 END) AS df2
+         |  FROM t),
+         |sc AS ($bmBody),
+         |bm AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_bm
+         |       FROM (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+         |             ORDER BY bm25 DESC, doc_id LIMIT 20)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cz AS (SELECT vec_id, round(${duckCos("embedding", "qv")}, 6) AS cos_sim
+         |       FROM embeddings, q WHERE vec_id <> 0
+         |       ORDER BY cos_sim DESC, vec_id LIMIT 20),
+         |cs AS (SELECT vec_id AS doc_id,
+         |         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS r_cos
+         |       FROM cz)
+         |SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+         |  round(coalesce(1.0 / (60 + r_bm), 0) + coalesce(1.0 / (60 + r_cos), 0), 6)
+         |    AS rrf,
+         |  r_bm, r_cos
+         |FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
     },
     "q_media_frames" ->
       """SELECT doc_id AS media_id, i AS frame_idx,

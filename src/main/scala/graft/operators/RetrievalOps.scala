@@ -117,6 +117,40 @@ object RetrievalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, the Cormack et al.
+    * formula `Σ 1/(k₀ + rank)`) of the lexical ranking ([[bm25TopK]]) and
+    * the dense ranking (`VectorOps.cosineTopK` over the embedding of the
+    * same corpus) — the standard two-tower merge every retrieval stack
+    * runs. Rank arithmetic on exact integer ranks keeps the fused score
+    * bit-identical across engines.
+    *
+    * Plan: both inputs are already top-`kEach` results (constant-size
+    * frames); the rank windows and the full-outer fusion join run on ≤
+    * 2·kEach rows — nothing corpus-sized moves. The fixture's `vec_id` is
+    * the embedding of the like-numbered `doc_id` (TESTDATA contract).
+    */
+  def hybridTopK(s: SparkSession, d: String, k: Int = 10, kEach: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25TopK(s, d, kEach)
+      .withColumn("r_bm",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("r_bm"))
+    val cs = VectorOps.cosineTopK(s, d, queryId = 0L, k = kEach)
+      .withColumn("r_cos",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast("int"))
+      .select(col("vec_id").as("doc_id"), col("r_cos"))
+    bm.join(cs, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_bm")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("r_cos")), lit(0.0)), 6).as("rrf"),
+        col("r_bm"), col("r_cos"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document bigram-LM score: mean log P(w₂|w₁) of each document's
     * token bigrams under the corpus bigram MLE — the order-2 upgrade of
     * [[unigramLogProb]] and the statistic CCNet-family quality filters

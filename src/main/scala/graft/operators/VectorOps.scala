@@ -434,6 +434,35 @@ object VectorOps {
     * elementwise array aggregation (zip_with under an agg via summing each
     * dimension): demonstrates vector reductions without exploding rows.
     */
+  /** Per-dimension embedding statistics (mean/std/min/max for each of the
+    * 64 components) — the feature-drift audit run before/after retraining
+    * an embedding model (a shifted dimension distribution flags a skewed
+    * batch or a silently changed encoder).
+    *
+    * Plan: posexplode runs IN-PIPELINE ahead of a partial aggregation, so
+    * despite the ×dim row expansion the shuffle carries at most
+    * dim × partitions partial rows (map-side combine collapses each task
+    * to ≤ dim rows) — a vector-accumulating UDAF would shuffle the same
+    * bytes with more code. Std is derived from Σx/Σx² in one shared
+    * formula; floats cast to double BEFORE summation on both engines.
+    */
+  def dimStats(s: SparkSession, d: String): DataFrame = {
+    val n = count(lit(1))
+    val sx = sum(col("x"))
+    val sxx = sum(col("x") * col("x"))
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(
+        n.as("n"),
+        round(sx / n, 6).as("mean"),
+        round(sqrt((sxx - sx * sx / n) / (n - 1)), 4).as("std"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+      .orderBy(col("dim"))
+  }
+
   def labelCentroidNorms(s: SparkSession, d: String): DataFrame = {
     val dim = 64
     val emb = Tables.embeddings(s, d)
