@@ -10,7 +10,35 @@ import graft.SparkSpec
   * hand-built corpus (written as fixture-shaped parquet so the operators
   * run exactly as in production).
   */
-class TextVectorDedupSpec extends SparkSpec {
+class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
+
+  test("property: typoPairs ≡ brute-force levenshtein on random vocabularies") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // 3-letter alphabet, lengths 2-5 → dense edit-distance neighborhoods
+    val wordGen = Gen.choose(2, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = Gen.listOfN(7, wordGen).map(_.distinct)
+    forSamples(vocabGen, n = 8) { vocab =>
+      val corpus = Seq((0L, vocab.mkString(" "))).toDF("doc_id", "text")
+      val got = TextOps.typoPairsOf(corpus, maxEdit = 2).collect()
+        .map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b"),
+          r.getAs[Int]("lev"))).toSet
+      val brute = (for {
+        a <- vocab; b <- vocab if a < b && lev(a, b) <= 2
+      } yield (a, b, lev(a, b))).toSet
+      assert(got === brute, s"vocab=$vocab")
+    }
+  }
 
   /** Tiny corpus with planted duplicates:
     *  0: base text, 1: exact copy of 0, 2: near-dup of 0 (one word changed),
