@@ -100,6 +100,21 @@ final class Graft(
     graft.sources.SyslogLog.start(spark, syslogStagingDir, tableRoot,
       s"$checkpointRoot/syslog-backfill", trigger)
 
+  /** Backfill/tail logfmt captures into the same table (fourth wire
+    * format; see [[graft.sources.LogfmtLog]]). */
+  def backfillLogfmt(
+      logfmtStagingDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    graft.sources.LogfmtLog.start(spark, logfmtStagingDir, tableRoot,
+      s"$checkpointRoot/logfmt-backfill", trigger)
+
+  // ---- log analytics over the live table ----------------------------------
+
+  /** Template mining over the engine's own log table (the Drain-family
+    * rollup of [[graft.operators.LogOps.templates]]). */
+  def templates(): DataFrame =
+    LogOps.templates(logs, "container_id", "seq", "ts_nano", col("line"))
+
   // ---- retention / maintenance (O10-O13) ----------------------------------
 
   def cleanup(age: Option[java.time.Duration], maxLines: Option[Long]): Retention.SweepStats =

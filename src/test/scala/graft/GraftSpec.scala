@@ -88,6 +88,25 @@ class GraftSpec extends SparkSpec {
     g.stopAll()
   }
 
+  test("logfmt backfill lands in the shared table; templates mine it") {
+    val root = Files.createTempDirectory("graft-facade-lf").toString
+    val g = Graft(spark, root)
+    val dir = Paths.get(root, "logfmt", "svc")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("b0.log"),
+      (0 until 6).map(i =>
+        s"""ts=2024-02-01T08:00:0${i}Z level=info msg="served request ${i * 17}ms"""")
+        .mkString("\n").getBytes("UTF-8"))
+    g.backfillLogfmt(s"$root/logfmt").awaitTermination(60000)
+    assert(g.countLogs("svc") === 6)
+    // template mining over the live table collapses the 6 lines to 1 shape
+    val t = g.templates().collect()
+    assert(t.length === 1)
+    assert(t(0).getAs[Long]("n") === 6L)
+    assert(t(0).getAs[String]("template").contains("served request <N>ms"))
+    g.stopAll()
+  }
+
   test("cleanup/compact on a never-ingested root are clean no-ops") {
     val g = Graft(spark, Files.createTempDirectory("graft-empty").toString)
     assert(g.cleanup(Some(java.time.Duration.ofDays(1)), Some(10L)).total === 0)
