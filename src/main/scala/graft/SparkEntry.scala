@@ -431,7 +431,8 @@ object SparkEntry {
     "q_ts_transitions" -> (EventAnalyticsOps.transitionMatrix _),
     "q_ts_anomaly" -> ((s, d) => TimeSeriesOps.anomalies(s, d)),
     "q_ts_paths" -> ((s, d) => EventAnalyticsOps.topPaths(s, d)),
-    "q_ts_funnel_timing" -> (EventAnalyticsOps.funnelTiming _))
+    "q_ts_funnel_timing" -> (EventAnalyticsOps.funnelTiming _),
+    "q_ts_rolling_actives" -> ((s, d) => EventAnalyticsOps.rollingActives(s, d)))
 
   private val tsOracles: Map[String, String] = Map(
     "q_ts_hourly" ->
@@ -586,7 +587,19 @@ object SparkEntry {
         |  round(quantile_cont(dur_ms, 0.5), 2) AS p50_ms,
         |  round(quantile_cont(dur_ms, 0.9), 2) AS p90_ms,
         |  max(dur_ms) AS max_ms
-        |FROM conv""".stripMargin)
+        |FROM conv""".stripMargin,
+    "q_ts_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |daily AS (SELECT epoch_ms(d) AS day_ms, count(*) AS dau FROM ud GROUP BY d),
+        |r AS (SELECT user_id, d + to_days(CAST(i AS INTEGER)) AS w
+        |      FROM ud, (SELECT unnest(range(0, 7)) AS i)),
+        |roll AS (SELECT epoch_ms(w) AS day_ms,
+        |           count(DISTINCT user_id) AS active_7d
+        |         FROM r GROUP BY w)
+        |SELECT day_ms, dau, active_7d,
+        |  round(CAST(dau AS DOUBLE) / active_7d, 6) AS stickiness
+        |FROM daily JOIN roll USING (day_ms)
+        |ORDER BY day_ms""".stripMargin)
 
   // ---- text / dedup pack --------------------------------------------------
 

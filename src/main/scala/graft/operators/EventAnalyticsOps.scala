@@ -90,6 +90,45 @@ object EventAnalyticsOps {
       .orderBy(col("cohort_ms"), col("offset_days"))
   }
 
+  /** Daily actives + rolling 7-day actives (the DAU/WAU "stickiness"
+    * pair). Exact rolling distinct is not window-composable from daily
+    * distincts (users overlap across days), so each active (user, day)
+    * fact CONTRIBUTES ITSELF to the 7 window-end days it falls into and
+    * the rolling count is a plain distinct-aggregate per window day.
+    *
+    * Plan: events first collapse to distinct (user, day) — the only
+    * corpus-sized rollup; the ×7 explode then runs over active-user-days
+    * (bounded, far smaller than events) and both distinct counts are
+    * standard two-phase partial aggregates. Window days with no activity
+    * in their trailing week don't appear (same stance as the anomaly
+    * ring: observed buckets only).
+    */
+  def rollingActives(s: SparkSession, d: String, windowDays: Int = 7): DataFrame =
+    rollingActivesOf(Tables.events(s, d), windowDays)
+
+  /** [[rollingActives]] over an arbitrary `(user_id, ts)` frame. */
+  def rollingActivesOf(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val daily = userDays
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("dau"))
+      .select(unix_millis(col("d")).as("day_ms"), col("dau"))
+    val rolling = userDays
+      .select(col("user_id"),
+        explode(sequence(col("d"),
+          col("d") + expr(s"INTERVAL '${windowDays - 1}' DAY"),
+          expr("INTERVAL '1' DAY"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count_distinct(col("user_id")).as(s"active_${windowDays}d"))
+      .select(unix_millis(col("w")).as("day_ms"), col(s"active_${windowDays}d"))
+    daily.join(rolling, Seq("day_ms"))
+      .withColumn("stickiness",
+        round(col("dau").cast("double") / col(s"active_${windowDays}d"), 6))
+      .orderBy(col("day_ms"))
+  }
+
   /** Funnel conversion timing: among users completing the whole funnel
     * (greedy earliest-match chain, exactly [[funnel]]'s walk), the
     * distribution of signup→purchase duration — the "how long does

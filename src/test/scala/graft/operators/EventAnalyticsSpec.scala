@@ -106,6 +106,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_ms") === 3500.0)
   }
 
+  test("rollingActives: trailing-window distinct counts, overlap not double-counted") {
+    import spark.implicits._
+    val day = 86400000L
+    def evd(rows: (Long, Long)*) = // (user, day index)
+      rows.map { case (u, di) => (u, new Timestamp(di * day)) }
+        .toDF("user_id", "ts")
+    // day0: u1,u2; day1: u1; day3: u3
+    val events = evd((1L, 0L), (2L, 0L), (1L, 0L), (1L, 1L), (3L, 3L))
+    val got = EventAnalyticsOps.rollingActivesOf(events, windowDays = 3).collect()
+      .map(r => r.getAs[Long]("day_ms") / day ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("active_3d")))).toMap
+    // day0: dau 2, window {d-2..d0} actives {1,2} = 2
+    // day1: dau 1, window {1,2} from day0 + {1} day1 = 2 (u1 NOT doubled)
+    // day3: dau 1, window day1..day3 = {1 (day1), 3} = 2
+    assert(got === Map(0L -> ((2L, 2L)), 1L -> ((1L, 2L)), 3L -> ((1L, 2L))))
+  }
+
   test("topPaths counts length-3 consecutive sequences, never across users") {
     val events = ev(
       (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
