@@ -327,6 +327,19 @@ object SparkEntry {
         |  min(o_orderpriority), max(o_orderpriority)
         |FROM orders
         |ORDER BY col_name""".stripMargin,
+    "q_rel_integrity" ->
+      """SELECT 'lineitem_without_order' AS check, count(*) AS n_violations
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'order_without_lineitem', count(*)
+        |FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        |UNION ALL
+        |SELECT 'order_without_customer', count(*)
+        |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'customer_without_nation', count(*)
+        |FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        |ORDER BY "check"""".stripMargin,
     // Quintiles via broadcast boundaries, not ntile — see
     // RelationalOps.rfmSegments; boundary ties score low on both engines.
     "q_rel_rfm" ->
@@ -643,6 +656,9 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
+    "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
+    "q_text_lang_confusion" -> (TextOps.langConfusion _),
+    "q_rel_integrity" -> (RelationalOps.integrityAudit _),
     "q_curate" -> ((s, d) => CurationOps.curate(s, d)),
     "q_curate_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)))
 
@@ -723,6 +739,29 @@ object SparkEntry {
         |                            ORDER BY score DESC, lng DESC) AS rn
         |  FROM s) WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    // q_text_langid's scoring CTE + a |langs|² rollup
+    "q_text_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, p.lng,
+        |    round(len(list_filter(toks, x -> list_contains(p.words, x)))::DOUBLE
+        |          / greatest(len(toks), 1), 6) AS score
+        |  FROM t, (VALUES ('de', ['der','die','das','und','ist']),
+        |                  ('en', ['the','a','of','and','to']),
+        |                  ('es', ['el','la','de','que','y']),
+        |                  ('fr', ['le','la','les','et','que']),
+        |                  ('zh', ['的','是','了','在','我'])) AS p(lng, words)),
+        |pred AS (SELECT doc_id, lang_actual, lang_predicted, confidence FROM (
+        |  SELECT doc_id, lang AS lang_actual, lng AS lang_predicted,
+        |         score AS confidence,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, lng DESC) AS rn
+        |  FROM s) WHERE rn = 1)
+        |SELECT lang_actual, lang_predicted, count(*) AS n,
+        |  round(avg(confidence), 4) AS avg_confidence
+        |FROM pred GROUP BY lang_actual, lang_predicted
+        |ORDER BY lang_actual, lang_predicted""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |shs AS (SELECT doc_id,
@@ -776,6 +815,51 @@ object SparkEntry {
         |  WHERE e.y <> r.x)
         |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    // q_dedup_clusters' recursive-CTE body + quality ranking per cluster
+    "q_dedup_cluster_reps" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, inter::DOUBLE / (na + nb - inter) AS jac FROM (
+        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |             count(*) AS inter
+        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4))
+        |  WHERE jac >= 0.2),
+        |edges AS (SELECT a AS x, b AS y FROM pairs
+        |          UNION SELECT b AS x, a AS y FROM pairs),
+        |reach AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        |  WHERE e.y <> r.x),
+        |cl AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+        |       FROM reach GROUP BY x),
+        |q AS (SELECT doc_id,
+        |        round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |              * (len(list_distinct(toks))::DOUBLE / len(toks)), 4)
+        |          AS quality
+        |      FROM t)
+        |SELECT doc_id, cluster_id, quality, rn = 1 AS is_rep,
+        |  first_value(doc_id) OVER (PARTITION BY cluster_id
+        |    ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rep_id
+        |FROM (SELECT cl.doc_id, cl.cluster_id, q.quality,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY quality DESC, cl.doc_id) AS rn
+        |      FROM cl JOIN q USING (doc_id))
+        |ORDER BY doc_id""".stripMargin,
     // End-to-end curation pipeline: langid + quality + exact dedup + CASE
     // decision. Rule order (too_short → low_quality → duplicate → kept)
     // is part of the contract and mirrored exactly here.

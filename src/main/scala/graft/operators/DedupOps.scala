@@ -497,6 +497,36 @@ object DedupOps {
     clusters(ngramJaccardPairs(s, d, minSim, maxDf).select(col("a"), col("b")))
       .orderBy(col("doc_id"))
 
+  /** Best-quality representative per near-dup cluster: the rewrite
+    * decision a curation pass makes AFTER clustering — unlike exact-dup
+    * groups (identical text ⇒ identical quality ⇒ min-id is already the
+    * right canonical, [[exactDuplicates]]), near-dup cluster members
+    * DIFFER, so the kept copy should be the best one, not the first one.
+    * Composes [[duplicateClusters]] with the shared curation quality
+    * signal.
+    *
+    * Plan: the cluster assignment is cluster-member-sized (far smaller
+    * than the corpus — AQE broadcasts it to the quality join); the rep
+    * choice is one window over cluster_id. Ties break on doc_id.
+    */
+  def clusterReps(
+      s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = duplicateClusters(s, d, minSim, maxDf)
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), CurationOps.qualityCol.as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cl.join(q, Seq("doc_id"))
+      .withColumn("is_rep", row_number().over(w) === 1)
+      .withColumn("rep_id", first(col("doc_id")).over(wAll))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("is_rep"), col("rep_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash signatures + near-dup pairs at Hamming distance <= maxDist,
     * candidates generated by matching on any of 4 16-bit chunks (guarantees
     * recall for distance <= 3 by pigeonhole). Candidates carry bare ids;

@@ -318,6 +318,39 @@ object RelationalOps {
       .orderBy(col("c_count"))
   }
 
+  /** Referential-integrity audit over the star schema: violation counts
+    * for each foreign-key edge (orphan facts, childless parents, dangling
+    * dimension keys) — the data-quality gate a pipeline runs after every
+    * load. All-zero rows are the PASSING result and are emitted (absence
+    * of a check is not the same as a passing check).
+    *
+    * Plan: each check is an anti-join whose dimension side broadcasts
+    * (explicitly for the small dims, AQE otherwise); each reduces to a
+    * 1-row count before the 4-row union.
+    */
+  def integrityAudit(s: SparkSession, d: String): DataFrame =
+    integrityAuditOf(Tables.lineitem(s, d), Tables.orders(s, d),
+      Tables.customer(s, d), Tables.nation(s, d))
+
+  /** [[integrityAudit]] over arbitrary star-schema frames. */
+  def integrityAuditOf(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame): DataFrame = {
+    def violations(name: String, facts: DataFrame, factKey: String,
+        dim: DataFrame, dimKey: String): DataFrame =
+      facts.join(dim, col(factKey) === col(dimKey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check"), col("n_violations"))
+    violations("lineitem_without_order", lineitem, "l_orderkey",
+        orders, "o_orderkey")
+      .union(violations("order_without_lineitem", orders, "o_orderkey",
+        lineitem, "l_orderkey"))
+      .union(violations("order_without_customer", orders, "o_custkey",
+        customer, "c_custkey"))
+      .union(violations("customer_without_nation", customer, "c_nationkey",
+        broadcast(nation), "n_nationkey"))
+      .orderBy(col("check"))
+  }
+
   /** RFM customer segmentation (recency / frequency / monetary quintiles) —
     * the classic mart rollup, built scale-first: the textbook `ntile(5)`
     * needs a GLOBAL sort per metric (one partition holds every customer);

@@ -34,6 +34,22 @@ object TextOps {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Language confusion matrix: declared `lang` label × [[languageId]]
+    * prediction, with counts and mean confidence — the label-noise audit
+    * run before trusting a corpus's language metadata (off-diagonal mass
+    * = mislabeled or code-mixed documents).
+    *
+    * Plan: the per-doc prediction is one scan of codegen'd profile
+    * scoring (no shuffle — see languageId); the matrix rollup is bounded
+    * by |langs|².
+    */
+  def langConfusion(s: SparkSession, d: String): DataFrame =
+    languageId(s, d)
+      .groupBy(col("lang_actual"), col("lang_predicted"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("confidence")), 4).as("avg_confidence"))
+      .orderBy(col("lang_actual"), col("lang_predicted"))
+
   /** Vocabulary typo/variant pairs within edit distance `maxEdit`, found
     * SymSpell-style: every term joins on its deletion neighborhood (the
     * term plus every string reachable by deleting ≤ `maxEdit` characters),

@@ -118,6 +118,30 @@ class RelTimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("integrityAudit counts planted violations and reports zeros as passes") {
+    import spark.implicits._
+    val li = Seq((1L, 1), (1L, 2), (9L, 1)).toDF("l_orderkey", "l_linenumber")
+    val ord = Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq((10L, 0), (11L, 7)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((0L, "A")).toDF("n_nationkey", "n_name")
+    val got = RelationalOps.integrityAuditOf(li, ord, cust, nat).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("n_violations")).toMap
+    assert(got === Map(
+      "lineitem_without_order" -> 1L,   // l_orderkey 9
+      "order_without_lineitem" -> 2L,   // orders 2, 3
+      "order_without_customer" -> 1L,   // custkey 99
+      "customer_without_nation" -> 1L)) // nationkey 7
+    // the fixture reports 4 explicit rows (a real finding included: the
+    // synthetic generator leaves some orders without lineitems)
+    val clean = RelationalOps.integrityAudit(spark, sf0001).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("n_violations")).toMap
+    assert(clean.keySet.size === 4)
+    assert(clean("lineitem_without_order") === 0L)
+    assert(clean("order_without_customer") === 0L)
+    assert(clean("customer_without_nation") === 0L)
+    assert(clean("order_without_lineitem") > 0L)
+  }
+
   test("rfmSegments: scores in 1..5, monotone with their metric, segment composed") {
     val rows = RelationalOps.rfmSegments(spark, sf0001).collect()
     assert(rows.nonEmpty)
