@@ -166,6 +166,12 @@ object RetrievalOps {
     * per-doc average's doc_id rollup. At larger vocabularies, prune the
     * model with `minCount` (standard KenLM pruning); scoring then averages
     * over the bigrams the pruned model retains.
+    *
+    * Measured alternative (tools/BigramAB, sf0.1): a single-explode plan
+    * that pre-counts (doc_id, w1, w2) and scores count-weighted is a WASH
+    * locally (0.759 s vs 0.749 s shipped) while shuffling the per-doc
+    * bigram table — nearly corpus-sized, pre-aggregation barely collapses
+    * it. Recompute-over-materialize wins at scale; kept.
     */
   def bigramLogProb(s: SparkSession, d: String): DataFrame =
     bigramLogProbOf(Tables.documents(s, d))
