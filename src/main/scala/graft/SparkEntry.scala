@@ -157,7 +157,9 @@ object SparkEntry {
     "q_rel_subquery" -> (RelationalOps.partsAboveBrandAvg _),
     "q_rel_window_nav" -> (RelationalOps.orderTimeline _),
     "q_scalar_string" -> (ScalarOps.stringFuncs _),
-    "q_scalar_date" -> (ScalarOps.dateFuncs _))
+    "q_scalar_date" -> (ScalarOps.dateFuncs _),
+    "q_scalar_math" -> (ScalarOps.mathFuncs _),
+    "q_scalar_cond" -> (ScalarOps.condFuncs _))
 
   private val relOracles: Map[String, String] = Map(
     "q_rel_pricing_summary" ->
@@ -427,7 +429,30 @@ object SparkEntry {
         |    AS days_to_y2k,
         |  epoch_ms(o_orderdate + INTERVAL 90 DAY) AS due_ms,
         |  strftime(o_orderdate, '%Y-%m') AS ym
-        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(-l_extendedprice), 2) AS abs_price,
+        |  round(sqrt(l_extendedprice), 4) AS sqrt_price,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+        |  round(exp(l_discount), 6) AS exp_disc,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  round(power(l_tax + 1, 2), 6) AS tax_factor_sq,
+        |  l_orderkey % 7 AS key_mod7,
+        |  CAST(sign(l_quantity - 25) AS INTEGER) AS qty_side
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scalar_cond" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = 'R' THEN 'returned'
+        |       WHEN l_linestatus = 'O' THEN 'open' ELSE 'closed' END AS status_class,
+        |  round(coalesce(nullif(l_tax, 0.0), l_discount), 2) AS tax_or_disc,
+        |  round(greatest(l_tax, l_discount), 2) AS rate_hi,
+        |  round(least(l_tax, l_discount), 2) AS rate_lo,
+        |  l_quantity > 30 AS bulk
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
   // ---- time-series pack ---------------------------------------------------
 
@@ -658,6 +683,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
     "q_text_lang_confusion" -> (TextOps.langConfusion _),
+    "q_text_signal_corr" -> (TextOps.signalCorr _),
     "q_rel_integrity" -> (RelationalOps.integrityAudit _),
     "q_curate" -> ((s, d) => CurationOps.curate(s, d)),
     "q_curate_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)))
@@ -762,6 +788,32 @@ object SparkEntry {
         |  round(avg(confidence), 4) AS avg_confidence
         |FROM pred GROUP BY lang_actual, lang_predicted
         |ORDER BY lang_actual, lang_predicted""".stripMargin,
+    // Explicit sum-formula Pearson (see TextOps.signalCorr): built-in
+    // corr() implementations differ algorithmically across engines.
+    "q_text_signal_corr" ->
+      """WITH b AS (SELECT
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
+        |    round(least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0)
+        |          * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |             / len(string_split(text, ' '))), 4) AS y,
+        |    CAST(n_chars AS DOUBLE) AS z
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n,
+        |        sum(x) AS s_x, sum(y) AS s_y, sum(z) AS s_z,
+        |        sum(x * x) AS s_xx, sum(y * y) AS s_yy, sum(z * z) AS s_zz,
+        |        sum(x * y) AS s_xy, sum(z * y) AS s_zy, sum(x * z) AS s_xz
+        |      FROM b)
+        |SELECT n,
+        |  round((n * s_xy - s_x * s_y)
+        |    / sqrt((n * s_xx - s_x * s_x) * (n * s_yy - s_y * s_y)), 4)
+        |    AS corr_tokens_quality,
+        |  round((n * s_zy - s_z * s_y)
+        |    / sqrt((n * s_zz - s_z * s_z) * (n * s_yy - s_y * s_y)), 4)
+        |    AS corr_chars_quality,
+        |  round((n * s_xz - s_x * s_z)
+        |    / sqrt((n * s_xx - s_x * s_x) * (n * s_zz - s_z * s_z)), 4)
+        |    AS corr_tokens_chars
+        |FROM s""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |shs AS (SELECT doc_id,

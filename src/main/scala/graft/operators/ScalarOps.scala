@@ -30,6 +30,45 @@ object ScalarOps {
         split(col("p_name"), " ").getItem(0).as("first_word"))
       .orderBy(col("p_partkey"))
 
+  /** Math functions over lineitem numerics: abs/sqrt/exp/ln/power,
+    * ceil/floor, modulo, sign. Transcendentals are rounded — two libms
+    * may differ in the last ulp — and ceil/floor cast to BIGINT on both
+    * engines (Spark returns LONG, DuckDB DOUBLE).
+    */
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_orderkey") <= 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(-col("l_extendedprice")), 2).as("abs_price"),
+        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        ceil(col("l_discount") * 100).cast("bigint").as("disc_pct_ceil"),
+        floor(col("l_tax") * 100).cast("bigint").as("tax_pct_floor"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(pow(col("l_tax") + 1d, 2), 6).as("tax_factor_sq"),
+        pmod(col("l_orderkey"), lit(7L)).as("key_mod7"),
+        signum(col("l_quantity") - 25d).cast("int").as("qty_side"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Conditional expressions: CASE chains, nullif/coalesce null plumbing,
+    * greatest/least.
+    */
+  def condFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_orderkey") <= 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "R", "returned")
+          .when(col("l_linestatus") === "O", "open")
+          .otherwise("closed").as("status_class"),
+        round(coalesce(nullif(col("l_tax"), lit(0.0)), col("l_discount")), 2)
+          .as("tax_or_disc"),
+        round(greatest(col("l_tax"), col("l_discount")), 2).as("rate_hi"),
+        round(least(col("l_tax"), col("l_discount")), 2).as("rate_lo"),
+        (col("l_quantity") > 30d).as("bulk"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** Date/time functions over order dates: component extraction, date
     * arithmetic, truncation, intervals, formatting.
     */

@@ -34,6 +34,42 @@ object TextOps {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Quality-signal correlation audit: Pearson r between the curation
+    * quality score and raw size signals (token/char counts) — the sanity
+    * check that a quality signal is not just a length proxy before a
+    * pipeline filters on it.
+    *
+    * Determinism: the explicit sum-formula
+    * r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is computed from the
+    * SAME aggregate sums on both engines (built-in `corr` implementations
+    * differ algorithmically); one scan, one 1-row aggregate.
+    */
+  def signalCorr(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      size(tokens(col("text"))).cast("double").as("x"),
+      graft.operators.CurationOps.qualityCol.as("y"),
+      col("n_chars").cast("double").as("z"))
+    def corrOf(a: String, b: String): Column = {
+      val n = col("n").cast("double")
+      (n * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")) /
+        sqrt((n * col(s"s_$a$a") - col(s"s_$a") * col(s"s_$a")) *
+          (n * col(s"s_$b$b") - col(s"s_$b") * col(s"s_$b")))
+    }
+    base.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s_x"), sum(col("y")).as("s_y"), sum(col("z")).as("s_z"),
+      sum(col("x") * col("x")).as("s_xx"), sum(col("y") * col("y")).as("s_yy"),
+      sum(col("z") * col("z")).as("s_zz"),
+      sum(col("x") * col("y")).as("s_xy"),
+      sum(col("z") * col("y")).as("s_zy"),
+      sum(col("x") * col("z")).as("s_xz"))
+      .select(
+        col("n"),
+        round(corrOf("x", "y"), 4).as("corr_tokens_quality"),
+        round(corrOf("z", "y"), 4).as("corr_chars_quality"),
+        round(corrOf("x", "z"), 4).as("corr_tokens_chars"))
+  }
+
   /** Language confusion matrix: declared `lang` label × [[languageId]]
     * prediction, with counts and mean confidence — the label-noise audit
     * run before trusting a corpus's language metadata (off-diagonal mass
