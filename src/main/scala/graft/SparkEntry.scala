@@ -470,7 +470,9 @@ object SparkEntry {
     "q_ts_anomaly" -> ((s, d) => TimeSeriesOps.anomalies(s, d)),
     "q_ts_paths" -> ((s, d) => EventAnalyticsOps.topPaths(s, d)),
     "q_ts_funnel_timing" -> (EventAnalyticsOps.funnelTiming _),
-    "q_ts_rolling_actives" -> ((s, d) => EventAnalyticsOps.rollingActives(s, d)))
+    "q_ts_rolling_actives" -> ((s, d) => EventAnalyticsOps.rollingActives(s, d)),
+    "q_ts_interarrival" -> (EventAnalyticsOps.interArrival _),
+    "q_ts_baskets" -> ((s, d) => EventAnalyticsOps.sessionBaskets(s, d)))
 
   private val tsOracles: Map[String, String] = Map(
     "q_ts_hourly" ->
@@ -637,7 +639,50 @@ object SparkEntry {
         |SELECT day_ms, dau, active_7d,
         |  round(CAST(dau AS DOUBLE) / active_7d, 6) AS stickiness
         |FROM daily JOIN roll USING (day_ms)
-        |ORDER BY day_ms""".stripMargin)
+        |ORDER BY day_ms""".stripMargin,
+    "q_ts_interarrival" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_ms(ts) - lag(epoch_ms(ts))
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS gap_ms
+        |  FROM events),
+        |u AS (SELECT user_id, count(*) AS n_gaps,
+        |        quantile_cont(gap_ms, 0.5) AS p50, max(gap_ms) AS max_gap
+        |      FROM g WHERE gap_ms IS NOT NULL GROUP BY user_id)
+        |SELECT CAST(length(bin(n_gaps)) - 1 AS INTEGER) AS gap_band,
+        |  count(*) AS n_users,
+        |  round(avg(p50), 2) AS avg_p50_ms,
+        |  max(max_gap) AS max_gap_ms
+        |FROM u GROUP BY gap_band ORDER BY gap_band""".stripMargin,
+    // Same gaps-and-islands session assignment as q_ts_sessions
+    "q_ts_baskets" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |           FROM events),
+        |s0 AS (SELECT user_id, event_id, event_type,
+        |        CASE WHEN lag(ms) OVER win IS NULL
+        |             OR ms - lag(ms) OVER win > 1800000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY event_id)),
+        |s1 AS (SELECT user_id, event_type,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |      FROM s0),
+        |bk AS (SELECT DISTINCT
+        |         user_id || '#' || CAST(session_no AS VARCHAR) AS sid,
+        |         event_type
+        |       FROM s1),
+        |tot AS (SELECT count(DISTINCT sid) AS n_sessions FROM bk),
+        |tc AS (SELECT event_type, count(*) AS n_type FROM bk GROUP BY event_type),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+        |      FROM bk a JOIN bk b ON a.sid = b.sid AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ta, tb, n_both,
+        |  round(CAST(n_both AS DOUBLE) / n_sessions, 6) AS support,
+        |  round(CAST(n_both AS DOUBLE) / na.n_type, 6) AS confidence,
+        |  round(CAST(n_both AS DOUBLE) * n_sessions
+        |        / (na.n_type * nb.n_type), 6) AS lift
+        |FROM p JOIN tc na ON p.ta = na.event_type
+        |       JOIN tc nb ON p.tb = nb.event_type, tot
+        |ORDER BY ta, tb""".stripMargin)
 
   // ---- text / dedup pack --------------------------------------------------
 

@@ -204,6 +204,93 @@ object EventAnalyticsOps {
       .limit(k)
   }
 
+  /** Inter-arrival time distribution: per-user consecutive-event gaps,
+    * rolled up to one distribution row per event-count band — the
+    * "how bursty is traffic" summary behind ingest sizing (the reference's
+    * tx thresholds — 10k lines / 100 ms burst timeout — are tuned against
+    * exactly this distribution).
+    *
+    * Plan: one lag window on the sessionization shuffle shape; per-user
+    * gap percentiles reduce inside a user_id aggregate, then the band
+    * rollup is |bands|-sized. Band = power-of-two bucket of the user's
+    * event count (the zipf-profile idiom: exact integer semantics on both
+    * engines).
+    */
+  def interArrival(s: SparkSession, d: String): DataFrame =
+    interArrivalOf(Tables.events(s, d))
+
+  /** [[interArrival]] over an arbitrary `(user_id, event_id, ts)` frame. */
+  def interArrivalOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .where(col("gap_ms").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_ms, 0.5)").as("p50"),
+        max(col("gap_ms")).as("max_gap"))
+      .groupBy((length(bin(col("n_gaps"))) - 1).cast("int").as("gap_band"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(avg(col("p50")), 2).as("avg_p50_ms"),
+        max(col("max_gap")).as("max_gap_ms"))
+      .orderBy(col("gap_band"))
+  }
+
+  /** Session-basket association: support / confidence / lift for pairs of
+    * event types co-occurring in the same user session — market-basket
+    * analysis with the 30-minute session as the basket.
+    *
+    * Plan: session assignment reuses the sessionization shuffle (ONE
+    * user_id exchange); baskets collapse to DISTINCT (session, type)
+    * rows; the pair join runs WITHIN a session key against ≤ |types| rows
+    * per basket, so fanout is bounded by |types|² per session — never
+    * corpus × corpus; the lift normalizers are a |types|-row table plus a
+    * 1-row total that both ride broadcasts. Pairs are emitted once with
+    * a < b ordering.
+    */
+  def sessionBaskets(s: SparkSession, d: String, gapMin: Int = 30): DataFrame =
+    sessionBasketsOf(Tables.events(s, d), gapMin)
+
+  /** [[sessionBaskets]] over an arbitrary `(user_id, event_id, ts)` frame. */
+  def sessionBasketsOf(events: DataFrame, gapMin: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val gapMs = gapMin * 60000L
+    val sessions = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("new_session",
+        when(col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1L)
+          .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("session_no", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(concat_ws("#", col("user_id"), col("session_no")).as("sid"),
+        col("event_type"))
+      .distinct()
+    val total = broadcast(sessions.select(col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions")))
+    val typeCounts = broadcast(sessions
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_type")))
+    val a = sessions.select(col("sid"), col("event_type").as("ta"))
+    val b = sessions.select(col("sid"), col("event_type").as("tb"))
+    a.join(b, Seq("sid"))
+      .where(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(typeCounts.select(col("event_type").as("ta"), col("n_type").as("n_a")), Seq("ta"))
+      .join(typeCounts.select(col("event_type").as("tb"), col("n_type").as("n_b")), Seq("tb"))
+      .crossJoin(total)
+      .select(
+        col("ta"), col("tb"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_sessions"), 6).as("support"),
+        round(col("n_both").cast("double") / col("n_a"), 6).as("confidence"),
+        round(col("n_both").cast("double") * col("n_sessions") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** Event-type transition matrix: counts and row-normalized probabilities
     * of consecutive (prev → next) event pairs per user — the first-order
     * Markov summary of user behavior.

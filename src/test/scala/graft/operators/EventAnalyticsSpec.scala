@@ -106,6 +106,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("p50_ms") === 3500.0)
   }
 
+  test("sessionBaskets: gap splits baskets; support/confidence/lift hand-checked") {
+    import spark.implicits._
+    def evt(rows: (Long, Long, String, Long)*) =
+      rows.map { case (u, e, t, ms) => (u, e, t, new Timestamp(ms)) }
+        .toDF("user_id", "event_id", "event_type", "ts")
+    val min = 60000L
+    // u1 session1 {a,b}; u1 session2 {a} (2h gap); u2 session {a,c}
+    val events = evt(
+      (1L, 1L, "a", 0L), (1L, 2L, "b", 1 * min),
+      (1L, 3L, "a", 120 * min),
+      (2L, 1L, "a", 0L), (2L, 2L, "c", 5 * min))
+    val got = EventAnalyticsOps.sessionBasketsOf(events).collect()
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift")))).toMap
+    // 3 sessions; a in 3, b in 1, c in 1
+    assert(got === Map(
+      ("a", "b") -> ((1L, 0.333333, 0.333333, 1.0)),
+      ("a", "c") -> ((1L, 0.333333, 0.333333, 1.0))))
+  }
+
   test("rollingActives: trailing-window distinct counts, overlap not double-counted") {
     import spark.implicits._
     val day = 86400000L
