@@ -342,6 +342,34 @@ object SparkEntry {
         |SELECT 'customer_without_nation', count(*)
         |FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
         |ORDER BY "check"""".stripMargin,
+    "q_rel_q6_discount" ->
+      """SELECT count(*) AS n_items,
+        |  round(sum(l_extendedprice * l_discount), 2) AS revenue_effect
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.08
+        |  AND l_quantity < 24""".stripMargin,
+    "q_rel_q3_shipping" ->
+      """SELECT o.o_orderkey, epoch_ms(o.o_orderdate) AS o_date_ms,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+        |  AND l.l_shipdate  > TIMESTAMP '1996-06-01 00:00:00'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_rel_histogram" ->
+      """SELECT bucket, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo_price,
+        |  round(max(o_totalprice), 2) AS hi_price,
+        |  round(CAST(bucket AS DOUBLE) * 30000.0, 2) AS bucket_lo
+        |FROM (SELECT o_totalprice,
+        |        CAST(least(floor(o_totalprice / 30000.0), 19) AS INTEGER) AS bucket
+        |      FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Quintiles via broadcast boundaries, not ntile — see
     // RelationalOps.rfmSegments; boundary ties score low on both engines.
     "q_rel_rfm" ->
@@ -730,6 +758,9 @@ object SparkEntry {
     "q_text_lang_confusion" -> (TextOps.langConfusion _),
     "q_text_signal_corr" -> (TextOps.signalCorr _),
     "q_rel_integrity" -> (RelationalOps.integrityAudit _),
+    "q_rel_q6_discount" -> (RelationalOps.discountRevenue _),
+    "q_rel_q3_shipping" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
+    "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
     "q_curate" -> ((s, d) => CurationOps.curate(s, d)),
     "q_curate_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)))
 

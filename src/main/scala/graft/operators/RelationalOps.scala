@@ -318,6 +318,70 @@ object RelationalOps {
       .orderBy(col("c_count"))
   }
 
+  /** TPC-H Q6 shape: pure predicate-scan aggregate (the "what would this
+    * discount change have earned" query). Everything pushes to the scan —
+    * the plan is filter + one partial-agg reduce, zero wide shuffles; the
+    * canonical demonstration that a selective aggregate costs one pass.
+    */
+  def discountRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.08 &&
+        col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue_effect"))
+
+  /** TPC-H Q3 shape: shipping-priority top-10 — the 3-table join with a
+    * group-by on the fact side and a value-ordered limit.
+    *
+    * Plan: customer filters BEFORE the join (column-pruned to the key),
+    * orders⋈lineitem is the one fact-fact shuffle, and the final top-10 is
+    * TakeOrderedAndProject over the grouped revenue — no global sort.
+    */
+  def shippingPriority(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00"))
+    val cust = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Equi-width histogram of order totals over FIXED bounds — the
+    * data-profiling companion to the exact/approx percentiles: fixed
+    * bounds keep the bucket function a pure per-row expression (no
+    * data-dependent min/max pass), so the whole plan is one
+    * partial-aggregated rollup of ≤ `bins`+1 keys.
+    */
+  def priceHistogram(s: SparkSession, d: String,
+      lo: Double = 0d, hi: Double = 600000d, bins: Int = 20): DataFrame = {
+    val width = (hi - lo) / bins
+    val bucket = least(floor((col("o_totalprice") - lo) / width), lit(bins - 1))
+      .cast("int")
+    Tables.orders(s, d)
+      .groupBy(bucket.as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo_price"),
+        round(max(col("o_totalprice")), 2).as("hi_price"))
+      .withColumn("bucket_lo", round(lit(lo) + col("bucket") * width, 2))
+      .orderBy(col("bucket"))
+  }
+
   /** Referential-integrity audit over the star schema: violation counts
     * for each foreign-key edge (orphan facts, childless parents, dangling
     * dimension keys) — the data-quality gate a pipeline runs after every
