@@ -370,6 +370,23 @@ object SparkEntry {
         |        CAST(least(floor(o_totalprice / 30000.0), 19) AS INTEGER) AS bucket
         |      FROM orders)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_rel_outliers" ->
+      """WITH q AS (SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.25) AS q1,
+        |    quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders GROUP BY o_orderpriority),
+        |f AS (SELECT o_orderpriority, q1, q3,
+        |        q1 - (q3 - q1) * 1.5 AS lo_fence,
+        |        q3 + (q3 - q1) * 1.5 AS hi_fence
+        |      FROM q)
+        |SELECT o.o_orderpriority, count(*) AS n,
+        |  round(any_value(f.q1), 2) AS q1, round(any_value(f.q3), 2) AS q3,
+        |  CAST(sum(CASE WHEN o.o_totalprice < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN o.o_totalprice > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high
+        |FROM orders o JOIN f USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // Quintiles via broadcast boundaries, not ntile — see
     // RelationalOps.rfmSegments; boundary ties score low on both engines.
     "q_rel_rfm" ->
@@ -761,6 +778,7 @@ object SparkEntry {
     "q_rel_q6_discount" -> (RelationalOps.discountRevenue _),
     "q_rel_q3_shipping" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
     "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
+    "q_rel_outliers" -> (RelationalOps.outlierAudit _),
     "q_curate" -> ((s, d) => CurationOps.curate(s, d)),
     "q_curate_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)))
 

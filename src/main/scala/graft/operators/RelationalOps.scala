@@ -361,6 +361,38 @@ object RelationalOps {
       .limit(k)
   }
 
+  /** IQR outlier audit per group (Tukey fences): quartiles, the
+    * 1.5×IQR fences, and how many rows fall outside them — the numeric
+    * anomaly screen of the profiling pack ([[profileOf]] finds nulls and
+    * ranges; this finds the suspicious tail mass).
+    *
+    * Plan: pass 1 reduces each group to its quartiles/fences (a
+    * |groups|-sized table that broadcasts back); pass 2 is one
+    * conditional rollup of members against their group's fences. Two
+    * scans, |groups|-bounded intermediate state, no wide shuffle beyond
+    * the grouped partial aggregates.
+    */
+  def outlierAudit(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("q1"),
+        expr("percentile(o_totalprice, 0.75)").as("q3"))
+      .select(col("o_orderpriority"), col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo_fence"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi_fence"))
+    Tables.orders(s, d)
+      .join(broadcast(q), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("q1")), 2).as("q1"),
+        round(first(col("q3")), 2).as("q3"),
+        sum(when(col("o_totalprice") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("o_totalprice") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Equi-width histogram of order totals over FIXED bounds — the
     * data-profiling companion to the exact/approx percentiles: fixed
     * bounds keep the bucket function a pure per-row expression (no

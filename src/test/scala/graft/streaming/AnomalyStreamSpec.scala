@@ -71,4 +71,46 @@ class AnomalyStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("ring state survives a checkpointed query RESTART") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-anom-ckpt").toString
+    val in = MemoryStream[TypedEvent]
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[ScoredBucket]()
+    def start() = detect(in.toDS(), lookback = 4)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ScoredBucket], _: Long) =>
+        batch.collect().foreach(sunk.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      val q1 = start()
+      in.addData(eventsFor(0 to 3)) // fills the ring: closed buckets 0..2
+      q1.processAllAvailable()
+      q1.stop()
+      // a NEW query from the same checkpoint must still hold hours 0..3
+      val q2 = start()
+      try {
+        in.addData(eventsFor(4 to 6))
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val got = sunk.asScala.map(b => b.bucket_ms -> b).toMap
+        // hour 4 scores against the PRE-RESTART history 3,5,3,5
+        assert(got.contains(4 * HourMs), s"ring lost across restart: ${got.keys}")
+        assert(got(4 * HourMs).mean_n === 4.0) // mean of pre-restart 3,5,3,5
+        assert(got(4 * HourMs).is_anomaly)
+      } finally q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
