@@ -387,6 +387,13 @@ object SparkEntry {
         |    AS n_high
         |FROM orders o JOIN f USING (o_orderpriority)
         |GROUP BY o.o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_rel_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |       coalesce(l_linestatus, '(all)') AS linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
     // Quintiles via broadcast boundaries, not ntile — see
     // RelationalOps.rfmSegments; boundary ties score low on both engines.
     "q_rel_rfm" ->
@@ -779,6 +786,7 @@ object SparkEntry {
     "q_rel_q3_shipping" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
     "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
     "q_rel_outliers" -> (RelationalOps.outlierAudit _),
+    "q_rel_grouping_sets" -> (RelationalOps.groupingSetsReturns _),
     "q_curate" -> ((s, d) => CurationOps.curate(s, d)),
     "q_curate_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)))
 

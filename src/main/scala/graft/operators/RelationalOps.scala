@@ -110,6 +110,24 @@ object RelationalOps {
         col("sum_qty"), col("n"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** Explicit GROUPING SETS — the asymmetric member of the grouping
+    * family ([[rollupReturns]] / [[cubeReturns]] are its prefix/powerset
+    * specializations): per-flag totals, per-status totals, and the grand
+    * total, WITHOUT the (flag, status) cross table a cube would add.
+    * Spark's Dataset API exposes only rollup/cube, so this goes through
+    * the SQL surface — one Expand + one aggregation, same physical shape.
+    */
+  def groupingSetsReturns(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |       coalesce(l_linestatus, '(all)') AS linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
   /** CUBE over (returnflag, linestatus): all 4 grouping sets in one pass —
     * the full grouping-sets surface next to rollupReturns' hierarchy.
     */

@@ -107,6 +107,44 @@ class GraftSpec extends SparkSpec {
     g.stopAll()
   }
 
+  test("all four wire formats land in ONE queryable table with unified semantics") {
+    val root = Files.createTempDirectory("graft-fourway").toString
+    val g = Graft(spark, root)
+    // 1. framed protobuf (the reference's plugin stream)
+    stage(root, "proto", 4)
+    g.startLogging("proto", Trigger.AvailableNow()).awaitTermination(60000)
+    // 2. docker json-file
+    val jdir = Paths.get(root, "jsonfile", "jf")
+    Files.createDirectories(jdir)
+    Files.write(jdir.resolve("h.log"), (0 until 3).map(i =>
+      s"""{"log":"jf $i\\n","stream":"stdout","time":"2024-04-01T10:00:0$i.1Z"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    g.backfillJsonFile(s"$root/jsonfile").awaitTermination(60000)
+    // 3. RFC 5424 syslog
+    val sdir = Paths.get(root, "syslog", "sys")
+    Files.createDirectories(sdir)
+    Files.write(sdir.resolve("s.log"), (0 until 2).map(i =>
+      s"<134>1 2024-04-01T11:00:0${i}Z h app $i M$i - sys $i")
+      .mkString("\n").getBytes("UTF-8"))
+    g.backfillSyslog(s"$root/syslog").awaitTermination(60000)
+    // 4. logfmt
+    val ldir = Paths.get(root, "logfmt", "lf")
+    Files.createDirectories(ldir)
+    Files.write(ldir.resolve("l.log"), (0 until 2).map(i =>
+      s"""ts=2024-04-01T12:00:0${i}Z level=info msg="lf $i"""")
+      .mkString("\n").getBytes("UTF-8"))
+    g.backfillLogfmt(s"$root/logfmt").awaitTermination(60000)
+
+    assert(g.logs.select("container_id").distinct().count() === 4)
+    assert(g.logs.count() === 11)
+    // unified read semantics across formats: tail-k per container
+    for ((c, n) <- Seq(("proto", 4L), ("jf", 3L), ("sys", 2L), ("lf", 2L))) {
+      assert(g.countLogs(c) === n, s"container $c")
+      assert(g.readLogs(Some(c), tail = 1).count() === 1)
+    }
+    g.stopAll()
+  }
+
   test("cleanup/compact on a never-ingested root are clean no-ops") {
     val g = Graft(spark, Files.createTempDirectory("graft-empty").toString)
     assert(g.cleanup(Some(java.time.Duration.ofDays(1)), Some(10L)).total === 0)
