@@ -1528,6 +1528,8 @@ object SparkEntry {
     "q_vec_kmeans_cells" -> ((s, d) => VectorOps.kmeansCellStats(s, d)),
     "q_vec_centroid_norms" -> (VectorOps.labelCentroidNorms _),
     "q_vec_dim_stats" -> (VectorOps.dimStats _),
+    "q_vec_label_affinity" -> (VectorOps.labelAffinity _),
+    "q_text_prefix_dups" -> ((s, d) => TextOps.prefixDups(s, d)),
     "q_text_hybrid_topk" -> ((s, d) => RetrievalOps.hybridTopK(s, d)),
     "q_vec_centroids" -> (VectorOps.labelCentroids _),
     "q_vec_quantize" -> (VectorOps.quantizeInt8 _),
@@ -1701,6 +1703,33 @@ object SparkEntry {
          |  $dims
          |  FROM embeddings GROUP BY label) ORDER BY label""".stripMargin
     },
+    "q_vec_label_affinity" -> {
+      val dims = (0 until 64)
+        .map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE)) AS s$i").mkString(",\n  ")
+      val comps = (0 until 64).map(i => s"s$i / n AS c$i").mkString(",\n  ")
+      val dot = (0 until 64).map(i => s"a.c$i * b.c$i").mkString(" + ")
+      val na = (0 until 64).map(i => s"a.c$i * a.c$i").mkString(" + ")
+      val nb = (0 until 64).map(i => s"b.c$i * b.c$i").mkString(" + ")
+      s"""WITH c0 AS (SELECT label, count(*) AS n,
+         |  $dims
+         |  FROM embeddings GROUP BY label),
+         |c AS (SELECT label,
+         |  $comps
+         |  FROM c0)
+         |SELECT a.label AS la, b.label AS lb,
+         |  round(($dot) / (sqrt($na) * sqrt($nb)), 6) AS cos_sim
+         |FROM c a JOIN c b ON a.label < b.label
+         |ORDER BY la, lb""".stripMargin
+    },
+    "q_text_prefix_dups" ->
+      """SELECT pfx_fp, count(*) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM (SELECT doc_id,
+        |        substr(md5(array_to_string(string_split(text, ' ')[1:8], ' ')), 1, 16)
+        |          AS pfx_fp
+        |      FROM documents)
+        |GROUP BY pfx_fp HAVING count(*) > 1
+        |ORDER BY n_docs DESC, pfx_fp""".stripMargin,
     "q_vec_dim_stats" ->
       """WITH x AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
         |             unnest(range(0, 64)) AS dim

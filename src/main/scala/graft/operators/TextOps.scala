@@ -34,6 +34,24 @@ object TextOps {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Prefix-duplicate groups: documents sharing their first `k` tokens —
+    * the boilerplate-intro signal (same templated opening, different
+    * bodies) that exact dedup misses and near-dup only catches when the
+    * body also overlaps. One rollup on a 16-byte prefix fingerprint.
+    */
+  def prefixDups(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(md5(concat_ws(" ", slice(tokens(col("text")), 1, k))), 1, 16)
+          .as("pfx_fp"))
+      .groupBy(col("pfx_fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("pfx_fp"))
+
   /** Quality-signal correlation audit: Pearson r between the curation
     * quality score and raw size signals (token/char counts) — the sanity
     * check that a quality signal is not just a length proxy before a

@@ -240,6 +240,39 @@ object VectorOps {
     * partial-agg shaped, nothing row-proportional crosses the shuffle.
     * First 4 dims exposed for the oracle.
     */
+  /** Label-affinity matrix: pairwise cosine similarity between label
+    * centroids — the cluster-separation map read before trusting labels
+    * as training strata (two labels with ~1.0 affinity are one concept;
+    * [[labelOutliers]] finds bad members, this finds bad LABELS).
+    *
+    * Plan: centroids reduce via per-dimension partial-aggregated sums
+    * (one shuffle of |labels| × dim doubles); the pairwise stage is a
+    * |labels|² cross of the tiny centroid table. Both engines build
+    * components as Σxᵢ/n from the same integer-count / double-sum inputs
+    * and fold the dot product left-to-right, so the rounded similarity
+    * hash-matches.
+    */
+  def labelAffinity(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+    val cents = Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+    def comps(tag: String) = cents.select(
+      col("label").as(s"l$tag") +:
+        (0 until dim).map(i => (col(s"s$i") / col("n")).as(s"$tag$i")): _*)
+    val a = comps("a")
+    val b = comps("b")
+    val dot = (0 until dim).map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
+    val na = sqrt((0 until dim).map(i => col(s"a$i") * col(s"a$i")).reduce(_ + _))
+    val nb = sqrt((0 until dim).map(i => col(s"b$i") * col(s"b$i")).reduce(_ + _))
+    a.crossJoin(b)
+      .where(col("la") < col("lb"))
+      .select(col("la"), col("lb"), round(dot / (na * nb), 6).as("cos_sim"))
+      .orderBy(col("la"), col("lb"))
+  }
+
   def labelCentroids(s: SparkSession, d: String): DataFrame = {
     val c = graft.functions.VectorAgg.centroid(col("embedding"), 64)
     Tables.embeddings(s, d)
