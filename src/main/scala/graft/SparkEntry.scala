@@ -775,6 +775,7 @@ object SparkEntry {
     "q_dedup_block_rewrite" -> ((s, d) => DedupOps.blockDedupRewrite(s, d)),
     "q_dedup_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
+    "q_dedup_containment" -> ((s, d) => DedupOps.containmentPairs(s, d, minCont = 0.6, maxDf = 1000L)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
@@ -935,6 +936,28 @@ object SparkEntry {
         |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |    GROUP BY 1, 2, 3, 4))
         |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin,
+    // Same capped-shingle CTE; containment verdict (|A∩B| / min set size)
+    "q_dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped)
+        |SELECT a, b, containment, jaccard FROM (
+        |  SELECT a, b,
+        |         round(inter::DOUBLE / least(na, nb), 6) AS containment,
+        |         round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |           count(*) AS inter
+        |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |    GROUP BY 1, 2, 3, 4))
+        |WHERE containment >= 0.6 ORDER BY a, b""".stripMargin,
     // Connected components of the ngram-Jaccard pair graph. The Spark side
     // is iterative min-label propagation; the twin computes the same
     // components via recursive-CTE transitive closure (UNION dedups, so

@@ -123,19 +123,7 @@ object DedupOps {
     // better than the plain join. No conf change worth hard-coding; at
     // real 100 TB scale the exchange is far above the advisory size and
     // the failure mode disappears.)
-    val capped = cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
-      val exploded = shingleIndex(ss, d)
-      val kept0 =
-        if (maxDf <= 0) exploded
-        else {
-          val kept = exploded.groupBy(col("sh_h"))
-            .agg(count(lit(1)).as("__df"))
-            .where(col("__df") <= maxDf)
-            .select(col("sh_h"))
-          exploded.join(kept, Seq("sh_h"), "left_semi")
-        }
-      kept0.persist()
-    }
+    val capped = cappedIndex(s, d, maxDf)
     // Pair generation stays a sh_h SELF-JOIN deliberately. The measured
     // alternative (graft.tools.PairGenAB): fold the index into posting
     // lists once and explode codegen'd sorted_id_pairs — one fewer index
@@ -160,6 +148,24 @@ object DedupOps {
     // 1.04/1.00/1.26 s vs 1.12/1.10/1.36 s two-long — a consistent ~8%.
     // Constraint: ids must fit 32 bits (4.3 B docs); a deployment with
     // wider ids shards the corpus or reverts to the two-long groupBy.
+    pairStats(capped, sizes)
+      .select(
+        col("a"), col("b"),
+        round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= minSim)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Shared pair stage of the shingle-overlap family: candidate pairs from
+    * a self-join on the 8-byte shingle hash, packed-long pair counting,
+    * per-doc set sizes joined onto the aggregated pair table. Returns
+    * (a, b, inter, na, nb) — the sufficient statistics for ANY set-overlap
+    * measure (Jaccard, containment, overlap coefficient, dice).
+    */
+  private def pairStats(capped: DataFrame, sizes: DataFrame): DataFrame = {
+    val a = capped.select(col("doc_id").as("a"), col("sh_h"))
+    val b = capped.select(col("doc_id").as("b"), col("sh_h"))
     a.join(b, Seq("sh_h"))
       .where(col("a") < col("b"))
       .select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
@@ -171,11 +177,61 @@ object DedupOps {
         col("inter"))
       .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+  }
+
+  /** Asymmetric containment near-dup pairs: C(A, B) = |A∩B| / min(|A|,|B|)
+    * over the same df-capped shingle sets as [[ngramJaccardPairs]] — the
+    * doc-INSIDE-doc detector. A 50-shingle document fully embedded in a
+    * 5000-shingle page (quoted post, syndicated article, boilerplate-wrapped
+    * body) has Jaccard ≈ 0.01 and sails through a symmetric dedup; its
+    * containment is 1.0. Emitting Jaccard alongside lets downstream tell
+    * "subset" (high C, low J) from "near-identical" (both high).
+    *
+    * Plan: identical machinery to [[ngramJaccardPairs]] — the capped index
+    * and the packed-pair count stage are shared code and shared cache — so
+    * the measured A/B verdicts there (SMJ over posting-explode, no forced
+    * persist-repartition, 8-byte pair keys) carry over. Only the final
+    * verdict expression differs; the filter runs on the ROUNDED value so
+    * borderline pairs match the twin bit-for-bit.
+    */
+  def containmentPairs(
+      s: SparkSession, d: String,
+      minCont: Double = 0.6, maxDf: Long = 1000L): DataFrame =
+    containmentFrom(cappedIndex(s, d, maxDf), minCont)
+
+  /** [[containmentPairs]] over an arbitrary `(doc_id, text)` frame
+    * (uncached index — the dir form reuses the memoized one).
+    */
+  def containmentPairsOf(
+      docs: DataFrame,
+      minCont: Double = 0.6, maxDf: Long = 1000L, n: Int = 3): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), wordShingles(split(col("text"), " "), n).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
+    val capped =
+      if (maxDf <= 0) exploded
+      else {
+        val kept = exploded.groupBy(col("sh_h"))
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxDf)
+          .select(col("sh_h"))
+        exploded.join(kept, Seq("sh_h"), "left_semi")
+      }
+    containmentFrom(capped, minCont)
+  }
+
+  private def containmentFrom(capped: DataFrame, minCont: Double): DataFrame = {
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    pairStats(capped, sizes)
       .select(
         col("a"), col("b"),
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 6)
+          .as("containment"),
         round(col("inter").cast("double") /
               (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .where(col("jaccard") >= minSim)
+      .where(col("containment") >= minCont)
       .orderBy(col("a"), col("b"))
   }
 
@@ -185,6 +241,24 @@ object DedupOps {
   // reuse a single cached copy instead of leaking one per invocation.
   private val shingleIndexCache = new graft.SessionCache[DataFrame]
   private val cappedIndexCache = new graft.SessionCache[DataFrame]
+
+  /** The df-capped (doc_id, sh_h) index — memoized per (session, dir, cap)
+    * and shared by every overlap measure over the same corpus.
+    */
+  private def cappedIndex(s: SparkSession, d: String, maxDf: Long): DataFrame =
+    cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
+      val exploded = shingleIndex(ss, d)
+      val kept0 =
+        if (maxDf <= 0) exploded
+        else {
+          val kept = exploded.groupBy(col("sh_h"))
+            .agg(count(lit(1)).as("__df"))
+            .where(col("__df") <= maxDf)
+            .select(col("sh_h"))
+          exploded.join(kept, Seq("sh_h"), "left_semi")
+        }
+      kept0.persist()
+    }
 
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     shingleIndexCache.getOrElseUpdate(s, d) { (ss, dir) =>

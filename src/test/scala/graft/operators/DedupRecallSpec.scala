@@ -21,6 +21,29 @@ class DedupRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall over ${strong.size} strong pairs")
   }
 
+  test("containment flags a planted excerpt that Jaccard misses") {
+    import spark.implicits._
+    val long = (0 until 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 until 20).map(i => s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val out = DedupOps.containmentPairsOf(docs, minCont = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSet == Set((1L, 2L)), "only the excerpt pair qualifies")
+    val (_, cont, jac) = out.head
+    assert(cont == 1.0, s"every excerpt shingle is in the long doc: $cont")
+    assert(jac < 0.5, s"the symmetric measure stays low: $jac")
+  }
+
+  test("containment dominates jaccard on the fixture corpus") {
+    // C(A,B) = inter/min >= inter/union = J, so every Jaccard-qualified
+    // pair must re-appear (with containment >= its jaccard) at the same cut
+    val jac = pairs(DedupOps.ngramJaccardPairs(spark, sf0001, minSim = 0.6))
+    val cont = pairs(DedupOps.containmentPairs(spark, sf0001, minCont = 0.6))
+    assert(jac.nonEmpty)
+    assert(jac.subsetOf(cont), s"missing: ${(jac -- cont).take(5)}")
+  }
+
   test("simhash recovers most near-identical exact pairs") {
     // SimHash distance measures bag-of-words bit agreement, not shingle
     // Jaccard — some high-Jaccard pairs legitimately exceed Hamming 3, so
