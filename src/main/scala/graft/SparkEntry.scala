@@ -754,6 +754,7 @@ object SparkEntry {
     "q_text_typo_pairs" -> ((s, d) => TextOps.typoPairs(s, d)),
     "q_text_length_profile" -> (TextOps.lengthProfile _),
     "q_text_bm25" -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
+    "q_text_tfidf_pairs" -> ((s, d) => RetrievalOps.tfidfSimilarPairs(s, d)),
     "q_text_inverted_index" -> (RetrievalOps.invertedIndex _),
     "q_text_unigram_logprob" -> (RetrievalOps.unigramLogProb _),
     "q_text_bigram_logprob" -> (RetrievalOps.bigramLogProb _),
@@ -1230,6 +1231,32 @@ object SparkEntry {
         |FROM t, st)
         |SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    // Sparse tf-idf cosine pairs: weights quantized to integer micro-units
+    // so the dot/norm sums are order-independent on both engines; the one
+    // double expression (dot / (sqrt·sqrt)) is identical IEEE math.
+    "q_text_tfidf_pairs" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |               unnest(string_split(text, ' ')) AS term
+        |        FROM documents),
+        |tf AS (SELECT doc_id, n_tok, term, count(*) AS cnt
+        |       FROM tok GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (SELECT doc_id, term,
+        |        CAST(round((cnt::DOUBLE / n_tok)
+        |          * ln(n_docs::DOUBLE / df) * 1e6) AS BIGINT) AS wq
+        |      FROM tf JOIN df USING (term) CROSS JOIN n
+        |      WHERE df * 10 <= n_docs),
+        |norms AS (SELECT doc_id, sum(wq * wq) AS nq FROM w GROUP BY 1),
+        |dots AS (SELECT x.doc_id AS a, y.doc_id AS b, sum(x.wq * y.wq) AS dot
+        |         FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT a, b, cosine FROM (
+        |  SELECT a, b, round(dot::DOUBLE
+        |    / (sqrt(na.nq::DOUBLE) * sqrt(nb.nq::DOUBLE)), 6) AS cosine
+        |  FROM dots JOIN norms na ON dots.a = na.doc_id
+        |            JOIN norms nb ON dots.b = nb.doc_id)
+        |WHERE cosine >= 0.5 ORDER BY a, b""".stripMargin,
     "q_text_inverted_index" ->
       """WITH tf AS (
         |  SELECT term, doc_id, count(*) AS tf

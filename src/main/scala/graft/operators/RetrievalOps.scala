@@ -261,4 +261,78 @@ object RetrievalOps {
       .select(col("w1"), col("w2"), col("n"), col("p"), col("rank"))
       .orderBy(col("w1"), col("rank"))
   }
+
+  /** Sparse TF-IDF document-similarity pairs: cosine over each document's
+    * tf-idf term vector, candidates from a postings self-join — the LEXICAL
+    * similarity search next to the embedding-space one
+    * ([[graft.operators.VectorOps]]), and the "related documents" /
+    * topical-near-dup operator for corpora without embeddings.
+    *
+    * Scale design:
+    *  - The postings self-join is keyed by the term's 64-bit hash (the
+    *    shingle-index stance of [[DedupOps.ngramJaccardPairs]]) — strings
+    *    never cross the pair shuffle.
+    *  - The df cap is a FRACTION of the corpus (df·denom ≤ N as pure
+    *    integer math — bit-identical on both engines), not an absolute
+    *    count: an absolute cap silently stops capping as the corpus grows
+    *    (at 500 fixture docs a 500-doc cap keeps everything; at 100 TB it
+    *    keeps almost nothing). The fraction rule is an idf floor — terms
+    *    dropped have idf < ln(denom) — so the discarded high-df terms are
+    *    exactly the ones whose cosine contribution vanishes, and per-term
+    *    join fanout is bounded at (N/denom)². Similarity is defined over
+    *    the capped vocabulary; the twin applies the same rule.
+    *  - Cross-engine exactness: weights quantize to integer micro-units
+    *    (round(w·10⁶) as BIGINT), so dot products and norms are ORDER-
+    *    INDEPENDENT integer sums — a float Σ over shuffled rows would hash-
+    *    diverge at the last ulp. The only double math is one final
+    *    dot/(√na·√nb) expression of exact integers, identical on both
+    *    engines (same trick as TimeSeriesOps.anomalies' Σn/Σn² formula).
+    *  - The pair dot-product stage groups on the packed (a<<32|b) long
+    *    (measured win #5 in DedupOps) with the weight product as the value.
+    */
+  def tfidfSimilarPairs(
+      s: SparkSession, d: String,
+      minSim: Double = 0.5, dfDenom: Int = 10): DataFrame =
+    tfidfSimilarPairsOf(Tables.documents(s, d), minSim, dfDenom)
+
+  /** [[tfidfSimilarPairs]] over an arbitrary `(doc_id, text)` frame. */
+  def tfidfSimilarPairsOf(
+      docs: DataFrame, minSim: Double = 0.5, dfDenom: Int = 10): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), size(toks).as("n_tok"),
+        explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("n_tok"), xxhash64(col("term")).as("term_h"))
+      .agg(count(lit(1)).as("cnt"))
+    val df = tf.groupBy(col("term_h")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n)) // 1 row — the corpus size
+      .where(col("df") * dfDenom <= col("n_docs"))
+    val w = tf.join(df, Seq("term_h"))
+      .select(col("doc_id"), col("term_h"),
+        round((col("cnt").cast("double") / col("n_tok")) *
+          log(col("n_docs").cast("double") / col("df")) * 1e6)
+          .cast("long").as("wq"))
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("wq") * col("wq")).as("nq"))
+    val a = w.select(col("doc_id").as("a"), col("term_h"), col("wq").as("wa"))
+    val b = w.select(col("doc_id").as("b"), col("term_h"), col("wq").as("wb"))
+    a.join(b, Seq("term_h"))
+      .where(col("a") < col("b"))
+      .select(
+        shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"),
+        (col("wa") * col("wb")).as("p"))
+      .groupBy(col("pair"))
+      .agg(sum(col("p")).as("dot"))
+      .select(
+        shiftright(col("pair"), 32).as("a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
+        col("dot"))
+      .join(norms.select(col("doc_id").as("a"), col("nq").as("na")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("nq").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cosine"))
+      .where(col("cosine") >= minSim)
+      .orderBy(col("a"), col("b"))
+  }
 }

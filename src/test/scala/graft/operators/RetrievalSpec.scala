@@ -39,6 +39,45 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 1L))
   }
 
+  test("tfidf similarity: identical docs hit cosine 1.0, disjoint docs are absent") {
+    val corpus = docs(
+      (0L, "foo bar"),
+      (1L, "foo bar"),
+      (2L, "baz qux quux"))
+    val got = RetrievalOps.tfidfSimilarPairsOf(corpus, minSim = 0.1, dfDenom = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq((0L, 1L)), "only the identical pair shares a term")
+    assert(got.head._2 === 1.0)
+  }
+
+  test("tfidf similarity ranks heavier term overlap above lighter") {
+    // doc 2 shares both content words with doc 0; doc 1 shares one —
+    // and 'pad' is common to all three so idf downweights it
+    val corpus = docs(
+      (0L, "alpha beta pad"),
+      (1L, "alpha gamma pad"),
+      (2L, "alpha beta pad"),
+      (3L, "delta epsilon pad"))
+    val got = RetrievalOps.tfidfSimilarPairsOf(corpus, minSim = 0.01, dfDenom = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((0L, 2L)) === 1.0, "identical docs")
+    assert(got((0L, 2L)) > got((0L, 1L)), "two shared terms beat one")
+    assert(!got.contains((0L, 3L)), "no shared capped-vocab terms")
+  }
+
+  test("tfidf similarity df-fraction cap drops common-term-only pairs") {
+    // N=10, denom=5 → terms kept iff df <= 2: the df=2 terms pair up
+    // docs 0/1; the df=3 'shared3' is capped so docs 2/3/4 never pair
+    val corpus = docs(
+      (0L, "shared1 shared2 u0"), (1L, "shared1 shared2 u1"),
+      (2L, "shared3 u2 v2"), (3L, "shared3 u3 v3"), (4L, "shared3 u4 v4"),
+      (5L, "u5 v5 w5"), (6L, "u6 v6 w6"), (7L, "u7 v7 w7"),
+      (8L, "u8 v8 w8"), (9L, "u9 v9 w9"))
+    val got = RetrievalOps.tfidfSimilarPairsOf(corpus, minSim = 0.01, dfDenom = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L)))
+  }
+
   test("inverted index: df, total_tf, and order-independent postings fingerprint") {
     val corpus = docs(
       (2L, "a b a"),
