@@ -510,6 +510,7 @@ object SparkEntry {
 
   private val tsQueries: Map[String, Q] = Map(
     "q_ts_hourly" -> (TimeSeriesOps.hourlyByType _),
+    "q_ts_hourly_dense" -> (TimeSeriesOps.hourlyDense _),
     "q_ts_sliding" -> (TimeSeriesOps.slidingActivity _),
     "q_ts_sessions" -> (TimeSeriesOps.sessions _),
     "q_ts_props_stats" -> (TimeSeriesOps.propsKeyStats _),
@@ -531,6 +532,26 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    // Dense grid from generate_series × distinct types; zero-fill +
+    // IGNORE NULLS forward fill mirrors Spark's last(ignoreNulls) window
+    "q_ts_hourly_dense" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |         count(*) AS n, sum(value) AS sv, avg(value) AS av
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+        |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |         FROM span),
+        |g AS (SELECT h, event_type
+        |      FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM hourly))
+        |SELECT epoch_ms(h) AS bucket_ms, event_type,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        |  round(COALESCE(sv, 0.0), 2) AS sum_value,
+        |  round(last_value(av IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS ff_avg
+        |FROM g LEFT JOIN hourly USING (h, event_type)
+        |ORDER BY bucket_ms, event_type""".stripMargin,
     "q_ts_sliding" ->
       """SELECT epoch_ms(ws) AS window_start_ms, count(*) AS n,
         |  round(sum(value), 2) AS sum_value

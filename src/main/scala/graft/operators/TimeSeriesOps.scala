@@ -34,6 +34,50 @@ object TimeSeriesOps {
       .select(tsMs(col("bucket")).as("bucket_ms"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("bucket_ms"), col("event_type"))
 
+  /** Gap-filled hourly resample with forward fill: every (hour, type) cell
+    * of the dense grid spanning the corpus, zero-filled counts/sums for
+    * hours with no events, and the last observed hourly mean carried
+    * forward (LVCF) across gaps — the regularization step everything
+    * downstream of irregular event streams needs (rolling joins, model
+    * features, dashboards expecting one row per bucket).
+    *
+    * Scale design: the corpus collapses to hourly partials FIRST (one
+    * (hour, type) rollup — the only corpus-sized shuffle); the dense grid
+    * is sequence(min, max) × distinct types, grid-sized by construction,
+    * and the left join + LVCF window run over grid rows only. The fill
+    * window partitions by type (|types| concurrent sorts over grid rows);
+    * a deployment with a years-long grid and few types re-chunks the
+    * partition key to (type, month) and seeds each chunk with its
+    * predecessor's closing value.
+    */
+  def hourlyDense(s: SparkSession, d: String): DataFrame =
+    hourlyDenseOf(Tables.events(s, d))
+
+  /** [[hourlyDense]] over an arbitrary `(ts, event_type, value)` frame. */
+  def hourlyDenseOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+        avg(col("value")).as("av"))
+    val span = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val types = hourly.select(col("event_type")).distinct()
+    val grid = span
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL '1' HOUR"))).as("h"))
+      .crossJoin(types)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("h", "event_type"), "left")
+      .withColumn("ff_avg",
+        round(last(col("av"), ignoreNulls = true).over(w), 4))
+      .select(
+        tsMs(col("h")).as("bucket_ms"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("sv"), lit(0.0)), 2).as("sum_value"),
+        col("ff_avg"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+  }
+
   /** Sliding windows: 2-hour windows advancing every hour. Because the
     * slide divides the window, each window is the union of whole slide
     * quanta — so aggregate per hour FIRST (map-side partial agg collapses

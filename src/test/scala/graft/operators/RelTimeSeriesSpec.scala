@@ -219,4 +219,27 @@ class RelTimeSeriesSpec extends SparkSpec {
       .collect()
     assert(got2.length === 1 && !got2(0).getAs[Boolean]("is_anomaly"))
   }
+
+  test("hourlyDense: gaps zero-fill, forward fill carries the last mean") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    def ev(h: Int, typ: String, v: Double) =
+      (java.sql.Timestamp.from(t0.plusSeconds(h * 3600L)), typ, v)
+    // type a: hours 0 (v=2.0) and 3 (v=8.0) — gap at 1, 2
+    // type b: hour 2 only — null fill before its first observation
+    val events = Seq(
+      ev(0, "a", 2.0), ev(3, "a", 8.0), ev(2, "b", 5.0))
+      .toDF("ts", "event_type", "value")
+    val got = TimeSeriesOps.hourlyDenseOf(events).collect()
+      .map(r => (r.getString(1), r.getLong(0)) ->
+        (r.getLong(2), r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got.size === 8, "4-hour span × 2 types")
+    val h = (i: Int) => t0.plusSeconds(i * 3600L).toEpochMilli
+    assert(got(("a", h(1))) === ((0L, 0.0, Some(2.0))), "gap carries hour-0 mean")
+    assert(got(("a", h(2))) === ((0L, 0.0, Some(2.0))))
+    assert(got(("a", h(3))) === ((1L, 8.0, Some(8.0))))
+    assert(got(("b", h(0)))._3 === None, "no observation yet — nothing to carry")
+    assert(got(("b", h(3))) === ((0L, 0.0, Some(5.0))))
+  }
 }
