@@ -525,6 +525,7 @@ object SparkEntry {
     "q_ts_funnel_timing" -> (EventAnalyticsOps.funnelTiming _),
     "q_ts_rolling_actives" -> ((s, d) => EventAnalyticsOps.rollingActives(s, d)),
     "q_ts_interarrival" -> (EventAnalyticsOps.interArrival _),
+    "q_ts_concentration" -> (EventAnalyticsOps.activityConcentration _),
     "q_ts_baskets" -> ((s, d) => EventAnalyticsOps.sessionBaskets(s, d)))
 
   private val tsOracles: Map[String, String] = Map(
@@ -726,6 +727,43 @@ object SparkEntry {
         |  round(avg(p50), 2) AS avg_p50_ms,
         |  max(max_gap) AS max_gap_ms
         |FROM u GROUP BY gap_band ORDER BY gap_band""".stripMargin,
+    // Histogram-formulation Gini/top-share: integer-exact rank sums per
+    // count group (m(m+1) is even → // 2 stays integer), shares cut inside
+    // one group via min(cum_e - (cum_u - k) * c) — same as the Spark plan
+    "q_ts_concentration" ->
+      """WITH uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |hist AS (SELECT c, count(*) AS m FROM uc GROUP BY c),
+        |a AS (SELECT c, m,
+        |        CAST(COALESCE(sum(m) OVER (ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS start
+        |      FROM hist),
+        |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n_users,
+        |          CAST(sum(c * m) AS BIGINT) AS n_events,
+        |          CAST(sum(c * (m * start + (m * (m + 1)) // 2)) AS BIGINT) AS t
+        |        FROM a),
+        |d AS (SELECT c, m,
+        |        CAST(sum(m) OVER w AS BIGINT) AS cum_u,
+        |        CAST(sum(c * m) OVER w AS BIGINT) AS cum_e
+        |      FROM hist
+        |      WINDOW w AS (ORDER BY c DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ks AS (SELECT (n_users + 99) // 100 AS k1, (n_users + 9) // 10 AS k10
+        |       FROM tot),
+        |tops AS (SELECT
+        |    CAST(min(CASE WHEN cum_u >= k1
+        |      THEN cum_e - (cum_u - k1) * c END) AS BIGINT) AS e1,
+        |    CAST(min(CASE WHEN cum_u >= k10
+        |      THEN cum_e - (cum_u - k10) * c END) AS BIGINT) AS e10,
+        |    max(c) AS max_c
+        |  FROM d CROSS JOIN ks)
+        |SELECT n_users, n_events,
+        |  round(2.0 * t / (n_users::DOUBLE * n_events)
+        |    - (n_users + 1.0) / n_users, 6) AS gini,
+        |  round(e1::DOUBLE / n_events, 6) AS top1_share,
+        |  round(e10::DOUBLE / n_events, 6) AS top10_share,
+        |  round(max_c::DOUBLE / n_events, 6) AS max_user_share
+        |FROM tot CROSS JOIN tops""".stripMargin,
     // Same gaps-and-islands session assignment as q_ts_sessions
     "q_ts_baskets" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms

@@ -316,4 +316,67 @@ object EventAnalyticsOps {
       .withColumn("p", round(col("n") / sum(col("n")).over(wFrom), 6))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Activity-concentration audit: the Gini coefficient of events-per-user
+    * plus top-1% / top-10% / single-heaviest shares — the "is our traffic
+    * (or crawl, or label effort) dominated by a few actors?" question, and
+    * the quantitative input to skew decisions (salting thresholds, per-key
+    * caps) that [[graft.plans.SkewOps.keySkewAudit]] answers per join key.
+    *
+    * Scale design — NO per-user global sort. The naive Gini needs ranks
+    * over all users (a one-partition window at corpus scale). Instead,
+    * users with equal counts are interchangeable, so everything reduces to
+    * the per-COUNT histogram (c, m): a rank range [start+1, start+m] per
+    * group gives Σ rank·cᵢ = Σ_c c·(m·start + m(m+1)/2) exactly, and the
+    * top-k slice always cuts inside one group, so top-k events =
+    * min(cum_e − (cum_u − k)·c) over groups with cum_u ≥ k. Two corpus
+    * shuffles (user rollup, count rollup); every window runs over the
+    * histogram — |distinct activity levels| rows (≤ max per-user count,
+    * thousands in practice at any corpus size). All sums are integer-exact;
+    * the only double math is the final share/Gini expressions, identical
+    * IEEE on both engines. m(m+1) is always even → shiftright(·,1) stays
+    * in exact integer space where /2 would detour through doubles.
+    */
+  def activityConcentration(s: SparkSession, d: String): DataFrame =
+    activityConcentrationOf(Tables.events(s, d))
+
+  /** [[activityConcentration]] over an arbitrary `(user_id)` frame. */
+  def activityConcentrationOf(events: DataFrame): DataFrame = {
+    val hist = events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val wAsc = Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, -1)
+    val totals = hist
+      .withColumn("start", coalesce(sum(col("m")).over(wAsc), lit(0L)))
+      .agg(
+        sum(col("m")).as("n_users"),
+        sum(col("c") * col("m")).as("n_events"),
+        sum(col("c") * (col("m") * col("start") +
+          shiftright(col("m") * (col("m") + 1), 1))).as("t"))
+    val wDesc = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val k1 = expr("(n_users + 99) DIV 100")
+    val k10 = expr("(n_users + 9) DIV 10")
+    hist
+      .withColumn("cum_u", sum(col("m")).over(wDesc))
+      .withColumn("cum_e", sum(col("c") * col("m")).over(wDesc))
+      .crossJoin(broadcast(totals)) // 1 row
+      .agg(
+        first(col("n_users")).as("n_users"),
+        first(col("n_events")).as("n_events"),
+        first(col("t")).as("t"),
+        min(when(col("cum_u") >= k1,
+          col("cum_e") - (col("cum_u") - k1) * col("c"))).as("e1"),
+        min(when(col("cum_u") >= k10,
+          col("cum_e") - (col("cum_u") - k10) * col("c"))).as("e10"),
+        max(col("c")).as("max_c"))
+      .select(
+        col("n_users"), col("n_events"),
+        round(lit(2.0) * col("t") /
+            (col("n_users").cast("double") * col("n_events"))
+          - (col("n_users") + lit(1.0)) / col("n_users"), 6).as("gini"),
+        round(col("e1").cast("double") / col("n_events"), 6).as("top1_share"),
+        round(col("e10").cast("double") / col("n_events"), 6).as("top10_share"),
+        round(col("max_c").cast("double") / col("n_events"), 6).as("max_user_share"))
+  }
 }

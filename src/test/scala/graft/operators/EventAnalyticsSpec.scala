@@ -144,6 +144,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === Map(0L -> ((2L, 2L)), 1L -> ((1L, 2L)), 3L -> ((1L, 2L))))
   }
 
+  test("activityConcentration: hand-computed gini and top shares") {
+    import spark.implicits._
+    // counts: u1=9, u2=1, u3=1, u4=1 → sorted asc 1,1,1,9:
+    // T = 1+2+3+36 = 42; G = 2·42/(4·12) − 5/4 = 0.5
+    val events = ((0 until 9).map(i => (1L, i.toLong)) ++
+      Seq((2L, 20L), (3L, 21L), (4L, 22L)))
+      .toDF("user_id", "event_id")
+    val r = EventAnalyticsOps.activityConcentrationOf(events).collect()(0)
+    assert(r.getAs[Long]("n_users") === 4L)
+    assert(r.getAs[Long]("n_events") === 12L)
+    assert(r.getAs[Double]("gini") === 0.5)
+    // k1 = k10 = ceil(4/100) = ceil(4/10) = 1 → the one heaviest user
+    assert(r.getAs[Double]("top1_share") === 0.75)
+    assert(r.getAs[Double]("top10_share") === 0.75)
+    assert(r.getAs[Double]("max_user_share") === 0.75)
+    // uniform counts → gini exactly 0
+    val flat = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("user_id", "event_id")
+    val r2 = EventAnalyticsOps.activityConcentrationOf(flat).collect()(0)
+    assert(r2.getAs[Double]("gini") === 0.0)
+    assert(r2.getAs[Double]("top1_share") === 0.25)
+  }
+
   test("topPaths counts length-3 consecutive sequences, never across users") {
     val events = ev(
       (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
