@@ -361,6 +361,16 @@ object SparkEntry {
         |  AND l.l_shipdate  > TIMESTAMP '1996-06-01 00:00:00'
         |GROUP BY o.o_orderkey, o.o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_rel_q18_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        |SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS o_date_ms,
+        |  o_totalprice, round(qty, 2) AS total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_rel_histogram" ->
       """SELECT bucket, count(*) AS n,
         |  round(min(o_totalprice), 2) AS lo_price,
@@ -845,6 +855,7 @@ object SparkEntry {
     "q_rel_integrity" -> (RelationalOps.integrityAudit _),
     "q_rel_q6_discount" -> (RelationalOps.discountRevenue _),
     "q_rel_q3_shipping" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
+    "q_rel_q18_bigorders" -> ((s, d) => RelationalOps.largeVolumeCustomers(s, d)),
     "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
     "q_rel_outliers" -> (RelationalOps.outlierAudit _),
     "q_rel_grouping_sets" -> (RelationalOps.groupingSetsReturns _),

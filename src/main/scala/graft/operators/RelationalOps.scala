@@ -379,6 +379,32 @@ object RelationalOps {
       .limit(k)
   }
 
+  /** TPC-H Q18 shape: large-volume customers — orders whose total line
+    * quantity exceeds a threshold, attributed to their customer. The
+    * canonical AGGREGATE-BEFORE-JOIN pattern: the lineitem rollup reduces
+    * the fact table to (rare) qualifying order keys BEFORE any join, so
+    * the orders/customer joins only ever see the qualifying slice — a
+    * join-first plan would shuffle the full fact table twice. The final
+    * top-100 is a value-ordered limit (TakeOrderedAndProject, no global
+    * sort); ties break on the order key so the cut is deterministic.
+    */
+  def largeVolumeCustomers(
+      s: SparkSession, d: String, minQty: Double = 200.0): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .where(col("qty") > minQty)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"),
+        col("o_totalprice"), round(col("qty"), 2).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** IQR outlier audit per group (Tukey fences): quartiles, the
     * 1.5×IQR fences, and how many rows fall outside them — the numeric
     * anomaly screen of the profiling pack ([[profileOf]] finds nulls and
