@@ -851,6 +851,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
     "q_text_lang_confusion" -> (TextOps.langConfusion _),
+    "q_text_source_divergence" -> (TextOps.sourceDivergence _),
     "q_text_signal_corr" -> (TextOps.signalCorr _),
     "q_rel_integrity" -> (RelationalOps.integrityAudit _),
     "q_rel_q6_discount" -> (RelationalOps.discountRevenue _),
@@ -962,6 +963,45 @@ object SparkEntry {
         |  round(avg(confidence), 4) AS avg_confidence
         |FROM pred GROUP BY lang_actual, lang_predicted
         |ORDER BY lang_actual, lang_predicted""".stripMargin,
+    // Pairwise JS divergence from shared terms only (one-sided mass is the
+    // closed form ln2·(1−shared/total)); per-term contributions quantized
+    // to integer nano-units so the sum is order-independent; ln(2) is the
+    // same literal on both engines
+    "q_text_source_divergence" ->
+      """WITH cnt AS (
+        |  SELECT source, term, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tok,
+        |               count(*) AS vocab
+        |        FROM cnt GROUP BY 1),
+        |sh AS (SELECT x.source AS sa, y.source AS sb, x.c AS ca, y.c AS cb,
+        |         x.c::DOUBLE / ta.tok AS p, y.c::DOUBLE / tb.tok AS q
+        |       FROM cnt x JOIN cnt y ON x.term = y.term AND x.source < y.source
+        |       JOIN tot ta ON ta.source = x.source
+        |       JOIN tot tb ON tb.source = y.source),
+        |ag AS (SELECT sa, sb, count(*) AS shared_terms,
+        |         CAST(sum(ca) AS BIGINT) AS ash, CAST(sum(cb) AS BIGINT) AS bsh,
+        |         CAST(sum(CAST(round((p * ln(2.0 * p / (p + q))
+        |           + q * ln(2.0 * q / (p + q))) * 1e9) AS BIGINT)) AS BIGINT)
+        |           AS sum_cq
+        |       FROM sh GROUP BY 1, 2)
+        |SELECT ta.source AS source_a, tb.source AS source_b,
+        |  ta.vocab AS vocab_a, tb.vocab AS vocab_b,
+        |  COALESCE(shared_terms, 0) AS shared_terms,
+        |  round(COALESCE(shared_terms, 0)::DOUBLE
+        |    / (ta.vocab + tb.vocab - COALESCE(shared_terms, 0)), 6)
+        |    AS vocab_jaccard,
+        |  round(0.5 * (COALESCE(sum_cq, 0)::DOUBLE / 1e9
+        |    + 0.6931471805599453 * (1.0 - COALESCE(ash, 0)::DOUBLE / ta.tok)
+        |    + 0.6931471805599453 * (1.0 - COALESCE(bsh, 0)::DOUBLE / tb.tok)), 6)
+        |    AS js_divergence,
+        |  round(1.0 - COALESCE(bsh, 0)::DOUBLE / tb.tok, 6) AS oov_b_in_a,
+        |  round(1.0 - COALESCE(ash, 0)::DOUBLE / ta.tok, 6) AS oov_a_in_b
+        |FROM tot ta JOIN tot tb ON ta.source < tb.source
+        |LEFT JOIN ag ON ag.sa = ta.source AND ag.sb = tb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     // Explicit sum-formula Pearson (see TextOps.signalCorr): built-in
     // corr() implementations differ algorithmically across engines.
     "q_text_signal_corr" ->

@@ -345,6 +345,83 @@ object TextOps {
     hits.cast("double") / greatest(size(toks), lit(1))
   }
 
+  /** Cross-source distribution divergence: pairwise Jensen–Shannon
+    * divergence between per-source unigram distributions, plus vocabulary
+    * overlap and each side's out-of-vocabulary token mass — the mixture
+    * drift audit ("did the new crawl shift vocabulary?", "which sources
+    * are near-duplicates of each other at the distribution level?").
+    *
+    * Scale design:
+    *  - One corpus shuffle: the (source, term) rollup. Everything after
+    *    runs on vocabulary-sized (counts) or |sources|²-sized (pairs) data.
+    *  - Only SHARED terms need the pair join: a term absent from the other
+    *    side contributes exactly p·ln2 to JS, so the one-sided mass is the
+    *    closed form ln2·(1 − shared_mass/total) from integer sums — no
+    *    full-outer join over the vocabulary union.
+    *  - Cross-engine exactness: per-term JS contributions are quantized to
+    *    integer nano-units before summing (order-independent, the
+    *    tfidfSimilarPairs stance); shared/total masses are integer counts.
+    *    ln(2) enters as the same 17-digit literal on both engines rather
+    *    than trusting two libms to agree.
+    *  - Source pairs with NO shared vocabulary still appear (JS = ln 2):
+    *    the pair frame is the |sources|² cross of totals, left-joined to
+    *    the shared-term aggregate.
+    */
+  def sourceDivergence(s: SparkSession, d: String): DataFrame =
+    sourceDivergenceOf(Tables.documents(s, d))
+
+  private val Ln2 = 0.6931471805599453
+
+  /** [[sourceDivergence]] over an arbitrary `(source, text)` frame. */
+  def sourceDivergenceOf(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("tok"), count(lit(1)).as("vocab"))
+    val ta = tot.select(col("source").as("sa"), col("tok").as("toka"),
+      col("vocab").as("va"))
+    val tb = tot.select(col("source").as("sb"), col("tok").as("tokb"),
+      col("vocab").as("vb"))
+    val x = cnt.select(col("source").as("sa"), col("term"), col("c").as("ca"))
+    val y = cnt.select(col("source").as("sb"), col("term"), col("c").as("cb"))
+    val sharedAgg = x.join(y, Seq("term")).where(col("sa") < col("sb"))
+      .join(broadcast(ta), Seq("sa")).join(broadcast(tb), Seq("sb"))
+      .withColumn("p", col("ca").cast("double") / col("toka"))
+      .withColumn("q", col("cb").cast("double") / col("tokb"))
+      .withColumn("cq", round(
+        (col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+         col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))) * 1e9)
+        .cast("long"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("shared_terms"),
+        sum(col("ca")).as("ash"), sum(col("cb")).as("bsh"),
+        sum(col("cq")).as("sum_cq"))
+    ta.crossJoin(tb).where(col("sa") < col("sb")) // |sources|² rows
+      .join(sharedAgg, Seq("sa", "sb"), "left")
+      .select(
+        col("sa").as("source_a"), col("sb").as("source_b"),
+        col("va").as("vocab_a"), col("vb").as("vocab_b"),
+        coalesce(col("shared_terms"), lit(0L)).as("shared_terms"),
+        round(coalesce(col("shared_terms"), lit(0L)).cast("double") /
+          (col("va") + col("vb") - coalesce(col("shared_terms"), lit(0L))), 6)
+          .as("vocab_jaccard"),
+        round(lit(0.5) * (
+          coalesce(col("sum_cq"), lit(0L)).cast("double") / lit(1e9) +
+          lit(Ln2) * (lit(1.0) -
+            coalesce(col("ash"), lit(0L)).cast("double") / col("toka")) +
+          lit(Ln2) * (lit(1.0) -
+            coalesce(col("bsh"), lit(0L)).cast("double") / col("tokb"))), 6)
+          .as("js_divergence"),
+        round(lit(1.0) -
+          coalesce(col("bsh"), lit(0L)).cast("double") / col("tokb"), 6)
+          .as("oov_b_in_a"),
+        round(lit(1.0) -
+          coalesce(col("ash"), lit(0L)).cast("double") / col("toka"), 6)
+          .as("oov_a_in_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def languageId(s: SparkSession, d: String): DataFrame = {
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
       struct(round(langIdScore(col("text"), prof), 6).as("score"),

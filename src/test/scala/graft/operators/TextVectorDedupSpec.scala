@@ -218,6 +218,24 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
       2L -> ((1L, 0L, 0.0))))
   }
 
+  test("sourceDivergence: identical sources at 0, disjoint vocabularies at ln 2") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("s1", "a b c a"), ("s2", "a b c a"),  // identical distributions
+      ("s3", "x y z w"))                     // disjoint from both
+      .toDF("source", "text")
+    val got = TextOps.sourceDivergenceOf(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("shared_terms"), r.getAs[Double]("js_divergence"),
+          r.getAs[Double]("oov_b_in_a")))).toMap
+    assert(got.size === 3)
+    assert(got(("s1", "s2")) === ((3L, 0.0, 0.0)), "same distribution → JS 0")
+    val (sh13, js13, oov13) = got(("s1", "s3"))
+    assert(sh13 === 0L)
+    assert(js13 === 0.693147, "disjoint vocabularies → JS = ln 2")
+    assert(oov13 === 1.0, "all of s3's mass is unseen in s1")
+  }
+
   test("typoPairs: deletion-neighborhood join finds exactly the ed<=k pairs") {
     import spark.implicits._
     val corpus = Seq((0L, "spark spark spork sprk hello")).toDF("doc_id", "text")
