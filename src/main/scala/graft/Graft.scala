@@ -108,6 +108,14 @@ final class Graft(
     graft.sources.LogfmtLog.start(spark, logfmtStagingDir, tableRoot,
       s"$checkpointRoot/logfmt-backfill", trigger)
 
+  /** Backfill/tail Apache CLF/Combined access logs into the same table
+    * (fifth wire format; see [[graft.sources.AccessLog]]). */
+  def backfillAccessLog(
+      accessStagingDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    graft.sources.AccessLog.start(spark, accessStagingDir, tableRoot,
+      s"$checkpointRoot/accesslog-backfill", trigger)
+
   // ---- log analytics over the live table ----------------------------------
 
   /** Template mining over the engine's own log table (the Drain-family

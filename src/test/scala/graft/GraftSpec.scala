@@ -107,8 +107,8 @@ class GraftSpec extends SparkSpec {
     g.stopAll()
   }
 
-  test("all four wire formats land in ONE queryable table with unified semantics") {
-    val root = Files.createTempDirectory("graft-fourway").toString
+  test("all five wire formats land in ONE queryable table with unified semantics") {
+    val root = Files.createTempDirectory("graft-fiveway").toString
     val g = Graft(spark, root)
     // 1. framed protobuf (the reference's plugin stream)
     stage(root, "proto", 4)
@@ -134,11 +134,19 @@ class GraftSpec extends SparkSpec {
       s"""ts=2024-04-01T12:00:0${i}Z level=info msg="lf $i"""")
       .mkString("\n").getBytes("UTF-8"))
     g.backfillLogfmt(s"$root/logfmt").awaitTermination(60000)
+    // 5. Apache combined access log
+    val adir = Paths.get(root, "access", "web")
+    Files.createDirectories(adir)
+    Files.write(adir.resolve("a.log"), (0 until 2).map(i =>
+      s"""10.0.0.$i - - [01/Apr/2024:13:00:0$i +0000] "GET /p$i HTTP/1.1" 200 1$i "-" "curl/8"""")
+      .mkString("\n").getBytes("UTF-8"))
+    g.backfillAccessLog(s"$root/access").awaitTermination(60000)
 
-    assert(g.logs.select("container_id").distinct().count() === 4)
-    assert(g.logs.count() === 11)
+    assert(g.logs.select("container_id").distinct().count() === 5)
+    assert(g.logs.count() === 13)
     // unified read semantics across formats: tail-k per container
-    for ((c, n) <- Seq(("proto", 4L), ("jf", 3L), ("sys", 2L), ("lf", 2L))) {
+    for ((c, n) <- Seq(("proto", 4L), ("jf", 3L), ("sys", 2L), ("lf", 2L),
+                       ("web", 2L))) {
       assert(g.countLogs(c) === n, s"container $c")
       assert(g.readLogs(Some(c), tail = 1).count() === 1)
     }
