@@ -150,6 +150,7 @@ object SparkEntry {
     "q_rel_quantiles_approx" -> (RelationalOps.priceQuantilesApprox _),
     "q_rel_window_rank" -> (RelationalOps.top3OrdersPerCustomer _),
     "q_rel_window_running" -> (RelationalOps.runningRevenue _),
+    "q_rel_window_range" -> (RelationalOps.movingRevenue _),
     "q_rel_topk" -> (RelationalOps.topOrders _),
     "q_rel_setops" -> (RelationalOps.buyerCohorts _),
     "q_rel_distinct_agg" -> (RelationalOps.distinctPartsPerFlag _),
@@ -234,6 +235,15 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders WHERE o_custkey <= 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // RANGE frame keyed on epoch-ms: 30 days = 2 592 000 000 ms exactly
+    "q_rel_window_range" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS ms,
+        |  count(*) OVER w AS n_30d,
+        |  round(sum(o_totalprice) OVER w, 2) AS rev_30d
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+        |             RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, ms, o_orderkey""".stripMargin,
     "q_rel_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -183,6 +183,33 @@ object RelationalOps {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** RANGE-frame moving aggregate: per-customer trailing-30-day order
+    * revenue and count at each order — the time-based sibling of
+    * [[runningRevenue]]'s ROWS frame. RANGE frames bound the window by the
+    * ORDER-BY VALUE (orders in the last 30 days), not a row count, so
+    * bursty and sparse customers get the same temporal semantics. One
+    * shuffle on the (high-cardinality) customer key; the frame is
+    * evaluated in-sort with constant state — nothing beyond the window
+    * sort touches the data. Epoch-ms keys keep the bound integer-exact on
+    * both engines.
+    */
+  def movingRevenue(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 86400000L
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("ms"))
+      .rangeBetween(-30L * dayMs, 0L)
+    Tables.orders(s, d)
+      .where(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_totalprice"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("ms"),
+        count(lit(1)).over(w).as("n_30d"),
+        r2(sum(col("o_totalprice")).over(w)).as("rev_30d"))
+      .orderBy(col("o_custkey"), col("ms"), col("o_orderkey"))
+  }
+
   /** Global top-k: 10 most expensive orders → TakeOrderedAndProject. */
   def topOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
