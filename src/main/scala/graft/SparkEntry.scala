@@ -871,7 +871,8 @@ object SparkEntry {
     "q_rel_outliers" -> (RelationalOps.outlierAudit _),
     "q_rel_grouping_sets" -> (RelationalOps.groupingSetsReturns _),
     "q_curate" -> ((s, d) => CurationOps.curate(s, d)),
-    "q_curate_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)))
+    "q_curate_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)),
+    "q_curate_calibration" -> (CurationOps.qualityCalibration _))
 
   private val textOracles: Map[String, String] = Map(
     "q_text_token_stats" ->
@@ -1219,6 +1220,42 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  round(avg(quality), 4) AS avg_quality
         |FROM dec GROUP BY decision ORDER BY decision""".stripMargin,
+    // Decile boundaries via quantile_cont (the percentile twin the RFM
+    // query established); bucket by comparison, dup flag via fp window
+    "q_curate_calibration" ->
+      """WITH sig AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    round(least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0)
+        |          * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |             / len(string_split(text, ' '))), 4) AS quality,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |f AS (SELECT *, count(*) OVER (PARTITION BY fp) > 1 AS is_dup FROM sig),
+        |b AS (SELECT
+        |    round(quantile_cont(quality, 0.1), 4) AS q1,
+        |    round(quantile_cont(quality, 0.2), 4) AS q2,
+        |    round(quantile_cont(quality, 0.3), 4) AS q3,
+        |    round(quantile_cont(quality, 0.4), 4) AS q4,
+        |    round(quantile_cont(quality, 0.5), 4) AS q5,
+        |    round(quantile_cont(quality, 0.6), 4) AS q6,
+        |    round(quantile_cont(quality, 0.7), 4) AS q7,
+        |    round(quantile_cont(quality, 0.8), 4) AS q8,
+        |    round(quantile_cont(quality, 0.9), 4) AS q9
+        |  FROM sig),
+        |x AS (SELECT
+        |    1 + (quality > q1)::INT + (quality > q2)::INT + (quality > q3)::INT
+        |      + (quality > q4)::INT + (quality > q5)::INT + (quality > q6)::INT
+        |      + (quality > q7)::INT + (quality > q8)::INT + (quality > q9)::INT
+        |      AS decile,
+        |    is_dup, quality, n_tokens
+        |  FROM f CROSS JOIN b)
+        |SELECT decile, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |    AS dup_rate,
+        |  round(avg(quality), 4) AS avg_quality,
+        |  round(avg(n_tokens), 2) AS avg_tokens
+        |FROM x GROUP BY decile ORDER BY decile""".stripMargin,
     "q_text_zipf" ->
       """WITH tc AS (SELECT term, count(*) AS cnt FROM (
         |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)

@@ -79,6 +79,46 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-score calibration: per quality-DECILE duplicate rate and
+    * length stats — the audit that tells you whether the quality signal
+    * driving [[curate]]'s low_quality rule actually separates junk
+    * (boilerplate and templated text should concentrate duplicates in the
+    * low deciles; a flat dup_rate across deciles means the score is a
+    * length proxy, cf. TextOps.signalCorr).
+    *
+    * Plan: decile BOUNDARIES reduce to a 1-row broadcast (exact
+    * percentiles inside one aggregate — the RFM stance, no ntile global
+    * sort); documents score by comparison, a codegen'd per-row CASE. The
+    * dup flag is the same single fp-window shuffle as [[curate]]. Output
+    * is ≤ 10 rows at any corpus size.
+    */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = Tables.documents(s, d).select(
+      col("doc_id"), md5(col("text")).as("fp"),
+      qualityCol.as("quality"), nTokensCol.as("n_tokens"))
+    val flagged = sig.withColumn("is_dup",
+      count(lit(1)).over(Window.partitionBy(col("fp"))) > 1)
+    val qs = (1 to 9).map(i =>
+      round(expr(s"percentile(quality, 0.$i)"), 4).as(s"q$i"))
+    val bounds = sig.agg(qs.head, qs.tail: _*)
+    val decile = (1 to 9)
+      .map(i => (col("quality") > col(s"q$i")).cast("int"))
+      .reduce(_ + _) + lit(1)
+    flagged.crossJoin(broadcast(bounds)) // 1 row — the boundary vector
+      .groupBy(decile.as("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"))
+      .select(
+        col("decile"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        col("avg_quality"), col("avg_tokens"))
+      .orderBy(col("decile"))
+  }
+
   /** Corpus-level curation funnel: documents and tokens per decision —
     * the report a data team reads after a curation run. One extra
     * aggregate over [[curate]]'s output.

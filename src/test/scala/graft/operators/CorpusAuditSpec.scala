@@ -153,4 +153,21 @@ class CorpusAuditSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum ===
       Tables.documents(spark, sf0001).count())
   }
+
+  test("qualityCalibration: deciles ordered by quality, counts reconcile") {
+    val rows = CurationOps.qualityCalibration(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val qs = rows.map(_.getAs[Double]("avg_quality"))
+    qs.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, s"decile means must ascend: $a > $b")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dups") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf0001).count())
+  }
 }
