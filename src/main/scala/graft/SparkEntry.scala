@@ -531,6 +531,7 @@ object SparkEntry {
   private val tsQueries: Map[String, Q] = Map(
     "q_ts_hourly" -> (TimeSeriesOps.hourlyByType _),
     "q_ts_hourly_dense" -> (TimeSeriesOps.hourlyDense _),
+    "q_ts_hourly_increment" -> (TimeSeriesOps.hourlyIncrement _),
     "q_ts_sliding" -> (TimeSeriesOps.slidingActivity _),
     "q_ts_sessions" -> (TimeSeriesOps.sessions _),
     "q_ts_props_stats" -> (TimeSeriesOps.propsKeyStats _),
@@ -572,6 +573,28 @@ object SparkEntry {
         |    PARTITION BY event_type ORDER BY h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS ff_avg
         |FROM g LEFT JOIN hourly USING (h, event_type)
+        |ORDER BY bucket_ms, event_type""".stripMargin,
+    // Full recompute over ALL events — the twin asserts the semantic
+    // contract (incremental merge ≡ recompute), not the incremental plan;
+    // status derives from the same event_id % 10 split rule
+    "q_ts_hourly_increment" ->
+      """WITH all_h AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type,
+        |         count(*) AS n, sum(value) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |base_h AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS bn
+        |  FROM events WHERE event_id % 10 <> 0 GROUP BY 1, 2),
+        |late_h AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS ln
+        |  FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+        |SELECT epoch_ms(h) AS bucket_ms, event_type, n,
+        |  round(sv, 2) AS sum_value,
+        |  CASE WHEN ln IS NULL THEN 'unchanged'
+        |       WHEN bn IS NULL THEN 'new'
+        |       ELSE 'merged' END AS status
+        |FROM all_h LEFT JOIN base_h USING (h, event_type)
+        |           LEFT JOIN late_h USING (h, event_type)
         |ORDER BY bucket_ms, event_type""".stripMargin,
     "q_ts_sliding" ->
       """SELECT epoch_ms(ws) AS window_start_ms, count(*) AS n,

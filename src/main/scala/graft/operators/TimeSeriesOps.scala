@@ -78,6 +78,51 @@ object TimeSeriesOps {
       .orderBy(col("bucket_ms"), col("event_type"))
   }
 
+  /** Incremental rollup maintenance: merge a late-arriving event batch
+    * into an existing hourly rollup WITHOUT rescanning the corpus — the
+    * materialized-view refresh path every warehouse needs once rollups
+    * outlive their inputs (count/sum are algebraic, so partials combine
+    * exactly; avg and friends derive from them). Each output row reports
+    * whether its bucket was `unchanged`, `merged`, or `new`.
+    *
+    * Plan: the late batch collapses to its own hourly partials (batch-
+    * sized), then a full-outer join on the bucket key combines them with
+    * the existing rollup — the only thing shuffled is the ROLLUP table
+    * (hours × types rows, not events) and the delta. The corpus behind
+    * the base rollup is never touched; that's the whole point.
+    */
+  def hourlyIncrementOf(base: DataFrame, late: DataFrame): DataFrame = {
+    val delta = late
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("dn"), sum(col("value")).as("dsv"))
+    base.join(delta, Seq("bucket", "event_type"), "full_outer")
+      .select(
+        col("bucket"), col("event_type"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sv"), lit(0.0)) + coalesce(col("dsv"), lit(0.0))).as("sv"),
+        when(col("dn").isNull, "unchanged")
+          .when(col("n").isNull, "new")
+          .otherwise("merged").as("status"))
+  }
+
+  /** Fixture demo of [[hourlyIncrementOf]]: every 10th event plays the
+    * late batch, the rest are the standing rollup. The DuckDB twin
+    * recomputes the rollup from ALL events directly — so the hash check
+    * asserts the semantic contract (incremental ≡ full recompute), not a
+    * mirror of the incremental plan.
+    */
+  def hourlyIncrement(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val base = ev.where(pmod(col("event_id"), lit(10)) =!= 0)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    hourlyIncrementOf(base, ev.where(pmod(col("event_id"), lit(10)) === 0))
+      .select(
+        tsMs(col("bucket")).as("bucket_ms"), col("event_type"),
+        col("n"), round(col("sv"), 2).as("sum_value"), col("status"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+  }
+
   /** Sliding windows: 2-hour windows advancing every hour. Because the
     * slide divides the window, each window is the union of whole slide
     * quanta — so aggregate per hour FIRST (map-side partial agg collapses

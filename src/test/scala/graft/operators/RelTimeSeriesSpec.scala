@@ -220,6 +220,40 @@ class RelTimeSeriesSpec extends SparkSpec {
     assert(got2.length === 1 && !got2(0).getAs[Boolean]("is_anomaly"))
   }
 
+  test("hourlyIncrement: merge equals full recompute; statuses classify buckets") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    def ev(h: Int, typ: String, v: Double) =
+      (java.sql.Timestamp.from(t0.plusSeconds(h * 3600L)), typ, v)
+    val baseEvents = Seq(ev(0, "a", 1.0), ev(0, "a", 2.0), ev(1, "b", 3.0))
+      .toDF("ts", "event_type", "value")
+    val late = Seq(ev(0, "a", 4.0), ev(2, "c", 5.0)) // merged + new bucket
+      .toDF("ts", "event_type", "value")
+    val base = baseEvents
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("bucket"),
+        $"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"value").as("sv"))
+    val got = TimeSeriesOps.hourlyIncrementOf(base, late).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).toInstant.getEpochSecond / 3600 % 24) ->
+        ((r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(got(("a", 0)) === ((3L, 7.0, "merged")))
+    assert(got(("b", 1)) === ((1L, 3.0, "unchanged")))
+    assert(got(("c", 2)) === ((1L, 5.0, "new")))
+    // contract: identical to recomputing over base ∪ late
+    val full = baseEvents.union(late)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("bucket"),
+        $"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"value").as("sv"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val inc = TimeSeriesOps.hourlyIncrementOf(base, late)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(inc === full)
+  }
+
   test("hourlyDense: gaps zero-fill, forward fill carries the last mean") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
