@@ -502,6 +502,22 @@ object SparkEntry {
         |  epoch_ms(o_orderdate + INTERVAL 90 DAY) AS due_ms,
         |  strftime(o_orderdate, '%Y-%m') AS ym
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+    // Portable-regex subset (classes/quantifiers/groups) — Java regex and
+    // RE2 agree; DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all semantics
+    "q_scalar_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+        |  COALESCE(TRY_CAST(regexp_extract(text, '([0-9]+)', 1) AS BIGINT), -1)
+        |    AS first_number,
+        |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40)
+        |    AS masked_prefix,
+        |  regexp_matches(text, '[aeiou]{3}') AS has_vowel_run,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+[0-9]')) AS INTEGER)
+        |    AS n_alnum_borders,
+        |  CAST(len(string_split_regex(text, '[0-9]+')) AS INTEGER)
+        |    AS n_nonnum_segments
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(abs(-l_extendedprice), 2) AS abs_price,
@@ -893,6 +909,7 @@ object SparkEntry {
     "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
     "q_rel_outliers" -> (RelationalOps.outlierAudit _),
     "q_rel_grouping_sets" -> (RelationalOps.groupingSetsReturns _),
+    "q_scalar_regex" -> (ScalarOps.regexFuncs _),
     "q_curate" -> ((s, d) => CurationOps.curate(s, d)),
     "q_curate_funnel" -> ((s, d) => CurationOps.curationFunnel(s, d)),
     "q_curate_calibration" -> (CurationOps.qualityCalibration _))

@@ -69,6 +69,31 @@ object ScalarOps {
         (col("l_quantity") > 30d).as("bulk"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Regex function surface over document text: extract (first + all),
+    * replace-all, match predicate, regex split. Patterns stay in the
+    * portable subset (character classes, quantifiers, groups, alternation)
+    * — Java regex and RE2 agree there; lookarounds/lazy/word-boundary
+    * escapes are where engines diverge, so operators built on this pack
+    * avoid them. All codegen'd built-ins per row, zero shuffle.
+    */
+  def regexFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("n_numbers"),
+        // no-match yields '' — nullif before the cast (ANSI mode throws
+        // on casting a malformed string)
+        coalesce(nullif(regexp_extract(col("text"), "([0-9]+)", 1), lit(""))
+          .cast("long"), lit(-1L)).as("first_number"),
+        substring(regexp_replace(col("text"), "[0-9]+", "#"), 1, 40)
+          .as("masked_prefix"),
+        col("text").rlike("[aeiou]{3}").as("has_vowel_run"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+[0-9]"), lit(0)))
+          .as("n_alnum_borders"),
+        size(split(col("text"), "[0-9]+")).as("n_nonnum_segments"))
+      .orderBy(col("doc_id"))
+
   /** Date/time functions over order dates: component extraction, date
     * arithmetic, truncation, intervals, formatting.
     */
