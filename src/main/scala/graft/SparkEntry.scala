@@ -151,6 +151,7 @@ object SparkEntry {
     "q_rel_window_rank" -> (RelationalOps.top3OrdersPerCustomer _),
     "q_rel_window_running" -> (RelationalOps.runningRevenue _),
     "q_rel_window_range" -> (RelationalOps.movingRevenue _),
+    "q_rel_argmax" -> (RelationalOps.topCustomerPerNation _),
     "q_rel_topk" -> (RelationalOps.topOrders _),
     "q_rel_setops" -> (RelationalOps.buyerCohorts _),
     "q_rel_distinct_agg" -> (RelationalOps.distinctPartsPerFlag _),
@@ -235,6 +236,24 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders WHERE o_custkey <= 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // Deterministic arg-max: ties on the value break on the key (the
+    // struct-max rule), mirrored via row_number over (value DESC, key DESC)
+    "q_rel_argmax" ->
+      """WITH j AS (
+        |  SELECT n_name, c_custkey, c_acctbal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |best AS (
+        |  SELECT n_name, c_custkey AS top_custkey,
+        |         round(c_acctbal, 2) AS top_acctbal
+        |  FROM (SELECT n_name, c_custkey, c_acctbal,
+        |          row_number() OVER (PARTITION BY n_name
+        |            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |        FROM j) WHERE rn = 1),
+        |st AS (SELECT n_name, count(*) AS n_customers,
+        |         round(avg(c_acctbal), 2) AS avg_acctbal
+        |       FROM j GROUP BY n_name)
+        |SELECT n_name, top_custkey, top_acctbal, n_customers, avg_acctbal
+        |FROM best JOIN st USING (n_name) ORDER BY n_name""".stripMargin,
     // RANGE frame keyed on epoch-ms: 30 days = 2 592 000 000 ms exactly
     "q_rel_window_range" ->
       """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS ms,

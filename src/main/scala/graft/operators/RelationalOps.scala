@@ -183,6 +183,28 @@ object RelationalOps {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Deterministic arg-max aggregate: per nation, the customer holding the
+    * maximum account balance — the "which row achieved this extreme"
+    * shape. `max(struct(value, key))` makes the answer DETERMINISTIC under
+    * value ties (struct ordering tie-breaks on the key) where a bare
+    * max_by picks an arbitrary winner; one partial-agg rollup on the
+    * nation key, carrying a 2-field struct instead of the row.
+    */
+  def topCustomerPerNation(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        max(struct(col("c_acctbal"), col("c_custkey"))).as("best"),
+        count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+      .select(
+        col("n_name"), col("best.c_custkey").as("top_custkey"),
+        round(col("best.c_acctbal"), 2).as("top_acctbal"),
+        col("n_customers"), col("avg_acctbal"))
+      .orderBy(col("n_name"))
+
   /** RANGE-frame moving aggregate: per-customer trailing-30-day order
     * revenue and count at each order — the time-based sibling of
     * [[runningRevenue]]'s ROWS frame. RANGE frames bound the window by the
