@@ -582,6 +582,7 @@ object SparkEntry {
     "q_ts_rolling_actives" -> ((s, d) => EventAnalyticsOps.rollingActives(s, d)),
     "q_ts_interarrival" -> (EventAnalyticsOps.interArrival _),
     "q_ts_concentration" -> (EventAnalyticsOps.activityConcentration _),
+    "q_ts_attribution" -> (EventAnalyticsOps.lastTouchAttribution _),
     "q_ts_baskets" -> ((s, d) => EventAnalyticsOps.sessionBaskets(s, d)))
 
   private val tsOracles: Map[String, String] = Map(
@@ -805,6 +806,22 @@ object SparkEntry {
         |  round(avg(p50), 2) AS avg_p50_ms,
         |  max(max_gap) AS max_gap_ms
         |FROM u GROUP BY gap_band ORDER BY gap_band""".stripMargin,
+    "q_ts_attribution" ->
+      """WITH a AS (
+        |  SELECT event_type, value,
+        |    COALESCE(last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'direct')
+        |      AS channel
+        |  FROM events),
+        |p AS (SELECT channel, value FROM a WHERE event_type = 'purchase'),
+        |tot AS (SELECT count(*) AS total_purchases FROM p)
+        |SELECT channel, count(*) AS n_purchases,
+        |  round(count(*)::DOUBLE / total_purchases, 6) AS share,
+        |  round(sum(value), 2) AS attributed_value
+        |FROM p CROSS JOIN tot
+        |GROUP BY channel, total_purchases ORDER BY channel""".stripMargin,
     // Histogram-formulation Gini/top-share: integer-exact rank sums per
     // count group (m(m+1) is even → // 2 stays integer), shares cut inside
     // one group via min(cum_e - (cum_u - k) * c) — same as the Spark plan

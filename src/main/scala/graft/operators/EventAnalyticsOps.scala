@@ -317,6 +317,46 @@ object EventAnalyticsOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Last-touch attribution: every purchase is credited to the last
+    * preceding NON-purchase event type on that user's timeline (the
+    * channel), `direct` when nothing precedes — the marketing-attribution
+    * shape, and the same carry-forward machinery as
+    * [[graft.operators.RelationalOps.lastClickBeforeError]]'s as-of join.
+    *
+    * Plan: ONE user_id window (the sessionization shuffle shape) with a
+    * conditional last(ignoreNulls) over the strict past; the channel
+    * rollup is |types|-bounded and the share normalizer rides a 1-row
+    * broadcast.
+    */
+  def lastTouchAttribution(s: SparkSession, d: String): DataFrame =
+    lastTouchAttributionOf(Tables.events(s, d))
+
+  /** [[lastTouchAttribution]] over a `(user_id, event_id, event_type,
+    * value)` frame. */
+  def lastTouchAttributionOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("channel", coalesce(
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w),
+        lit("direct")))
+      .where(col("event_type") === "purchase")
+    val tot = attributed.agg(count(lit(1)).as("total_purchases"))
+    attributed
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("attributed_value"))
+      .crossJoin(broadcast(tot)) // 1 row
+      .select(
+        col("channel"), col("n_purchases"),
+        round(col("n_purchases").cast("double") / col("total_purchases"), 6)
+          .as("share"),
+        col("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
   /** Activity-concentration audit: the Gini coefficient of events-per-user
     * plus top-1% / top-10% / single-heaviest shares — the "is our traffic
     * (or crawl, or label effort) dominated by a few actors?" question, and

@@ -144,6 +144,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === Map(0L -> ((2L, 2L)), 1L -> ((1L, 2L)), 3L -> ((1L, 2L))))
   }
 
+  test("lastTouchAttribution: purchases credit the preceding channel, else direct") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: view → purchase(10), click → purchase(20)
+      (1L, 1L, "view", 0.0), (1L, 2L, "purchase", 10.0),
+      (1L, 3L, "click", 0.0), (1L, 4L, "purchase", 20.0),
+      // u2: purchase with no preceding event → direct; prior user's
+      // events must not leak across the partition
+      (2L, 1L, "purchase", 5.0),
+      // u3: purchase → purchase: the earlier purchase is NOT a channel,
+      // the view before it is
+      (3L, 1L, "view", 0.0), (3L, 2L, "purchase", 1.0), (3L, 3L, "purchase", 2.0))
+      .toDF("user_id", "event_id", "event_type", "value")
+    val got = EventAnalyticsOps.lastTouchAttributionOf(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("view") === ((3L, 0.6, 13.0)), "u1 first + both u3 purchases")
+    assert(got("click") === ((1L, 0.2, 20.0)))
+    assert(got("direct") === ((1L, 0.2, 5.0)))
+  }
+
   test("activityConcentration: hand-computed gini and top shares") {
     import spark.implicits._
     // counts: u1=9, u2=1, u3=1, u4=1 → sorted asc 1,1,1,9:
