@@ -583,6 +583,7 @@ object SparkEntry {
     "q_ts_interarrival" -> (EventAnalyticsOps.interArrival _),
     "q_ts_concentration" -> (EventAnalyticsOps.activityConcentration _),
     "q_ts_attribution" -> (EventAnalyticsOps.lastTouchAttribution _),
+    "q_ts_independence" -> (EventAnalyticsOps.typeDayIndependence _),
     "q_ts_baskets" -> ((s, d) => EventAnalyticsOps.sessionBaskets(s, d)))
 
   private val tsOracles: Map[String, String] = Map(
@@ -806,6 +807,32 @@ object SparkEntry {
         |  round(avg(p50), 2) AS avg_p50_ms,
         |  max(max_gap) AS max_gap_ms
         |FROM u GROUP BY gap_band ORDER BY gap_band""".stripMargin,
+    // Dense grid restores zero-observed cells; Spark dayofweek is 1-based
+    // (Sun=1), DuckDB 0-based → +1; nano-quantized cell contributions
+    "q_ts_independence" ->
+      """WITH obs AS (
+        |  SELECT event_type AS t, dayofweek(ts) + 1 AS d, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT t, d FROM (SELECT DISTINCT t FROM obs)
+        |         CROSS JOIN (SELECT DISTINCT d FROM obs)),
+        |cells AS (SELECT g.t, g.d, CAST(COALESCE(o, 0) AS BIGINT) AS o
+        |          FROM grid g LEFT JOIN obs USING (t, d)),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |          count(DISTINCT t) AS r, count(DISTINCT d) AS c
+        |        FROM cells),
+        |m AS (SELECT o,
+        |        CAST(sum(o) OVER (PARTITION BY t) AS BIGINT) AS rt,
+        |        CAST(sum(o) OVER (PARTITION BY d) AS BIGINT) AS ct
+        |      FROM cells),
+        |q AS (SELECT CAST(round((o - e) * (o - e) / e * 1e9) AS BIGINT) AS cq
+        |      FROM (SELECT o, rt::DOUBLE * ct / n AS e FROM m CROSS JOIN tot)),
+        |s AS (SELECT CAST(sum(cq) AS BIGINT) AS sumq FROM q)
+        |SELECT n AS n_events, r AS n_types, c AS n_days,
+        |  (r - 1) * (c - 1) AS dof,
+        |  round(sumq::DOUBLE / 1e9, 4) AS chi2,
+        |  round(sqrt(sumq::DOUBLE / 1e9 / (n * least(r - 1, c - 1))), 6)
+        |    AS cramers_v
+        |FROM tot CROSS JOIN s""".stripMargin,
     "q_ts_attribution" ->
       """WITH a AS (
         |  SELECT event_type, value,

@@ -317,6 +317,54 @@ object EventAnalyticsOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Chi-squared independence audit: is the event-type mix independent of
+    * the day of week? Pearson χ² over the type × weekday contingency
+    * table plus Cramér's V — the drift/seasonality screen run before
+    * trusting any per-day aggregate comparison, and the categorical
+    * sibling of [[graft.operators.TextOps.signalCorr]].
+    *
+    * Plan: the corpus collapses to the contingency table in one rollup
+    * (|types|·7 cells); the zero-observed cells a χ² must still count are
+    * restored by a dense types×days grid (tiny by construction). Marginals
+    * are windows over cells. Everything is integer counts; per-cell
+    * contributions quantize to integer nano-units (the sourceDivergence
+    * stance) so the one-row result hash-matches exactly.
+    */
+  def typeDayIndependence(s: SparkSession, d: String): DataFrame =
+    typeDayIndependenceOf(Tables.events(s, d))
+
+  /** [[typeDayIndependence]] over a `(ts, event_type)` frame. */
+  def typeDayIndependenceOf(events: DataFrame): DataFrame = {
+    val obs = events
+      .select(col("event_type").as("t"), dayofweek(col("ts")).as("d"))
+      .groupBy(col("t"), col("d")).agg(count(lit(1)).as("o"))
+    val grid = obs.select(col("t")).distinct()
+      .crossJoin(obs.select(col("d")).distinct())
+    val cells = grid.join(obs, Seq("t", "d"), "left")
+      .select(col("t"), col("d"), coalesce(col("o"), lit(0L)).as("o"))
+    val tot = cells.agg(
+      sum(col("o")).as("n"),
+      countDistinct(col("t")).as("r"), countDistinct(col("d")).as("c"))
+    cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("t"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("d"))))
+      .crossJoin(broadcast(tot)) // 1 row
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("cq",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e") * 1e9)
+          .cast("long"))
+      .agg(
+        first(col("n")).as("n_events"), first(col("r")).as("n_types"),
+        first(col("c")).as("n_days"), sum(col("cq")).as("sumq"))
+      .select(
+        col("n_events"), col("n_types"), col("n_days"),
+        ((col("n_types") - 1) * (col("n_days") - 1)).as("dof"),
+        round(col("sumq").cast("double") / 1e9, 4).as("chi2"),
+        round(sqrt(col("sumq").cast("double") / 1e9 /
+          (col("n_events") * least(col("n_types") - 1, col("n_days") - 1))), 6)
+          .as("cramers_v"))
+  }
+
   /** Last-touch attribution: every purchase is credited to the last
     * preceding NON-purchase event type on that user's timeline (the
     * channel), `direct` when nothing precedes — the marketing-attribution

@@ -165,6 +165,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got("direct") === ((1L, 0.2, 5.0)))
   }
 
+  test("typeDayIndependence: perfect association hits V=1, uniformity hits 0") {
+    import spark.implicits._
+    val mon = java.time.Instant.parse("2024-06-03T10:00:00Z") // Monday
+    val tue = java.time.Instant.parse("2024-06-04T10:00:00Z")
+    def rows(spec: (java.time.Instant, String, Int)*) = spec.flatMap {
+      case (t0, typ, n) => (0 until n).map(i =>
+        (java.sql.Timestamp.from(t0.plusSeconds(i.toLong)), typ))
+    }.toDF("ts", "event_type")
+    // A only on Monday, B only on Tuesday → e=5 per cell, chi2 = 4·25/5 = 20
+    val assoc = EventAnalyticsOps.typeDayIndependenceOf(
+      rows((mon, "A", 10), (tue, "B", 10))).collect()(0)
+    assert(assoc.getAs[Long]("n_events") === 20L)
+    assert(assoc.getAs[Long]("dof") === 1L)
+    assert(assoc.getAs[Double]("chi2") === 20.0)
+    assert(assoc.getAs[Double]("cramers_v") === 1.0)
+    // both types uniform over both days → independent
+    val indep = EventAnalyticsOps.typeDayIndependenceOf(
+      rows((mon, "A", 5), (tue, "A", 5), (mon, "B", 5), (tue, "B", 5))).collect()(0)
+    assert(indep.getAs[Double]("chi2") === 0.0)
+    assert(indep.getAs[Double]("cramers_v") === 0.0)
+  }
+
   test("activityConcentration: hand-computed gini and top shares") {
     import spark.implicits._
     // counts: u1=9, u2=1, u3=1, u4=1 → sorted asc 1,1,1,9:
