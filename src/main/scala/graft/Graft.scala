@@ -123,6 +123,11 @@ final class Graft(
   def templates(): DataFrame =
     LogOps.templates(logs, "container_id", "seq", "ts_nano", col("line"))
 
+  /** HTTP traffic rollup over CLF lines in the log table (lines from
+    * other wire formats drop out; see [[graft.operators.LogOps
+    * .accessStats]]). */
+  def accessStats(): DataFrame = LogOps.accessStats(logs, col("line"))
+
   // ---- retention / maintenance (O10-O13) ----------------------------------
 
   def cleanup(age: Option[java.time.Duration], maxLines: Option[Long]): Retention.SweepStats =

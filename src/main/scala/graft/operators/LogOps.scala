@@ -152,6 +152,36 @@ object LogOps {
         min(col("seq")).as("example_seq"))
       .orderBy(col("n").desc, col("template"))
 
+  /** HTTP traffic rollup over access-log lines stored in the engine's log
+    * table: per (method, status) request count, byte volume, and distinct
+    * paths — the dashboard query of the CLF source
+    * ([[graft.sources.AccessLog]] stores lines verbatim precisely so this
+    * extraction stays possible downstream). Non-CLF lines (other wire
+    * formats sharing the table) parse to null status and are dropped, so
+    * the operator composes over a mixed-format table.
+    *
+    * Plan: per-row codegen'd regex extraction (the portable subset), then
+    * one rollup on a (methods × statuses)-bounded key; distinct paths is
+    * the standard two-phase partial distinct. Nothing but the small key
+    * crosses the shuffle.
+    */
+  def accessStats(logs: DataFrame, lineCol: Column): DataFrame =
+    logs
+      .select(
+        regexp_extract(lineCol, "\"([A-Z]+) ", 1).as("method"),
+        nullif(regexp_extract(lineCol, "\" ([0-9]{3}) ", 1), lit(""))
+          .cast("int").as("status"),
+        regexp_extract(lineCol, "\"[A-Z]+ ([^ \"]+)", 1).as("path"),
+        nullif(regexp_extract(lineCol, "\" [0-9]{3} ([0-9]+)", 1), lit(""))
+          .cast("long").as("bytes"))
+      .where(col("status").isNotNull && col("method") =!= "")
+      .groupBy(col("method"), col("status"))
+      .agg(
+        count(lit(1)).as("n_requests"),
+        sum(coalesce(col("bytes"), lit(0L))).as("total_bytes"),
+        countDistinct(col("path")).as("n_paths"))
+      .orderBy(col("method"), col("status"))
+
   /** Rows that SURVIVE `cleanup(age_cutoff, max_lines)` — the complement of
     * the reference's `DELETE FROM logs WHERE ts < ?1 OR ROWID < ?2`
     * (`src/cleaner.rs:82-102`): keep rows that are fresh enough AND within

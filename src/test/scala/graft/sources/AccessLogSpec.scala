@@ -83,5 +83,12 @@ class AccessLogSpec extends SparkSpec {
       col("source") === "server_error").count() === 3)
     assert(IngestMetrics.skippedFrames(spark).value - skippedBefore === 1)
     assert(Files.isDirectory(Paths.get(table, "container_id=web")))
+
+    // traffic rollup over the stored raw lines (method × status)
+    val stats = graft.operators.LogOps.accessStats(df, col("line")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(stats(("GET", 200)) === ((9L, 9L * 1024L, 9L)))
+    assert(stats(("GET", 500)) === ((3L, 3L * 1024L, 3L)))
   }
 }
