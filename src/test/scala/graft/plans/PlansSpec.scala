@@ -343,4 +343,48 @@ class PlansSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
       s"boundary rows must ride broadcasts:\n$plan")
   }
+
+  test("largeVolumeCustomers: fact rolls up before any join; top-k not a sort") {
+    val plan = executedPlan(
+      graft.operators.RelationalOps.largeVolumeCustomers(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must be a value-ordered limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the one hash exchange is the lineitem rollup — the fact table is
+    // aggregated to qualifying keys before either dimension join
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"only the lineitem rollup may shuffle:\n$plan")
+  }
+
+  test("lastTouchAttribution: the user window is the only corpus shuffle") {
+    val plan = executedPlan(
+      graft.operators.EventAnalyticsOps.lastTouchAttribution(spark, sf0001))
+    // user_id window + |types|-bounded channel rollup — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"expected window + channel rollup only:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"normalizer must broadcast:\n$plan")
+  }
+
+  test("activityConcentration: totals reuse the histogram stage at runtime") {
+    // the totals branch and the cumulative branch share the hist subtree;
+    // AQE must REUSE the materialized histogram exchange, not re-derive it
+    // from a second corpus scan — assert on the final adaptive plan
+    // (collect() executes THIS df's plan; count() would plan a new one)
+    val df = graft.operators.EventAnalyticsOps.activityConcentration(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"plan not finalized:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"histogram must be computed once and reused:\n$plan")
+  }
+
+  test("tfidfSimilarPairs: hash-keyed postings join, no cartesian") {
+    val plan = executedPlan(
+      graft.operators.RetrievalOps.tfidfSimilarPairs(spark, sf0001))
+    // the 1-row corpus-size broadcast is a BroadcastNestedLoopJoin — fine;
+    // a non-broadcast CartesianProduct would mean the pair stage lost its key
+    assert(!plan.contains("CartesianProduct"),
+      s"pair stage must join on term_h:\n$plan")
+  }
 }
