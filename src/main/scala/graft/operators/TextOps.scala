@@ -231,6 +231,9 @@ object TextOps {
   def tfIdf(s: SparkSession, d: String, maxDocId: Long = 20): DataFrame = {
     val docs = Tables.documents(s, d)
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // (A/B note: the join-n_tok-after-rollup rewrite that wins 2× in
+    // tfidfSimilarPairsOf measured SLOWER here — this query end-filters to
+    // maxDocId docs, so the extra doc_id join outweighs the re-split tax.)
     val terms = docs.select(
       col("doc_id"), size(tokens(col("text"))).as("n_tok"),
       explode(tokens(col("text"))).as("term"))
