@@ -958,6 +958,7 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
     "q_dedup_containment" -> ((s, d) => DedupOps.containmentPairs(s, d, minCont = 0.6, maxDf = 1000L)),
+    "q_dedup_novelty" -> (DedupOps.contentNovelty _),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
@@ -1161,6 +1162,23 @@ object SparkEntry {
         |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |    GROUP BY 1, 2, 3, 4))
         |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin,
+    // First-occurrence novelty over the same distinct-shingle CTE
+    "q_dedup_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |f AS (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY sh) AS first_doc
+        |      FROM sh0)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS novelty
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same capped-shingle CTE; containment verdict (|A∩B| / min set size)
     "q_dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -268,6 +268,33 @@ object DedupOps {
         .persist()
     }
 
+  /** Content-novelty score: the share of each document's shingles whose
+    * EARLIEST corpus occurrence (min doc_id, the ingest-order proxy) is
+    * this document — "how much genuinely new content does each document
+    * add?". The longitudinal complement of [[dupShingleFrac]]: that one
+    * asks "how much of me is repeated anywhere", this one asks "was I
+    * first". Crawl pipelines rank candidate sources by exactly this
+    * signal (a feed whose novelty trends to zero has been exhausted).
+    *
+    * Plan: reuses the memoized distinct-shingle index; ONE shuffle — the
+    * 8-byte shingle-hash window for the corpus-wide first-occurrence —
+    * then the doc rollup. No text crosses the wire.
+    */
+  def contentNovelty(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    shingleIndex(s, d)
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("sh_h"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sub-document exact dedup at fixed token-block granularity: cut each
     * document into consecutive `blockTokens`-token blocks (tail partial
     * block ignored), fingerprint each block, and report per document how

@@ -154,6 +154,24 @@ class CorpusAuditSpec extends SparkSpec {
       Tables.documents(spark, sf0001).count())
   }
 
+  test("contentNovelty: first doc fully novel, totals reconcile with the corpus") {
+    val rows = DedupOps.contentNovelty(spark, sf0001).collect()
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") === 1.0,
+      "the earliest document is first for every one of its shingles")
+    rows.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+    }
+    // every distinct shingle is novel in exactly one document
+    val distinctShingles = DedupOps.shingles(spark, sf0001)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("shs")).as("sh"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum === distinctShingles)
+  }
+
   test("qualityCalibration: deciles ordered by quality, counts reconcile") {
     val rows = CurationOps.qualityCalibration(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 10)
