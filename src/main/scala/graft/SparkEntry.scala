@@ -1859,6 +1859,7 @@ object SparkEntry {
     "q_vec_label_affinity" -> (VectorOps.labelAffinity _),
     "q_text_prefix_dups" -> ((s, d) => TextOps.prefixDups(s, d)),
     "q_text_hybrid_topk" -> ((s, d) => RetrievalOps.hybridTopK(s, d)),
+    "q_text_ranker_rbo" -> ((s, d) => RetrievalOps.rankerAgreement(s, d)),
     "q_vec_centroids" -> (VectorOps.labelCentroids _),
     "q_vec_quantize" -> (VectorOps.quantizeInt8 _),
     "q_vec_pq" -> (VectorOps.pqEncode _),
@@ -2110,6 +2111,56 @@ object SparkEntry {
          |FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
     },
+    // RBO over the same two ranker CTEs as q_text_hybrid_topk; per-depth
+    // contributions nano-quantized; (1-p) written as the same subtraction
+    // both engines — two literals for "0.1" are two different doubles
+    "q_text_ranker_rbo" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(t)) AS avgdl,
+         |  sum(CASE WHEN list_contains(t, 'spark') THEN 1.0 ELSE 0.0 END) AS df0,
+         |  sum(CASE WHEN list_contains(t, 'hash') THEN 1.0 ELSE 0.0 END) AS df1,
+         |  sum(CASE WHEN list_contains(t, 'join') THEN 1.0 ELSE 0.0 END) AS df2
+         |  FROM t),
+         |sc AS (SELECT doc_id,
+         |  round(
+         |    ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+         |      * len(list_filter(t, x -> x = 'spark'))::DOUBLE * 2.2
+         |      / (len(list_filter(t, x -> x = 'spark'))::DOUBLE
+         |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl))
+         |  + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+         |      * len(list_filter(t, x -> x = 'hash'))::DOUBLE * 2.2
+         |      / (len(list_filter(t, x -> x = 'hash'))::DOUBLE
+         |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl))
+         |  + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+         |      * len(list_filter(t, x -> x = 'join'))::DOUBLE * 2.2
+         |      / (len(list_filter(t, x -> x = 'join'))::DOUBLE
+         |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl)), 6) AS bm25
+         |  FROM t, st),
+         |bm AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_bm
+         |       FROM (SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+         |             ORDER BY bm25 DESC, doc_id LIMIT 20)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cz AS (SELECT vec_id, round(${duckCos("embedding", "qv")}, 6) AS cos_sim
+         |       FROM embeddings, q WHERE vec_id <> 0
+         |       ORDER BY cos_sim DESC, vec_id LIMIT 20),
+         |cs AS (SELECT vec_id AS doc_id,
+         |         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS r_cos
+         |       FROM cz),
+         |agree AS (SELECT bm.doc_id, r_bm, r_cos
+         |          FROM bm JOIN cs ON bm.doc_id = cs.doc_id),
+         |depths AS (SELECT CAST(unnest(range(1, 21)) AS INTEGER) AS dpt),
+         |ovd AS (SELECT dpt, count(b.doc_id) AS ov
+         |        FROM depths d LEFT JOIN agree b
+         |          ON b.r_bm <= d.dpt AND b.r_cos <= d.dpt
+         |        GROUP BY dpt),
+         |c AS (SELECT dpt, ov,
+         |        CAST(round(power(0.9, dpt - 1) * ov / dpt * 1e9) AS BIGINT) AS cq
+         |      FROM ovd)
+         |SELECT 20 AS k,
+         |  CAST(max(CASE WHEN dpt = 20 THEN ov END) AS BIGINT) AS overlap_at_k,
+         |  round((1.0 - 0.9) * CAST(sum(cq) AS BIGINT) / 1e9, 6) AS rbo
+         |FROM c""".stripMargin,
     "q_media_frames" ->
       """SELECT doc_id AS media_id, i AS frame_idx,
         |  md5(text || '#' || CAST(i AS VARCHAR)) AS frame_fp

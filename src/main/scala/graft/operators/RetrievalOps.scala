@@ -151,6 +151,60 @@ object RetrievalOps {
       .limit(k)
   }
 
+  /** Ranker-agreement audit: rank-biased overlap (RBO, Webber et al.,
+    * TOIS 2010) between the lexical (BM25) and dense (cosine) top-k lists
+    * for the same query — the evaluation metric behind "do our two
+    * retrieval modes even agree?", and the quantitative basis for
+    * choosing [[hybridTopK]]'s fusion over either ranker alone (RBO near
+    * 1 → hybrid adds nothing; near 0 → the modes see different corpora).
+    * Top-weighted: agreement at depth d earns weight p^(d−1)/d.
+    *
+    * Plan: both rankings are already ≤ k constant-size rows; the depth
+    * grid × rank join and the RBO sum run on k² rows. Nothing corpus-
+    * sized moves beyond what the two rankers themselves do. Per-depth
+    * contributions quantize to integer nano-units, and the (1−p) weight
+    * is written as the SAME subtraction on both engines — two different
+    * literals for "0.1" are two different doubles.
+    */
+  def rankerAgreement(
+      s: SparkSession, d: String, k: Int = 20, p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25TopK(s, d, k)
+      .withColumn("r_bm",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("int"))
+      .select(col("doc_id"), col("r_bm"))
+    val cs = VectorOps.cosineTopK(s, d, queryId = 0L, k = k)
+      .withColumn("r_cos",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+          .cast("int"))
+      .select(col("vec_id").as("doc_id"), col("r_cos"))
+    rboOf(s, bm, cs, k, p)
+  }
+
+  /** Truncated RBO of two rank frames `(doc_id, r_bm)` / `(doc_id, r_cos)`
+    * with 1-based ranks (the [[rankerAgreement]] core, separated so specs
+    * can feed planted rankings; identical lists score 1−pᵏ, disjoint 0).
+    */
+  def rboOf(s: SparkSession, ranksA: DataFrame, ranksB: DataFrame,
+      k: Int, p: Double): DataFrame = {
+    val agree = ranksA.join(ranksB, Seq("doc_id"))
+    val grid = s.range(1, k + 1L).select(col("id").cast("int").as("dpt"))
+    grid
+      .join(agree, col("r_bm") <= col("dpt") && col("r_cos") <= col("dpt"),
+        "left")
+      .groupBy(col("dpt")).agg(count(col("doc_id")).as("ov"))
+      .select(col("dpt"), col("ov"),
+        round(pow(lit(p), col("dpt") - 1) * col("ov") / col("dpt") * 1e9)
+          .cast("long").as("cq"))
+      .agg(
+        max(when(col("dpt") === k, col("ov"))).as("overlap_at_k"),
+        sum(col("cq")).as("sumq"))
+      .select(
+        lit(k).as("k"), col("overlap_at_k"),
+        round((lit(1.0) - lit(p)) * col("sumq") / 1e9, 6).as("rbo"))
+  }
+
   /** Per-document bigram-LM score: mean log P(w₂|w₁) of each document's
     * token bigrams under the corpus bigram MLE — the order-2 upgrade of
     * [[unigramLogProb]] and the statistic CCNet-family quality filters

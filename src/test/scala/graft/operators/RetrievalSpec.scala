@@ -78,6 +78,26 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Set((0L, 1L)))
   }
 
+  test("rbo: identical rankings score 1-p^k, disjoint score 0") {
+    import spark.implicits._
+    val k = 10; val p = 0.9
+    val a = (1 to k).map(i => (i.toLong, i)).toDF("doc_id", "r_bm")
+    val same = (1 to k).map(i => (i.toLong, i)).toDF("doc_id", "r_cos")
+    val disj = (1 to k).map(i => (i + 100L, i)).toDF("doc_id", "r_cos")
+    val rSame = RetrievalOps.rboOf(spark, a, same, k, p).collect()(0)
+    assert(rSame.getAs[Long]("overlap_at_k") === k.toLong)
+    assert(math.abs(rSame.getAs[Double]("rbo") - (1.0 - math.pow(p, k))) < 1e-6)
+    val rDisj = RetrievalOps.rboOf(spark, a, disj, k, p).collect()(0)
+    assert(rDisj.getAs[Long]("overlap_at_k") === 0L)
+    assert(rDisj.getAs[Double]("rbo") === 0.0)
+    // reversal of the tail ranks scores strictly between
+    val rev = (1 to k).map(i => (i.toLong, if (i <= 5) i else 16 - i))
+      .toDF("doc_id", "r_cos")
+    val rRev = RetrievalOps.rboOf(spark, a, rev, k, p).collect()(0)
+    assert(rRev.getAs[Double]("rbo") > 0.0 &&
+      rRev.getAs[Double]("rbo") < rSame.getAs[Double]("rbo"))
+  }
+
   test("inverted index: df, total_tf, and order-independent postings fingerprint") {
     val corpus = docs(
       (2L, "a b a"),
