@@ -400,6 +400,26 @@ object SparkEntry {
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_rel_q12_shipmode" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rel_q22_idle_rich" ->
+      """WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer
+        |            WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer CROSS JOIN ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_rel_histogram" ->
       """SELECT bucket, count(*) AS n,
         |  round(min(o_totalprice), 2) AS lo_price,
@@ -970,6 +990,8 @@ object SparkEntry {
     "q_rel_q6_discount" -> (RelationalOps.discountRevenue _),
     "q_rel_q3_shipping" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
     "q_rel_q18_bigorders" -> ((s, d) => RelationalOps.largeVolumeCustomers(s, d)),
+    "q_rel_q12_shipmode" -> (RelationalOps.shipmodePriority _),
+    "q_rel_q22_idle_rich" -> (RelationalOps.idleRichCustomers _),
     "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
     "q_rel_outliers" -> (RelationalOps.outlierAudit _),
     "q_rel_grouping_sets" -> (RelationalOps.groupingSetsReturns _),

@@ -183,6 +183,54 @@ object RelationalOps {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** TPC-H Q12 shape: order-priority counts per ship mode — the
+    * conditional-aggregation-over-a-join pattern (CASE inside SUM), with
+    * the priority split computed in one pass instead of two filtered
+    * scans. Lineitem filters push to the scan; orders joins on the
+    * already-filtered slice.
+    */
+  def shipmodePriority(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+             col("l_shipdate") <  lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q22 shape: "missed opportunity" — customers above the average
+    * balance with no urgent order. Composes the two decorrelation
+    * patterns: a scalar subquery (the global average, reduced to a 1-row
+    * broadcast) and an anti join. The orders side filters BEFORE the anti
+    * join and carries only its key column. (The textbook Q22 predicate
+    * "no orders at all" is empty on this fixture — the generator gives
+    * every customer orders — so the anti-join side is the urgent slice.)
+    */
+  def idleRichCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.where(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    cust
+      .crossJoin(broadcast(avgBal)) // 1 row
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Deterministic arg-max aggregate: per nation, the customer holding the
     * maximum account balance — the "which row achieved this extreme"
     * shape. `max(struct(value, key))` makes the answer DETERMINISTIC under
