@@ -1884,6 +1884,7 @@ object SparkEntry {
     "q_text_ranker_rbo" -> ((s, d) => RetrievalOps.rankerAgreement(s, d)),
     "q_vec_centroids" -> (VectorOps.labelCentroids _),
     "q_vec_quantize" -> (VectorOps.quantizeInt8 _),
+    "q_vec_quant_error" -> (VectorOps.quantError _),
     "q_vec_pq" -> (VectorOps.pqEncode _),
     "q_vec_pq_topk" -> ((s, d) => VectorOps.pqTopK(s, d)),
     "q_vec_ivfpq_topk" -> ((s, d) => VectorOps.ivfPqTopK(s, d)),
@@ -2209,6 +2210,33 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    // int8 roundtrip reconstruction error; per-vector errors quantize to
+    // nano-units before the label sums (order-independent), max is free
+    "q_vec_quant_error" ->
+      """WITH e AS (SELECT label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT label, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS ma
+        |      FROM e),
+        |r AS (SELECT label, v,
+        |        list_transform(v, x -> x - round(x * 127.0 / ma) * ma / 127.0)
+        |          AS dv
+        |      FROM m),
+        |s2 AS (SELECT label,
+        |         list_sum(list_transform(dv, x -> x * x)) AS err_sq,
+        |         list_sum(list_transform(v, x -> x * x)) AS norm_sq
+        |       FROM r),
+        |qn AS (SELECT label,
+        |         CAST(round(err_sq / greatest(norm_sq, 1e-12) * 1e9) AS BIGINT)
+        |           AS rq,
+        |         CAST(round(err_sq / 64.0 * 1e9) AS BIGINT) AS mq
+        |       FROM s2)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(rq) AS DOUBLE) / count(*) / 1e9, 6) AS avg_rel_err,
+        |  round(CAST(max(rq) AS DOUBLE) / 1e9, 6) AS max_rel_err,
+        |  round(CAST(sum(mq) AS DOUBLE) / count(*) / 1e9, 6) AS avg_mse
+        |FROM qn GROUP BY label ORDER BY label""".stripMargin,
     "q_vec_quantize" ->
       """WITH e AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -313,6 +313,44 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Quantization-error audit: per label, the reconstruction error of the
+    * int8 roundtrip ([[quantizeInt8]]'s dequantized vector vs the
+    * original) — the quality-cost side of the 4× compression decision,
+    * read next to [[labelAffinity]]/[[dimStats]] when choosing an index
+    * format. Reports relative squared error (‖x−x̂‖²/‖x‖²) and MSE.
+    *
+    * Plan: the whole roundtrip and both error folds are per-row HOF
+    * arithmetic (zero shuffle); the only exchange is the |labels|-row
+    * rollup. Per-vector errors quantize to integer nano-units before the
+    * label sum (the order-independence stance); max is order-free.
+    */
+  def quantError(s: SparkSession, d: String): DataFrame = {
+    val emb = asD(col("embedding"))
+    val maxAbs = greatest(array_max(transform(emb, x => abs(x))), lit(1e-12))
+    val dq = transform(emb,
+      x => round(x * 127.0 / maxAbs) * maxAbs / lit(127.0))
+    val errSq = aggregate(
+      zip_with(emb, dq, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val normSq = aggregate(transform(emb, x => x * x),
+      lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        round(errSq / greatest(normSq, lit(1e-12)) * 1e9).cast("long").as("rq"),
+        round(errSq / 64.0 * 1e9).cast("long").as("mq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("rq")).as("srq"), max(col("rq")).as("xrq"),
+        sum(col("mq")).as("smq"))
+      .select(
+        col("label"), col("n_vecs"),
+        round(col("srq").cast("double") / col("n_vecs") / 1e9, 6)
+          .as("avg_rel_err"),
+        round(col("xrq").cast("double") / 1e9, 6).as("max_rel_err"),
+        round(col("smq").cast("double") / col("n_vecs") / 1e9, 6).as("avg_mse"))
+      .orderBy(col("label"))
+  }
+
   /** Binary product-quantization codes: the 64-dim vector is split into 8
     * subspaces of 8 dims and each subvector is encoded by its sign
     * pattern — an 8-bit code per subspace, 8 bytes per vector (32×
