@@ -400,7 +400,7 @@ object SparkEntry {
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
-    "q_rel_q12_shipmode" ->
+    "q_rel_q12_priority" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
         |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -416,7 +416,7 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n_custs,
         |  round(sum(c_acctbal), 2) AS total_bal
         |FROM customer CROSS JOIN ab
-        |WHERE c_acctbal > avg_bal
+        |WHERE c_acctbal > round(avg_bal, 2)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
@@ -547,8 +547,10 @@ object SparkEntry {
     "q_scalar_regex" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
-        |  COALESCE(TRY_CAST(regexp_extract(text, '([0-9]+)', 1) AS BIGINT), -1)
-        |    AS first_number,
+        |  COALESCE(CASE WHEN length(regexp_extract(text, '([0-9]+)', 1))
+        |                     BETWEEN 1 AND 18
+        |                THEN CAST(regexp_extract(text, '([0-9]+)', 1) AS BIGINT)
+        |           END, -1) AS first_number,
         |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40)
         |    AS masked_prefix,
         |  regexp_matches(text, '[aeiou]{3}') AS has_vowel_run,
@@ -990,7 +992,7 @@ object SparkEntry {
     "q_rel_q6_discount" -> (RelationalOps.discountRevenue _),
     "q_rel_q3_shipping" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
     "q_rel_q18_bigorders" -> ((s, d) => RelationalOps.largeVolumeCustomers(s, d)),
-    "q_rel_q12_shipmode" -> (RelationalOps.shipmodePriority _),
+    "q_rel_q12_priority" -> (RelationalOps.shipmodePriority _),
     "q_rel_q22_idle_rich" -> (RelationalOps.idleRichCustomers _),
     "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
     "q_rel_outliers" -> (RelationalOps.outlierAudit _),
@@ -2223,14 +2225,15 @@ object SparkEntry {
         |        list_transform(v, x -> x - round(x * 127.0 / ma) * ma / 127.0)
         |          AS dv
         |      FROM m),
-        |s2 AS (SELECT label,
+        |s2 AS (SELECT label, len(v) AS dim,
         |         list_sum(list_transform(dv, x -> x * x)) AS err_sq,
         |         list_sum(list_transform(v, x -> x * x)) AS norm_sq
         |       FROM r),
         |qn AS (SELECT label,
         |         CAST(round(err_sq / greatest(norm_sq, 1e-12) * 1e9) AS BIGINT)
         |           AS rq,
-        |         CAST(round(err_sq / 64.0 * 1e9) AS BIGINT) AS mq
+        |         CAST(round(err_sq / CAST(dim AS DOUBLE) * 1e9) AS BIGINT)
+        |           AS mq
         |       FROM s2)
         |SELECT label, count(*) AS n_vecs,
         |  round(CAST(sum(rq) AS DOUBLE) / count(*) / 1e9, 6) AS avg_rel_err,

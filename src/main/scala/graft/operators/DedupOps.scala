@@ -131,23 +131,9 @@ object DedupOps {
     // join emits candidates as an allocation-free merge of sorted unsafe
     // rows while the explode materializes C(f,2) row objects per list.
     // Same verdict at scale: the pair-stage volume dominates and the SMJ
-    // processes it with tighter memory behavior.
-    // Per-doc set sizes join onto the AGGREGATED pair table (one small row
-    // per doc against one row per surviving pair), never onto the exploded
-    // table — enriching pre-join would re-shuffle the whole index and widen
-    // both self-join inputs by 8 bytes/row for data the pair only needs once.
-    // (NOT force-broadcast: one row per document is huge at corpus scale;
-    // AQE broadcasts it when it is actually small.)
+    // processes it with tighter memory behavior. (Pair-key packing and
+    // the sizes-join placement: see pairStats.)
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = capped.select(col("doc_id").as("a"), col("sh_h"))
-    val b = capped.select(col("doc_id").as("b"), col("sh_h"))
-    // The candidate pair is packed into ONE long (a<<32 | b) before the
-    // pair-count shuffle: 8-byte instead of 16-byte grouping keys across
-    // the dominant exchange, single-long hash/compare in the aggregate.
-    // Measured win #5 (tools/PairEncodeAB, min-of-3 ×3 sessions at sf0.1):
-    // 1.04/1.00/1.26 s vs 1.12/1.10/1.36 s two-long — a consistent ~8%.
-    // Constraint: ids must fit 32 bits (4.3 B docs); a deployment with
-    // wider ids shards the corpus or reverts to the two-long groupBy.
     pairStats(capped, sizes)
       .select(
         col("a"), col("b"),
@@ -162,6 +148,20 @@ object DedupOps {
     * per-doc set sizes joined onto the aggregated pair table. Returns
     * (a, b, inter, na, nb) — the sufficient statistics for ANY set-overlap
     * measure (Jaccard, containment, overlap coefficient, dice).
+    *
+    * The candidate pair is packed into ONE long (a<<32 | b) before the
+    * pair-count shuffle: 8-byte instead of 16-byte grouping keys across
+    * the dominant exchange, single-long hash/compare in the aggregate.
+    * Measured win #5 (tools/PairEncodeAB, min-of-3 ×3 sessions at sf0.1):
+    * 1.04/1.00/1.26 s vs 1.12/1.10/1.36 s two-long — a consistent ~8%.
+    * Constraint: ids must fit 32 bits (4.3 B docs); a deployment with
+    * wider ids shards the corpus or reverts to the two-long groupBy.
+    * Per-doc set sizes join onto the AGGREGATED pair table (one small row
+    * per doc against one row per surviving pair), never onto the exploded
+    * table — enriching pre-join would re-shuffle the whole index and widen
+    * both self-join inputs by 8 bytes/row for data the pair only needs
+    * once. (NOT force-broadcast: one row per document is huge at corpus
+    * scale; AQE broadcasts it when it is actually small.)
     */
   private def pairStats(capped: DataFrame, sizes: DataFrame): DataFrame = {
     val a = capped.select(col("doc_id").as("a"), col("sh_h"))
@@ -210,16 +210,7 @@ object DedupOps {
       .where(size(col("shs")) > 0)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
-    val capped =
-      if (maxDf <= 0) exploded
-      else {
-        val kept = exploded.groupBy(col("sh_h"))
-          .agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= maxDf)
-          .select(col("sh_h"))
-        exploded.join(kept, Seq("sh_h"), "left_semi")
-      }
-    containmentFrom(capped, minCont)
+    containmentFrom(capByDf(exploded, maxDf), minCont)
   }
 
   private def containmentFrom(capped: DataFrame, minCont: Double): DataFrame = {
@@ -247,17 +238,20 @@ object DedupOps {
     */
   private def cappedIndex(s: SparkSession, d: String, maxDf: Long): DataFrame =
     cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
-      val exploded = shingleIndex(ss, d)
-      val kept0 =
-        if (maxDf <= 0) exploded
-        else {
-          val kept = exploded.groupBy(col("sh_h"))
-            .agg(count(lit(1)).as("__df"))
-            .where(col("__df") <= maxDf)
-            .select(col("sh_h"))
-          exploded.join(kept, Seq("sh_h"), "left_semi")
-        }
-      kept0.persist()
+      capByDf(shingleIndex(ss, d), maxDf).persist()
+    }
+
+  /** Drop shingle hashes with document frequency above `maxDf` (the skew
+    * guard shared by every overlap measure; 0 disables).
+    */
+  private def capByDf(exploded: DataFrame, maxDf: Long): DataFrame =
+    if (maxDf <= 0) exploded
+    else {
+      val kept = exploded.groupBy(col("sh_h"))
+        .agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= maxDf)
+        .select(col("sh_h"))
+      exploded.join(kept, Seq("sh_h"), "left_semi")
     }
 
   private def shingleIndex(s: SparkSession, d: String): DataFrame =

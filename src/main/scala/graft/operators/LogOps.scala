@@ -172,8 +172,13 @@ object LogOps {
         nullif(regexp_extract(lineCol, "\" ([0-9]{3}) ", 1), lit(""))
           .cast("int").as("status"),
         regexp_extract(lineCol, "\"[A-Z]+ ([^ \"]+)", 1).as("path"),
-        nullif(regexp_extract(lineCol, "\" [0-9]{3} ([0-9]+)", 1), lit(""))
-          .cast("long").as("bytes"))
+        // length-guarded: a corrupt >18-digit size field must drop out
+        // like every other malformed row, not abort the rollup via the
+        // ANSI cast (the permissive-decode contract of the sources)
+        when(length(regexp_extract(lineCol, "\" [0-9]{3} ([0-9]+)", 1))
+          .between(1, 18),
+          regexp_extract(lineCol, "\" [0-9]{3} ([0-9]+)", 1).cast("long"))
+          .as("bytes"))
       .where(col("status").isNotNull && col("method") =!= "")
       .groupBy(col("method"), col("status"))
       .agg(

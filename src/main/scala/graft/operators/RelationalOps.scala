@@ -183,17 +183,19 @@ object RelationalOps {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  /** TPC-H Q12 shape: order-priority counts per ship mode — the
-    * conditional-aggregation-over-a-join pattern (CASE inside SUM), with
-    * the priority split computed in one pass instead of two filtered
-    * scans. Lineitem filters push to the scan; orders joins on the
-    * already-filtered slice.
+  /** TPC-H Q12 shape: the conditional-aggregation-over-a-join pattern
+    * (CASE inside SUM), with the high/low priority split computed in one
+    * pass instead of two filtered scans. The fixture has no `l_shipmode`
+    * column, so `l_returnflag` stands in as the grouping dimension — the
+    * SHAPE (filtered fact join + two conditional counts per group) is
+    * what's exercised. Lineitem filters push to the scan; orders joins
+    * the already-filtered slice.
     */
   def shipmodePriority(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
              col("l_shipdate") <  lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .select(col("l_orderkey"), col("l_returnflag"))
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
@@ -220,7 +222,10 @@ object RelationalOps {
       .agg(avg(col("c_acctbal")).as("avg_bal"))
     cust
       .crossJoin(broadcast(avgBal)) // 1 row
-      .where(col("c_acctbal") > col("avg_bal"))
+      // boundary ROUNDED before the compare (the RFM stance): the raw
+      // double average is an order-dependent sum, and a balance within
+      // one ulp of it would classify differently across engines
+      .where(col("c_acctbal") > round(col("avg_bal"), 2))
       .join(Tables.orders(s, d)
           .where(col("o_orderpriority") === "1-URGENT")
           .select(col("o_custkey")),

@@ -82,10 +82,15 @@ object ScalarOps {
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
           .as("n_numbers"),
-        // no-match yields '' — nullif before the cast (ANSI mode throws
-        // on casting a malformed string)
-        coalesce(nullif(regexp_extract(col("text"), "([0-9]+)", 1), lit(""))
-          .cast("long"), lit(-1L)).as("first_number"),
+        // no-match yields ''; a >18-digit run would overflow the ANSI
+        // cast — both guarded by a length window (the twin mirrors the
+        // same rule, since TRY_CAST's overflow boundary is value- not
+        // length-based and would diverge on 19-digit values)
+        coalesce(
+          when(length(regexp_extract(col("text"), "([0-9]+)", 1))
+            .between(1, 18),
+            regexp_extract(col("text"), "([0-9]+)", 1).cast("long")),
+          lit(-1L)).as("first_number"),
         substring(regexp_replace(col("text"), "[0-9]+", "#"), 1, 40)
           .as("masked_prefix"),
         col("text").rlike("[aeiou]{3}").as("has_vowel_run"),

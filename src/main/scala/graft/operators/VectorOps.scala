@@ -337,7 +337,8 @@ object VectorOps {
     Tables.embeddings(s, d)
       .select(col("label"),
         round(errSq / greatest(normSq, lit(1e-12)) * 1e9).cast("long").as("rq"),
-        round(errSq / 64.0 * 1e9).cast("long").as("mq"))
+        round(errSq / size(col("embedding")).cast("double") * 1e9)
+          .cast("long").as("mq"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("rq")).as("srq"), max(col("rq")).as("xrq"),
