@@ -209,6 +209,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r2.getAs[Double]("top1_share") === 0.25)
   }
 
+  test("activityConcentration: histogram closed form equals brute-force on random corpora") {
+    import spark.implicits._
+    val gen = org.scalacheck.Gen.nonEmptyListOf(
+      org.scalacheck.Gen.choose(1, 40)) // per-user event counts
+    new graft.PropSpec {}.forSamples(gen, n = 25) { counts =>
+      val events = counts.zipWithIndex.flatMap { case (c, u) =>
+        (0 until c).map(i => (u.toLong, (u * 1000 + i).toLong))
+      }.toDF("user_id", "event_id")
+      val r = EventAnalyticsOps.activityConcentrationOf(events).collect()(0)
+      // brute-force reference: sort ascending, rank-weighted sum
+      val sorted = counts.map(_.toLong).sorted
+      val n = sorted.size
+      val s = sorted.sum
+      val t = sorted.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val gini = BigDecimal(2.0 * t / (n.toDouble * s) - (n + 1.0) / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("gini") === gini, s"counts=$counts")
+      // top-k shares against brute force
+      def topShare(p: Int): Double = {
+        val k = (n + p - 1) / p
+        BigDecimal(sorted.takeRight(k.toInt).sum.toDouble / s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(r.getAs[Double]("top1_share") === topShare(100), s"counts=$counts")
+      assert(r.getAs[Double]("top10_share") === topShare(10), s"counts=$counts")
+      assert(r.getAs[Long]("n_users") === n.toLong)
+      assert(r.getAs[Long]("n_events") === s)
+    }
+  }
+
   test("topPaths counts length-3 consecutive sequences, never across users") {
     val events = ev(
       (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
