@@ -254,6 +254,46 @@ class RelTimeSeriesSpec extends SparkSpec {
     assert(inc === full)
   }
 
+  test("hourlyDense: random sparse series reconcile with a plain-Scala reference") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    // (type, hour, value) observations over a 12-hour span, sparse
+    val gen = org.scalacheck.Gen.nonEmptyListOf(for {
+      typ <- org.scalacheck.Gen.oneOf("a", "b", "c")
+      h <- org.scalacheck.Gen.choose(0, 11)
+      v <- org.scalacheck.Gen.choose(1, 100)
+    } yield (typ, h, v.toDouble))
+    new graft.PropSpec {}.forSamples(gen, n = 15) { obs =>
+      val events = obs.map { case (typ, h, v) =>
+        (java.sql.Timestamp.from(t0.plusSeconds(h * 3600L)), typ, v)
+      }.toDF("ts", "event_type", "value")
+      val got = TimeSeriesOps.hourlyDenseOf(events).collect()
+        .map(r => (r.getString(1), r.getLong(0)) ->
+          ((r.getLong(2), r.getDouble(3),
+            Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+      // reference: dense grid over the observed span, zero-fill + LVCF
+      val hours = obs.map(_._2)
+      val (h0, h1) = (hours.min, hours.max)
+      val types = obs.map(_._1).distinct
+      assert(got.size === (h1 - h0 + 1) * types.size, "dense grid size")
+      for (typ <- types) {
+        var carry: Option[Double] = None
+        for (h <- h0 to h1) {
+          val vs = obs.filter(o => o._1 == typ && o._2 == h).map(_._3)
+          if (vs.nonEmpty) carry = Some(
+            BigDecimal(vs.sum / vs.size)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          val key = (typ, t0.plusSeconds(h * 3600L).toEpochMilli)
+          val (n, sv, ff) = got(key)
+          assert(n === vs.size.toLong, s"$key n")
+          assert(sv === BigDecimal(vs.sum)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$key sum")
+          assert(ff === carry, s"$key carry")
+        }
+      }
+    }
+  }
+
   test("hourlyDense: gaps zero-fill, forward fill carries the last mean") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
