@@ -1915,7 +1915,10 @@ object SparkEntry {
 
   private val vecOracles: Map[String, String] = Map(
     "q_vec_pq" ->
-      s"""SELECT vec_id, label, $duckPqCodes AS codes
+      s"""SELECT vec_id, label,
+         |  array_to_string(
+         |    list_transform($duckPqCodes, c -> lpad(hex(c), 2, '0')), '')
+         |    AS codes_hex
          |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_vec_pq_topk" ->
       s"""WITH c AS (SELECT vec_id, label, $duckPqCodes AS codes

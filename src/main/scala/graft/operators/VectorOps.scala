@@ -372,9 +372,17 @@ object VectorOps {
               .cast("double") > 0.0, 1)
             .otherwise(0)))
 
+  /** Published encode table: the 8 code bytes packed as one 16-char hex
+    * string (high subspace first) — a scalar column every engine (and the
+    * driver's pandas compare, which can't hash array cells) handles; the
+    * array form stays internal to [[pqTopK]]/[[ivfPqTopK]].
+    */
   def pqEncode(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), pqCodes(col("embedding")).as("codes"))
+      .select(col("vec_id"), col("label"),
+        array_join(
+          transform(pqCodes(col("embedding")), c => lpad(hex(c), 2, "0")), "")
+          .as("codes_hex"))
       .orderBy(col("vec_id"))
 
   /** ANN by symmetric PQ distance: rank the corpus by summed per-subspace
@@ -386,7 +394,8 @@ object VectorOps {
     * ([[cosineTopK]] / [[ivfTopK]] are those exact re-rankers).
     */
   def pqTopK(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
-    val codes = pqEncode(s, d)
+    val codes = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), pqCodes(col("embedding")).as("codes"))
     val q = broadcast(
       codes.where(col("vec_id") === queryId).select(col("codes").as("qcodes")))
     codes.crossJoin(q)

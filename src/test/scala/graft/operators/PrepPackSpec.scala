@@ -127,7 +127,7 @@ class PrepPackSpec extends SparkSpec {
 
   test("pqEncode matches a plain-Scala reference encoder") {
     val got = VectorOps.pqEncode(spark, sf0001).collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](2)).toMap
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("codes_hex")).toMap
     val ref = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
@@ -137,13 +137,12 @@ class PrepPackSpec extends SparkSpec {
             acc * 2 + (if (v(i * 8 + j) > 0f) 1 else 0)
           }
         }
-        r.getLong(0) -> codes
+        r.getLong(0) -> codes.map(c => f"$c%02X").mkString
       }.toMap
     assert(got.keySet === ref.keySet)
-    got.foreach { case (id, codes) =>
-      assert(codes.length === 8)
-      assert(codes.forall(c => c >= 0 && c <= 255))
-      assert(codes === ref(id), s"vec $id")
+    got.foreach { case (id, hexStr) =>
+      assert(hexStr.length === 16)
+      assert(hexStr === ref(id), s"vec $id")
     }
   }
 
