@@ -487,10 +487,15 @@ object VectorOps {
     * shuffle carries one 512-byte buffer per label per partition), the
     * label-keyed centroid model broadcasts back (labels ≪ corpus by
     * contract, same stance as the k-means model), and the distance is one
-    * codegen'd expression per row feeding a per-label window rank.
+    * codegen'd expression per row feeding two-phase partial-agg top-k
+    * ([[graft.functions.TopKAgg]]) — NOT a per-label rank window, which
+    * would sort each label's entire corpus slice on one reducer
+    * (VERDICT r5 "What's wrong #3": ~10 labels over 100 TB = 10 TB
+    * through one task; this was the 10.8×-vs-twin symptom at sf0.1).
+    * Descending distance rides as an ascending −dist key; the distance
+    * itself rides the payload slot, so winners need no join-back.
     */
   def labelOutliers(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dim = 64
     val emb = Tables.embeddings(s, d)
     val cents = emb.groupBy(col("label")).agg(
@@ -502,12 +507,14 @@ object VectorOps {
       val diff = element_at(col("embedding"), i + 1).cast("double") - col(s"c$i")
       diff * diff
     }.reduce(_ + _)
-    val w = Window.partitionBy(col("label"))
-      .orderBy(col("dist").desc, col("vec_id").asc)
     emb.join(broadcast(cents), Seq("label"))
       .select(col("label"), col("vec_id"), round(sqrt(dist2), 6).as("dist"))
-      .withColumn("outlier_rank", row_number().over(w))
-      .where(col("outlier_rank") <= k)
+      .groupBy(col("label"))
+      .agg(graft.functions.TopKAgg
+        .topK(lit(""), -col("dist"), col("vec_id"), col("dist"), k).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("label"), col("e.id").as("vec_id"), col("e.p").as("dist"),
+        (col("pos") + 1).cast("int").as("outlier_rank"))
       .orderBy(col("label"), col("outlier_rank"))
   }
 

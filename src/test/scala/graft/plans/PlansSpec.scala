@@ -293,12 +293,38 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("cell"), s"cell key vanished from the plan:\n$plan")
   }
 
-  test("weightedSample: one source-window shuffle, no join, no global sort before rank") {
+  test("weightedSample: two-phase top-k agg — no window, no full-slice sort") {
     val plan = executedPlan(graft.operators.TrainPrepOps.weightedSample(spark, sf0001))
     assert(!plan.contains("Join"), s"sampling reads one table:\n$plan")
+    // the r5 skew-killer: a rank window partitioned by bounded-cardinality
+    // `source` sorts each shard's whole slice on one reducer; the TopKAgg
+    // form must show a partial/final aggregate pair and NO Window exec
+    assert(!plan.contains("Window"), s"rank window is the skew shape:\n$plan")
+    assert(plan.contains("partial_topk") || plan.contains("ObjectHashAggregate")
+      || plan.contains("SortAggregate"),
+      s"expected an aggregate-based top-k:\n$plan")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashExchanges === 1,
-      s"expected one source-window shuffle, got $hashExchanges:\n$plan")
+      s"expected one source-keyed agg shuffle, got $hashExchanges:\n$plan")
+  }
+
+  test("stratifiedSample + labelOutliers: no rank window over a bounded-cardinality key") {
+    for ((name, df) <- Seq(
+        "stratifiedSample" -> graft.operators.TrainPrepOps.stratifiedSample(spark, sf0001),
+        "labelOutliers" -> graft.operators.VectorOps.labelOutliers(spark, sf0001))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("Window"),
+        s"$name: rank window over a bounded key is the r5 skew shape:\n$plan")
+    }
+  }
+
+  test("qualityTiers: no ntile window; ranks come from range buckets + offsets") {
+    val plan = executedPlan(graft.operators.TrainPrepOps.qualityTiers(spark, sf0001))
+    assert(!plan.contains("ntile"),
+      s"ntile over Window.partitionBy(source) is the r5 skew shape:\n$plan")
+    // the remaining windows run over (source, bkt) — bucketed slices — or
+    // over the tiny counts table; the raw corpus never sorts per-source
+    assert(plan.contains("bkt"), s"range-bucket key vanished:\n$plan")
   }
 
   test("mergeChanges: union + one keyed window, no broadcast requirement") {
