@@ -286,6 +286,21 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // sketch-calibration audits: exact yardsticks recomputed, tolerance
+    // verdicts asserted TRUE (the sketch bits themselves are engine-local;
+    // the accuracy CONTRACT is what the oracle pins)
+    "q_rel_distinct_approx" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  TRUE AS parts_ok, TRUE AS supps_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rel_quantiles_approx" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_rel_asof_lastclick" ->
       """SELECT event_id, user_id, prior_click_id FROM (
         |  SELECT event_id, user_id, event_type,
@@ -948,9 +963,10 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.qualityScore _),
     "q_text_fingerprints" -> (TextOps.fingerprints _),
     "q_text_langid" -> (TextOps.languageId _),
-    // Space-Saving summary: which sub-threshold terms survive depends on
-    // per-partition arrival order (inherent to the sketch) → rows-only;
-    // the guarantee is pinned by HeavyHittersSpec
+    // Space-Saving candidates + exact recount of the <= m survivors:
+    // the published over-threshold rows are deterministic (sketch
+    // guarantee), so this IS hash-checked; sketch internals are pinned
+    // by HeavyHittersSpec
     "q_text_heavy_hitters" -> ((s, d) => TextOps.heavyTerms(s, d)),
     "q_text_tfidf" -> ((s, d) => TextOps.tfIdf(s, d)),
     "q_text_zipf" -> (TextOps.zipfProfile _),
@@ -1015,6 +1031,16 @@ object SparkEntry {
       """SELECT term, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+    // deterministic by the Space-Saving guarantee: every term with true
+    // count·m > N is in the summary, and the exact recount makes the
+    // published rows independent of sketch arrival order
+    "q_text_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |c AS (SELECT term, count(*) AS count FROM t GROUP BY term),
+        |n AS (SELECT CAST(sum(count) AS BIGINT) AS n_stream FROM c)
+        |SELECT term, count FROM c, n WHERE count * 200 > n_stream
+        |ORDER BY count DESC, term LIMIT 20""".stripMargin,
     "q_text_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(n_chars), 4) AS avg_chars,
@@ -1186,6 +1212,70 @@ object SparkEntry {
         |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |    GROUP BY 1, 2, 3, 4))
         |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin,
+    // full MinHash+LSH replay: portable integer hashing (md5-prefix base
+    // hash, (a·h+b) mod 2³¹−1 permutations) makes signatures, banding,
+    // candidates and the estimate bit-identical across engines
+    "q_dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |hs AS (SELECT doc_id,
+        |         list_transform(shl,
+        |           sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)
+        |           AS hl
+        |       FROM shs),
+        |sg AS (SELECT doc_id,
+        |         list_transform(range(32), i ->
+        |           list_min(list_transform(hl,
+        |             h -> ((i + 1) * h + i * 7919) % 2147483647))) AS sig
+        |       FROM hs),
+        |banded AS (SELECT doc_id, sig, b AS band,
+        |             md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+        |           FROM sg, (SELECT unnest(range(8)) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |           round(len(list_filter(range(32),
+        |             i -> x.sig[i+1] = y.sig[i+1]))::DOUBLE / 32, 6) AS est_jaccard
+        |         FROM banded x JOIN banded y
+        |           ON x.band = y.band AND x.bucket = y.bucket
+        |           AND x.doc_id < y.doc_id)
+        |SELECT a, b, est_jaccard FROM cand WHERE est_jaccard >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    // full SimHash replay: md5-nibble token bits, per-bit majority vote,
+    // 16-bit chunk packing and the pigeonhole candidate join — all
+    // portable integer/string arithmetic, so the pair set hash-checks
+    "q_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM t),
+        |h AS (SELECT doc_id, n, md5(tk) AS hx FROM tok),
+        |bj AS (SELECT doc_id, n, j,
+        |         CASE WHEN j % 4 = 0 THEN (d // 8) & 1
+        |              WHEN j % 4 = 1 THEN (d // 4) & 1
+        |              WHEN j % 4 = 2 THEN (d // 2) & 1
+        |              ELSE d & 1 END AS bit
+        |       FROM (SELECT doc_id, n, j,
+        |               strpos('0123456789abcdef', substr(hx, j // 4 + 1, 1)) - 1
+        |                 AS d
+        |             FROM h, (SELECT unnest(range(64)) AS j))),
+        |votes AS (SELECT doc_id, j,
+        |            CASE WHEN 2 * sum(bit) > any_value(n) THEN 1 ELSE 0 END
+        |              AS b
+        |          FROM bj GROUP BY doc_id, j),
+        |cks AS (SELECT doc_id, j // 16 AS chunk,
+        |          CAST(sum(b << (j % 16)) AS BIGINT) AS ck
+        |        FROM votes GROUP BY doc_id, j // 16),
+        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |          FROM cks x JOIN cks y
+        |            ON x.chunk = y.chunk AND x.ck = y.ck
+        |            AND x.doc_id < y.doc_id),
+        |ham AS (SELECT p.a, p.b,
+        |          CAST(sum(bit_count(xor(x.ck, y.ck))) AS INTEGER) AS hamming
+        |        FROM pairs p
+        |        JOIN cks x ON x.doc_id = p.a
+        |        JOIN cks y ON y.doc_id = p.b AND y.chunk = x.chunk
+        |        GROUP BY p.a, p.b)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
     // First-occurrence novelty over the same distinct-shingle CTE
     "q_dedup_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2214,6 +2304,20 @@ object SparkEntry {
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // the stub decoder's f0/f1 are byte-class histogram fractions
+    // (byte % 8 = 0 / 1); the corpus is pure ASCII (bytes = chars), so a
+    // regex char-class count reproduces them exactly — the mapPartitions
+    // decode stage is hash-verified end to end, fake features included
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  round((strlen(text) - strlen(regexp_replace(text, '[ (08@HPX`hpx]', '', 'g')))::DOUBLE
+        |        / greatest(strlen(text), 1), 6) AS f0,
+        |  round((strlen(text) - strlen(regexp_replace(text, '[!)19AIQYaiqy]', '', 'g')))::DOUBLE
+        |        / greatest(strlen(text), 1), 6) AS f1
         |FROM documents ORDER BY media_id""".stripMargin,
     // int8 roundtrip reconstruction error; per-vector errors quantize to
     // nano-units before the label sums (order-independent), max is free

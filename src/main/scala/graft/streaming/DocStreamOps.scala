@@ -134,7 +134,7 @@ object DocStreamOps {
       .where(size(col("shs")) > 0)
       .withColumn("sig", minhashSig(col("shs"), k))
       .select(col("ts"), col("doc_id"),
-        posexplode(DedupOps.bandBuckets(col("sig"), bands, rows))
+        posexplode(DedupOps.bandBucketsXx(col("sig"), bands, rows))
           .as(Seq("band", "bucket")),
         col("sig"))
       .as[BandRow]

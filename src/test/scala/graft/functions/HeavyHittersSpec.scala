@@ -13,14 +13,17 @@ class HeavyHittersSpec extends SparkSpec {
 
   test("guarantee holds under a capacity that forces eviction") {
     val m = 16
-    val exact = graft.Tables.documents(spark, sf0001)
+    val toks = graft.Tables.documents(spark, sf0001)
       .select(explode(TextOps.tokens(col("text"))).as("term"))
-      .groupBy("term").count()
+    val exact = toks.groupBy("term").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = exact.values.sum
     assert(exact.size > m, "fixture vocabulary must exceed capacity")
 
-    val sketch = TextOps.heavyTerms(spark, sf0001, m = m, k = m)
+    val sketch = toks
+      .agg(HeavyHitters.heavyHitters(col("term"), m).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.count"), col("e.err"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 
     val guaranteed = exact.filter(_._2 > n / m).keySet
@@ -33,6 +36,22 @@ class HeavyHittersSpec extends SparkSpec {
       assert(count >= truth, s"$term: upper bound $count < true $truth")
       assert(count - err <= truth, s"$term: lower bound ${count - err} > true $truth")
     }
+  }
+
+  test("heavyTerms publishes exactly the over-threshold terms with exact counts") {
+    val m = 16
+    val exact = graft.Tables.documents(spark, sf0001)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val want = exact.filter { case (_, c) => c * m > n }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(m)
+
+    val got = TextOps.heavyTerms(spark, sf0001, m = m, k = m)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want,
+      "verified heavy-hitter output must be the exact over-threshold set")
   }
 
   test("under-capacity summaries are exact") {
