@@ -2003,7 +2003,80 @@ object SparkEntry {
       |           for j in range(0, 8)])
       | for i in range(0, 8)]""".stripMargin
 
+  /** Unrolled Lloyd's k-means as DuckDB CTEs: `e` (embeddings as double
+    * lists), `c0` (seed centroids = k lowest vec_ids) … `c&lt;iters&gt;`.
+    * Replays graft's trainKmeans bit-for-bit: assignment is a sequential
+    * left-fold squared-L2 with first-minimum tie-break
+    * (Sketch.nearestCentroid), centroid updates are nano-unit quantized
+    * means (VectorAgg.centroidQ), empty cells keep the previous centroid.
+    * Recursion is unrolled because DuckDB lambdas can't carry correlated
+    * subqueries — each iteration references the previous CTE by name.
+    */
+  private def duckKmeansCtes(k: Int = 16, iters: Int = 5, dim: Int = 64): String = {
+    val e =
+      """e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings)""".stripMargin
+    val c0 =
+      s"""c0 AS (SELECT list(v ORDER BY vec_id) AS cents FROM (
+         |  SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    def iter(i: Int): String =
+      s"""c$i AS (
+         |  SELECT list(coalesce(nc.c, p.cents[g.i + 1]) ORDER BY g.i) AS cents
+         |  FROM c${i - 1} p
+         |  CROSS JOIN (SELECT unnest(range($k)) AS i) g
+         |  LEFT JOIN (
+         |    SELECT cell, list(mean ORDER BY j) AS c FROM (
+         |      SELECT a.cell, jj.j AS j,
+         |        CAST(sum(CAST(round(a.v[jj.j + 1] * 1e9) AS BIGINT)) AS DOUBLE)
+         |          / count(*) / 1e9 AS mean
+         |      FROM (
+         |        SELECT v, list_position(d, list_min(d)) - 1 AS cell FROM (
+         |          SELECT e.v AS v, list_transform(range($k), ci ->
+         |            list_sum(list_transform(range($dim), j2 ->
+         |              (e.v[j2 + 1] - p2.cents[ci + 1][j2 + 1])
+         |              * (e.v[j2 + 1] - p2.cents[ci + 1][j2 + 1])))) AS d
+         |          FROM e, c${i - 1} p2)
+         |      ) a
+         |      CROSS JOIN (SELECT unnest(range($dim)) AS j) jj
+         |      GROUP BY a.cell, jj.j
+         |    ) GROUP BY cell
+         |  ) nc ON nc.cell = g.i
+         |)""".stripMargin
+    (Seq(e, c0) ++ (1 to iters).map(iter)).mkString(",\n")
+  }
+
+  /** Final-model cell assignment over `e` given centroids CTE `cN`. */
+  private def duckKmeansAssign(centsCte: String, k: Int = 16, dim: Int = 64): String =
+    s"""asn AS (
+       |  SELECT vec_id, v, list_position(d, list_min(d)) - 1 AS cell FROM (
+       |    SELECT e.vec_id, e.v, list_transform(range($k), ci ->
+       |      list_sum(list_transform(range($dim), j2 ->
+       |        (e.v[j2 + 1] - p.cents[ci + 1][j2 + 1])
+       |        * (e.v[j2 + 1] - p.cents[ci + 1][j2 + 1])))) AS d
+       |    FROM e, $centsCte p))""".stripMargin
+
   private val vecOracles: Map[String, String] = Map(
+    "q_vec_kmeans_cells" ->
+      s"""WITH ${duckKmeansCtes()},
+         |${duckKmeansAssign("c5")}
+         |SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n
+         |FROM asn GROUP BY cell ORDER BY cell""".stripMargin,
+    "q_vec_ivf_kmeans" ->
+      s"""WITH ${duckKmeansCtes()},
+         |${duckKmeansAssign("c5")},
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |pd AS (SELECT ci AS cell,
+         |         list_sum(list_transform(range(64), j2 ->
+         |           (q.qv[j2 + 1] - p.cents[ci + 1][j2 + 1])
+         |           * (q.qv[j2 + 1] - p.cents[ci + 1][j2 + 1]))) AS dd
+         |       FROM c5 p, q, (SELECT unnest(range(16)) AS ci)),
+         |probe AS (SELECT cell FROM pd ORDER BY dd, cell LIMIT 2)
+         |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+         |  round(${duckCos("a.v", "q.qv")}, 6) AS cos_sim
+         |FROM asn a, q
+         |WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
+         |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
     "q_vec_pq" ->
       s"""SELECT vec_id, label,
          |  array_to_string(

@@ -159,8 +159,13 @@ object VectorOps {
     * rides the serialized expression, no join) feeding the partial-agg
     * shaped VectorSum UDAF. The only driver-side data is the model
     * itself: k × dim doubles per iteration (the per-iteration collect is
-    * k rows, not corpus data). Deterministic: seeds are the k
-    * lowest-vec_id embeddings, ties break to the lowest cell index.
+    * k rows, not corpus data). Deterministic AND portable: seeds are the
+    * k lowest-vec_id embeddings, ties break to the lowest cell index, and
+    * centroid updates use the quantized mean
+    * ([[graft.functions.VectorAgg.centroidQ]]) — per-element nano-unit
+    * longs summed exactly, so the model is bit-identical across
+    * partitionings and engines, which is what lets the DuckDB oracle
+    * replay the whole training loop as unrolled SQL (VERDICT r5 #2).
     * Memoized per (session, dir, k, iters) like the sketch indexes — at
     * scale the quantizer is trained once per corpus and reused by every
     * probe.
@@ -177,7 +182,7 @@ object VectorOps {
       while (it < iters) {
         val updated = emb
           .groupBy(nearestCentroid(col("embedding"), cents).as("cell"))
-          .agg(graft.functions.VectorAgg.centroid(col("embedding"), dim).as("c"))
+          .agg(graft.functions.VectorAgg.centroidQ(col("embedding"), dim).as("c"))
           .collect()
           .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
         // empty cells keep their previous centroid (standard Lloyd's)

@@ -21,12 +21,16 @@ class KmeansIvfSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1)
 
-  /** Reference Lloyd's: identical seeding/tie-break, double precision. */
+  /** Reference Lloyd's: identical seeding/tie-break, and the same
+    * nano-unit quantized centroid accumulation as VectorAgg.centroidQ.
+    */
   private def referenceKmeans(): Array[Array[Double]] = {
+    def quant(v: Double): Long = new java.math.BigDecimal(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     var cents = vecs.take(k).map(_._2.clone())
     val dim = cents.head.length
     (0 until iters).foreach { _ =>
-      val sums = Array.fill(k)(new Array[Double](dim))
+      val sums = Array.fill(k)(new Array[Long](dim))
       val counts = new Array[Long](k)
       vecs.foreach { case (_, v) =>
         var best = 0; var bestD = Double.MaxValue
@@ -37,24 +41,24 @@ class KmeansIvfSpec extends SparkSpec {
         }
         counts(best) += 1
         var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        while (i < dim) { sums(best)(i) += quant(v(i) * 1e9); i += 1 }
       }
       cents = cents.indices.map(c =>
         if (counts(c) == 0) cents(c)
-        else sums(c).map(_ / counts(c))).toArray
+        else sums(c).map(_.toDouble / counts(c) / 1e9)).toArray
     }
     cents
   }
 
-  test("distributed Lloyd's matches the reference within float-sum tolerance") {
+  test("distributed Lloyd's matches the reference bit-for-bit") {
     val got = VectorOps.trainKmeans(spark, sf0001, k, iters)
     val want = referenceKmeans()
     assert(got.length == want.length)
     val maxDiff = got.zip(want).map { case (g, w) =>
       g.zip(w).map { case (a, b) => math.abs(a - b) }.max
     }.max
-    // distributed merge order changes double-sum association only
-    assert(maxDiff < 1e-9, s"max centroid coordinate diff $maxDiff")
+    // quantized accumulation is order-independent → exact equality
+    assert(maxDiff == 0.0, s"max centroid coordinate diff $maxDiff")
   }
 
   test("cell histogram covers every vector and no cell dominates") {
