@@ -924,16 +924,18 @@ object SparkEntry {
         |  round(max_c::DOUBLE / n_events, 6) AS max_user_share
         |FROM tot CROSS JOIN tops""".stripMargin,
     // Same gaps-and-islands session assignment as q_ts_sessions
+    // sessions are ts-ordered with an INCLUSIVE 30-min gap (diff_ms <=
+    // 1800000 shares a session) — the q_ts_sessions boundary semantics
     "q_ts_baskets" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
         |           FROM events),
-        |s0 AS (SELECT user_id, event_id, event_type,
+        |s0 AS (SELECT user_id, event_id, event_type, ms,
         |        CASE WHEN lag(ms) OVER win IS NULL
         |             OR ms - lag(ms) OVER win > 1800000
         |             THEN 1 ELSE 0 END AS new_session
-        |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY event_id)),
+        |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ms, event_id)),
         |s1 AS (SELECT user_id, event_type,
-        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
         |      FROM s0),
         |bk AS (SELECT DISTINCT

@@ -241,58 +241,68 @@ object EventAnalyticsOps {
 
   /** Session-basket association: support / confidence / lift for pairs of
     * event types co-occurring in the same user session — market-basket
-    * analysis with the 30-minute session as the basket.
+    * analysis with the 30-minute session as the basket. Session boundary
+    * semantics are [[TimeSeriesOps.sessions]]': events ≤ 30 min apart (in
+    * epoch-ms, ts order) share a session.
     *
-    * Plan: session assignment reuses the sessionization shuffle (ONE
-    * user_id exchange); baskets collapse to DISTINCT (session, type)
-    * rows; the pair join runs WITHIN a session key against ≤ |types| rows
-    * per basket, so fanout is bounded by |types|² per session — never
-    * corpus × corpus; the lift normalizers are a |types|-row table plus a
-    * 1-row total that both ride broadcasts. Pairs are emitted once with
-    * a < b ordering.
+    * Plan (r6 rework, measured in tools/BasketsAB): the native
+    * `session_window` aggregation builds each session's DISTINCT type-set
+    * in ONE shuffle — 0.26 s vs 0.64 s for the lag-window sessionization
+    * at sf0.1, because no explicit per-user sort pass materializes — then
+    * one in-row explode emits a session marker, each member type, and
+    * each ordered pair, and one tiny aggregation counts them all. The
+    * counts table is bounded by |event types|² (+|types|+1), i.e.
+    * model-sized, so the support/confidence/lift assembly is driver
+    * arithmetic (the k-means-model stance), not three more joins against
+    * re-read shuffle output.
+    *
+    * Measured at sf0.1 (min of 3): four-consumer join form 0.93 s,
+    * emit+tiny-joins 1.06 s, session_window+emit+driver 0.86 s; the
+    * residual over the 0.37 s basket build is one extra stage barrier —
+    * fixed cost, not data-proportional.
     */
   def sessionBaskets(s: SparkSession, d: String, gapMin: Int = 30): DataFrame =
     sessionBasketsOf(Tables.events(s, d), gapMin)
 
-  /** [[sessionBaskets]] over an arbitrary `(user_id, event_id, ts)` frame. */
+  /** [[sessionBaskets]] over an arbitrary `(user_id, event_type, ts)` frame. */
   def sessionBasketsOf(events: DataFrame, gapMin: Int = 30): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    val gapMs = gapMin * 60000L
-    val sessions = events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_millis(col("ts")).as("ms"))
-      .withColumn("new_session",
-        when(col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1L)
-          .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1L).otherwise(0L)))
-      .withColumn("session_no", sum(col("new_session")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // packed long sid, not a string concat: the distinct + pair-join
-      // exchanges carry an 8-byte key (measured 0.92 → 0.79 s full-query
-      // at sf0.1, tools/BasketsAB). Constraint: < 10⁶ sessions per user;
-      // a stream violating that packs (user_id, session_no) as two longs.
-      .select((col("user_id") * 1000000L + col("session_no")).as("sid"),
-        col("event_type"))
-      .distinct()
-    val total = broadcast(sessions.select(col("sid")).distinct()
-      .agg(count(lit(1)).as("n_sessions")))
-    val typeCounts = broadcast(sessions
-      .groupBy(col("event_type")).agg(count(lit(1)).as("n_type")))
-    val a = sessions.select(col("sid"), col("event_type").as("ta"))
-    val b = sessions.select(col("sid"), col("event_type").as("tb"))
-    a.join(b, Seq("sid"))
-      .where(col("ta") < col("tb"))
-      .groupBy(col("ta"), col("tb"))
-      .agg(count(lit(1)).as("n_both"))
-      .join(typeCounts.select(col("event_type").as("ta"), col("n_type").as("n_a")), Seq("ta"))
-      .join(typeCounts.select(col("event_type").as("tb"), col("n_type").as("n_b")), Seq("tb"))
-      .crossJoin(total)
-      .select(
-        col("ta"), col("tb"), col("n_both"),
-        round(col("n_both").cast("double") / col("n_sessions"), 6).as("support"),
-        round(col("n_both").cast("double") / col("n_a"), 6).as("confidence"),
-        round(col("n_both").cast("double") * col("n_sessions") /
-          (col("n_a") * col("n_b")), 6).as("lift"))
-      .orderBy(col("ta"), col("tb"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sep = ""
+    // ms-truncated ts + 1 ms widening ⇒ merge on diff_ms <= gap exactly
+    // (the q_ts_sessions boundary trick)
+    val tsMsTrunc = timestamp_millis(unix_millis(col("ts")))
+    val types = col("types")
+    val counts = events
+      .groupBy(col("user_id"),
+        session_window(tsMsTrunc, s"$gapMin minutes 1 millisecond"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .select(explode(concat(
+        array(lit("")),
+        types,
+        flatten(transform(types, (t, i) =>
+          transform(slice(types, i + 2, size(types)),
+            u => concat_ws(sep, t, u))))))
+        .as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val nSessions = counts.find(_._1.isEmpty).map(_._2).getOrElse(0L)
+    val nType = counts.filter(r => r._1.nonEmpty && !r._1.contains(sep)).toMap
+    // Spark's round() on double goes through BigDecimal.valueOf (decimal
+    // string repr) — mirror it exactly, since the oracle rounds with the
+    // engine round() both sides
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    counts.filter(_._1.contains(sep)).toSeq
+      .map { case (k, nBoth) =>
+        val Array(ta, tb) = k.split(sep)
+        (ta, tb, nBoth,
+          r6(nBoth.toDouble / nSessions),
+          r6(nBoth.toDouble / nType(ta)),
+          r6(nBoth.toDouble * nSessions / (nType(ta) * nType(tb))))
+      }
+      .sortBy(r => (r._1, r._2))
+      .toDF("ta", "tb", "n_both", "support", "confidence", "lift")
   }
 
   /** Event-type transition matrix: counts and row-normalized probabilities
@@ -343,7 +353,7 @@ object EventAnalyticsOps {
       .select(col("event_type").as("t"), dayofweek(col("ts")).as("d"))
       .groupBy(col("t"), col("d")).agg(count(lit(1)).as("o"))
     val grid = obs.select(col("t")).distinct()
-      .crossJoin(obs.select(col("d")).distinct())
+      .crossJoin(broadcast(obs.select(col("d")).distinct())) // <= 7 rows
     val cells = grid.join(obs, Seq("t", "d"), "left")
       .select(col("t"), col("d"), coalesce(col("o"), lit(0L)).as("o"))
     val tot = cells.agg(

@@ -53,7 +53,7 @@ object RetrievalOps {
       val idf = log(lit(1d) + (col("n_docs") - col(s"df$i") + 0.5d) / (col(s"df$i") + 0.5d))
       idf * tf * lit(k1 + 1d) / (tf + lit(k1) * (lit(1d - b) + lit(b) * dl / col("avgdl")))
     }.reduce(_ + _)
-    docs.crossJoin(stats)
+    docs.crossJoin(broadcast(stats)) // 1-row corpus stats
       .select(col("doc_id"), round(score, 6).as("bm25"))
       .where(col("bm25") > 0d)
       .orderBy(col("bm25").desc, col("doc_id").asc)

@@ -54,6 +54,56 @@ object BasketsAB {
       .select(col("ta"), col("tb"), col("n_both"), col("n_sessions"))
   }
 
+  private val SEP = ""
+
+  /** Single-pass variant: baskets as sorted type-sets, then ONE explode
+    * emits a session marker (""), each single type, and each ordered pair
+    * ("a␁b"); ONE groupBy counts them all. The sessionization window runs
+    * once in one plan instead of feeding four consumers.
+    */
+  def emitCounts(sessions: DataFrame): DataFrame = {
+    val ts = col("ts")
+    sessions.groupBy(col("sid"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(concat(
+        array(lit("")),
+        ts,
+        flatten(transform(ts, (t, i) =>
+          transform(slice(ts, i + 2, size(ts)), u => concat_ws(SEP, t, u))))))
+        .as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+  }
+
+  def emitJoins(sessions: DataFrame): DataFrame = {
+    val em = emitCounts(sessions)
+    val total = broadcast(em.where(col("key") === "")
+      .select(col("n").as("n_sessions")))
+    val types = em.where(col("key") =!= "" && !col("key").contains(SEP))
+    val pairs = em.where(col("key").contains(SEP))
+      .select(split(col("key"), SEP).getItem(0).as("ta"),
+        split(col("key"), SEP).getItem(1).as("tb"), col("n").as("n_both"))
+    pairs
+      .join(broadcast(types.select(col("key").as("ta"), col("n").as("n_a"))), Seq("ta"))
+      .join(broadcast(types.select(col("key").as("tb"), col("n").as("n_b"))), Seq("tb"))
+      .crossJoin(total)
+      .select(col("ta"), col("tb"), col("n_both"), col("n_sessions"))
+  }
+
+  def emitDriver(sessions: DataFrame): DataFrame = {
+    val spark = sessions.sparkSession
+    import spark.implicits._
+    val rows = emitCounts(sessions).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val nSessions = rows.find(_._1 == "").map(_._2).getOrElse(0L)
+    val nType = rows.filter(r => r._1.nonEmpty && !r._1.contains(SEP)).toMap
+    rows.filter(_._1.contains(SEP)).toSeq.sortBy(_._1)
+      .map { case (k, nBoth) =>
+        val Array(ta, tb) = k.split(SEP)
+        (ta, tb, nBoth, nSessions, nType(ta), nType(tb))
+      }
+      .toDF("ta", "tb", "n_both", "n_sessions", "n_a", "n_b")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -65,6 +115,46 @@ object BasketsAB {
     time("sessions pass (long sid)") { sessionsOf(ev, longSid = true).count() }
     time("full (string sid)") { full(sessionsOf(ev, longSid = false)).count() }
     time("full (long sid)") { full(sessionsOf(ev, longSid = true)).count() }
+    time("emit-once + tiny joins") { emitJoins(sessionsOf(ev, longSid = true)).count() }
+    time("emit-once + driver assembly") { emitDriver(sessionsOf(ev, longSid = true)).count() }
+    // native session_window: one aggregation, no explicit sort-window pass
+    def swBaskets() = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    time("session_window baskets only") { swBaskets().count() }
+    time("session_window + emit + driver") {
+      val ts = col("ts")
+      val em = swBaskets()
+        .select(explode(concat(
+          array(lit("")),
+          ts,
+          flatten(transform(ts, (t, i) =>
+            transform(slice(ts, i + 2, size(ts)), u => concat_ws(SEP, t, u))))))
+          .as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      em.collect().length.toLong
+    }
+    time("session_window + emit + joins") {
+      val ts = col("ts")
+      val em = swBaskets()
+        .select(explode(concat(
+          array(lit("")),
+          ts,
+          flatten(transform(ts, (t, i) =>
+            transform(slice(ts, i + 2, size(ts)), u => concat_ws(SEP, t, u))))))
+          .as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      val total = broadcast(em.where(col("key") === "")
+        .select(col("n").as("n_sessions")))
+      val types = em.where(col("key") =!= "" && !col("key").contains(SEP))
+      val pairs = em.where(col("key").contains(SEP))
+        .select(split(col("key"), SEP).getItem(0).as("ta"),
+          split(col("key"), SEP).getItem(1).as("tb"), col("n").as("n_both"))
+      pairs
+        .join(broadcast(types.select(col("key").as("ta"), col("n").as("n_a"))), Seq("ta"))
+        .join(broadcast(types.select(col("key").as("tb"), col("n").as("n_b"))), Seq("tb"))
+        .crossJoin(total).count()
+    }
     spark.stop()
   }
 }
