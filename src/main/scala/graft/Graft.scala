@@ -40,6 +40,20 @@ final class Graft(
       trigger: Trigger = Trigger.ProcessingTime("100 milliseconds")): StreamingQuery =
     registry.startLogging(containerId, trigger)
 
+  /** StartLogging with the reference's per-container option map
+    * (`src/config.rs:186-231`): bad options → Left(error string), the
+    * plugin protocol's `{"Err": msg}` contract.
+    */
+  def startLoggingWithOptions(
+      containerId: String,
+      options: Map[String, String]): Either[String, StreamingQuery] =
+    registry.startLoggingWithOptions(containerId, options)
+
+  /** Staging directory a log shipper (or the wire-protocol adapter's FIFO
+    * pump) writes framed bursts into for `containerId`.
+    */
+  def stagingDir(containerId: String): String = s"$stagingRoot/$containerId"
+
   def stopLogging(containerId: String, deleteWhenStopped: Boolean = true): Unit =
     registry.stopLogging(containerId, deleteWhenStopped)
 
