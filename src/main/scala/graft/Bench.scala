@@ -36,7 +36,11 @@ object Bench {
     // one query all land in the same window and the min is still poisoned.
     // Spreading a query's samples across full-suite passes decorrelates
     // them from any single noise burst — same work, better estimator.
+    // optional comma-separated filter (scale studies time a subset; the
+    // driver leaves it unset and times everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     val best = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
     for (_ <- 0 until runs; name <- names) {

@@ -18,12 +18,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, oracle_path, runs=3):
+def main(sf_dir, oracle_path, runs=3, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     out = {}
     for name in sorted(oracle):
         best = None
@@ -38,4 +40,6 @@ def main(sf_dir, oracle_path, runs=3):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+         set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None)
