@@ -23,14 +23,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC") // NTZ-as-UTC convention (Tables.events)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM + parquet reader once so timings measure queries, not
-    // class-loading (same treatment for every query; tiny sf0.001 input)
-    SparkEntry.entry(spark).count()
+    // class-loading (same treatment for every query; tiny sf0.001 input).
+    // Inside try/catch: r7's fixture-schema drift crashed this line and
+    // zeroed the whole round's bench artifact (rc=1, no sidecar, no compact
+    // line). A broken flagship costs warmup accuracy, never the artifact.
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"warmup failed (continuing): $e") }
     // INTERLEAVED passes (suite × runs, not query × runs): the host shows
     // spiky multi-second contention windows; three back-to-back samples of
     // one query all land in the same window and the min is still poisoned.
@@ -64,16 +69,30 @@ object Bench {
     // window: total, per-pack rollups, the heaviest individual queries up to
     // a character budget, and ALL errors (loud part stays loud).
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def jstr(s: String): String =
-      "\"" + s.take(60).flatMap {
+    def jstr(s: String): String = {
+      // code-point-safe truncation: .take(60) alone can split a surrogate
+      // pair, leaving an unpaired high surrogate in the JSON (ADVICE r7)
+      val cut0 = s.take(60)
+      val cut = if (cut0.nonEmpty && Character.isHighSurrogate(cut0.last)) cut0.dropRight(1) else cut0
+      "\"" + cut.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
+    }
     val ok = names.filter(best.contains).sorted
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (n, m) => "\"" + n + "\":" + jstr(m) }.mkString("{", ",", "}")
+    // the compact stdout line carries at most K error entries (~140 chars
+    // each escaped — unbounded, a heavy-failure round blows the ~2000-char
+    // harness window exactly when the loud part matters; ADVICE r7). The
+    // FULL errors map always goes to the sidecar.
+    val errCap = 8
+    val errSorted = errors.toSeq.sortBy(_._1)
+    val errJsonCompact = errSorted.take(errCap)
+      .map { case (n, m) => "\"" + n + "\":" + jstr(m) }.mkString("{", ",", "}")
+    val errTruncated = math.max(0, errSorted.size - errCap)
     val total = ok.map(best).sum
     spark.stop()
 
@@ -81,11 +100,19 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir","runs":$runs}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outPath),
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable => System.err.println(s"bench sidecar write failed: $e") }
+    // "full" points at the sidecar only if this run actually wrote it —
+    // otherwise a stale file from a previous run could be read as this
+    // round's results (ADVICE r7)
+    val fullField =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outPath),
+          (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        "\"" + outPath + "\""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"bench sidecar write failed: $e"); "null"
+      }
 
     // pack = the q_<pack>_ prefix (q_rel_topk -> rel); rollup keeps every
     // query's time visible in the parsed line even when the query itself
@@ -97,7 +124,7 @@ object Bench {
     val budget = 1500 // chars for the whole line; harness window is ~2000
     val slowest = ok.sortBy(n => -best(n))
     val head = new StringBuilder(
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${ok.size},"full":"$outPath","packs":$packs,"errors":$errJson,"queries":{""")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${ok.size},"full":$fullField,"packs":$packs,"errors":$errJsonCompact,"errors_truncated":$errTruncated,"queries":{""")
     var first = true
     for (n <- slowest) {
       val item = (if (first) "" else ",") + "\"" + n + "\":" + sec(best(n))

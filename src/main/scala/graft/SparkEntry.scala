@@ -52,11 +52,13 @@ object SparkEntry {
           LogOps.normalize(Some(7L), Some("2024-01-05T00:00:00Z"),
             Some("2024-01-25T00:00:00Z"), tail = 25, follow = false))
         .select(evCols: _*)),
-    "q_log_count" -> ((s, d) =>
-      LogOps.countByContainer(ev(s, d), "user_id",
-          col("ts_nano") >= LogOps.nanos(java.time.Instant.parse("2024-01-10T00:00:00Z")) &&
-          col("ts_nano") <= LogOps.nanos(java.time.Instant.parse("2024-01-15T00:00:00Z")))
-        .orderBy(col("user_id"))),
+    "q_log_count" -> ((s, d) => {
+      val e = ev(s, d)
+      LogOps.countByContainer(e, "user_id",
+          LogOps.tsNanoGeq(e, "ts_nano", LogOps.nanos(java.time.Instant.parse("2024-01-10T00:00:00Z"))) &&
+          LogOps.tsNanoLeq(e, "ts_nano", LogOps.nanos(java.time.Instant.parse("2024-01-15T00:00:00Z"))))
+        .orderBy(col("user_id"))
+    }),
     "q_log_page" -> ((s, d) =>
       LogOps.page(ev(s, d), "event_id", offset = 500, limit = 100)
         .select(evCols: _*)),

@@ -36,18 +36,71 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** The log-table analog. `ts` in the file is int64 NANOSECONDS (read as
-    * Long via nanosAsLong); expose both the authoritative `ts_nano` and a
-    * µs-truncated TimestampType `ts` (SURVEY.md §1.3 dual-column design —
-    * order/filter on the exact value, SQL ergonomics on the timestamp).
-    * Integer `div` (not `/`): ns epoch values exceed double's 2^53.
+  /** The log-table analog. Exposes the dual-column design (SURVEY.md §1.3):
+    * the authoritative epoch-nanos Long `ts_nano` (order/filter on the exact
+    * value) plus a TimestampType `ts` of the same instant (SQL ergonomics).
+    *
+    * The driver fixture's physical `ts` type has changed across rounds
+    * (int64 TIMESTAMP(NANOS) through r6; TIMESTAMP_NTZ µs from r7), so we
+    * branch on the *scanned* schema rather than assume either:
+    *  - LongType (nanosAsLong path): file nanos are authoritative;
+    *    `ts div 1000` (integer div — ns epoch exceeds double's 2^53) → µs.
+    *  - TIMESTAMP_NTZ: the naive wall-clock is UTC by convention (matches
+    *    DuckDB's naive-TIMESTAMP oracle reads). `timestampdiff(MICROSECOND,
+    *    epoch, ts)` on two NTZ operands is a pure wall-clock difference —
+    *    epoch micros independent of `spark.sql.session.timeZone`.
+    *  - TimestampType: already instant-typed; `unix_micros` directly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    apply(s, d, "events")
-      .withColumn("ts_nano", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // file nanos are authoritative — keep them exactly.
+        // ts_nano IS the raw file column here, so long range predicates on
+        // it reach the parquet scan natively (no metadata needed).
+        raw.withColumn("ts_nano", col("ts"))
+           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // The naive wall-clock is UTC by convention (matches the DuckDB
+        // oracle's naive-TIMESTAMP reads); every graft entry point pins
+        // spark.sql.session.timeZone=UTC, which makes the LTZ cast exact.
+        //
+        // ts_nano is now DERIVED, so a predicate on it can never reach the
+        // scan. Keep the raw file column as a passthrough (`ts_file`) and
+        // tag ts_nano with metadata naming it — LogOps translates nano
+        // bounds into exact, pushable predicates on the raw column
+        // (LogOps.tsNanoGeq/Leq). At 100 TB that pushed range IS the index.
+        val ltz = col("ts").cast(TimestampType)
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(Tables.PhysColKey, "ts_file")
+          .putString(Tables.PhysUnitKey, Tables.UnitNtzMicros)
+          .build()
+        raw.withColumn("ts_file", col("ts"))
+           .withColumn("ts_nano",
+             (unix_micros(ltz) * lit(1000L)).cast(LongType).as("ts_nano", md))
+           .withColumn("ts", ltz)
+      case TimestampType =>
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(Tables.PhysColKey, "ts")
+          .putString(Tables.PhysUnitKey, Tables.UnitLtzMicros)
+          .build()
+        raw.withColumn("ts_nano",
+          (unix_micros(col("ts")) * lit(1000L)).cast(LongType).as("ts_nano", md))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected int64 nanos, " +
+        "TIMESTAMP_NTZ, or TIMESTAMP) — fixture schema drifted; update Tables.events")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Column-metadata keys marking a DERIVED `ts_nano` whose range predicates
+    * should instead be expressed on the named raw file column (see
+    * LogOps.tsNanoGeq/tsNanoLeq for the translation).
+    */
+  val PhysColKey = "graft.physCol"
+  val PhysUnitKey = "graft.physUnit"
+  val UnitNtzMicros = "ntz_micros"
+  val UnitLtzMicros = "ltz_micros"
 }

@@ -69,6 +69,59 @@ object LogOps {
     */
   def nanos(i: Instant): Long = i.getEpochSecond * 1000000000L + i.getNano
 
+  // --- pushable nano-range predicates ------------------------------------
+  //
+  // When `ts_nano` is the raw file column (the engine's own ingest layout,
+  // LogIngest), a plain long comparison reaches the parquet scan natively.
+  // When it is DERIVED from a physical timestamp column (the driver fixture
+  // stores ts as TIMESTAMP_NTZ µs since r7; Tables.events computes ts_nano
+  // from it), a predicate on the derived expression can never push down, so
+  // the scan would read ALL row groups — at 100 TB the pushed range IS the
+  // index (the reference's idx_ts, logsqlite src/logger.rs:147). Tables
+  // tags such a ts_nano with column metadata naming the raw column + unit;
+  // these helpers translate each nano bound into an EXACT bound on the raw
+  // column: ts_nano = µs*1000 by construction, so the ⌈·⌉/⌊·⌋-rounded µs
+  // bounds are equivalences, not approximations.
+
+  private def physOf(df: DataFrame, tsNanoCol: String): Option[(String, String)] =
+    df.schema.fields.find(_.name == tsNanoCol).flatMap { f =>
+      if (f.metadata.contains(graft.Tables.PhysColKey))
+        Some((f.metadata.getString(graft.Tables.PhysColKey),
+              f.metadata.getString(graft.Tables.PhysUnitKey)))
+      else None
+    }
+
+  private def ntzOfMicros(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+
+  private def instantOfMicros(us: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+
+  private def bound(df: DataFrame, tsNanoCol: String, us: Long, geq: Boolean): Column =
+    physOf(df, tsNanoCol) match {
+      case Some((c, graft.Tables.UnitNtzMicros)) =>
+        if (geq) col(c) >= lit(ntzOfMicros(us)) else col(c) <= lit(ntzOfMicros(us))
+      case Some((c, graft.Tables.UnitLtzMicros)) =>
+        if (geq) col(c) >= lit(instantOfMicros(us)) else col(c) <= lit(instantOfMicros(us))
+      case _ => // raw long nanos — compare directly (us is a nano value here)
+        if (geq) col(tsNanoCol) >= us else col(tsNanoCol) <= us
+    }
+
+  /** `ts_nano >= nano`, expressed on the raw scan column when derived. */
+  def tsNanoGeq(df: DataFrame, tsNanoCol: String, nano: Long): Column =
+    if (physOf(df, tsNanoCol).isDefined)
+      bound(df, tsNanoCol, Math.floorDiv(nano + 999L, 1000L), geq = true)
+    else bound(df, tsNanoCol, nano, geq = true)
+
+  /** `ts_nano <= nano`, expressed on the raw scan column when derived. */
+  def tsNanoLeq(df: DataFrame, tsNanoCol: String, nano: Long): Column =
+    if (physOf(df, tsNanoCol).isDefined)
+      bound(df, tsNanoCol, Math.floorDiv(nano, 1000L), geq = false)
+    else bound(df, tsNanoCol, nano, geq = false)
+
   /** Time-range scan, ordered by the sequence key.
     *
     * The range predicate compares the RAW int64 `ts_nano` column, never a
@@ -86,8 +139,8 @@ object LogOps {
       req: ReadRequest): DataFrame = {
     var out = logs
     req.container.foreach(id => out = out.where(col(containerCol) === id))
-    req.since.foreach(s => out = out.where(col(tsNanoCol) >= nanos(s)))
-    req.until.foreach(u => out = out.where(col(tsNanoCol) <= nanos(u)))
+    req.since.foreach(s => out = out.where(tsNanoGeq(logs, tsNanoCol, nanos(s))))
+    req.until.foreach(u => out = out.where(tsNanoLeq(logs, tsNanoCol, nanos(u))))
     req.tail match {
       case Some(k) =>
         // TakeOrderedAndProject: partial top-k per partition, merge on driver
@@ -212,7 +265,7 @@ object LogOps {
         .where(col("__rank_from_newest") <= k)
         .drop("__rank_from_newest")
     }
-    ageCutoff.foreach(c => out = out.where(col(tsNanoCol) >= nanos(c)))
+    ageCutoff.foreach(c => out = out.where(tsNanoGeq(logs, tsNanoCol, nanos(c))))
     out
   }
 }

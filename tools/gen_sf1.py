@@ -10,9 +10,12 @@ joins stay consistent and cardinalities scale 10x; dimension tables
 — exact-duplicate structure inflates the dedup-family workload
 superlinearly (every doc sits in a 10-clique); both engines process the
 identical data, so ratios stay apples-to-apples, but absolute dedup
-times are a duplication stress case, not an organic corpus. Events keep
-their TIMESTAMP(NANOS) physical type via pyarrow (DuckDB COPY would
-downgrade to micros and break the Spark loader's nanosAsLong path).
+times are a duplication stress case, not an organic corpus. Events are
+replicated via pyarrow, which preserves the source fixture's physical
+`ts` type byte-for-byte whatever it is (int64 TIMESTAMP(NANOS) through
+r6, TIMESTAMP_NTZ micros from r7) — the Spark loader (Tables.events)
+branches on the scanned schema, so sf1 keeps the same semantics as the
+fixture it was replicated from.
 
 Usage: python3 tools/gen_sf1.py [src_dir] [dst_dir]
 """
