@@ -46,9 +46,9 @@ object Tables {
     *  - LongType (nanosAsLong path): file nanos are authoritative;
     *    `ts div 1000` (integer div — ns epoch exceeds double's 2^53) → µs.
     *  - TIMESTAMP_NTZ: the naive wall-clock is UTC by convention (matches
-    *    DuckDB's naive-TIMESTAMP oracle reads). `timestampdiff(MICROSECOND,
-    *    epoch, ts)` on two NTZ operands is a pure wall-clock difference —
-    *    epoch micros independent of `spark.sql.session.timeZone`.
+    *    DuckDB's naive-TIMESTAMP oracle reads); cast to TimestampType is
+    *    exact because every graft entry point pins
+    *    `spark.sql.session.timeZone=UTC`, then `unix_micros`.
     *  - TimestampType: already instant-typed; `unix_micros` directly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
