@@ -87,6 +87,49 @@ class LogOpsSpec extends SparkSpec {
     assert(seqs(out2.orderBy("seq")).forall(_ >= 90L))
   }
 
+  test("derived ts_nano: range bounds translate to the raw column, exactly") {
+    import spark.implicits._
+    // model of Tables.events' NTZ branch: raw NTZ micros column `t_raw`,
+    // derived ts_nano tagged with physCol metadata
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(graft.Tables.PhysColKey, "t_raw")
+      .putString(graft.Tables.PhysUnitKey, graft.Tables.UnitNtzMicros)
+      .build()
+    val base = Instant.parse("2024-01-01T00:00:00Z")
+    val df = (0 to 10).map { i =>
+      (i.toLong, java.time.LocalDateTime.ofInstant(base.plusMillis(i * 500L),
+        java.time.ZoneOffset.UTC))
+    }.toDF("seq", "t_raw")
+      .withColumn("ts_nano",
+        (unix_micros(col("t_raw").cast("timestamp")) * lit(1000L)).as("ts_nano", md))
+    def got(c: org.apache.spark.sql.Column): Seq[Long] =
+      df.where(c).select("seq").collect().map(_.getLong(0)).toSeq.sorted
+    val n0 = LogOps.nanos(base)
+    // aligned bounds hit exactly
+    assert(got(tsNanoGeq(df, "ts_nano", n0 + 2500L * 1000000L)) === (5L to 10L))
+    assert(got(tsNanoLeq(df, "ts_nano", n0 + 2500L * 1000000L)) === (0L to 5L))
+    // sub-µs offsets: geq rounds the µs bound UP, leq rounds DOWN — both
+    // remain exact because every ts_nano is a multiple of 1000
+    assert(got(tsNanoGeq(df, "ts_nano", n0 + 2500L * 1000000L + 1)) === (6L to 10L))
+    assert(got(tsNanoLeq(df, "ts_nano", n0 + 2500L * 1000000L - 1)) === (0L to 4L))
+    // and the translated predicate names the raw column (pushable form):
+    // the Filter line must reference t_raw, not the derived ts_nano
+    val filterLine = df.where(tsNanoGeq(df, "ts_nano", n0))
+      .queryExecution.analyzed.toString.linesIterator
+      .find(_.contains("Filter")).getOrElse("")
+    assert(filterLine.contains("t_raw") && !filterLine.contains("ts_nano"),
+      s"expected raw-column predicate, got: $filterLine")
+  }
+
+  test("raw-long ts_nano (no metadata): bounds compare the nanos directly") {
+    val since = Instant.parse("2024-01-01T00:30:00Z")
+    val viaHelper = seqs(logs.where(
+      tsNanoGeq(logs, "ts_nano", LogOps.nanos(since))).orderBy(col("seq")))
+    val direct = seqs(logs.where(
+      col("ts_nano") >= LogOps.nanos(since)).orderBy(col("seq")))
+    assert(viaHelper === direct && viaHelper.nonEmpty)
+  }
+
   test("template mining: digit runs mask to one template; stats per template") {
     import spark.implicits._
     val t0 = Instant.parse("2024-01-01T00:00:00Z")
