@@ -60,45 +60,16 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
+    spark.stop()
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that window. At 148 queries the full per-query map is
-    // ~4.5 KB — it can never fit, which is why every BENCH_r0N came back
-    // parsed:null. Split the contract: the FULL map goes to a sidecar file
-    // (BENCH_local.json in the cwd, i.e. the repo — committed per round as
-    // BENCH_r0N_local.json), and stdout carries a compact line that fits the
-    // window: total, per-pack rollups, the heaviest individual queries up to
-    // a character budget, and ALL errors (loud part stays loud).
-    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def jstr(s: String): String = {
-      // code-point-safe truncation: .take(60) alone can split a surrogate
-      // pair, leaving an unpaired high surrogate in the JSON (ADVICE r7)
-      val cut0 = s.take(60)
-      val cut = if (cut0.nonEmpty && Character.isHighSurrogate(cut0.last)) cut0.dropRight(1) else cut0
-      "\"" + cut.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      } + "\""
-    }
-    val ok = names.filter(best.contains).sorted
-    val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (n, m) => "\"" + n + "\":" + jstr(m) }.mkString("{", ",", "}")
-    // the compact stdout line carries at most K error entries (~140 chars
-    // each escaped — unbounded, a heavy-failure round blows the ~2000-char
-    // harness window exactly when the loud part matters; ADVICE r7). The
-    // FULL errors map always goes to the sidecar.
-    val errCap = 8
-    val errSorted = errors.toSeq.sortBy(_._1)
-    val errJsonCompact = errSorted.take(errCap)
-      .map { case (n, m) => "\"" + n + "\":" + jstr(m) }.mkString("{", ",", "}")
-    val errTruncated = math.max(0, errSorted.size - errCap)
-    val total = ok.map(best).sum
-    spark.stop()
-
-    val fullQs = ok.map(n => "\"" + n + "\":" + sec(best(n))).mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir","runs":$runs}"""
+    // ~4.5 KB — it can never fit, which is why every BENCH_r0N through r4
+    // came back parsed:null. Split contract (formatting + bounds live in
+    // BenchFormat, locked by BenchFormatSpec): the FULL map goes to a
+    // sidecar file (BENCH_local.json in the cwd — committed per round as
+    // BENCH_r0N_local.json), stdout carries a compact line that always fits.
+    val bestMap = best.toMap
+    val errMap = errors.toMap
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     // "full" points at the sidecar only if this run actually wrote it —
     // otherwise a stale file from a previous run could be read as this
@@ -107,32 +78,15 @@ object Bench {
       try {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outPath),
-          (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (BenchFormat.fullLine(bestMap, errMap, sfDir, runs) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         "\"" + outPath + "\""
       } catch {
         case e: Throwable =>
           System.err.println(s"bench sidecar write failed: $e"); "null"
       }
-
-    // pack = the q_<pack>_ prefix (q_rel_topk -> rel); rollup keeps every
-    // query's time visible in the parsed line even when the query itself
-    // doesn't make the top-slowest cut
-    val packs = ok.groupBy(n => n.split("_").lift(1).getOrElse("other"))
-      .toSeq.sortBy(_._1)
-      .map { case (p, ns) => "\"" + p + "\":" + sec(ns.map(best).sum) }
-      .mkString("{", ",", "}")
-    val budget = 1500 // chars for the whole line; harness window is ~2000
-    val slowest = ok.sortBy(n => -best(n))
-    val head = new StringBuilder(
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${ok.size},"full":$fullField,"packs":$packs,"errors":$errJsonCompact,"errors_truncated":$errTruncated,"queries":{""")
-    var first = true
-    for (n <- slowest) {
-      val item = (if (first) "" else ",") + "\"" + n + "\":" + sec(best(n))
-      if (head.length + item.length + 2 <= budget) { head ++= item; first = false }
-    }
-    head ++= "}}"
     // rc stays 0 — the driver still needs to parse the JSON line; the
     // "errors" object (non-empty = red) is the loud part
-    println(head.toString)
+    println(BenchFormat.compactLine(bestMap, errMap, sfDir, runs, fullField))
   }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the bench artifact contract (BenchFormat): the compact stdout line
+  * must stay parseable and inside the harness's ~2000-char window at ANY
+  * query/error count — the failure mode that cost rounds 5–7 their bench
+  * artifact (oversized line → parsed:null; crash → no line at all).
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val om = new ObjectMapper
+
+  private def mkBest(n: Int): Map[String, Double] =
+    (1 to n).map(i => f"q_pack${i % 10}%d_query$i%03d" -> i * 0.017).toMap
+
+  test("compact line fits the window and parses at 148 queries") {
+    val line = BenchFormat.compactLine(mkBest(148), Map.empty, "/sf", 3, "\"BENCH_local.json\"")
+    assert(line.length <= 2000, s"line is ${line.length} chars")
+    val node = om.readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("n_queries").asInt == 148)
+    assert(node.get("errors_truncated").asInt == 0)
+    assert(node.get("full").asText == "BENCH_local.json")
+    // the slowest query always makes the cut
+    assert(node.get("queries").has("q_pack8_query148"))
+  }
+
+  test("a heavy-failure round stays inside the window: errors capped, counted") {
+    val manyErrors = (1 to 60).map(i =>
+      f"q_pack${i % 10}%d_broken$i%03d" ->
+        ("org.apache.spark.sql.AnalysisException: [DATATYPE_MISMATCH] " + "x" * 200)).toMap
+    val line = BenchFormat.compactLine(mkBest(88), manyErrors, "/sf", 3, "null")
+    assert(line.length <= 2000, s"line is ${line.length} chars")
+    val node = om.readTree(line)
+    assert(node.get("errors").size == BenchFormat.ErrCap)
+    assert(node.get("errors_truncated").asInt == 60 - BenchFormat.ErrCap)
+    assert(node.get("full").isNull) // sidecar write failed → no stale pointer
+    // but the sidecar body, when writable, carries EVERYTHING
+    val full = om.readTree(BenchFormat.fullLine(mkBest(88), manyErrors, "/sf", 3))
+    assert(full.get("errors").size == 60 && full.get("queries").size == 88)
+  }
+
+  test("error strings truncate on code-point boundaries and escape cleanly") {
+    // 59 chars then an astral code point (surrogate pair straddling the cut)
+    val msg = "e" * 59 + new String(Character.toChars(0x1F600)) + " trailing \"quoted\\path\"\n"
+    val parsed = om.readTree(BenchFormat.jstr(msg))
+    assert(parsed.isTextual)
+    val t = parsed.asText
+    assert(!t.exists(c => Character.isHighSurrogate(c) || Character.isLowSurrogate(c)) ||
+      t.codePoints.toArray.forall(Character.isValidCodePoint),
+      s"unpaired surrogate survived: $t")
+    assert(t.length <= 60 && t.startsWith("e" * 59))
+    // control chars never reach the JSON
+    assert(om.readTree(BenchFormat.jstr("a\nb\tc")).asText == "a b c")
+  }
+
+  test("totals and pack rollups are consistent with the per-query map") {
+    val best = Map("q_rel_a" -> 1.0, "q_rel_b" -> 2.0, "q_ts_c" -> 0.5)
+    val node = om.readTree(BenchFormat.compactLine(best, Map.empty, "/sf", 1, "null"))
+    assert(math.abs(node.get("value").asDouble - 3.5) < 1e-9)
+    assert(math.abs(node.get("packs").get("rel").asDouble - 3.0) < 1e-9)
+    assert(math.abs(node.get("packs").get("ts").asDouble - 0.5) < 1e-9)
+  }
+}
