@@ -136,11 +136,33 @@ object LogOps {
       containerCol: String,
       seqCol: String,
       tsNanoCol: String,
-      req: ReadRequest): DataFrame = {
+      req: ReadRequest,
+      datePartCol: String = "date"): DataFrame = {
     var out = logs
     req.container.foreach(id => out = out.where(col(containerCol) === id))
     req.since.foreach(s => out = out.where(tsNanoGeq(logs, tsNanoCol, nanos(s))))
     req.until.foreach(u => out = out.where(tsNanoLeq(logs, tsNanoCol, nanos(u))))
+    // Date-PARTITION pruning: the ingest layout (LogIngest.logSchema) stores
+    // `date` = the ts_nano UTC day as a partition directory. A ts_nano range
+    // implies a date range, but Catalyst cannot derive one from the other —
+    // without the redundant bounds below, a 1-hour read over a year of logs
+    // still LISTS AND READS FOOTERS of all ~365 date dirs per container. The
+    // derived bounds are supersets of the exact ts_nano predicate (date =
+    // floor(ts_nano/day) is monotone), so they prune directories without
+    // changing results. No-op when the frame has no DateType `date` column
+    // (e.g. the flat driver fixture).
+    if (logs.schema.fields.exists(f =>
+        f.name == datePartCol && f.dataType == org.apache.spark.sql.types.DateType)) {
+      val nanosPerDay = 86400L * 1000000000L
+      req.since.foreach { s =>
+        out = out.where(col(datePartCol) >=
+          lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(nanos(s), nanosPerDay))))
+      }
+      req.until.foreach { u =>
+        out = out.where(col(datePartCol) <=
+          lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(nanos(u), nanosPerDay))))
+      }
+    }
     req.tail match {
       case Some(k) =>
         // TakeOrderedAndProject: partial top-k per partition, merge on driver

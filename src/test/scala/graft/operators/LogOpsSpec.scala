@@ -130,6 +130,45 @@ class LogOpsSpec extends SparkSpec {
     assert(viaHelper === direct && viaHelper.nonEmpty)
   }
 
+  test("readRange prunes date partitions on the ingest layout, same results") {
+    import spark.implicits._
+    // a 10-day table in the LogIngest physical layout (date partition dirs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-datep").toString
+    val rows = (0 until 240).map { h =>
+      val t = Instant.parse("2024-03-01T00:30:00Z").plusSeconds(h * 3600L)
+      ("c1", h.toLong, LogOps.nanos(t),
+        java.time.LocalDate.ofEpochDay(LogOps.nanos(t) / (86400L * 1000000000L)))
+    }
+    rows.toDF("container_id", "seq", "ts_nano", "date")
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val req = normalize(Some("c1"), Some("2024-03-04T00:00:00Z"),
+      Some("2024-03-05T23:00:00Z"), tail = 0, follow = false)
+    val pruned = LogOps.readRange(table, "container_id", "seq", "ts_nano", req)
+    // results identical to the pure ts_nano filter (bounds are a superset)
+    val expect = rows.filter { case (_, _, n, _) =>
+      n >= LogOps.nanos(Instant.parse("2024-03-04T00:00:00Z")) &&
+      n <= LogOps.nanos(Instant.parse("2024-03-05T23:00:00Z"))
+    }.map(_._2)
+    assert(seqs(pruned) === expect)
+    // and the scan only touches the two in-range date directories
+    // (AQE off for this assertion: its wrapper hides the scan node until
+    // execution; the pruning itself is identical either way)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p2 = LogOps.readRange(spark.read.parquet(dir), "container_id", "seq",
+        "ts_nano", req).queryExecution.executedPlan
+      val pf = p2.toString.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains("date"), s"no partition filter on date:\n$p2")
+      val scanned: Int = p2.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+      assert(scanned === 2, s"expected 2 date partitions scanned, got $scanned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("template mining: digit runs mask to one template; stats per template") {
     import spark.implicits._
     val t0 = Instant.parse("2024-01-01T00:00:00Z")
