@@ -971,7 +971,7 @@ object SparkEntry {
     // the published over-threshold rows are deterministic (sketch
     // guarantee), so this IS hash-checked; sketch internals are pinned
     // by HeavyHittersSpec
-    "q_text_heavy_hitters" -> ((s, d) => TextOps.heavyTerms(s, d)),
+    "q_text_heavy_hitters" -> ((s, d) => TextOps.heavyTermsExact(s, d)),
     "q_text_tfidf" -> ((s, d) => TextOps.tfIdf(s, d)),
     "q_text_zipf" -> (TextOps.zipfProfile _),
     "q_text_typo_pairs" -> ((s, d) => TextOps.typoPairs(s, d)),

@@ -151,6 +151,26 @@ object Sketch {
       Array[Any](total.toLong, counts.size.toLong, top.toLong))
   }
 
+  /** Adjacent token pairs as one compiled pass: out(i) = (t(i), t(i+1)).
+    * The UTF8String elements are passed through BY REFERENCE — no string
+    * copying — where the HOF formulation (`zip_with(t, slice(concat(t,
+    * array('')), 2, size(t)), ...)`) materializes three intermediate
+    * arrays and copies every token once per array. Measured at sf10
+    * (graft.tools.BigramPairsAB): see RetrievalOps.bigramLogProbOf.
+    */
+  def bigramPairs(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val total = math.max(n - 1, 0)
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](tokens.getUTF8String(i), tokens.getUTF8String(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Index of the nearest centroid by squared L2 — the IVF/k-means
     * assignment step as one compiled pass over the vector. Ties break to
     * the lowest index (deterministic). The centroid matrix is expression
@@ -384,6 +404,28 @@ case class SortedIdPairs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `bigram_pairs(tokens)`: array<struct<w1, w2>> of adjacent token pairs —
+  * the bigram-generation kernel of the LM ops as a single compiled pass
+  * with by-reference strings (see Sketch.bigramPairs).
+  */
+case class BigramPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("w1", StringType, nullable = true),
+      StructField("w2", StringType, nullable = true))), containsNull = false)
+  override def prettyName: String = "bigram_pairs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Sketch.bigramPairs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.bigramPairs($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramPairs =
+    copy(child = newChild)
+}
+
 /** `bigram_stats(tokens)`: struct<n_bigrams, n_distinct_bigrams,
   * top_bigram_cnt> — the Gopher repetition scalars as one row-local pass,
   * replacing an explode + double-groupBy plan that shuffled the tokenized
@@ -518,6 +560,7 @@ object sketch {
     column(Md5SimHashChunks(expression(tokens)))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def bigramStats(tokens: Column): Column = column(BigramStats(expression(tokens)))
+  def bigramPairs(tokens: Column): Column = column(BigramPairs(expression(tokens)))
   def sigMatchFrac(a: Column, b: Column): Column =
     column(SigMatchFraction(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))

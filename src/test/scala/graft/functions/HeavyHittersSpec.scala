@@ -54,6 +54,17 @@ class HeavyHittersSpec extends SparkSpec {
       "verified heavy-hitter output must be the exact over-threshold set")
   }
 
+  test("heavyTermsExact ≡ heavyTerms (sketch+recount) on the fixture") {
+    // m high enough that the count·m > N threshold admits real terms on the
+    // tiny fixture (at the default m=200 both correctly return few/none)
+    val m = 5000
+    val a = TextOps.heavyTermsExact(spark, sf0001, m = m, k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b = TextOps.heavyTerms(spark, sf0001, m = m, k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("under-capacity summaries are exact") {
     import spark.implicits._
     val terms = Seq("a", "b", "a", "c", "a", "b").toDF("t")
