@@ -80,7 +80,7 @@ object Bench {
           java.nio.file.Paths.get(outPath),
           (BenchFormat.fullLine(bestMap, errMap, sfDir, runs) + "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        "\"" + outPath + "\""
+        BenchFormat.jstrFull(outPath)
       } catch {
         case e: Throwable =>
           System.err.println(s"bench sidecar write failed: $e"); "null"

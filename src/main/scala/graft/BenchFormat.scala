@@ -9,10 +9,13 @@ package graft
   * Contract (see Bench's scaladoc for the why):
   *  - the FULL per-query map + full errors go to a sidecar file;
   *  - stdout carries ONE compact JSON line that must fit the harness's
-  *    ~2000-char tail window at ANY query/error count: total, pack rollups,
-  *    slowest queries up to a character budget, at most `ErrCap` inline
+  *    ~2000-char tail window at ANY query/error count AND any sfDir/path
+  *    content: total, pack rollups (top packs by time + `_rest` remainder),
+  *    slowest queries up to the character budget, at most `ErrCap` inline
   *    error entries (+ `errors_truncated` count), `"full"` naming the
-  *    sidecar only if it was actually written (else null).
+  *    sidecar only if it was actually written (else null). The whole-line
+  *    budget applies to the PREFIX too (ADVICE r8): packs and inline errors
+  *    degrade before the line can overflow, never just the trailing map.
   */
 object BenchFormat {
 
@@ -22,7 +25,23 @@ object BenchFormat {
   /** Whole-line character budget; the harness window is ~2000. */
   val Budget = 1500
 
+  /** Character sub-budget for the packs rollup object. */
+  val PackBudget = 300
+
   def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** JSON string literal, escaped but NOT truncated — for values that must
+    * stay exact (paths, directories, query names). Raw interpolation of
+    * sfDir/paths was the one remaining unescaped route to an unparseable
+    * artifact line (ADVICE r8).
+    */
+  def jstrFull(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
 
   /** JSON string literal, truncated to ~60 chars on a code-point boundary
     * (a plain .take can split a surrogate pair — ADVICE r7).
@@ -31,16 +50,11 @@ object BenchFormat {
     val cut0 = s.take(60)
     val cut =
       if (cut0.nonEmpty && Character.isHighSurrogate(cut0.last)) cut0.dropRight(1) else cut0
-    "\"" + cut.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    } + "\""
+    jstrFull(cut)
   }
 
   private def errObj(errors: Seq[(String, String)]): String =
-    errors.map { case (n, m) => "\"" + n + "\":" + jstr(m) }.mkString("{", ",", "}")
+    errors.map { case (n, m) => jstrFull(n) + ":" + jstr(m) }.mkString("{", ",", "}")
 
   /** The sidecar body: complete per-query map, complete errors. */
   def fullLine(
@@ -49,8 +63,32 @@ object BenchFormat {
       sfDir: String,
       runs: Int): String = {
     val ok = best.keys.toSeq.sorted
-    val fullQs = ok.map(n => "\"" + n + "\":" + sec(best(n))).mkString("{", ",", "}")
-    s"""{"metric":"total","value":${sec(ok.map(best).sum)},"unit":"sec","queries":$fullQs,"errors":${errObj(errors.toSeq.sortBy(_._1))},"sf":"$sfDir","runs":$runs}"""
+    val fullQs = ok.map(n => jstrFull(n) + ":" + sec(best(n))).mkString("{", ",", "}")
+    s"""{"metric":"total","value":${sec(ok.map(best).sum)},"unit":"sec","queries":$fullQs,"errors":${errObj(errors.toSeq.sortBy(_._1))},"sf":${jstrFull(sfDir)},"runs":$runs}"""
+  }
+
+  /** Packs rollup capped to `PackBudget` chars: heaviest packs inline, the
+    * remainder summed into `_rest` so every query's time stays represented
+    * (pack-count growth can no longer blow the prefix — ADVICE r8).
+    */
+  private def packsObj(best: Map[String, Double], ok: Seq[String]): String = {
+    val totals = ok.groupBy(n => n.split("_").lift(1).getOrElse("other"))
+      .view.mapValues(ns => ns.map(best).sum).toSeq
+      .sortBy { case (p, t) => (-t, p) }
+    val sb = new StringBuilder("{")
+    var rest = 0.0
+    var restCount = 0
+    // reserve room for a worst-case `,"_rest":12345.678` suffix
+    val reserve = 22
+    for ((p, t) <- totals) {
+      val item = (if (sb.length > 1) "," else "") + jstrFull(p) + ":" + sec(t)
+      if (sb.length + item.length + reserve <= PackBudget) sb ++= item
+      else { rest += t; restCount += 1 }
+    }
+    if (restCount > 0)
+      sb ++= (if (sb.length > 1) "," else "") + "\"_rest\":" + sec(rest)
+    sb += '}'
+    sb.toString
   }
 
   /** The compact stdout line. `fullField` is a JSON value: the quoted
@@ -65,18 +103,25 @@ object BenchFormat {
     val ok = best.keys.toSeq.sorted
     val total = ok.map(best).sum
     val errSorted = errors.toSeq.sortBy(_._1)
-    val errTruncated = math.max(0, errSorted.size - ErrCap)
-    // pack = the q_<pack>_ prefix (q_rel_topk -> rel); rollups keep every
-    // query's time represented even when it misses the top-slowest cut
-    val packs = ok.groupBy(n => n.split("_").lift(1).getOrElse("other"))
-      .toSeq.sortBy(_._1)
-      .map { case (p, ns) => "\"" + p + "\":" + sec(ns.map(best).sum) }
-      .mkString("{", ",", "}")
-    val head = new StringBuilder(
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${ok.size},"full":$fullField,"packs":$packs,"errors":${errObj(errSorted.take(ErrCap))},"errors_truncated":$errTruncated,"queries":{""")
+    val packs = packsObj(best, ok)
+
+    def prefix(errCount: Int): String = {
+      val errTruncated = errSorted.size - errCount
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":${jstrFull(sfDir)},"runs":$runs,"n_queries":${ok.size},"full":$fullField,"packs":$packs,"errors":${errObj(errSorted.take(errCount))},"errors_truncated":$errTruncated,"queries":{"""
+    }
+
+    // Whole-line budget: shed inline errors (sidecar keeps them all) until
+    // the fixed prefix leaves room to close the line; the trailing per-query
+    // map then fills whatever remains.
+    var errCount = math.min(ErrCap, errSorted.size)
+    var head = new StringBuilder(prefix(errCount))
+    while (head.length + 2 > Budget && errCount > 0) {
+      errCount -= 1
+      head = new StringBuilder(prefix(errCount))
+    }
     var first = true
-    for (n <- ok.sortBy(n => -best(n))) {
-      val item = (if (first) "" else ",") + "\"" + n + "\":" + sec(best(n))
+    for (n <- ok.sortBy(n => (-best(n), n))) {
+      val item = (if (first) "" else ",") + jstrFull(n) + ":" + sec(best(n))
       if (head.length + item.length + 2 <= Budget) { head ++= item; first = false }
     }
     head ++= "}}"

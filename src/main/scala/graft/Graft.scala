@@ -78,7 +78,10 @@ final class Graft(
       tail: Long = 0,
       follow: Boolean = false): DataFrame = {
     val req = LogOps.normalize(containerId, since, until, tail, follow)
-    LogOps.readRange(logs, "container_id", "seq", "ts_nano", req)
+    // The facade KNOWS the ingest layout (LogIngest partitions by
+    // container_id/date), so it opts in to derived date-partition pruning.
+    LogOps.readRange(logs, "container_id", "seq", "ts_nano", req,
+      datePartCol = Some("date"))
   }
 
   def countLogs(containerId: String): Long =

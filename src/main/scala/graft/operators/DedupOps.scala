@@ -230,8 +230,12 @@ object DedupOps {
   // semi-join probe, the recount, and both sides of the pair join within
   // ONE query — persist it. Memoized per (session, dir) so repeated calls
   // reuse a single cached copy instead of leaking one per invocation.
-  private val shingleIndexCache = new graft.SessionCache[DataFrame]
-  private val cappedIndexCache = new graft.SessionCache[DataFrame]
+  // bounded + unpersist-on-evict so multi-directory sessions cycle cached
+  // indexes instead of accumulating them (ADVICE r8)
+  private val shingleIndexCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+  private val cappedIndexCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
 
   /** The df-capped (doc_id, sh_h) index — memoized per (session, dir, cap)
     * and shared by every overlap measure over the same corpus.
@@ -468,7 +472,8 @@ object DedupOps {
         .persist()
     }
 
-  private val sigCache = new graft.SessionCache[DataFrame]
+  private val sigCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
 
   /** MinHash + LSH candidate pairs with estimated Jaccard.
     * bands=8 × rows=4 over a k=32 signature: P(candidate) ≈ 1−(1−j⁴)⁸ —

@@ -106,7 +106,13 @@ object LogOps {
         if (geq) col(c) >= lit(ntzOfMicros(us)) else col(c) <= lit(ntzOfMicros(us))
       case Some((c, graft.Tables.UnitLtzMicros)) =>
         if (geq) col(c) >= lit(instantOfMicros(us)) else col(c) <= lit(instantOfMicros(us))
-      case _ => // raw long nanos — compare directly (us is a nano value here)
+      case Some((c, unknownUnit)) =>
+        // Fail loudly: a future unit constant silently compared as raw nanos
+        // would be a 1000x-wrong predicate (ADVICE r8).
+        throw new IllegalStateException(
+          s"column '$tsNanoCol' declares raw column '$c' with unrecognized " +
+            s"${graft.Tables.PhysUnitKey}='$unknownUnit'")
+      case None => // raw long nanos — compare directly (us is a nano value here)
         if (geq) col(tsNanoCol) >= us else col(tsNanoCol) <= us
     }
 
@@ -137,29 +143,36 @@ object LogOps {
       seqCol: String,
       tsNanoCol: String,
       req: ReadRequest,
-      datePartCol: String = "date"): DataFrame = {
+      datePartCol: Option[String] = None): DataFrame = {
     var out = logs
     req.container.foreach(id => out = out.where(col(containerCol) === id))
     req.since.foreach(s => out = out.where(tsNanoGeq(logs, tsNanoCol, nanos(s))))
     req.until.foreach(u => out = out.where(tsNanoLeq(logs, tsNanoCol, nanos(u))))
-    // Date-PARTITION pruning: the ingest layout (LogIngest.logSchema) stores
-    // `date` = the ts_nano UTC day as a partition directory. A ts_nano range
-    // implies a date range, but Catalyst cannot derive one from the other —
-    // without the redundant bounds below, a 1-hour read over a year of logs
-    // still LISTS AND READS FOOTERS of all ~365 date dirs per container. The
-    // derived bounds are supersets of the exact ts_nano predicate (date =
-    // floor(ts_nano/day) is monotone), so they prune directories without
-    // changing results. No-op when the frame has no DateType `date` column
-    // (e.g. the flat driver fixture).
-    if (logs.schema.fields.exists(f =>
-        f.name == datePartCol && f.dataType == org.apache.spark.sql.types.DateType)) {
+    // Date-PARTITION pruning, OPT-IN: the ingest layout (LogIngest.logSchema)
+    // stores `date` = the ts_nano UTC day as a partition directory. A ts_nano
+    // range implies a date range, but Catalyst cannot derive one from the
+    // other — without the redundant bounds below, a 1-hour read over a year
+    // of logs still LISTS AND READS FOOTERS of all ~365 date dirs per
+    // container. The derived bounds are supersets of the exact ts_nano
+    // predicate (date = floor(ts_nano/day) is monotone), so they prune
+    // directories without changing results — but ONLY under that layout
+    // contract. The caller must opt in by naming the partition column
+    // (Graft/LogIngest do): auto-detecting any DateType `date` column would
+    // silently drop rows for a caller whose `date` is an unrelated business
+    // date (ADVICE r8). Naming a column that is absent or not a DateType is
+    // a broken contract and fails loudly rather than silently skipping.
+    datePartCol.foreach { dc =>
+      require(
+        logs.schema.fields.exists(f =>
+          f.name == dc && f.dataType == org.apache.spark.sql.types.DateType),
+        s"datePartCol '$dc' must name a DateType column of the input (ingest layout contract)")
       val nanosPerDay = 86400L * 1000000000L
       req.since.foreach { s =>
-        out = out.where(col(datePartCol) >=
+        out = out.where(col(dc) >=
           lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(nanos(s), nanosPerDay))))
       }
       req.until.foreach { u =>
-        out = out.where(col(datePartCol) <=
+        out = out.where(col(dc) <=
           lit(java.time.LocalDate.ofEpochDay(Math.floorDiv(nanos(u), nanosPerDay))))
       }
     }

@@ -28,7 +28,10 @@ object TrainPrepOps {
 
   // memoized scored-base for qualityTiers (see its scaladoc) — one cached
   // copy per (session, dir), never one per invocation
-  private val qualityBaseCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
+  // bounded + unpersist-on-evict: many-directory sessions cycle persisted
+  // bases instead of accumulating them (ADVICE r8)
+  private val qualityBaseCache = new graft.SessionCache[org.apache.spark.sql.DataFrame](
+    maxEntries = 8, onEvict = _.unpersist(false))
 
   private def toks: Column = split(col("text"), " ")
 

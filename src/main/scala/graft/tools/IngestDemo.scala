@@ -50,7 +50,8 @@ object IngestDemo {
       java.time.Instant.ofEpochSecond(0, t0 + 60 * 1000000000L).toString),
       None, tail = 5, follow = false)
     val read = LogOps.readRange(
-      df.where(col("container_id") === "web-1"), "container_id", "seq", "ts_nano", req)
+      df.where(col("container_id") === "web-1"), "container_id", "seq", "ts_nano", req,
+      datePartCol = Some("date"))
     println("[demo] tail 5 since t0+60s of web-1:")
     read.select("seq", "source", "line").show(truncate = false)
 

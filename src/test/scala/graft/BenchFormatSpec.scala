@@ -56,6 +56,34 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(om.readTree(BenchFormat.jstr("a\nb\tc")).asText == "a b c")
   }
 
+  test("sfDir and sidecar path with quotes/backslashes still parse (ADVICE r8)") {
+    val evil = """/tmp/we"ird\dir with "quotes""""
+    val line = BenchFormat.compactLine(mkBest(10), Map.empty, evil, 3,
+      BenchFormat.jstrFull(evil + "/BENCH.json"))
+    val node = om.readTree(line)
+    assert(node.get("sf").asText == evil)
+    assert(node.get("full").asText == evil + "/BENCH.json")
+    val full = om.readTree(BenchFormat.fullLine(mkBest(10), Map.empty, evil, 3))
+    assert(full.get("sf").asText == evil)
+  }
+
+  test("pathological pack naming cannot blow the prefix: packs cap + _rest") {
+    // 120 distinct 40-char pack prefixes -> an uncapped packs object alone
+    // would be ~5600 chars
+    val best = (1 to 120).map(i => s"q_${"p" * 36}${i}_x" -> i * 0.01).toMap
+    val manyErrors = (1 to 40).map(i => s"q_${"e" * 36}${i}_y" -> ("boom " * 50)).toMap
+    val line = BenchFormat.compactLine(best, manyErrors, "/sf", 3, "null")
+    assert(line.length <= BenchFormat.Budget, s"line is ${line.length} chars")
+    val node = om.readTree(line)
+    // every query's time is still represented: packs (incl _rest) sum to total
+    var s = 0.0
+    node.get("packs").forEach(v => s += v.asDouble)
+    assert(math.abs(s - best.values.sum) < 1e-6)
+    assert(node.get("packs").has("_rest"))
+    // inline errors may shed below ErrCap to fit; the count stays honest
+    assert(node.get("errors").size + node.get("errors_truncated").asInt == 40)
+  }
+
   test("totals and pack rollups are consistent with the per-query map") {
     val best = Map("q_rel_a" -> 1.0, "q_rel_b" -> 2.0, "q_ts_c" -> 0.5)
     val node = om.readTree(BenchFormat.compactLine(best, Map.empty, "/sf", 1, "null"))

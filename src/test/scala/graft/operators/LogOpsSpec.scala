@@ -144,7 +144,8 @@ class LogOpsSpec extends SparkSpec {
     val table = spark.read.parquet(dir)
     val req = normalize(Some("c1"), Some("2024-03-04T00:00:00Z"),
       Some("2024-03-05T23:00:00Z"), tail = 0, follow = false)
-    val pruned = LogOps.readRange(table, "container_id", "seq", "ts_nano", req)
+    val pruned = LogOps.readRange(table, "container_id", "seq", "ts_nano", req,
+      datePartCol = Some("date"))
     // results identical to the pure ts_nano filter (bounds are a superset)
     val expect = rows.filter { case (_, _, n, _) =>
       n >= LogOps.nanos(Instant.parse("2024-03-04T00:00:00Z")) &&
@@ -158,7 +159,7 @@ class LogOpsSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val p2 = LogOps.readRange(spark.read.parquet(dir), "container_id", "seq",
-        "ts_nano", req).queryExecution.executedPlan
+        "ts_nano", req, datePartCol = Some("date")).queryExecution.executedPlan
       val pf = p2.toString.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
       assert(pf.contains("date"), s"no partition filter on date:\n$p2")
       val scanned: Int = p2.collectLeaves().collect {
@@ -167,6 +168,57 @@ class LogOpsSpec extends SparkSpec {
       }.sum
       assert(scanned === 2, s"expected 2 date partitions scanned, got $scanned")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("date pruning is opt-in: an unrelated DateType 'date' column is untouched") {
+    import spark.implicits._
+    // a frame whose `date` is a BUSINESS date, deliberately unequal to the
+    // UTC day of ts_nano — the ADVICE r8 hazard case
+    val rows = (0 until 48).map { h =>
+      val t = Instant.parse("2024-03-01T00:30:00Z").plusSeconds(h * 3600L)
+      ("c1", h.toLong, LogOps.nanos(t), java.time.LocalDate.of(1999, 1, 1))
+    }
+    val df = rows.toDF("container_id", "seq", "ts_nano", "date")
+    val req = normalize(Some("c1"), Some("2024-03-01T12:00:00Z"),
+      Some("2024-03-02T12:00:00Z"), tail = 0, follow = false)
+    // default (no opt-in): rows survive purely on ts_nano — the 1999 business
+    // dates must NOT eliminate them
+    val got = seqs(LogOps.readRange(df, "container_id", "seq", "ts_nano", req))
+    assert(got === (12L to 35L), "opt-out readRange must ignore the date column")
+    // opting in against the same frame asserts the layout contract the frame
+    // violates — the result would silently drop every row, so the caller who
+    // opts in has declared the contract and gets the (empty) pruned answer;
+    // the point of opt-in is exactly that this cannot happen by default
+    val pruned = LogOps.readRange(df, "container_id", "seq", "ts_nano", req,
+      datePartCol = Some("date"))
+    assert(seqs(pruned).isEmpty)
+  }
+
+  test("naming an absent or non-DateType datePartCol fails loudly") {
+    val req = normalize(Some("c"), Some("2024-01-01T00:30:00Z"), None, 0, follow = false)
+    val e1 = intercept[IllegalArgumentException] {
+      LogOps.readRange(logs, "c", "seq", "ts_nano", req, datePartCol = Some("date"))
+    }
+    assert(e1.getMessage.contains("datePartCol"))
+    val e2 = intercept[IllegalArgumentException] {
+      // seq exists but is LongType, not DateType
+      LogOps.readRange(logs, "c", "seq", "ts_nano", req, datePartCol = Some("seq"))
+    }
+    assert(e2.getMessage.contains("DateType"))
+  }
+
+  test("unknown phys-unit metadata on ts_nano fails loudly, never silently") {
+    import spark.implicits._
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(graft.Tables.PhysColKey, "ts")
+      .putString(graft.Tables.PhysUnitKey, "fortnights")
+      .build()
+    val df = Seq(("c1", 1L, 1000000000L)).toDF("c", "seq", "ts_nano")
+      .withColumn("ts_nano", col("ts_nano").as("ts_nano", meta))
+    val e = intercept[IllegalStateException] {
+      LogOps.tsNanoGeq(df, "ts_nano", 0L)
+    }
+    assert(e.getMessage.contains("fortnights"))
   }
 
   test("template mining: digit runs mask to one template; stats per template") {
