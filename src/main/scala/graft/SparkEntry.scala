@@ -417,6 +417,51 @@ object SparkEntry {
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_rel_q14_promo" ->
+      """WITH m AS (
+        |  SELECT epoch_ms(date_trunc('month', l_shipdate)) AS month_ms,
+        |    round(sum(CASE WHEN p_type = 'PROMO'
+        |              THEN l_extendedprice * (1.0 - l_discount)
+        |              ELSE 0.0 END), 2) AS promo_revenue,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT month_ms, promo_revenue, revenue,
+        |  round(100.0 * promo_revenue / revenue, 4) AS promo_share
+        |FROM m ORDER BY month_ms""".stripMargin,
+    "q_rel_q2_mincost" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(l_extendedprice / l_quantity, 6) AS u
+        |  FROM lineitem),
+        |ps AS (SELECT l_partkey, l_suppkey, min(u) AS pair_best
+        |       FROM unit GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY l_partkey ORDER BY pair_best, l_suppkey) AS rn
+        |      FROM ps)
+        |SELECT p.p_partkey, p.p_brand, r.l_suppkey AS s_suppkey, s.s_name,
+        |  n.n_name, rg.r_name, r.pair_best AS best_price
+        |FROM r
+        |JOIN part p ON r.l_partkey = p.p_partkey
+        |JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region rg ON n.n_regionkey = rg.r_regionkey
+        |WHERE r.rn = 1 ORDER BY p.p_partkey""".stripMargin,
+    "q_rel_q10_returns" ->
+      """WITH agg AS (
+        |  SELECT o_custkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS ret_revenue,
+        |    count(*) AS n_items
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name, ret_revenue, n_items
+        |FROM agg
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY ret_revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_rel_q12_priority" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1012,6 +1057,9 @@ object SparkEntry {
     "q_rel_q6_discount" -> (RelationalOps.discountRevenue _),
     "q_rel_q3_shipping" -> ((s, d) => RelationalOps.shippingPriority(s, d)),
     "q_rel_q18_bigorders" -> ((s, d) => RelationalOps.largeVolumeCustomers(s, d)),
+    "q_rel_q14_promo" -> (RelationalOps.promoRevenueShare _),
+    "q_rel_q2_mincost" -> (RelationalOps.minCostSupplier _),
+    "q_rel_q10_returns" -> ((s, d) => RelationalOps.topReturnedCustomers(s, d)),
     "q_rel_q12_priority" -> (RelationalOps.shipmodePriority _),
     "q_rel_q22_idle_rich" -> (RelationalOps.idleRichCustomers _),
     "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
@@ -1988,18 +2036,24 @@ object SparkEntry {
     "q_vec_outliers" -> ((s, d) => VectorOps.labelOutliers(s, d)),
     "q_vec_semdedup" -> ((s, d) => VectorOps.semanticDedup(s, d)),
     "q_vec_batch_topk" -> ((s, d) => VectorOps.batchTopK(s, d)),
+    "q_vec_matryoshka" -> ((s, d) => VectorOps.matryoshkaAudit(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _),
     "q_media_features_meta" -> (MultimodalOps.extractFeaturesMeta _),
     "q_media_resize" -> ((s, d) => MultimodalOps.resizeStub(s, d)))
 
-  private def duckCos(v1: String, v2: String): String =
-    s"""list_sum(list_transform(range(1, 65),
+  private def duckCos(v1: String, v2: String): String = duckCosN(v1, v2, 64)
+
+  /** Cosine over the first `n` list elements — left-fold accumulation
+    * order identical to the native CosineSim expression.
+    */
+  private def duckCosN(v1: String, v2: String, n: Int): String =
+    s"""list_sum(list_transform(range(1, ${n + 1}),
        |    i -> CAST($v1[i] AS DOUBLE) * CAST($v2[i] AS DOUBLE)))
-       | / (sqrt(list_sum(list_transform(range(1, 65),
+       | / (sqrt(list_sum(list_transform(range(1, ${n + 1}),
        |      i -> CAST($v1[i] AS DOUBLE) * CAST($v1[i] AS DOUBLE))))
-       |  * sqrt(list_sum(list_transform(range(1, 65),
+       |  * sqrt(list_sum(list_transform(range(1, ${n + 1}),
        |      i -> CAST($v2[i] AS DOUBLE) * CAST($v2[i] AS DOUBLE)))))""".stripMargin
 
   private val duckPqCodes: String =
@@ -2218,6 +2272,29 @@ object SparkEntry {
          |      FROM cand)
          |SELECT query_id, rk, vec_id, cos_sim FROM r WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin,
+    "q_vec_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(${duckCos("e.embedding", "qv")}, 6) AS sim_full,
+         |    round(${duckCosN("e.embedding", "qv", 16)}, 6) AS sim_pre
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |rf AS (SELECT q_id, vec_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY sim_full DESC, vec_id) AS rn
+         |       FROM sims),
+         |rp AS (SELECT q_id, vec_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY sim_pre DESC, vec_id) AS rn
+         |       FROM sims),
+         |ov AS (
+         |  SELECT fa.q_id, count(*) AS n_ov
+         |  FROM (SELECT q_id, vec_id FROM rf WHERE rn <= 10) fa
+         |  JOIN (SELECT q_id, vec_id FROM rp WHERE rn <= 10) pa
+         |    USING (q_id, vec_id)
+         |  GROUP BY 1)
+         |SELECT q_id, CAST(coalesce(n_ov, 0) AS BIGINT) AS n_overlap,
+         |  round(coalesce(n_ov, 0) / 10.0, 4) AS overlap_frac
+         |FROM q LEFT JOIN ov USING (q_id) ORDER BY q_id""".stripMargin,
     "q_vec_centroid_norms" -> {
       val dims = (0 until 64)
         .map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE)) AS s$i").mkString(",\n  ")

@@ -722,4 +722,98 @@ object RelationalOps {
       .select(col("p.*"))
       .orderBy(col("col_name"))
   }
+
+  /** TPC-H Q14 shape: promo revenue share per ship month — the conditional
+    * numerator/denominator pair computed in ONE pass (CASE-inside-SUM, the
+    * [[shipmodePriority]] stance: two filtered scans would read the fact
+    * table twice).
+    *
+    * Plan: part is a dimension (|parts| ≪ |lineitem|) and broadcasts; the
+    * fact table crosses exactly one exchange — the month rollup, whose key
+    * space is |months|, so partials collapse map-side. Share is derived
+    * from the two rounded sums with one double expression, identical on
+    * both engines.
+    */
+  def promoRevenueShare(s: SparkSession, d: String): DataFrame = {
+    val promoPart = Tables.part(s, d)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).as("ship_month"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(promoPart), col("l_partkey") === col("p_partkey"))
+      .groupBy(unix_millis(col("ship_month").cast("timestamp")).as("month_ms"))
+      .agg(
+        round(sum(when(col("is_promo"), col("rev")).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(col("rev")), 2).as("revenue"))
+      .select(col("month_ms"), col("promo_revenue"), col("revenue"),
+        round(lit(100.0) * col("promo_revenue") / col("revenue"), 4)
+          .as("promo_share"))
+      .orderBy(col("month_ms"))
+  }
+
+  /** TPC-H Q2 shape (fixture-adapted: no partsupp table — the part/supplier
+    * price relation lives in lineitem): the cheapest supplier per part by
+    * observed unit price, with the supplier's nation/region denormalized.
+    *
+    * Plan: the fact table first collapses to (part, supplier) minima —
+    * aggregate-BEFORE-join, so the argmin and every dimension join see at
+    * most |parts|×|suppliers| rows, never lineitem. The per-part argmin is
+    * `min(struct(price, suppkey))` — lexicographic struct ordering makes
+    * the tie-break deterministic where a bare min + join-back would not be
+    * ([[topCustomerPerNation]] stance). Dimensions broadcast.
+    */
+  def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val best = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_price"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_price")).as("pair_best"))
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("pair_best"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"),
+        col("m.pair_best").as("best_price"), col("m.l_suppkey").as("s_suppkey"))
+    best
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey").as("sk"), col("s_name"), col("s_nationkey"))),
+        col("s_suppkey") === col("sk"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("r_name"), col("best_price"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** TPC-H Q10 shape: top customers by returned revenue in a quarter — the
+    * "who is sending things back" triage list.
+    *
+    * Plan: both fact sides pre-filter BEFORE their join (returnflag on
+    * lineitem, the date window on orders — both reach the scans as pushed
+    * predicates); the orders⋈lineitem equi-join is the single fact-fact
+    * shuffle, the per-customer rollup rides the same exchange shape, and
+    * customer/nation broadcast onto the (small) aggregated slice. Top-k is
+    * a value-ordered limit (TakeOrderedAndProject), ties on custkey.
+    */
+  def topReturnedCustomers(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val ret = Tables.lineitem(s, d)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    ord.join(ret, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("rev")), 2).as("ret_revenue"), count(lit(1)).as("n_items"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("ret_revenue"), col("n_items"))
+      .orderBy(col("ret_revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
 }

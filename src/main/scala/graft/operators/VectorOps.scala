@@ -642,4 +642,46 @@ object VectorOps {
         col("dropped_by"))
       .orderBy(col("vec_id"))
   }
+
+  /** Matryoshka-truncation fidelity audit: for each query vector, the
+    * overlap between the brute-force cosine top-k at full dimensionality
+    * and the top-k computed on only the first `prefixDim` dimensions — the
+    * measurement behind "can we serve ANN from truncated (Matryoshka)
+    * embeddings and re-rank with full vectors", i.e. how much recall the
+    * cheap prefix index gives up before the exact re-rank stage
+    * ([[ivfPqTopK]]'s coarse→exact stance, evaluated instead of assumed).
+    *
+    * Plan: the query batch rides ONE broadcast; the corpus is scanned ONCE
+    * computing BOTH similarities per (query, vector) pair in the same
+    * codegen'd pass. Per-query top-k selection is the bounded
+    * [[graft.functions.TopKAgg]] — NOT a q_id-partitioned rank window,
+    * which would sort each query's entire corpus slice on one reducer at
+    * scale; the shuffle carries ≤ 2·k×partitions×|queries| constant-size
+    * rows and the overlap is in-row array arithmetic on two k-element
+    * lists.
+    */
+  def matryoshkaAudit(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 10, prefixDim: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val sims = emb.crossJoin(q).where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim_full"),
+        round(cosine(slice(col("embedding"), 1, prefixDim),
+          slice(col("qv"), 1, prefixDim)), 6).as("sim_pre"))
+    sims.groupBy(col("q_id"))
+      .agg(
+        graft.functions.TopKAgg
+          .topK(lit(""), -col("sim_full"), col("vec_id"), lit(0.0), k).as("tf"),
+        graft.functions.TopKAgg
+          .topK(lit(""), -col("sim_pre"), col("vec_id"), lit(0.0), k).as("tp"))
+      .select(col("q_id"),
+        size(array_intersect(
+          transform(col("tf"), e => e("id")),
+          transform(col("tp"), e => e("id")))).cast("long").as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("n_overlap") / lit(k.toDouble), 4).as("overlap_frac"))
+      .orderBy(col("q_id"))
+  }
 }

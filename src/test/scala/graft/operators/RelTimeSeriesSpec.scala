@@ -71,6 +71,65 @@ class RelTimeSeriesSpec extends SparkSpec {
     assert((both.size + only.size).toLong === b95)
   }
 
+  test("promoRevenueShare: share in [0,100], revenues reconcile per month") {
+    val rows = RelationalOps.promoRevenueShare(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val promo = r.getAs[Double]("promo_revenue")
+      val total = r.getAs[Double]("revenue")
+      val share = r.getAs[Double]("promo_share")
+      assert(promo >= 0 && promo <= total)
+      assert(share >= 0.0 && share <= 100.0)
+      // share is round(·, 4): reconstruction can differ by half an ulp of
+      // the 4th decimal
+      assert(math.abs(share - 100.0 * promo / total) <= 5.001e-5)
+    }
+    // months are distinct and sorted
+    val ms = rows.map(_.getAs[Long]("month_ms")).toSeq
+    assert(ms === ms.sorted && ms.distinct.size === ms.size)
+  }
+
+  test("minCostSupplier: one row per sold part; best_price is the true minimum") {
+    val out = RelationalOps.minCostSupplier(spark, sf0001).collect()
+    val soldParts = Tables.lineitem(spark, sf0001)
+      .select("l_partkey").distinct().count()
+    assert(out.length.toLong === soldParts)
+    assert(out.map(_.getAs[Long]("p_partkey")).distinct.length === out.length)
+    // cross-check a handful of parts against a brute recompute
+    val brute = Tables.lineitem(spark, sf0001)
+      .where(col("l_partkey") <= 10)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") / col("l_quantity"), 6).as("u"))
+      .collect().groupBy(_.getLong(0))
+    out.filter(_.getAs[Long]("p_partkey") <= 10).foreach { r =>
+      val rows = brute(r.getAs[Long]("p_partkey"))
+      val minU = rows.map(_.getDouble(2)).min
+      assert(r.getAs[Double]("best_price") === minU)
+      // deterministic tie-break: smallest suppkey among the minima
+      val winner = rows.filter(_.getDouble(2) == minU).map(_.getLong(1)).min
+      assert(r.getAs[Long]("s_suppkey") === winner)
+    }
+  }
+
+  test("topReturnedCustomers: descending revenue, only R items in window counted") {
+    val out = RelationalOps.topReturnedCustomers(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val revs = out.map(_.getAs[Double]("ret_revenue")).toSeq
+    assert(revs === revs.sorted.reverse)
+    // reconcile the top row against a brute recompute
+    val top = out.head
+    val brute = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_returnflag") === "R" &&
+        col("o_custkey") === top.getAs[Long]("c_custkey") &&
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2))
+      .collect().head.getDouble(0)
+    assert(top.getAs[Double]("ret_revenue") === brute)
+  }
+
   test("priceQuantiles: p50 <= p95 per group") {
     RelationalOps.priceQuantiles(spark, sf0001).collect().foreach { r =>
       assert(r.getAs[Double]("p50") <= r.getAs[Double]("p95"))

