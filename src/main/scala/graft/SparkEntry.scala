@@ -2037,6 +2037,8 @@ object SparkEntry {
     "q_vec_semdedup" -> ((s, d) => VectorOps.semanticDedup(s, d)),
     "q_vec_batch_topk" -> ((s, d) => VectorOps.batchTopK(s, d)),
     "q_vec_matryoshka" -> ((s, d) => VectorOps.matryoshkaAudit(s, d)),
+    "q_vec_pca_component" -> ((s, d) => VectorOps.pcaComponent(s, d)),
+    "q_vec_pca_scores" -> ((s, d) => VectorOps.pcaLabelScores(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _),
@@ -2044,6 +2046,44 @@ object SparkEntry {
     "q_media_resize" -> ((s, d) => MultimodalOps.resizeStub(s, d)))
 
   private def duckCos(v1: String, v2: String): String = duckCosN(v1, v2, 64)
+
+  /** Replays [[graft.operators.VectorOps.trainPca]] as unrolled CTEs (the
+    * k-means twin's trick): nano-quantized mean, then per iteration the
+    * centered dot, micro-quantized per-dimension contribution sums, and a
+    * left-fold normalization — every arithmetic step in the same order as
+    * the Spark side, so the final `v<iters>` list is bit-identical.
+    * Returns the CTE chain (no WITH keyword, no trailing comma); the final
+    * direction is `v<iters>.vv`, the mean is `mv.mv`, centered rows are
+    * `sh(label, sh)`.
+    */
+  private def duckPcaCtes(iters: Int = 3): String = {
+    val dim = 64
+    val msums = (0 until dim).map(i =>
+      s"sum(CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1e9) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val mlist = (0 until dim).map(i => s"(CAST(s$i AS DOUBLE) / n) / 1e9")
+      .mkString("[", ", ", "]")
+    val v0 = List.fill(dim)("0.125").mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb ++= s"stats AS (SELECT count(*) AS n, $msums FROM embeddings),\n"
+    sb ++= s"mv AS (SELECT $mlist AS mv FROM stats),\n"
+    sb ++= s"sh AS (SELECT label, list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST(embedding[i] AS DOUBLE) - mv[i]) AS sh FROM embeddings, mv),\n"
+    sb ++= s"v0 AS (SELECT $v0 AS vv)"
+    for (t <- 1 to iters) {
+      val wsums = (0 until dim).map(i =>
+        s"sum(CAST(round((sh[${i + 1}] * dt) * 1e6) AS BIGINT)) AS w$i").mkString(", ")
+      val wlist = (0 until dim).map(i => s"CAST(w$i AS DOUBLE) / 1e6")
+        .mkString("[", ", ", "]")
+      sb ++= s",\nd$t AS (SELECT sh, list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> sh[i] * vv[i])) AS dt FROM sh, v${t - 1}),\n"
+      sb ++= s"ws$t AS (SELECT $wsums FROM d$t),\n"
+      sb ++= s"w$t AS (SELECT $wlist AS wv FROM ws$t),\n"
+      sb ++= s"v$t AS (SELECT list_transform(wv, x -> x / sqrt(list_sum(" +
+        s"list_transform(range(1, ${dim + 1}), i -> wv[i] * wv[i])))) AS vv FROM w$t)"
+    }
+    sb.toString
+  }
 
   /** Cosine over the first `n` list elements — left-fold accumulation
     * order identical to the native CosineSim expression.
@@ -2295,6 +2335,23 @@ object SparkEntry {
          |SELECT q_id, CAST(coalesce(n_ov, 0) AS BIGINT) AS n_overlap,
          |  round(coalesce(n_ov, 0) / 10.0, 4) AS overlap_frac
          |FROM q LEFT JOIN ov USING (q_id) ORDER BY q_id""".stripMargin,
+    "q_vec_pca_component" ->
+      s"""WITH ${duckPcaCtes(3)}
+         |SELECT CAST(i AS INTEGER) AS dim,
+         |  round(mv[i + 1], 6) AS mean_d,
+         |  round(vv[i + 1], 6) AS loading
+         |FROM range(0, 64) t(i), mv, v3 ORDER BY dim""".stripMargin,
+    "q_vec_pca_scores" ->
+      s"""WITH ${duckPcaCtes(3)},
+         |sc AS (SELECT label,
+         |         CAST(round(list_sum(list_transform(range(1, 65),
+         |           i -> sh[i] * vv[i])) * 1e6) AS BIGINT) AS sq
+         |       FROM sh, v3)
+         |SELECT label, count(*) AS n,
+         |  round((CAST(sum(sq) AS DOUBLE) / count(*)) / 1e6, 6) AS mean_score,
+         |  round(CAST(min(sq) AS DOUBLE) / 1e6, 6) AS min_score,
+         |  round(CAST(max(sq) AS DOUBLE) / 1e6, 6) AS max_score
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
     "q_vec_centroid_norms" -> {
       val dims = (0 until 64)
         .map(i => s"sum(CAST(embedding[${i + 1}] AS DOUBLE)) AS s$i").mkString(",\n  ")

@@ -200,6 +200,45 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  test("trainPca agrees with a plain-Scala power iteration; scores bracket") {
+    val (m, v) = VectorOps.trainPca(spark, sf0001)
+    // the trained direction is unit-norm
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    // replay the exact quantized algorithm single-threaded
+    val rows = graft.Tables.embeddings(spark, sf0001).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = rows.length
+    def q(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val msum = new Array[Long](64)
+    rows.foreach(r => (0 until 64).foreach(i => msum(i) += q(r(i) * 1e9)))
+    val mRef = msum.map(s => s.toDouble / n / 1e9)
+    (0 until 64).foreach(i => assert(math.abs(mRef(i) - m(i)) < 1e-12, s"mean dim $i"))
+    var vr = Array.fill(64)(0.125)
+    for (_ <- 1 to 3) {
+      val ws = new Array[Long](64)
+      rows.foreach { r =>
+        val sh = Array.tabulate(64)(i => r(i) - mRef(i))
+        val dt = (0 until 64).foldLeft(0.0)((a, i) => a + sh(i) * vr(i))
+        (0 until 64).foreach(i => ws(i) += q((sh(i) * dt) * 1e6))
+      }
+      val w = ws.map(_.toDouble / 1e6)
+      val norm = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+      vr = w.map(_ / norm)
+    }
+    // micro-unit quantization can differ by one ulp per row between SQL
+    // round and BigDecimal rounding; 1e-5 still pins 5 decimals of the
+    // direction
+    (0 until 64).foreach(i => assert(math.abs(vr(i) - v(i)) < 1e-5, s"dim $i"))
+    // label scores: mean within [min, max], labels complete
+    val scores = VectorOps.pcaLabelScores(spark, sf0001).collect()
+    assert(scores.length === 10)
+    scores.foreach { r =>
+      assert(r.getAs[Double]("min_score") <= r.getAs[Double]("mean_score"))
+      assert(r.getAs[Double]("mean_score") <= r.getAs[Double]("max_score"))
+    }
+  }
+
   test("matryoshkaAudit: full-dim prefix is a perfect overlap; counts bounded") {
     // prefixDim = 64 makes both rankings identical -> overlap must be k
     val ident = VectorOps.matryoshkaAudit(spark, sf0001, nQueries = 3, k = 5,
