@@ -657,6 +657,7 @@ object SparkEntry {
     "q_ts_purchase_props" -> (TimeSeriesOps.purchaseProps _),
     "q_ts_pivot" -> (TimeSeriesOps.eventTypePivot _),
     "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)),
+    "q_ts_seasonality" -> (TimeSeriesOps.seasonality _),
     "q_ts_funnel" -> (EventAnalyticsOps.funnel _),
     "q_ts_cohort" -> (EventAnalyticsOps.cohortRetention _),
     "q_ts_transitions" -> (EventAnalyticsOps.transitionMatrix _),
@@ -675,6 +676,15 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    "q_ts_seasonality" ->
+      """WITH grid AS (
+        |  SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+        |    CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT iso_dow, sum(n) AS day_n FROM grid GROUP BY 1)
+        |SELECT g.iso_dow, g.hr, g.n,
+        |  round(CAST(g.n AS DOUBLE) / d.day_n, 6) AS day_share
+        |FROM grid g JOIN d USING (iso_dow) ORDER BY iso_dow, hr""".stripMargin,
     // Dense grid from generate_series × distinct types; zero-fill +
     // IGNORE NULLS forward fill mirrors Spark's last(ignoreNulls) window
     "q_ts_hourly_dense" ->
@@ -1047,6 +1057,7 @@ object SparkEntry {
     "q_dedup_containment" -> ((s, d) => DedupOps.containmentPairs(s, d, minCont = 0.6, maxDf = 1000L)),
     "q_dedup_novelty" -> (DedupOps.contentNovelty _),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
+    "q_dedup_sketch_calib" -> (DedupOps.sketchCalibration _),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
@@ -1294,6 +1305,59 @@ object SparkEntry {
         |           AND x.doc_id < y.doc_id)
         |SELECT a, b, est_jaccard FROM cand WHERE est_jaccard >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // composes the minhash replay (est) with the df-capped exact pair
+    // stage (ex) — shared t/shs CTEs — then micro-quantized band rollup
+    "q_dedup_sketch_calib" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |hs AS (SELECT doc_id,
+        |         list_transform(shl,
+        |           sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)
+        |           AS hl
+        |       FROM shs),
+        |sg AS (SELECT doc_id,
+        |         list_transform(range(32), i ->
+        |           list_min(list_transform(hl,
+        |             h -> ((i + 1) * h + i * 7919) % 2147483647))) AS sig
+        |       FROM hs),
+        |banded AS (SELECT doc_id, sig, b AS band,
+        |             md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+        |           FROM sg, (SELECT unnest(range(8)) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |           round(len(list_filter(range(32),
+        |             i -> x.sig[i+1] = y.sig[i+1]))::DOUBLE / 32, 6) AS est_jaccard
+        |         FROM banded x JOIN banded y
+        |           ON x.band = y.band AND x.bucket = y.bucket
+        |           AND x.doc_id < y.doc_id),
+        |est AS (SELECT a, b, est_jaccard FROM cand WHERE est_jaccard >= 0.5),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |ex AS (SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+        |       FROM (
+        |         SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |                count(*) AS inter
+        |         FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |         GROUP BY 1, 2, 3, 4)),
+        |j AS (SELECT CAST(floor(est_jaccard * 10) AS INTEGER) AS band10,
+        |        CAST(round(est_jaccard * 1e6) AS BIGINT) AS eq,
+        |        CAST(round(coalesce(jaccard, 0.0) * 1e6) AS BIGINT) AS xq
+        |      FROM est LEFT JOIN ex USING (a, b)),
+        |g AS (SELECT band10, count(*) AS n_pairs, sum(eq) AS seq, sum(xq) AS sxq,
+        |        sum(abs(eq - xq)) AS serr, max(abs(eq - xq)) AS merr
+        |      FROM j GROUP BY 1)
+        |SELECT round(band10 / 10.0, 1) AS est_band, n_pairs,
+        |  round(CAST(seq AS DOUBLE) / n_pairs / 1e6, 6) AS mean_est,
+        |  round(CAST(sxq AS DOUBLE) / n_pairs / 1e6, 6) AS mean_exact,
+        |  round(CAST(serr AS DOUBLE) / n_pairs / 1e6, 6) AS mean_abs_err,
+        |  round(CAST(merr AS DOUBLE) / 1e6, 6) AS max_abs_err
+        |FROM g ORDER BY est_band""".stripMargin,
     // full SimHash replay: md5-nibble token bits, per-bit majority vote,
     // 16-bit chunk packing and the pigeonhole candidate join — all
     // portable integer/string arithmetic, so the pair set hash-checks

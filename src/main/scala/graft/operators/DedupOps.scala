@@ -706,4 +706,45 @@ object DedupOps {
       .where(col("hamming") <= maxDist)
       .orderBy(col("a"), col("b"))
   }
+
+  /** MinHash-estimate calibration audit: for every LSH candidate pair,
+    * compare the signature-based Jaccard ESTIMATE against the exact
+    * shingle Jaccard, rolled up by estimate band — the table that tells
+    * you whether the sketch's banding/threshold configuration can be
+    * trusted before a corpus-wide dedup commits to it (a band whose
+    * mean_abs_err rivals its width is lying to you).
+    *
+    * Plan: composes the two existing pair pipelines — the banded LSH
+    * candidates ([[minhashLshPairs]]) LEFT-join the exact pair statistics
+    * ([[ngramJaccardPairs]] at threshold 0, same df-capped shingle
+    * index/cache) on the pair key; both sides are already aggregated
+    * pair-tables, so the join is pair-stage bounded and the rollup output
+    * is ≤ 10 bands at any corpus size. Estimates and exact values
+    * quantize to integer micro-units so every derived mean is an exact
+    * integer sum divided once — engine-identical. Candidates whose capped
+    * shingle sets no longer overlap score exact 0 via the left join.
+    */
+  def sketchCalibration(s: SparkSession, d: String): DataFrame = {
+    val est = minhashLshPairs(s, d)
+    val exact = ngramJaccardPairs(s, d, minSim = 0.0, maxDf = 1000L)
+      .select(col("a"), col("b"), col("jaccard"))
+    est.join(exact, Seq("a", "b"), "left")
+      .select(
+        floor(col("est_jaccard") * 10).cast("int").as("band10"),
+        round(col("est_jaccard") * 1e6, 0).cast("long").as("eq"),
+        round(coalesce(col("jaccard"), lit(0.0)) * 1e6, 0).cast("long").as("xq"))
+      .withColumn("errq", abs(col("eq") - col("xq")))
+      .groupBy(col("band10"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("eq")).as("seq"),
+        sum(col("xq")).as("sxq"), sum(col("errq")).as("serr"),
+        max(col("errq")).as("merr"))
+      .select(
+        round(col("band10") / lit(10.0), 1).as("est_band"),
+        col("n_pairs"),
+        round(col("seq").cast("double") / col("n_pairs") / 1e6, 6).as("mean_est"),
+        round(col("sxq").cast("double") / col("n_pairs") / 1e6, 6).as("mean_exact"),
+        round(col("serr").cast("double") / col("n_pairs") / 1e6, 6).as("mean_abs_err"),
+        round(col("merr").cast("double") / 1e6, 6).as("max_abs_err"))
+      .orderBy(col("est_band"))
+  }
 }

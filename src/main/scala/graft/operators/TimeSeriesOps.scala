@@ -298,4 +298,27 @@ object TimeSeriesOps {
         get_json_object(col("props"), "$.k").cast("int").as("k"),
         col("value"))
       .orderBy(col("event_id"))
+
+  /** Weekly seasonality profile: event volume per (ISO weekday, hour of
+    * day) with each cell's share of its day — the traffic-shape fingerprint
+    * capacity planning and anomaly baselining read first ([[anomalies]]
+    * flags deviations from history; this IS the history's shape).
+    *
+    * Plan: the corpus collapses to the 7×24 contingency grid in ONE
+    * rollup (map-side partials; the key space is 168 cells at any scale);
+    * day totals are a 7-row rollup OF THE GRID, broadcast back. Counts
+    * are exact integers, the share is one double division rounded — no
+    * order-dependent float accumulation anywhere.
+    */
+  def seasonality(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.events(s, d)
+      .select((weekday(col("ts")) + lit(1)).as("iso_dow"), hour(col("ts")).as("hr"))
+      .groupBy(col("iso_dow"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val dayTotals = grid.groupBy(col("iso_dow")).agg(sum(col("n")).as("day_n"))
+    grid.join(broadcast(dayTotals), Seq("iso_dow"))
+      .select(col("iso_dow"), col("hr"), col("n"),
+        round(col("n").cast("double") / col("day_n"), 6).as("day_share"))
+      .orderBy(col("iso_dow"), col("hr"))
+  }
 }

@@ -130,6 +130,18 @@ class RelTimeSeriesSpec extends SparkSpec {
     assert(top.getAs[Double]("ret_revenue") === brute)
   }
 
+  test("seasonality: day shares sum to 1 per weekday, counts to the corpus") {
+    val rows = TimeSeriesOps.seasonality(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables.events(spark, sf0001).count())
+    rows.groupBy(_.getAs[Int]("iso_dow")).foreach { case (dow, cells) =>
+      assert(dow >= 1 && dow <= 7)
+      val share = cells.map(_.getAs[Double]("day_share")).sum
+      assert(math.abs(share - 1.0) < 1e-4, s"dow $dow shares sum to $share")
+      cells.foreach(c => assert(c.getAs[Int]("hr") >= 0 && c.getAs[Int]("hr") <= 23))
+    }
+  }
+
   test("priceQuantiles: p50 <= p95 per group") {
     RelationalOps.priceQuantiles(spark, sf0001).collect().foreach { r =>
       assert(r.getAs[Double]("p50") <= r.getAs[Double]("p95"))

@@ -200,6 +200,23 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  test("sketchCalibration: bands cover the LSH pairs, errors bounded by band math") {
+    val pairs = DedupOps.minhashLshPairs(spark, sf0001).count()
+    val cal = DedupOps.sketchCalibration(spark, sf0001).collect()
+    assert(cal.nonEmpty)
+    // every candidate pair lands in exactly one band
+    assert(cal.map(_.getAs[Long]("n_pairs")).sum === pairs)
+    cal.foreach { r =>
+      val band = r.getAs[Double]("est_band")
+      assert(band >= 0.5 && band <= 1.0) // candidates pass the 0.5 estimate gate
+      val me = r.getAs[Double]("mean_est")
+      assert(me >= band - 1e-9 && me < band + 0.1 + 1e-9,
+        s"mean_est $me outside its band $band")
+      assert(r.getAs[Double]("mean_abs_err") <= r.getAs[Double]("max_abs_err") + 1e-9)
+      assert(r.getAs[Double]("mean_exact") >= 0.0 && r.getAs[Double]("mean_exact") <= 1.0)
+    }
+  }
+
   test("trainPca agrees with a plain-Scala power iteration; scores bracket") {
     val (m, v) = VectorOps.trainPca(spark, sf0001)
     // the trained direction is unit-norm
