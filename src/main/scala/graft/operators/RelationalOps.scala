@@ -757,21 +757,24 @@ object RelationalOps {
     * price relation lives in lineitem): the cheapest supplier per part by
     * observed unit price, with the supplier's nation/region denormalized.
     *
-    * Plan: the fact table first collapses to (part, supplier) minima —
-    * aggregate-BEFORE-join, so the argmin and every dimension join see at
-    * most |parts|×|suppliers| rows, never lineitem. The per-part argmin is
-    * `min(struct(price, suppkey))` — lexicographic struct ordering makes
-    * the tie-break deterministic where a bare min + join-back would not be
-    * ([[topCustomerPerNation]] stance). Dimensions broadcast.
+    * Plan: ONE aggregation — `min(struct(price, suppkey))` per part over
+    * raw lineitem. The lexicographic struct min over all of a part's rows
+    * equals the two-stage per-supplier-then-global form (smallest price,
+    * ties to the smallest suppkey), but partial aggregation map-side
+    * combines it in the same pass, so the fact table crosses ONE
+    * part-keyed exchange carrying a 2-field struct (a pre-rollup to
+    * (part, supplier) minima first was measured at 2 exchanges / ~2× the
+    * time for identical results). Tie-break is deterministic where a bare
+    * min + join-back would not be ([[topCustomerPerNation]] stance).
+    * Dimensions broadcast.
     */
   def minCostSupplier(s: SparkSession, d: String): DataFrame = {
     val best = Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_suppkey"),
-        round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_price"))
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("unit_price")).as("pair_best"))
+      .select(col("l_partkey"),
+        struct(round(col("l_extendedprice") / col("l_quantity"), 6).as("pair_best"),
+          col("l_suppkey")).as("cand"))
       .groupBy(col("l_partkey"))
-      .agg(min(struct(col("pair_best"), col("l_suppkey"))).as("m"))
+      .agg(min(col("cand")).as("m"))
       .select(col("l_partkey"),
         col("m.pair_best").as("best_price"), col("m.l_suppkey").as("s_suppkey"))
     best
