@@ -2103,6 +2103,10 @@ object SparkEntry {
     "q_vec_matryoshka" -> ((s, d) => VectorOps.matryoshkaAudit(s, d)),
     "q_vec_pca_component" -> ((s, d) => VectorOps.pcaComponent(s, d)),
     "q_vec_pca_scores" -> ((s, d) => VectorOps.pcaLabelScores(s, d)),
+    "q_vec_logreg_model" -> ((s, d) => VectorOps.logRegModel(s, d)),
+    "q_vec_logreg_eval" -> ((s, d) => VectorOps.logRegEval(s, d)),
+    "q_vec_ivf_recall" -> ((s, d) => VectorOps.ivfRecallAudit(s, d)),
+    "q_vec_sim_pagerank" -> ((s, d) => VectorOps.simGraphPageRank(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _),
@@ -2145,6 +2149,42 @@ object SparkEntry {
       sb ++= s"w$t AS (SELECT $wlist AS wv FROM ws$t),\n"
       sb ++= s"v$t AS (SELECT list_transform(wv, x -> x / sqrt(list_sum(" +
         s"list_transform(range(1, ${dim + 1}), i -> wv[i] * wv[i])))) AS vv FROM w$t)"
+    }
+    sb.toString
+  }
+
+  /** Replays [[graft.operators.VectorOps.trainLogReg]] as unrolled CTEs
+    * (the PCA twin's trick): per iteration the current-weight dot + the
+    * rational fast-sigmoid error, micro-quantized per-dimension gradient
+    * sums, and the literal update expression w − lr·(G/1e6)/n — every
+    * arithmetic step in the same order as the Spark side, so the final
+    * `w<iters>` (wv, bias) is bit-identical. Returns the CTE chain (no
+    * WITH keyword, no trailing comma); rows are `ed(y, v)`.
+    */
+  private def duckLogRegCtes(iters: Int = 3): String = {
+    val dim = 64
+    val v0 = List.fill(dim)("0.0").mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb ++= "ed AS (SELECT CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+    sb ++= "nn AS (SELECT count(*) AS n FROM ed),\n"
+    sb ++= s"w0 AS (SELECT $v0 AS wv, 0.0 AS bias)"
+    for (t <- 1 to iters) {
+      val gsums = (0 until dim).map(i =>
+        s"sum(CAST(round((err * v[${i + 1}]) * 1e6) AS BIGINT)) AS g$i")
+        .mkString(", ") +
+        ", sum(CAST(round(err * 1e6) AS BIGINT)) AS gb"
+      val wlist = (0 until dim).map(i =>
+        s"wv[${i + 1}] - 0.5 * ((CAST(g$i AS DOUBLE) / 1e6) / n)")
+        .mkString("[", ", ", "]")
+      sb ++= s",\nz$t AS (SELECT y, v, list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> v[i] * wv[i])) + bias AS z FROM ed, w${t - 1}),\n"
+      sb ++= s"e$t AS (SELECT v, (0.5 * (1.0 + z / (1.0 + abs(z))) - y) AS err " +
+        s"FROM z$t),\n"
+      sb ++= s"gs$t AS (SELECT $gsums FROM e$t),\n"
+      sb ++= s"w$t AS (SELECT $wlist AS wv, " +
+        s"bias - 0.5 * ((CAST(gb AS DOUBLE) / 1e6) / n) AS bias " +
+        s"FROM w${t - 1}, gs$t, nn)"
     }
     sb.toString
   }
@@ -2405,6 +2445,98 @@ object SparkEntry {
          |  round(mv[i + 1], 6) AS mean_d,
          |  round(vv[i + 1], 6) AS loading
          |FROM range(0, 64) t(i), mv, v3 ORDER BY dim""".stripMargin,
+    "q_vec_logreg_model" ->
+      s"""WITH ${duckLogRegCtes(3)}
+         |SELECT CAST(i AS INTEGER) AS dim,
+         |  round(CASE WHEN i = 64 THEN bias ELSE wv[i + 1] END, 6) AS weight
+         |FROM range(0, 65) t(i), w3 ORDER BY dim""".stripMargin,
+    "q_vec_logreg_eval" ->
+      s"""WITH ${duckLogRegCtes(3)},
+         |sc AS (SELECT label,
+         |         CAST(round((0.5 * (1.0 + z / (1.0 + abs(z)))) * 1e6) AS BIGINT)
+         |           AS pq
+         |       FROM (SELECT label, list_sum(list_transform(range(1, 65),
+         |               i -> CAST(embedding[i] AS DOUBLE) * wv[i])) + bias AS z
+         |             FROM embeddings, w3))
+         |SELECT label, count(*) AS n,
+         |  CAST(sum(CASE WHEN pq >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pred_pos,
+         |  round((CAST(sum(pq) AS DOUBLE) / count(*)) / 1e6, 6) AS mean_p
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+    "q_vec_sim_pagerank" -> {
+      val iters = 5
+      val sb = new StringBuilder
+      sb ++= s"""WITH cells AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+        |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell
+        |  FROM embeddings),
+        |prp AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.vec_id AS a, y.vec_id AS b,
+        |      round(${duckCos("x.embedding", "y.embedding")}, 6) AS cos_sim
+        |    FROM cells x JOIN cells y
+        |      ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |  WHERE cos_sim >= 0.4),
+        |edges AS (SELECT a AS src, b AS dst FROM prp
+        |          UNION ALL SELECT b AS src, a AS dst FROM prp),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+        |nodes AS (SELECT vec_id FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |p0 AS (SELECT vec_id, CAST(round(1e9 / n) AS BIGINT) AS pq
+        |       FROM nodes, nn)""".stripMargin
+      for (t <- 1 to iters) {
+        sb ++= s""",
+          |c$t AS (SELECT ed.dst, sum(p.pq // ed.deg) AS sc
+          |        FROM ed JOIN p${t - 1} p ON ed.src = p.vec_id GROUP BY 1),
+          |p$t AS (SELECT nodes.vec_id,
+          |          CAST(round(0.15 * 1e9 / nn.n) AS BIGINT)
+          |          + CAST(round(coalesce(c.sc, 0) * 0.85) AS BIGINT) AS pq
+          |        FROM nodes CROSS JOIN nn
+          |        LEFT JOIN c$t c ON nodes.vec_id = c.dst)""".stripMargin
+      }
+      sb ++= s"""
+        |SELECT p.vec_id, round(CAST(p.pq AS DOUBLE) / 1e9, 6) AS pagerank,
+        |  coalesce(d.deg, 0) AS n_neighbors
+        |FROM p$iters p LEFT JOIN deg d ON p.vec_id = d.src
+        |ORDER BY p.vec_id""".stripMargin
+      sb.toString
+    },
+    "q_vec_ivf_recall" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+         |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv, cell AS qcell
+         |      FROM cells WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    round(${duckCos("c.embedding", "qv")}, 6) AS sim,
+         |    c.cell = q.qcell AS in_cell
+         |  FROM cells c, q WHERE c.vec_id <> q.q_id),
+         |rf AS (SELECT q_id, vec_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |       FROM sims),
+         |ri AS (SELECT q_id, vec_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |       FROM sims WHERE in_cell),
+         |nc AS (SELECT q_id, count(*) FILTER (WHERE in_cell) AS n_cc
+         |       FROM sims GROUP BY 1),
+         |ov AS (
+         |  SELECT fa.q_id, count(*) AS n_ov
+         |  FROM (SELECT q_id, vec_id FROM rf WHERE rn <= 10) fa
+         |  JOIN (SELECT q_id, vec_id FROM ri WHERE rn <= 10) pa
+         |    USING (q_id, vec_id)
+         |  GROUP BY 1)
+         |SELECT q.q_id, CAST(coalesce(nc.n_cc, 0) AS BIGINT) AS n_cell_cands,
+         |  CAST(coalesce(ov.n_ov, 0) AS BIGINT) AS n_overlap,
+         |  round(coalesce(ov.n_ov, 0) / 10.0, 4) AS recall_at_k
+         |FROM q LEFT JOIN nc USING (q_id) LEFT JOIN ov USING (q_id)
+         |ORDER BY q_id""".stripMargin,
     "q_vec_pca_scores" ->
       s"""WITH ${duckPcaCtes(3)},
          |sc AS (SELECT label,

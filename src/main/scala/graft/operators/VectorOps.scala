@@ -739,6 +739,210 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** PageRank over the embedding near-duplicate graph: centrality of each
+    * vector in the cosine-similarity graph of [[nearDupPairsLsh]] — the
+    * "which documents sit at the center of a duplication/template
+    * neighborhood" signal a curation pipeline uses to pick canonical
+    * representatives and to down-weight viral boilerplate (a high-rank
+    * node is near-duplicated BY many well-connected nodes, which plain
+    * degree can't see).
+    *
+    * Scale shape: per iteration ONE edge-sized shuffle — the
+    * contribution join fans each edge out once and the rank rollup
+    * groups by destination; rank state stays DISTRIBUTED (a nodes-sized
+    * frame, never collected — unlike the model-sized [[trainPca]] state,
+    * per-node state must live in the cluster). Degrees join once before
+    * the loop and ride along. Deterministic AND portable: ranks live as
+    * integer nano-unit longs, per-edge contributions are integral
+    * division pq div deg (exact on both engines), and the damping update
+    * base + round(0.85·Σ) re-quantizes each iteration — so every
+    * iteration is bit-identical and the DuckDB oracle replays the loop
+    * as unrolled CTEs. No dangling-mass redistribution (isolated nodes
+    * hold the teleport base) — same convention both sides.
+    */
+  def simGraphPageRank(s: SparkSession, d: String, iters: Int = 5,
+      minSim: Double = 0.4, bits: Int = 4): DataFrame = {
+    val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+    val pairs = nearDupPairsLsh(s, d, minSim, bits).select(col("a"), col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src")
+    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val baseQ = round(lit(0.15) * lit(1e9) / col("n"), 0).cast("long")
+    var pr = nodes.crossJoin(nn)
+      .select(col("vec_id"), round(lit(1e9) / col("n"), 0).cast("long").as("pq"))
+    var it = 0
+    while (it < iters) {
+      val contribs = ed.join(pr, ed("src") === pr("vec_id"))
+        .select(col("dst"), expr("pq div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      pr = nodes.crossJoin(nn)
+        .join(contribs, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"),
+          (baseQ + round(coalesce(col("sc"), lit(0L)) * lit(0.85), 0).cast("long"))
+            .as("pq"))
+      it += 1
+    }
+    pr.join(deg, pr("vec_id") === deg("src"), "left")
+      .select(col("vec_id"),
+        round(col("pq").cast("double") / lit(1e9), 6).as("pagerank"),
+        coalesce(col("deg"), lit(0L)).as("n_neighbors"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---- Logistic-regression label classifier (full-batch GD) -----------
+
+  private val logRegCache = new graft.SessionCache[(Array[Double], Double)]
+
+  /** Trained binary classifier over the embedding corpus: full-batch
+    * gradient descent on weights + bias for the target `label < 5` (a
+    * balanced split of the fixture's 10 labels) — the "learned quality
+    * filter" shape of an LLM data pipeline, where a linear probe over
+    * frozen embeddings gates documents into the training mix.
+    *
+    * Scale shape (the [[trainPca]] / [[trainKmeans]] stance): each
+    * iteration is ONE distributed pass — the dot against the current
+    * weights is a codegen'd HOF per row (the model rides the plan as a
+    * dim-sized literal, no join), and the only shuffle is the gradient
+    * rollup of quantized partials (≤ (dim+1) × partitions rows). Driver
+    * state is the (dim+1)-sized model.
+    *
+    * Deterministic AND portable: the link is the rational "fast sigmoid"
+    * σ̃(z) = 0.5·(1 + z/(1+|z|)) — only +,·,/,| | so every engine computes
+    * bit-identical IEEE doubles (exp() carries no cross-engine
+    * correct-rounding guarantee, so the classic logistic link would make
+    * the twin flaky at rounding boundaries); per-row gradient
+    * contributions quantize to integer micro-units BEFORE summation
+    * (order-independent long addition), and the weight update
+    * w −= lr·(G/1e6)/n is the same literal expression tree on both
+    * sides. The DuckDB oracle replays the entire training loop as
+    * unrolled CTEs — a hash match on [[logRegModel]] certifies every
+    * iteration. Returns (weights, bias).
+    */
+  def trainLogReg(s: SparkSession, d: String, iters: Int = 3,
+      lr: Double = 0.5): (Array[Double], Double) =
+    logRegCache.getOrElseUpdate(s, s"$d#$iters#$lr") { (ss, _) =>
+      val dim = 64
+      val emb = Tables.embeddings(ss, d)
+      var w = Array.fill(dim)(0.0)
+      var b = 0.0
+      var it = 0
+      while (it < iters) {
+        val z = aggregate(
+          zip_with(asD(col("embedding")), typedLit(w.toSeq), (x, ww) => x * ww),
+          lit(0.0), (acc, x) => acc + x) + lit(b)
+        val y = when(col("label") < 5, lit(1.0)).otherwise(lit(0.0))
+        val grads = emb
+          .select(asD(col("embedding")).as("v"), y.as("y"), z.as("z"))
+          .select(col("v"),
+            (lit(0.5) * (lit(1.0) + col("z") / (lit(1.0) + abs(col("z")))) -
+              col("y")).as("err"))
+          .select(posexplode(concat(
+            transform(col("v"),
+              e => round((col("err") * e) * lit(1e6), 0).cast("long")),
+            array(round(col("err") * lit(1e6), 0).cast("long")))))
+          .toDF("dim", "c")
+          .groupBy(col("dim"))
+          .agg(sum(col("c")).as("g"), count(lit(1)).as("n"))
+          .collect()
+        val n = grads.head.getLong(2)
+        grads.foreach { r =>
+          val i = r.getInt(0)
+          val upd = lr * ((r.getLong(1).toDouble / 1e6) / n)
+          if (i == dim) b -= upd else w(i) -= upd
+        }
+        it += 1
+      }
+      (w, b)
+    }
+
+  /** The trained classifier as a table: (dim, weight) with dim = 64
+    * holding the bias — the model dump a data-curation pipeline versions
+    * alongside its corpus snapshots. The oracle twin re-derives every
+    * value by replaying the training loop in SQL, so a hash match
+    * certifies the full gradient-descent iteration, not just the shape.
+    */
+  def logRegModel(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val (w, b) = trainLogReg(s, d, iters)
+    s.range(0, 65)
+      .select(col("id").cast("int").as("dim"))
+      .select(col("dim"),
+        round(when(col("dim") === 64, lit(b))
+          .otherwise(element_at(typedLit(w.toSeq), col("dim") + 1)), 6)
+          .as("weight"))
+      .orderBy(col("dim"))
+  }
+
+  /** Per-label eval of the trained classifier: score distribution and
+    * positive-prediction counts — "does the probe actually separate the
+    * target slice" before anyone trusts it as a corpus gate.
+    *
+    * One scan: the score is a per-row codegen'd HOF against the trained
+    * literal; scores quantize to micro-unit longs so the |labels|-row
+    * rollup is exact-integer, and the p ≥ 0.5 decision compares the
+    * QUANTIZED long (pq ≥ 500000) — no float threshold ambiguity.
+    */
+  def logRegEval(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val (w, b) = trainLogReg(s, d, iters)
+    val z = aggregate(
+      zip_with(asD(col("embedding")), typedLit(w.toSeq), (x, ww) => x * ww),
+      lit(0.0), (acc, x) => acc + x) + lit(b)
+    val p = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+    Tables.embeddings(s, d)
+      .select(col("label"), round(p * lit(1e6), 0).cast("long").as("pq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pq") >= 500000L, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(col("pq")).as("psum"))
+      .select(col("label"), col("n"), col("n_pred_pos"),
+        round((col("psum").cast("double") / col("n")) / lit(1e6), 6).as("mean_p"))
+      .orderBy(col("label"))
+  }
+
+  /** IVF index fidelity audit: for each query vector, recall@k of the
+    * cell-pruned [[ivfTopK]] candidate set against the brute-force
+    * cosine top-k — the measurement that decides how many probes the
+    * serving index needs before the exact re-rank stage.
+    *
+    * Plan: the query batch rides ONE broadcast and the corpus is scanned
+    * ONCE; both rankings come from the same (query, vector) similarity
+    * rows via two bounded [[graft.functions.TopKAgg]] aggregations (the
+    * IVF side pushes out-of-cell rows below any real candidate with a
+    * sentinel sort key and drops them in-row afterwards — no second
+    * scan, no rank window). The shuffle carries ≤ 2·k×partitions×|queries|
+    * constant-size rows; recall is in-row array arithmetic.
+    */
+  def ivfRecallAudit(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 10, bits: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), cell(col("embedding"), bits).as("cell"))
+    val q = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("cell").as("qcell")))
+    val sims = emb.crossJoin(q).where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"),
+        (col("cell") === col("qcell")).as("in_cell"))
+    sims.groupBy(col("q_id"))
+      .agg(
+        sum(when(col("in_cell"), 1L).otherwise(0L)).as("n_cell_cands"),
+        graft.functions.TopKAgg
+          .topK(lit(""), -col("sim"), col("vec_id"), lit(0.0), k).as("tf"),
+        graft.functions.TopKAgg
+          .topK(lit(""), when(col("in_cell"), -col("sim")).otherwise(lit(1e9)),
+            col("vec_id"), when(col("in_cell"), lit(1.0)).otherwise(lit(0.0)), k)
+          .as("ti"))
+      .select(col("q_id"), col("n_cell_cands"),
+        size(array_intersect(
+          transform(col("tf"), e => e("id")),
+          transform(filter(col("ti"), e => e("p") === 1.0), e => e("id"))))
+          .cast("long").as("n_overlap"))
+      .select(col("q_id"), col("n_cell_cands"), col("n_overlap"),
+        round(col("n_overlap") / lit(k.toDouble), 4).as("recall_at_k"))
+      .orderBy(col("q_id"))
+  }
+
   /** Matryoshka-truncation fidelity audit: for each query vector, the
     * overlap between the brute-force cosine top-k at full dimensionality
     * and the top-k computed on only the first `prefixDim` dimensions — the

@@ -256,6 +256,105 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  test("trainLogReg agrees with a plain-Scala GD replay; eval separates") {
+    val (w, b) = VectorOps.trainLogReg(spark, sf0001)
+    // replay the exact quantized algorithm single-threaded
+    val rows = graft.Tables.embeddings(spark, sf0001)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val n = rows.length
+    def q(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    var wr = Array.fill(64)(0.0)
+    var br = 0.0
+    for (_ <- 1 to 3) {
+      val gs = new Array[Long](65)
+      rows.foreach { case (label, v) =>
+        val y = if (label < 5) 1.0 else 0.0
+        val z = (0 until 64).foldLeft(0.0)((a, i) => a + v(i) * wr(i)) + br
+        val err = 0.5 * (1.0 + z / (1.0 + math.abs(z))) - y
+        (0 until 64).foreach(i => gs(i) += q((err * v(i)) * 1e6))
+        gs(64) += q(err * 1e6)
+      }
+      wr = Array.tabulate(64)(i => wr(i) - 0.5 * ((gs(i).toDouble / 1e6) / n))
+      br -= 0.5 * ((gs(64).toDouble / 1e6) / n)
+    }
+    // micro-unit quantization can differ by one ulp per row between SQL
+    // round and BigDecimal rounding; 1e-5 still pins 5 decimals
+    (0 until 64).foreach(i => assert(math.abs(wr(i) - w(i)) < 1e-5, s"dim $i"))
+    assert(math.abs(br - b) < 1e-5)
+    // eval: the probe must separate the target slice — mean p for the
+    // positive labels (< 5) strictly above the negative labels' mean
+    val ev = VectorOps.logRegEval(spark, sf0001).collect()
+    assert(ev.length === 10)
+    val pos = ev.filter(_.getAs[Int]("label") < 5).map(_.getAs[Double]("mean_p"))
+    val neg = ev.filter(_.getAs[Int]("label") >= 5).map(_.getAs[Double]("mean_p"))
+    assert(pos.min > neg.max,
+      s"probe does not separate: pos=${pos.toSeq} neg=${neg.toSeq}")
+    // model table shape: 64 weights + bias row
+    val model = VectorOps.logRegModel(spark, sf0001).collect()
+    assert(model.length === 65)
+    assert(math.abs(model(64).getAs[Double]("weight") - b) < 1.1e-6)
+  }
+
+  test("simGraphPageRank agrees with a plain-Scala replay; invariants hold") {
+    val got = VectorOps.simGraphPageRank(spark, sf0001).collect()
+    val pairs = VectorOps.nearDupPairsLsh(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val nodes = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0))
+    val n = nodes.length
+    assert(got.length === n)
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    def rq(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    var pq = nodes.map(v => v -> rq(1e9 / n)).toMap
+    for (_ <- 1 to 5) {
+      val sc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => sc(d0) += pq(s0) / deg(s0) }
+      pq = nodes.map(v =>
+        v -> (rq(0.15 * 1e9 / n) + rq(sc(v) * 0.85))).toMap
+    }
+    got.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      assert(math.abs(r.getAs[Double]("pagerank") - pq(v) / 1e9) < 2e-6,
+        s"node $v")
+      assert(r.getAs[Long]("n_neighbors") === deg.getOrElse(v, 0L), s"deg $v")
+    }
+    // isolated nodes hold exactly the teleport base; connected nodes more
+    val base = rq(0.15 * 1e9 / n) / 1e9
+    got.filter(_.getAs[Long]("n_neighbors") == 0L).foreach { r =>
+      assert(math.abs(r.getAs[Double]("pagerank") - base) < 2e-6)
+    }
+    // mass is conserved up to the teleport floor (no dangling recycle):
+    // total in (0.15, 1] — quantization slack
+    val total = got.map(_.getAs[Double]("pagerank")).sum
+    assert(total > 0.15 && total <= 1.0 + 1e-3, s"total mass $total")
+  }
+
+  test("ivfRecallAudit: k >= corpus makes overlap exact; invariants hold") {
+    // with k >= every candidate, the exact list holds ALL vectors and the
+    // IVF list holds exactly the in-cell ones -> overlap == n_cell_cands
+    val nVec = graft.Tables.embeddings(spark, sf0001).count()
+    val wide = VectorOps.ivfRecallAudit(spark, sf0001, nQueries = 2,
+      k = nVec.toInt + 10).collect()
+    wide.foreach { r =>
+      assert(r.getAs[Long]("n_overlap") === r.getAs[Long]("n_cell_cands"))
+    }
+    // standard audit: recall consistent, bounded, all queries present
+    val audit = VectorOps.ivfRecallAudit(spark, sf0001, nQueries = 4, k = 5)
+      .collect()
+    assert(audit.map(_.getAs[Long]("q_id")).toSeq === Seq(0L, 1L, 2L, 3L))
+    audit.foreach { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0L && ov <= 5L)
+      assert(ov <= r.getAs[Long]("n_cell_cands"))
+      assert(math.abs(r.getAs[Double]("recall_at_k") - ov / 5.0) < 1e-9)
+    }
+  }
+
   test("matryoshkaAudit: full-dim prefix is a perfect overlap; counts bounded") {
     // prefixDim = 64 makes both rankings identical -> overlap must be k
     val ident = VectorOps.matryoshkaAudit(spark, sf0001, nQueries = 3, k = 5,
