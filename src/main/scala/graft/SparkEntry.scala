@@ -462,6 +462,103 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY ret_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_rel_q4_late" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_rel_q5_region" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_rel_q7_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |  CAST((sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0)
+        |                 AS BIGINT)) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_rel_q8_share" ->
+      """WITH v AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |              THEN l_extendedprice * (1.0 - l_discount)
+        |              ELSE 0.0 END), 2) AS nation_revenue,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'
+        |  GROUP BY 1)
+        |SELECT yr, nation_revenue, total_revenue,
+        |  round(100.0 * nation_revenue / total_revenue, 4) AS mkt_share
+        |FROM v ORDER BY yr""".stripMargin,
+    "q_rel_q9_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)
+        |            - 0.5 * p_retailprice * l_quantity), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rel_q15_topsupp" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_rel_q17_smallqty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |a AS (SELECT l_partkey AS ak, round(avg(l_quantity), 6) AS avg_qty
+        |      FROM li GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM li JOIN a ON l_partkey = ak
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q_rel_q19_bands" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_rel_q12_priority" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1073,6 +1170,14 @@ object SparkEntry {
     "q_rel_q10_returns" -> ((s, d) => RelationalOps.topReturnedCustomers(s, d)),
     "q_rel_q12_priority" -> (RelationalOps.shipmodePriority _),
     "q_rel_q22_idle_rich" -> (RelationalOps.idleRichCustomers _),
+    "q_rel_q4_late" -> (RelationalOps.latePriorityOrders _),
+    "q_rel_q5_region" -> ((s, d) => RelationalOps.regionalSupplierVolume(s, d)),
+    "q_rel_q7_trade" -> (RelationalOps.nationTradeVolume _),
+    "q_rel_q8_share" -> ((s, d) => RelationalOps.nationMarketShare(s, d)),
+    "q_rel_q9_profit" -> ((s, d) => RelationalOps.productFamilyProfit(s, d)),
+    "q_rel_q15_topsupp" -> (RelationalOps.topSupplierByRevenue _),
+    "q_rel_q17_smallqty" -> ((s, d) => RelationalOps.smallQuantityRevenue(s, d)),
+    "q_rel_q19_bands" -> (RelationalOps.disjunctiveBandRevenue _),
     "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
     "q_rel_outliers" -> (RelationalOps.outlierAudit _),
     "q_rel_grouping_sets" -> (RelationalOps.groupingSetsReturns _),

@@ -819,4 +819,266 @@ object RelationalOps {
       .orderBy(col("ret_revenue").desc, col("c_custkey"))
       .limit(k)
   }
+
+  private def ts(day: String) = lit(java.sql.Timestamp.valueOf(s"$day 00:00:00"))
+
+  /** TPC-H Q5 shape: revenue that stayed inside one region — customer and
+    * supplier share a nation, the nation sits in the target region, orders
+    * fall in one year.
+    *
+    * Plan: the region/nation filter collapses supplier to a slim broadcast
+    * BEFORE the fact scan, so ~(1 - 1/|regions|) of lineitem is dropped by
+    * the first (broadcast) join and never crosses an exchange. The only
+    * shuffles are the two fact-side equi-joins (lineitem⋈orders on
+    * orderkey, then ⋈customer on custkey — AQE may broadcast the shrunken
+    * right sides at runtime); the same-nation predicate is a post-join
+    * filter on two int columns. Final rollup key space is |nations|.
+    */
+  def regionalSupplierVolume(s: SparkSession, d: String,
+      region: String = "ASIA"): DataFrame = {
+    val supInRegion = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === region)
+      .select(col("s_suppkey"), col("s_nationkey").as("sup_nk"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(supInRegion), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_nationkey") === col("sup_nk"))
+      .groupBy(col("n_name"))
+      .agg(r2(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q7 shape: cross-border trade volume — (supplier nation, customer
+    * nation, ship year) revenue for all distinct nation pairs.
+    *
+    * Plan: supplier⋈nation is a broadcast stitched onto the lineitem scan
+    * (year window pushed to the scan); orders carries custkey across the
+    * one orderkey shuffle; customer⋈nation resolves the other endpoint.
+    * The inequality (different nations) is a cheap post-join filter; the
+    * rollup key space is |nations|² × 2 years, so partials collapse
+    * map-side regardless of fact size.
+    *
+    * Determinism: with ~600+ distinct group cells the double sum lands on
+    * a .xx5 cent boundary for SOME cell at SOME scale (observed at
+    * sf0.01), so per-row revenue quantizes to integer 10⁻⁴-units and the
+    * group sum is an exact long ([[graft.operators.DedupOps]]
+    * sketchCalibration stance) — order-independent on both engines.
+    */
+  def nationTradeVolume(s: SparkSession, d: String): DataFrame = {
+    val supNation = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custNation = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("yr"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e4, 0)
+          .cast("long").as("rev_q"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      // half-up to cents in pure long arithmetic (rev is never negative):
+      // a double division + round() here crosses engines' rounding modes
+      // at exact half-cents — observed at sf0.01.
+      .agg((((sum(col("rev_q")) + lit(50L)).cast("long") / lit(100L))
+        .cast("long").cast("double") / 100.0).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+  }
+
+  /** TPC-H Q8 shape: one supplier nation's market share, per order year,
+    * of all revenue delivered to customers in one region.
+    *
+    * Plan: the customer side is pre-filtered to the region via two
+    * broadcast dims before touching facts; the supplier nation flag rides
+    * the lineitem scan as a broadcast int→bool map. Numerator and
+    * denominator come out of the SAME per-year rollup (CASE inside SUM),
+    * so the fact table is read once and crosses one orderkey shuffle +
+    * one |years|-key rollup. Share derives from the two rounded sums —
+    * deterministic across engines ([[promoRevenueShare]] stance).
+    */
+  def nationMarketShare(s: SparkSession, d: String,
+      region: String = "AMERICA", nation: String = "NATION_3"): DataFrame = {
+    val custInRegion = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === region)
+      .select(col("c_custkey"))
+    val supFlag = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === nation).as("is_target"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .join(custInRegion, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("yr"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(supFlag), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("yr"))
+      .agg(
+        r2(sum(when(col("is_target"), col("rev")).otherwise(lit(0.0))))
+          .as("nation_revenue"),
+        r2(sum(col("rev"))).as("total_revenue"))
+      .select(col("yr"), col("nation_revenue"), col("total_revenue"),
+        r4(lit(100.0) * col("nation_revenue") / col("total_revenue"))
+          .as("mkt_share"))
+      .orderBy(col("yr"))
+  }
+
+  /** TPC-H Q9 shape (fixture-adapted: no partsupp → supply cost proxied as
+    * half the part's retail price): profit on one product family by
+    * supplier nation and ship year.
+    *
+    * Plan: the p_name predicate prunes part BEFORE broadcast, so the first
+    * join drops all non-matching lineitem rows scan-side; supplier/nation
+    * broadcast onto the survivors; single rollup over |nations|×|years|
+    * keys. Zero fact-fact shuffles — the whole query is broadcast joins +
+    * one partial-agg exchange.
+    */
+  def productFamilyProfit(s: SparkSession, d: String,
+      family: String = "gear"): DataFrame = {
+    val fam = Tables.part(s, d)
+      .where(col("p_name").contains(family))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supNation = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        year(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(fam), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("yr"))
+      .agg(r2(sum(col("rev") - lit(0.5) * col("p_retailprice") * col("l_quantity")))
+        .as("profit"))
+      .orderBy(col("n_name"), col("yr"))
+  }
+
+  /** TPC-H Q15 shape: the top supplier(s) by revenue in one quarter —
+    * all suppliers tied at the maximum, not an arbitrary one.
+    *
+    * Plan: the quarter window is pushed to the lineitem scan; revenue per
+    * supplier is one partial-agg shuffle on suppkey; the global max is a
+    * 1-row broadcast cross-joined back (no single-partition window, no
+    * driver collect). Supplier names broadcast onto the ≤handful of
+    * surviving rows.
+    */
+  def topSupplierByRevenue(s: SparkSession, d: String): DataFrame = {
+    val revs = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("total_revenue"))
+    val mx = revs.agg(max(col("total_revenue")).as("mx"))
+    revs.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape: annualized revenue lost to micro-orders — lineitems
+    * of one brand whose quantity is under 20% of that part's average
+    * order quantity.
+    *
+    * Plan: the brand filter shrinks part to a slim broadcast FIRST, so
+    * both passes over lineitem (the per-part average and the probe) only
+    * keep brand rows — the correlated-subquery shape becomes one
+    * partkey rollup re-broadcast onto the same pruned scan. The per-part
+    * average is rounded to 6dp on both engines so the `<` threshold
+    * compares identical decimals ([[minCostSupplier]] determinism stance).
+    */
+  def smallQuantityRevenue(s: SparkSession, d: String,
+      brand: String = "Brand#13"): DataFrame = {
+    val bparts = Tables.part(s, d).where(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("ak"))
+      .agg(round(avg(col("l_quantity")), 6).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("ak"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(r2(sum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    * join sides (brand × size × quantity bands).
+    *
+    * Plan: part broadcasts with only the rows any disjunct could accept;
+    * the overall quantity envelope (≤ the max band) is pushed to the
+    * lineitem scan as a simple range predicate, and the disjunction
+    * evaluates post-join inside whole-stage codegen. One scalar output —
+    * no shuffle beyond the final 1-row agg.
+    */
+  def disjunctiveBandRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .where((col("p_brand") === "Brand#13" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#7") && col("p_size").between(1, 20) ||
+        (col("p_brand") === "Brand#20") && col("p_size").between(1, 30))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, d)
+      .where(col("l_quantity") >= 1.0 && col("l_quantity") <= 30.0)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1.0, 11.0)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10.0, 20.0)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20.0, 30.0)))
+      .agg(r2(sum(col("rev"))).as("revenue"))
+  }
+
+  /** TPC-H Q4 shape (fixture-adapted: no commitdate → "late" means any
+    * line shipped >90 days after the order date): order counts by priority
+    * for a half-year of orders with at least one late line.
+    *
+    * Plan: EXISTS compiles to a LEFT SEMI join on orderkey with the
+    * date-lag inequality as an extra join predicate — each order is
+    * emitted at most once with no post-join dedup. The order-date window
+    * is pushed to the orders scan; lineitem ships only (orderkey,
+    * shipdate) across the one semi-join exchange; the rollup key space is
+    * |priorities|.
+    */
+  def latePriorityOrders(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(s, d)
+      .where(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1996-07-01"))
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

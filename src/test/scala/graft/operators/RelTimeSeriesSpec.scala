@@ -387,4 +387,93 @@ class RelTimeSeriesSpec extends SparkSpec {
     assert(got(("b", h(0)))._3 === None, "no observation yet — nothing to carry")
     assert(got(("b", h(3))) === ((0L, 0.0, Some(5.0))))
   }
+
+  test("q5/q7/q8: regional and cross-border revenue reconcile against brute filters") {
+    import spark.implicits._
+    val d = sf0001
+    // q5: every reported nation is in ASIA, and revenue matches a brute
+    // five-way-join recomputation.
+    val asiaNations = Tables.nation(spark, d)
+      .join(Tables.region(spark, d), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA").select("n_name").as[String].collect().toSet
+    val q5 = RelationalOps.regionalSupplierVolume(spark, d).collect()
+    assert(q5.forall(r => asiaNations.contains(r.getAs[String]("n_name"))))
+    val brute = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, d), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") === col("s_nationkey") &&
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .join(Tables.nation(spark, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, d), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("rev"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    q5.foreach { r =>
+      assert(math.abs(r.getAs[Double]("revenue") - brute(r.getAs[String]("n_name"))) < 0.02)
+    }
+    // q7: no same-nation pairs, years within the window.
+    val q7 = RelationalOps.nationTradeVolume(spark, d).collect()
+    assert(q7.nonEmpty)
+    assert(q7.forall(r => r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation")))
+    assert(q7.forall(r => Set(1996, 1997).contains(r.getAs[Int]("yr"))))
+    // q8: share in [0,100], nation_revenue <= total_revenue.
+    val q8 = RelationalOps.nationMarketShare(spark, d).collect()
+    assert(q8.nonEmpty)
+    q8.foreach { r =>
+      assert(r.getAs[Double]("nation_revenue") <= r.getAs[Double]("total_revenue") + 1e-9)
+      val sh = r.getAs[Double]("mkt_share")
+      assert(sh >= 0.0 && sh <= 100.0)
+    }
+  }
+
+  test("q15/q17/q4/q19: top-supplier max, micro-order bound, late-order semi-join") {
+    val d = sf0001
+    // q15: the reported revenue IS the max over the per-supplier rollup,
+    // and every tied supplier appears.
+    val window = Tables.lineitem(spark, d)
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("rev"))
+    val mx = window.agg(max(col("rev"))).collect()(0).getDouble(0)
+    val q15 = RelationalOps.topSupplierByRevenue(spark, d).collect()
+    assert(q15.nonEmpty)
+    assert(q15.forall(_.getAs[Double]("total_revenue") == mx))
+    assert(q15.length ===
+      window.where(col("rev") === mx).count().toInt, "all ties surface")
+    // q17: single row, non-negative, bounded by total brand revenue / 7.
+    val brandTotal = Tables.lineitem(spark, d)
+      .join(Tables.part(spark, d).where(col("p_brand") === "Brand#13"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum("l_extendedprice")).collect()(0).getDouble(0)
+    val q17 = RelationalOps.smallQuantityRevenue(spark, d).collect()
+    assert(q17.length === 1)
+    val yearly = q17(0).getAs[Double]("avg_yearly")
+    assert(yearly >= 0.0 && yearly <= brandTotal / 7.0 + 1e-6)
+    // q4: per-priority counts sum to the number of distinct late orders.
+    val q4 = RelationalOps.latePriorityOrders(spark, d).collect()
+    val lateOrders = Tables.orders(spark, d)
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")))
+      .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("o_orderkey").distinct().count()
+    assert(q4.map(_.getAs[Long]("n_orders")).sum === lateOrders)
+    // q19: disjunctive-band revenue is a subset of all-bands brand revenue.
+    val q19 = RelationalOps.disjunctiveBandRevenue(spark, d).collect()
+    assert(q19.length === 1)
+    val bandRev = q19(0).getAs[Double]("revenue")
+    val brandsRev = Tables.lineitem(spark, d)
+      .join(Tables.part(spark, d)
+          .where(col("p_brand").isin("Brand#13", "Brand#7", "Brand#20")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .collect()(0).getDouble(0)
+    assert(bandRev >= 0.0 && bandRev <= brandsRev + 1e-6)
+  }
 }
