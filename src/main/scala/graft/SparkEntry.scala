@@ -1158,6 +1158,9 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
+    "q_dedup_cross_source" -> ((s, d) => DedupOps.crossSourceLeakage(s, d)),
+    "q_prep_cluster_split" -> ((s, d) => TrainPrepOps.clusterSafeSplit(s, d)),
+    "q_prep_source_budget" -> (TrainPrepOps.sourceBudgetCurve _),
     "q_text_lang_confusion" -> (TextOps.langConfusion _),
     "q_text_source_divergence" -> (TextOps.sourceDivergence _),
     "q_text_signal_corr" -> (TextOps.signalCorr _),
@@ -1570,6 +1573,95 @@ object SparkEntry {
         |  WHERE e.y <> r.x)
         |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    // q_dedup_ngram_jaccard's pair CTE + a source join per endpoint
+    "q_dedup_cross_source" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b, jaccard FROM (
+        |    SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard FROM (
+        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |             count(*) AS inter
+        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4))
+        |  WHERE jaccard >= 0.2)
+        |SELECT least(da.source, db.source) AS source_lo,
+        |  greatest(da.source, db.source) AS source_hi,
+        |  count(*) AS n_pairs,
+        |  round(sum(CAST(round(jaccard * 1000000.0, 0) AS BIGINT))::DOUBLE
+        |        / count(*) / 1000000.0, 6) AS mean_jaccard
+        |FROM pairs
+        |JOIN documents da ON a = da.doc_id
+        |JOIN documents db ON b = db.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_dedup_clusters' recursive-CTE body + the hashSplit assignment on
+    // the component id (singletons fall back to their own doc_id)
+    "q_prep_cluster_split" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, inter::DOUBLE / (na + nb - inter) AS jac FROM (
+        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |             count(*) AS inter
+        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4))
+        |  WHERE jac >= 0.2),
+        |edges AS (SELECT a AS x, b AS y FROM pairs
+        |          UNION SELECT b AS x, a AS y FROM pairs),
+        |reach AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        |  WHERE e.y <> r.x),
+        |cl AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+        |       FROM reach GROUP BY x),
+        |keyed AS (SELECT d.doc_id,
+        |            coalesce(cl.cluster_id, d.doc_id) AS group_key
+        |          FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        |SELECT doc_id, group_key,
+        |  CASE WHEN substring(md5('split:' || group_key::VARCHAR), 1, 2) < 'cc'
+        |       THEN 'train'
+        |       WHEN substring(md5('split:' || group_key::VARCHAR), 1, 2) < 'e6'
+        |       THEN 'val' ELSE 'test' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin,
+    "q_prep_source_budget" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |b AS (SELECT source,
+        |        least(CAST(floor(round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |              * (len(list_distinct(toks))::DOUBLE / len(toks)), 4)
+        |              * 10) AS INTEGER), 9) AS qbucket,
+        |        len(toks) AS n_tok
+        |      FROM t),
+        |g AS (SELECT source, qbucket, count(*) AS n_docs,
+        |        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |      FROM b GROUP BY 1, 2)
+        |SELECT source, qbucket, n_docs, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY qbucket DESC)
+        |       AS BIGINT) AS cum_tokens,
+        |  round(sum(n_tokens) OVER (PARTITION BY source ORDER BY qbucket DESC)::DOUBLE
+        |        / sum(n_tokens) OVER (PARTITION BY source), 6) AS cum_share
+        |FROM g ORDER BY source, qbucket DESC""".stripMargin,
     // q_dedup_clusters' recursive-CTE body + quality ranking per cluster
     "q_dedup_cluster_reps" ->
       """WITH RECURSIVE

@@ -659,6 +659,39 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source contamination matrix: near-duplicate pairs rolled up by
+    * unordered source pair — the "is my web crawl leaking into my books
+    * set" audit. Off-diagonal cells (source_lo ≠ source_hi) are
+    * cross-source leakage a per-source dedup would MISS; the diagonal
+    * calibrates against within-source duplication.
+    *
+    * Plan: pairs come from the shared df-capped shingle stage
+    * ([[ngramJaccardPairs]] — memoized index, packed pair keys); the
+    * (doc → source) map joins once per endpoint on doc_id, where the pair
+    * side is the small one (AQE broadcasts it against the corpus-sized
+    * map). Output is ≤ |sources|² rows; the mean quantizes per-pair
+    * 6dp-rounded Jaccards to integer micro-units so the cell mean is an
+    * exact long ratio on both engines ([[sketchCalibration]] stance).
+    */
+  def crossSourceLeakage(
+      s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    ngramJaccardPairs(s, d, minSim, maxDf)
+      .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+      .select(
+        least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("jq"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("jq")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_jaccard"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
   /** Portable 64-bit SimHash as 4×16-bit chunk values: token hashes are
     * md5 hex digests read nibble-by-nibble, the per-bit majority vote is
     * `2·ones > n`, and each chunk packs 16 votes MSB-first (the pqCodes

@@ -81,6 +81,66 @@ object TrainPrepOps {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy(col("split"))
 
+  /** Leakage-SAFE split: near-duplicate clusters move between splits as a
+    * unit. [[hashSplit]] assigns per-document, so two near-identical
+    * documents can land in train and test — the contamination
+    * [[splitLeakage]] measures. Here the hash key is the document's
+    * near-dup cluster id ([[DedupOps.duplicateClusters]] connected
+    * components; singletons keep their own id), so every member of a
+    * cluster shares an assignment BY CONSTRUCTION, and singleton
+    * assignments coincide with [[hashSplit]] (same salt, same key value) —
+    * adopting the safe split only moves documents that were leaking.
+    *
+    * Plan: the cluster assignment is cluster-member-sized (≪ corpus), so
+    * AQE broadcasts it onto the one corpus scan; the split itself is three
+    * codegen'd string ops per row. No corpus-sized shuffle.
+    */
+  def clusterSafeSplit(
+      s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    val cl = DedupOps.duplicateClusters(s, d, minSim, maxDf)
+    val keyed = Tables.documents(s, d).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_key"))
+    val bucket =
+      substring(md5(concat(lit("split:"), col("group_key").cast("string"))), 1, 2)
+    keyed.select(col("doc_id"), col("group_key"),
+      when(bucket < "cc", "train").when(bucket < "e6", "val")
+        .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget curve per source × quality bucket: "if I take only
+    * quality ≥ x/10 documents from this source, how many tokens do I get,
+    * and what share of the source is that?" — the selection curve a
+    * mixture planner reads before setting per-source quality thresholds.
+    *
+    * Plan: the corpus collapses to ≤ |sources|×10 cells in ONE rollup
+    * (quality bucket = floor(q·10), clamped); the cumulative sums are
+    * windows over that aggregated grid, never over the corpus — the
+    * bounded-partition-window trap ([[stratifiedSample]] note) doesn't
+    * arise because the window input is already cell-sized.
+    */
+  def sourceBudgetCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, d)
+      .select(col("source"),
+        least(floor(CurationOps.qualityCol * 10).cast("int"), lit(9))
+          .as("qbucket"),
+        CurationOps.nTokensCol.cast("long").as("n_tok"))
+      .groupBy(col("source"), col("qbucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val desc = Window.partitionBy(col("source")).orderBy(col("qbucket").desc)
+    val whole = Window.partitionBy(col("source"))
+    cells
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(desc))
+      .withColumn("cum_share",
+        round(col("cum_tokens").cast("double") /
+          sum(col("n_tokens")).over(whole), 6))
+      .orderBy(col("source"), col("qbucket").desc)
+  }
+
   // ---- stratified deterministic sampling ----------------------------------
 
   /** Per-language stratified sample: the k docs with the smallest salted

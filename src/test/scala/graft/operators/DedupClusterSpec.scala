@@ -60,4 +60,54 @@ class DedupClusterSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("clusterSafeSplit: clusters never span splits; singletons match hashSplit") {
+    val d = sf0001
+    val rows = TrainPrepOps.clusterSafeSplit(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val clustered = DedupOps.duplicateClusters(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every document appears exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // all members of a cluster share the SAME split
+    val byGroup = rows.filter(r => clustered.contains(r._1)).groupBy(_._2)
+    assert(byGroup.nonEmpty && byGroup.values.forall(_.map(_._3).distinct.length == 1))
+    // singleton assignments coincide with the per-doc hashSplit
+    val perDoc = TrainPrepOps.hashSplit(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    rows.filterNot(r => clustered.contains(r._1)).foreach { case (id, gk, sp) =>
+      assert(gk === id)
+      assert(sp === perDoc(id), s"singleton $id drifted from hashSplit")
+    }
+  }
+
+  test("crossSourceLeakage: cell counts reconcile with the raw pair table") {
+    val d = sf0001
+    import org.apache.spark.sql.functions.col
+    val cells = DedupOps.crossSourceLeakage(spark, d).collect()
+    val nPairs = DedupOps.ngramJaccardPairs(spark, d).count()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum === nPairs,
+      "every near-dup pair lands in exactly one source cell")
+    cells.foreach { r =>
+      assert(r.getAs[String]("source_lo") <= r.getAs[String]("source_hi"))
+      val m = r.getAs[Double]("mean_jaccard")
+      assert(m >= 0.2 - 1e-6 && m <= 1.0 + 1e-6)
+    }
+  }
+
+  test("sourceBudgetCurve: cumulative totals are monotone and close at the full source") {
+    val d = sf0001
+    val rows = TrainPrepOps.sourceBudgetCurve(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("qbucket"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Double]("cum_share")))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(-_._2) // qbucket desc = accumulation order
+      // cum is the running sum of the per-bucket totals
+      assert(ordered.map(_._3).scanLeft(0L)(_ + _).tail.toSeq ===
+        ordered.map(_._4).toSeq)
+      // the lowest bucket closes the curve at share 1.0
+      assert(math.abs(ordered.last._5 - 1.0) < 1e-9)
+    }
+  }
 }
