@@ -413,4 +413,52 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"pair stage must join on term_h:\n$plan")
   }
+
+  test("q5 regionalSupplierVolume: region prune rides broadcasts, no cartesian") {
+    val plan = executedPlan(
+      graft.operators.RelationalOps.regionalSupplierVolume(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // supplier+nation+region collapse to one broadcast onto lineitem; AQE
+    // may broadcast more — assert at least that one exists
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1,
+      s"expected the pre-filtered supplier broadcast:\n$plan")
+  }
+
+  test("q9 productFamilyProfit: broadcasts only — exactly one rollup exchange") {
+    val plan = executedPlan(
+      graft.operators.RelationalOps.productFamilyProfit(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"fact table must cross only the (nation, year) rollup, got $hashExchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dims must broadcast, not shuffle:\n$plan")
+  }
+
+  test("q15 topSupplierByRevenue: global max via broadcast, no window pass") {
+    val df = graft.operators.RelationalOps.topSupplierByRevenue(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Window"),
+      s"the max must not be a single-partition window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+  }
+
+  test("q4 latePriorityOrders: EXISTS compiles to one LEFT SEMI, no dedup agg") {
+    val plan = executedPlan(
+      graft.operators.RelationalOps.latePriorityOrders(spark, sf0001))
+    assert(plan.contains("LeftSemi"),
+      s"late-line EXISTS must be a semi join:\n$plan")
+    // one rollup on o_orderpriority; a distinct/dedup aggregate would add more
+    assert("HashAggregate".r.findAllIn(plan).size <= 4,
+      s"unexpected extra aggregates (post-join dedup?):\n$plan")
+  }
+
+  test("sourceBudgetCurve: windows run over the aggregated grid, not the corpus") {
+    val df = graft.operators.TrainPrepOps.sourceBudgetCurve(spark, sf0001)
+    val plan = executedPlan(df)
+    // exchange 1: the (source, qbucket) rollup; exchange 2: repartition of
+    // the ≤|sources|×10 grid for the per-source windows — nothing else
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 2,
+      s"expected rollup + grid-window exchanges only, got $hashExchanges:\n$plan")
+  }
 }
