@@ -559,6 +559,45 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 30
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_rel_q21_waiting" ->
+      """WITH pair AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |             THEN 1 ELSE 0 END) AS was_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |v AS (SELECT l_orderkey FROM pair GROUP BY 1
+        |      HAVING count(*) >= 2 AND sum(was_late) = 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_waiting_orders
+        |FROM pair JOIN v USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE was_late = 1
+        |GROUP BY 1, 2
+        |ORDER BY n_waiting_orders DESC, s_suppkey LIMIT 10""".stripMargin,
+    "q_rel_q16_diversity" ->
+      """SELECT p_type, CAST(p_size // 10 AS INTEGER) AS size_bucket,
+        |  count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rel_q20_dominant" ->
+      """WITH pq AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q_pair
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%gear%'
+        |  GROUP BY 1, 2),
+        |t AS (SELECT l_partkey, sum(q_pair) AS q_total FROM pq GROUP BY 1),
+        |sh AS (SELECT pq.l_partkey, pq.l_suppkey,
+        |         CAST(round(q_pair / q_total * 1000000.0, 0) AS BIGINT) AS sq,
+        |         row_number() OVER (PARTITION BY pq.l_partkey
+        |           ORDER BY CAST(round(q_pair / q_total * 1000000.0, 0) AS BIGINT)
+        |             DESC, pq.l_suppkey) AS rn
+        |       FROM pq JOIN t USING (l_partkey))
+        |SELECT s_suppkey, s_name, count(*) AS n_led_parts,
+        |  round(sum(sq)::DOUBLE / count(*) / 1000000.0, 6) AS mean_led_share
+        |FROM sh JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
     "q_rel_q12_priority" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -755,6 +794,7 @@ object SparkEntry {
     "q_ts_pivot" -> (TimeSeriesOps.eventTypePivot _),
     "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)),
     "q_ts_seasonality" -> (TimeSeriesOps.seasonality _),
+    "q_ts_forecast" -> ((s, d) => TimeSeriesOps.forecastBacktest(s, d)),
     "q_ts_funnel" -> (EventAnalyticsOps.funnel _),
     "q_ts_cohort" -> (EventAnalyticsOps.cohortRetention _),
     "q_ts_transitions" -> (EventAnalyticsOps.transitionMatrix _),
@@ -773,6 +813,27 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    "q_ts_forecast" ->
+      """WITH ev AS (SELECT event_type, ts,
+        |              CAST(isodow(ts) AS INTEGER) AS iso_dow,
+        |              CAST(hour(ts) AS INTEGER) AS hr,
+        |              date_trunc('hour', ts) AS hour_ts
+        |            FROM events),
+        |sp AS (SELECT date_trunc('day', max(ts)) - INTERVAL 7 DAY AS split_ts
+        |       FROM ev),
+        |hourly AS (SELECT event_type, hour_ts, iso_dow, hr,
+        |             hour_ts >= split_ts AS is_test, count(*) AS n
+        |           FROM ev CROSS JOIN sp GROUP BY 1, 2, 3, 4, 5),
+        |model AS (SELECT event_type, iso_dow, hr, round(avg(n), 4) AS pred
+        |          FROM hourly WHERE NOT is_test GROUP BY 1, 2, 3)
+        |SELECT h.event_type, count(*) AS n_test_hours,
+        |  round(sum(CAST(round(abs(h.n - m.pred) * 10000.0, 0) AS BIGINT))::DOUBLE
+        |        / count(*) / 10000.0, 4) AS mae,
+        |  round(sum(CAST(round((h.n - m.pred) * 10000.0, 0) AS BIGINT))::DOUBLE
+        |        / count(*) / 10000.0, 4) AS bias
+        |FROM hourly h JOIN model m USING (event_type, iso_dow, hr)
+        |WHERE h.is_test
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ts_seasonality" ->
       """WITH grid AS (
         |  SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
@@ -1161,6 +1222,7 @@ object SparkEntry {
     "q_dedup_cross_source" -> ((s, d) => DedupOps.crossSourceLeakage(s, d)),
     "q_prep_cluster_split" -> ((s, d) => TrainPrepOps.clusterSafeSplit(s, d)),
     "q_prep_source_budget" -> (TrainPrepOps.sourceBudgetCurve _),
+    "q_prep_effective_tokens" -> ((s, d) => TrainPrepOps.effectiveTokens(s, d)),
     "q_text_lang_confusion" -> (TextOps.langConfusion _),
     "q_text_source_divergence" -> (TextOps.sourceDivergence _),
     "q_text_signal_corr" -> (TextOps.signalCorr _),
@@ -1181,6 +1243,9 @@ object SparkEntry {
     "q_rel_q15_topsupp" -> (RelationalOps.topSupplierByRevenue _),
     "q_rel_q17_smallqty" -> ((s, d) => RelationalOps.smallQuantityRevenue(s, d)),
     "q_rel_q19_bands" -> (RelationalOps.disjunctiveBandRevenue _),
+    "q_rel_q21_waiting" -> ((s, d) => RelationalOps.soleLateSuppliers(s, d)),
+    "q_rel_q16_diversity" -> ((s, d) => RelationalOps.supplierDiversity(s, d)),
+    "q_rel_q20_dominant" -> ((s, d) => RelationalOps.dominantSuppliers(s, d)),
     "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
     "q_rel_outliers" -> (RelationalOps.outlierAudit _),
     "q_rel_grouping_sets" -> (RelationalOps.groupingSetsReturns _),
@@ -1644,6 +1709,51 @@ object SparkEntry {
         |       WHEN substring(md5('split:' || group_key::VARCHAR), 1, 2) < 'e6'
         |       THEN 'val' ELSE 'test' END AS split
         |FROM keyed ORDER BY doc_id""".stripMargin,
+    // q_dedup_clusters' recursive-CTE body + per-cluster sizes discounting
+    // each doc's token count
+    "q_prep_effective_tokens" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, inter::DOUBLE / (na + nb - inter) AS jac FROM (
+        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |             count(*) AS inter
+        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4))
+        |  WHERE jac >= 0.2),
+        |edges AS (SELECT a AS x, b AS y FROM pairs
+        |          UNION SELECT b AS x, a AS y FROM pairs),
+        |reach AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        |  WHERE e.y <> r.x),
+        |cl AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+        |       FROM reach GROUP BY x),
+        |sizes AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1),
+        |ws AS (SELECT cl.doc_id, sizes.csize
+        |       FROM cl JOIN sizes USING (cluster_id)),
+        |q AS (SELECT d.source, len(string_split(d.text, ' ')) AS n_tok,
+        |        CAST(round(len(string_split(d.text, ' '))::DOUBLE
+        |             / coalesce(ws.csize, 1) * 1000000.0, 0) AS BIGINT) AS eff_q
+        |      FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+        |  round(sum(eff_q)::DOUBLE / 1000000.0, 2) AS effective_tokens,
+        |  round(round(sum(eff_q)::DOUBLE / 1000000.0, 2) / sum(n_tok), 6)
+        |    AS retention
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_prep_source_budget" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks
         |           FROM documents),

@@ -1081,4 +1081,106 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** TPC-H Q21 shape (fixture-adapted: "late" = shipped >60 days after the
+    * order date): suppliers solely responsible for delaying multi-supplier
+    * orders — this supplier late, every co-supplier on time.
+    *
+    * Plan: the reference query is a double EXISTS/NOT-EXISTS self-join on
+    * lineitem; here both collapse into ONE (orderkey, suppkey) pre-rollup
+    * (was_late = max over the pair's lines) followed by ONE orderkey
+    * rollup counting suppliers and late suppliers — two partial-agg
+    * exchanges over shrinking keys instead of three fact-fact joins. The
+    * per-supplier verdict is a filter over the second rollup re-joined to
+    * the pair table (order-sized by then), and supplier names broadcast.
+    */
+  def soleLateSuppliers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val pair = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int"))
+        .as("was_late"))
+    val orderVerdict = pair.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("was_late")).as("n_late"))
+      .where(col("n_supp") >= 2 && col("n_late") === 1)
+      .select(col("ok"))
+    pair.where(col("was_late") === 1)
+      .join(orderVerdict, col("l_orderkey") === col("ok"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_waiting_orders"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waiting_orders"))
+      .orderBy(col("n_waiting_orders").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q16 shape (fixture-adapted: supplier relation via lineitem, one
+    * excluded brand): how many distinct suppliers serve each
+    * (p_type, size-decade) part segment.
+    *
+    * Plan: the brand exclusion prunes part BEFORE broadcast; the distinct
+    * count runs as Spark's two-phase partial-distinct aggregate over
+    * (type, bucket, suppkey) — the only exchange carries the already
+    * partially-deduplicated triples, never raw fact rows.
+    */
+  def supplierDiversity(s: SparkSession, d: String,
+      excludeBrand: String = "Brand#9"): DataFrame = {
+    val p = Tables.part(s, d)
+      .where(col("p_brand") =!= excludeBrand)
+      .select(col("p_partkey"), col("p_type"),
+        (col("p_size") / 10).cast("int").as("size_bucket"))
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("size_bucket"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .orderBy(col("p_type"), col("size_bucket"))
+  }
+
+  /** TPC-H Q20 shape (fixture-adapted): the LEADING supplier of every
+    * part in a product family — who ships the largest quantity share of
+    * each part — rolled up per supplier. An absolute dominance threshold
+    * ("ships >50%") empties as supplier counts grow with scale; the
+    * argmax formulation answers the same "who controls this part's
+    * supply" question with scale-independent output.
+    *
+    * Plan: the family filter prunes part before broadcast; per-(part,
+    * supplier) quantities roll up first, the per-part total is a second
+    * rollup of THAT (part-sized), and the per-part argmax is a
+    * `max(struct)` over micro-unit share — deterministic ties to the
+    * SMALLEST suppkey via the negated-key trick ([[minCostSupplier]]
+    * stance). Quantities are integral doubles, so every sum and ratio is
+    * exact on both engines; shares quantize to 10⁻⁶-unit longs.
+    */
+  def dominantSuppliers(s: SparkSession, d: String,
+      family: String = "gear"): DataFrame = {
+    val fam = Tables.part(s, d).where(col("p_name").contains(family))
+      .select(col("p_partkey"))
+    val pairQty = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(fam), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q_pair"))
+    val partQty = pairQty.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q_pair")).as("q_total"))
+    pairQty.join(partQty, col("l_partkey") === col("pk"))
+      .select(col("l_partkey"),
+        struct(
+          round(col("q_pair") / col("q_total") * 1e6, 0).cast("long").as("sq"),
+          (-col("l_suppkey")).as("negkey")).as("cand"))
+      .groupBy(col("l_partkey"))
+      .agg(max(col("cand")).as("m"))
+      .select((-col("m.negkey")).as("lead_suppkey"), col("m.sq").as("sq"))
+      .groupBy(col("lead_suppkey"))
+      .agg(count(lit(1)).as("n_led_parts"),
+        round(sum(col("sq")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mean_led_share"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("lead_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_led_parts"),
+        col("mean_led_share"))
+      .orderBy(col("s_suppkey"))
+  }
 }

@@ -321,4 +321,49 @@ object TimeSeriesOps {
         round(col("n").cast("double") / col("day_n"), 6).as("day_share"))
       .orderBy(col("iso_dow"), col("hr"))
   }
+
+  /** Seasonal-naive forecast backtest: hold out the last `horizonDays`
+    * days, predict each held-out hour's event count per type as the mean
+    * hourly count of the SAME (ISO weekday, hour) cell in the training
+    * span, and report per-type MAE + bias over the observed test hours
+    * (hours with zero events have no row on either side — the comparison
+    * is over hours that occurred, which both engines define identically).
+    *
+    * Plan: two corpus rollups (train hours, test hours — both keyed by
+    * (type, hour)), a 168·|types|-cell model rollup of the first, and a
+    * broadcast of the model onto the test hours. Errors quantize to
+    * integer 10⁻⁴-units before the final |types|-key rollup, so MAE/bias
+    * are exact long ratios on both engines. The split point derives from
+    * max(ts) as a 1-row broadcast — no driver round-trip.
+    */
+  def forecastBacktest(s: SparkSession, d: String,
+      horizonDays: Int = 7): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("ts"),
+      (weekday(col("ts")) + lit(1)).as("iso_dow"), hour(col("ts")).as("hr"),
+      date_trunc("hour", col("ts")).as("hour_ts"))
+    val split = ev.agg(max(col("ts")).as("mx"))
+      .select((date_trunc("day", col("mx")) -
+        expr(s"INTERVAL $horizonDays DAYS")).as("split_ts"))
+    val hourly = ev.join(broadcast(split))
+      .groupBy(col("event_type"), col("hour_ts"), col("iso_dow"), col("hr"),
+        (col("hour_ts") >= col("split_ts")).as("is_test"))
+      .agg(count(lit(1)).as("n"))
+    val model = hourly.where(!col("is_test"))
+      .groupBy(col("event_type").as("m_type"), col("iso_dow").as("m_dow"),
+        col("hr").as("m_hr"))
+      .agg(round(avg(col("n")), 4).as("pred"))
+    hourly.where(col("is_test"))
+      .join(broadcast(model), col("event_type") === col("m_type") &&
+        col("iso_dow") === col("m_dow") && col("hr") === col("m_hr"))
+      .select(col("event_type"),
+        round(abs(col("n") - col("pred")) * 1e4, 0).cast("long").as("ae_q"),
+        round((col("n") - col("pred")) * 1e4, 0).cast("long").as("e_q"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test_hours"),
+        round(sum(col("ae_q")).cast("double") / count(lit(1)) / 1e4, 4)
+          .as("mae"),
+        round(sum(col("e_q")).cast("double") / count(lit(1)) / 1e4, 4)
+          .as("bias"))
+      .orderBy(col("event_type"))
+  }
 }

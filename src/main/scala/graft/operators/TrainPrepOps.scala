@@ -141,6 +141,43 @@ object TrainPrepOps {
       .orderBy(col("source"), col("qbucket").desc)
   }
 
+  /** Dedup-discounted token accounting per source: each document's tokens
+    * count as n_tok / |near-dup cluster| (singletons divide by 1), so a
+    * source whose volume is mostly self-copies reports the EFFECTIVE
+    * training tokens it contributes, not the raw count — the number a
+    * mixture planner should weight by.
+    *
+    * Plan: cluster sizes are a rollup of the member-sized cluster table;
+    * both the size map and the assignment join AQE-broadcast onto the one
+    * corpus scan. Per-doc discounted tokens quantize to integer
+    * 10⁻⁶-units (a double ratio of two longs — identical IEEE division on
+    * both engines) so the source rollup sums exact longs.
+    */
+  def effectiveTokens(
+      s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    val cl = DedupOps.duplicateClusters(s, d, minSim, maxDf)
+    val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    val withSize = cl.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("csize"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        CurationOps.nTokensCol.cast("long").as("n_tok"))
+      .join(withSize, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tok"),
+        round(col("n_tok").cast("double") /
+          coalesce(col("csize"), lit(1L)) * 1e6, 0).cast("long").as("eff_q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("raw_tokens"),
+        round(sum(col("eff_q")).cast("double") / 1e6, 2).as("effective_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("effective_tokens"),
+        round(col("effective_tokens") / col("raw_tokens"), 6).as("retention"))
+      .orderBy(col("source"))
+  }
+
   // ---- stratified deterministic sampling ----------------------------------
 
   /** Per-language stratified sample: the k docs with the smallest salted

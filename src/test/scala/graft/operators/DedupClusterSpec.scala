@@ -95,6 +95,25 @@ class DedupClusterSpec extends SparkSpec {
     }
   }
 
+  test("effectiveTokens: discount bounded by cluster structure") {
+    val d = sf0001
+    import org.apache.spark.sql.functions.col
+    val rows = TrainPrepOps.effectiveTokens(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val raw = r.getAs[Long]("raw_tokens")
+      val eff = r.getAs[Double]("effective_tokens")
+      val ret = r.getAs[Double]("retention")
+      assert(eff > 0.0 && eff <= raw + 1e-6, "discount never inflates")
+      assert(ret > 0.0 && ret <= 1.0 + 1e-9)
+    }
+    // corpus-wide: effective = raw exactly iff there are no clusters; the
+    // fixture HAS near-dup clusters, so some source must be discounted
+    val clustered = DedupOps.duplicateClusters(spark, d).count()
+    assert(clustered > 0)
+    assert(rows.exists(_.getAs[Double]("retention") < 1.0))
+  }
+
   test("sourceBudgetCurve: cumulative totals are monotone and close at the full source") {
     val d = sf0001
     val rows = TrainPrepOps.sourceBudgetCurve(spark, d).collect()

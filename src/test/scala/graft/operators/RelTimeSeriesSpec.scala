@@ -464,6 +464,42 @@ class RelTimeSeriesSpec extends SparkSpec {
       .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .select("o_orderkey").distinct().count()
     assert(q4.map(_.getAs[Long]("n_orders")).sum === lateOrders)
+    // q16: segment supplier counts are bounded by the supplier population.
+    val nSupp = Tables.supplier(spark, d).count()
+    val q16 = RelationalOps.supplierDiversity(spark, d).collect()
+    assert(q16.nonEmpty)
+    assert(q16.forall(r => r.getAs[Long]("n_suppliers") > 0 &&
+      r.getAs[Long]("n_suppliers") <= nSupp))
+    // q20: every family part with any shipment elects exactly one leader.
+    val q20 = RelationalOps.dominantSuppliers(spark, d).collect()
+    val famParts = Tables.lineitem(spark, d)
+      .join(Tables.part(spark, d).where(col("p_name").contains("gear")),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_partkey").distinct().count()
+    assert(q20.map(_.getAs[Long]("n_led_parts")).sum === famParts)
+    assert(q20.forall { r =>
+      val sh = r.getAs[Double]("mean_led_share")
+      sh > 0.0 && sh <= 1.0
+    })
+    // q21: a sole-late supplier count never exceeds that supplier's late orders.
+    val q21 = RelationalOps.soleLateSuppliers(spark, d).collect()
+    val lateBySupp = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_suppkey").agg(countDistinct("l_orderkey").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q21.length <= 10)
+    q21.foreach { r =>
+      val c = r.getAs[Long]("n_waiting_orders")
+      assert(c > 0 && c <= lateBySupp(r.getAs[Long]("s_suppkey")))
+    }
+    // forecast: MAE dominates |bias|; every type has held-out hours.
+    val fc = TimeSeriesOps.forecastBacktest(spark, d).collect()
+    assert(fc.nonEmpty)
+    fc.foreach { r =>
+      assert(r.getAs[Long]("n_test_hours") > 0)
+      assert(r.getAs[Double]("mae") >= math.abs(r.getAs[Double]("bias")) - 1e-9)
+    }
     // q19: disjunctive-band revenue is a subset of all-bands brand revenue.
     val q19 = RelationalOps.disjunctiveBandRevenue(spark, d).collect()
     assert(q19.length === 1)
