@@ -123,7 +123,6 @@ object DedupOps {
     // better than the plain join. No conf change worth hard-coding; at
     // real 100 TB scale the exchange is far above the advisory size and
     // the failure mode disappears.)
-    val capped = cappedIndex(s, d, maxDf)
     // Pair generation stays a sh_h SELF-JOIN deliberately. The measured
     // alternative (graft.tools.PairGenAB): fold the index into posting
     // lists once and explode codegen'd sorted_id_pairs — one fewer index
@@ -133,8 +132,7 @@ object DedupOps {
     // Same verdict at scale: the pair-stage volume dominates and the SMJ
     // processes it with tighter memory behavior. (Pair-key packing and
     // the sizes-join placement: see pairStats.)
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    pairStats(capped, sizes)
+    cachedPairStats(s, d, maxDf)
       .select(
         col("a"), col("b"),
         round(col("inter").cast("double") /
@@ -197,7 +195,7 @@ object DedupOps {
   def containmentPairs(
       s: SparkSession, d: String,
       minCont: Double = 0.6, maxDf: Long = 1000L): DataFrame =
-    containmentFrom(cappedIndex(s, d, maxDf), minCont)
+    containmentFromStats(cachedPairStats(s, d, maxDf), minCont)
 
   /** [[containmentPairs]] over an arbitrary `(doc_id, text)` frame
     * (uncached index — the dir form reuses the memoized one).
@@ -215,7 +213,11 @@ object DedupOps {
 
   private def containmentFrom(capped: DataFrame, minCont: Double): DataFrame = {
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    pairStats(capped, sizes)
+    containmentFromStats(pairStats(capped, sizes), minCont)
+  }
+
+  private def containmentFromStats(stats: DataFrame, minCont: Double): DataFrame =
+    stats
       .select(
         col("a"), col("b"),
         round(col("inter").cast("double") / least(col("na"), col("nb")), 6)
@@ -224,7 +226,6 @@ object DedupOps {
               (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("containment") >= minCont)
       .orderBy(col("a"), col("b"))
-  }
 
   // The exploded (doc_id, sh_h) table is reused by the df aggregate, the
   // semi-join probe, the recount, and both sides of the pair join within
@@ -243,6 +244,27 @@ object DedupOps {
   private def cappedIndex(s: SparkSession, d: String, maxDf: Long): DataFrame =
     cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
       capByDf(shingleIndex(ss, d), maxDf).persist()
+    }
+
+  private val pairStatsCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+
+  /** The aggregated pair-statistics table (a, b, inter, na, nb) over the
+    * df-capped index — memoized per (session, dir, cap) like the index
+    * itself. Five dir-level operators consume it (Jaccard pairs,
+    * containment, clusters→reps→split, cross-source matrix, sketch
+    * calibration), and the C(f,2) self-join + packed-pair rollup it
+    * embodies is the single most expensive stage in the dedup pack; a
+    * 100 TB dedup pipeline materializes its candidate-pair statistics
+    * once per corpus snapshot and runs every verdict off that artifact.
+    * Thresholds (minSim/minCont) filter AFTER this table, so one cache
+    * entry serves every threshold, including the calibration's minSim=0.
+    */
+  private def cachedPairStats(s: SparkSession, d: String, maxDf: Long): DataFrame =
+    pairStatsCache.getOrElseUpdate(s, s"$d#$maxDf#pairs") { (ss, _) =>
+      val capped = cappedIndex(ss, d, maxDf)
+      val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      pairStats(capped, sizes).persist()
     }
 
   /** Drop shingle hashes with document frequency above `maxDf` (the skew
