@@ -795,6 +795,7 @@ object SparkEntry {
     "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)),
     "q_ts_seasonality" -> (TimeSeriesOps.seasonality _),
     "q_ts_forecast" -> ((s, d) => TimeSeriesOps.forecastBacktest(s, d)),
+    "q_ts_changepoints" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
     "q_ts_funnel" -> (EventAnalyticsOps.funnel _),
     "q_ts_cohort" -> (EventAnalyticsOps.cohortRetention _),
     "q_ts_transitions" -> (EventAnalyticsOps.transitionMatrix _),
@@ -834,6 +835,29 @@ object SparkEntry {
         |FROM hourly h JOIN model m USING (event_type, iso_dow, hr)
         |WHERE h.is_test
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ts_changepoints" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sh AS (SELECT event_type, epoch_ms(day) AS day_ms,
+        |         count(n) OVER b AS nb, count(n) OVER a AS na_,
+        |         round(sum(n) OVER b::DOUBLE / 7, 4) AS before_avg,
+        |         round(sum(n) OVER a::DOUBLE / 7, 4) AS after_avg
+        |       FROM daily
+        |       WINDOW b AS (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+        |              a AS (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
+        |ranked AS (
+        |  SELECT event_type, day_ms, before_avg, after_avg,
+        |    round(abs(after_avg - before_avg), 4) AS shift,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY round(abs(after_avg - before_avg), 4) DESC, day_ms)
+        |      AS rank
+        |  FROM sh WHERE nb = 7 AND na_ = 7)
+        |SELECT event_type, day_ms, before_avg, after_avg, shift,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     "q_ts_seasonality" ->
       """WITH grid AS (
         |  SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
@@ -1220,6 +1244,8 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
     "q_dedup_cross_source" -> ((s, d) => DedupOps.crossSourceLeakage(s, d)),
+    "q_dedup_degree_dist" -> ((s, d) => DedupOps.neardupDegreeDist(s, d)),
+    "q_text_keyphrases" -> ((s, d) => TextOps.keyphrases(s, d)),
     "q_prep_cluster_split" -> ((s, d) => TrainPrepOps.clusterSafeSplit(s, d)),
     "q_prep_source_budget" -> (TrainPrepOps.sourceBudgetCurve _),
     "q_prep_effective_tokens" -> ((s, d) => TrainPrepOps.effectiveTokens(s, d)),
@@ -1638,6 +1664,50 @@ object SparkEntry {
         |  WHERE e.y <> r.x)
         |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    // q_dedup_ngram_jaccard's pair CTE + two shrinking degree rollups
+    "q_dedup_degree_dist" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, inter::DOUBLE / (na + nb - inter) AS jac FROM (
+        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |             count(*) AS inter
+        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4))
+        |  WHERE jac >= 0.2),
+        |deg AS (SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT a AS doc_id FROM pairs
+        |    UNION ALL SELECT b AS doc_id FROM pairs)
+        |  GROUP BY 1)
+        |SELECT degree, count(*) AS n_docs
+        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+    "q_text_keyphrases" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |g AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS n_src FROM g GROUP BY 1),
+        |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+        |sc AS (SELECT source, term, tf, n_src,
+        |         tf * CAST(round((ln((n_sources + 1)::DOUBLE / (n_src + 1))
+        |              + 1.0) * 1000000.0, 0) AS BIGINT) AS score_q,
+        |         ('0x' || substr(md5(term), 1, 15))::BIGINT AS tid
+        |       FROM g CROSS JOIN ns JOIN df USING (term)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY score_q DESC, tid) AS rank
+        |      FROM sc)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, term, tf, n_src,
+        |  round(score_q::DOUBLE / 1000000.0, 6) AS score
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // q_dedup_ngram_jaccard's pair CTE + a source join per endpoint
     "q_dedup_cross_source" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

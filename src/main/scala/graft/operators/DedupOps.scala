@@ -714,6 +714,27 @@ object DedupOps {
       .orderBy(col("source_lo"), col("source_hi"))
   }
 
+  /** Degree distribution of the near-duplicate graph: how many documents
+    * have exactly `degree` near-dup partners. The shape diagnostic that
+    * separates a corpus with scattered pair-dups from one with giant
+    * syndication cliques (where cluster passes and rewrite plans need
+    * skew handling).
+    *
+    * Plan: two shrinking rollups over the memoized pair-stats table —
+    * per-doc degree, then the degree histogram (≤ max-degree rows).
+    * Nothing touches text or the raw index.
+    */
+  def neardupDegreeDist(
+      s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d, minSim, maxDf).select(col("a"), col("b"))
+    pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+  }
+
   /** Portable 64-bit SimHash as 4×16-bit chunk values: token hashes are
     * md5 hex digests read nibble-by-nibble, the per-bit majority vote is
     * `2·ones > n`, and each chunk packs 16 votes MSB-first (the pqCodes

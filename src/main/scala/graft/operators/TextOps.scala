@@ -487,4 +487,51 @@ object TextOps {
         col("best.score").as("confidence"))
       .orderBy(col("doc_id"))
   }
+
+  /** Top TF-IDF keyphrases per source: the terms that most distinguish
+    * each source slice from the rest of the corpus — smoothed idf
+    * (ln((N+1)/(df+1)) + 1 over SOURCE document frequency), score =
+    * tf · idf.
+    *
+    * Plan: per-(source, term) tf and per-term source-df are two rollups
+    * of one token explosion; N rides a 1-row broadcast. The per-source
+    * top-k is the bounded two-phase [[graft.functions.TopKAgg]] — source
+    * is a bounded-cardinality key, so a rank window here would sort each
+    * source's ENTIRE vocabulary on one reducer at scale. Winners carry a
+    * portable 60-bit md5 term id and join back to the scored table for
+    * the term text (winner side is k·|sources| rows — broadcast).
+    *
+    * Determinism: idf quantizes to integer micro-units BEFORE the
+    * tf-multiply (score_q = tf · idf_q is pure long arithmetic); the only
+    * cross-engine float op is round(ln·1e6) over ≤|sources| distinct
+    * inputs. Ties order by the term id on both engines.
+    */
+  def keyphrases(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val sourceDf = tf.groupBy(col("term")).agg(count(lit(1)).as("n_src"))
+    val nSources = tf.select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val scored = tf
+      .join(sourceDf, Seq("term"))
+      .join(broadcast(nSources))
+      .select(col("source"), col("term"), col("tf"), col("n_src"),
+        (col("tf") *
+          round((log((col("n_sources") + 1).cast("double") / (col("n_src") + 1))
+            + lit(1.0)) * 1e6, 0).cast("long")).as("score_q"),
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("tid"))
+    val winners = scored
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topK(
+        lit(""), -col("score_q").cast("double"), col("tid"), lit(0.0), k).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("tid"))
+    winners.join(scored, Seq("source", "tid"))
+      .select(col("source"), col("rank"), col("term"), col("tf"), col("n_src"),
+        round(col("score_q").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("source"), col("rank"))
+  }
 }

@@ -322,6 +322,45 @@ object TimeSeriesOps {
       .orderBy(col("iso_dow"), col("hr"))
   }
 
+  /** Rolling-mean-shift changepoint detection: for every day with a full
+    * `w`-day window on each side, the absolute shift between the trailing
+    * and leading mean daily count; the top `k` shift days per event type.
+    *
+    * Plan: the corpus collapses to the |days|×|types| daily series in ONE
+    * rollup; every window (trailing/leading sums, the per-type rank) runs
+    * over that aggregated series — hundreds of rows at any corpus size —
+    * so the bounded-cardinality-partition trap doesn't arise. Means are
+    * exact long sums divided by the constant w; the shift compares two
+    * identically-derived doubles, so ordering is engine-stable.
+    */
+  def changepoints(s: SparkSession, d: String,
+      w: Int = 7, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val before = series.rowsBetween(-w, -1)
+    val after = series.rowsBetween(0, w - 1)
+    val shifted = daily
+      .withColumn("nb", count(col("n")).over(before))
+      .withColumn("na_", count(col("n")).over(after))
+      .withColumn("before_avg",
+        round(sum(col("n")).over(before).cast("double") / w, 4))
+      .withColumn("after_avg",
+        round(sum(col("n")).over(after).cast("double") / w, 4))
+      .where(col("nb") === w && col("na_") === w)
+      .select(col("event_type"), tsMs(col("day")).as("day_ms"),
+        col("before_avg"), col("after_avg"),
+        round(abs(col("after_avg") - col("before_avg")), 4).as("shift"))
+    val rank = Window.partitionBy(col("event_type"))
+      .orderBy(col("shift").desc, col("day_ms"))
+    shifted.withColumn("rank", row_number().over(rank))
+      .where(col("rank") <= k)
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   /** Seasonal-naive forecast backtest: hold out the last `horizonDays`
     * days, predict each held-out hour's event count per type as the mean
     * hourly count of the SAME (ISO weekday, hour) cell in the training

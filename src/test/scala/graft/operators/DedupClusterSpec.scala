@@ -95,6 +95,31 @@ class DedupClusterSpec extends SparkSpec {
     }
   }
 
+  test("neardupDegreeDist: degree mass equals twice the pair count") {
+    val d = sf0001
+    val dist = DedupOps.neardupDegreeDist(spark, d).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_docs"))
+    val nPairs = DedupOps.ngramJaccardPairs(spark, d).count()
+    assert(dist.map { case (deg, n) => deg * n }.sum === 2 * nPairs,
+      "handshake lemma: total degree = 2·|edges|")
+    assert(dist.forall { case (deg, n) => deg >= 1 && n >= 1 })
+  }
+
+  test("keyphrases: k ranked terms per source, scores non-increasing") {
+    val rows = graft.operators.TextOps.keyphrases(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rank"),
+        r.getAs[Double]("score")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (1 to ordered.length).toSeq)
+      assert(ordered.length <= 5)
+      // ranks follow score: non-increasing down the list
+      val scores = ordered.map(_._3).toSeq
+      assert(scores.zip(scores.drop(1)).forall { case (x, y) => x >= y - 1e-9 })
+    }
+  }
+
   test("effectiveTokens: discount bounded by cluster structure") {
     val d = sf0001
     import org.apache.spark.sql.functions.col

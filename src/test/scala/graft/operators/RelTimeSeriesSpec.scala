@@ -493,6 +493,16 @@ class RelTimeSeriesSpec extends SparkSpec {
       val c = r.getAs[Long]("n_waiting_orders")
       assert(c > 0 && c <= lateBySupp(r.getAs[Long]("s_suppkey")))
     }
+    // changepoints: ≤3 per type, shift consistent with its two means.
+    val cp = TimeSeriesOps.changepoints(spark, d).collect()
+    assert(cp.nonEmpty)
+    cp.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      rs.foreach { r =>
+        val want = math.abs(r.getAs[Double]("after_avg") - r.getAs[Double]("before_avg"))
+        assert(math.abs(r.getAs[Double]("shift") - want) < 1e-6)
+      }
+    }
     // forecast: MAE dominates |bias|; every type has held-out hours.
     val fc = TimeSeriesOps.forecastBacktest(spark, d).collect()
     assert(fc.nonEmpty)
