@@ -594,7 +594,8 @@ object SparkEntry {
         |             DESC, pq.l_suppkey) AS rn
         |       FROM pq JOIN t USING (l_partkey))
         |SELECT s_suppkey, s_name, count(*) AS n_led_parts,
-        |  round(sum(sq)::DOUBLE / count(*) / 1000000.0, 6) AS mean_led_share
+        |  ((2 * sum(sq) + count(*)) // (2 * count(*)))::DOUBLE / 1000000.0
+        |    AS mean_led_share
         |FROM sh JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
@@ -828,10 +829,14 @@ object SparkEntry {
         |model AS (SELECT event_type, iso_dow, hr, round(avg(n), 4) AS pred
         |          FROM hourly WHERE NOT is_test GROUP BY 1, 2, 3)
         |SELECT h.event_type, count(*) AS n_test_hours,
-        |  round(sum(CAST(round(abs(h.n - m.pred) * 10000.0, 0) AS BIGINT))::DOUBLE
-        |        / count(*) / 10000.0, 4) AS mae,
-        |  round(sum(CAST(round((h.n - m.pred) * 10000.0, 0) AS BIGINT))::DOUBLE
-        |        / count(*) / 10000.0, 4) AS bias
+        |  ((2 * sum(CAST(round(abs(h.n - m.pred) * 10000.0, 0) AS BIGINT))
+        |    + count(*)) // (2 * count(*)))::DOUBLE / 10000.0 AS mae,
+        |  (CASE WHEN sum(CAST(round((h.n - m.pred) * 10000.0, 0) AS BIGINT)) >= 0
+        |   THEN (2 * sum(CAST(round((h.n - m.pred) * 10000.0, 0) AS BIGINT))
+        |         + count(*)) // (2 * count(*))
+        |   ELSE -((-2 * sum(CAST(round((h.n - m.pred) * 10000.0, 0) AS BIGINT))
+        |         + count(*)) // (2 * count(*)))
+        |   END)::DOUBLE / 10000.0 AS bias
         |FROM hourly h JOIN model m USING (event_type, iso_dow, hr)
         |WHERE h.is_test
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1732,8 +1737,8 @@ object SparkEntry {
         |SELECT least(da.source, db.source) AS source_lo,
         |  greatest(da.source, db.source) AS source_hi,
         |  count(*) AS n_pairs,
-        |  round(sum(CAST(round(jaccard * 1000000.0, 0) AS BIGINT))::DOUBLE
-        |        / count(*) / 1000000.0, 6) AS mean_jaccard
+        |  ((2 * sum(CAST(round(jaccard * 1000000.0, 0) AS BIGINT)) + count(*))
+        |   // (2 * count(*)))::DOUBLE / 1000000.0 AS mean_jaccard
         |FROM pairs
         |JOIN documents da ON a = da.doc_id
         |JOIN documents db ON b = db.doc_id
@@ -1820,9 +1825,10 @@ object SparkEntry {
         |      FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
-        |  round(sum(eff_q)::DOUBLE / 1000000.0, 2) AS effective_tokens,
-        |  round(round(sum(eff_q)::DOUBLE / 1000000.0, 2) / sum(n_tok), 6)
-        |    AS retention
+        |  ((2 * sum(eff_q) + 10000) // 20000)::DOUBLE / 100.0
+        |    AS effective_tokens,
+        |  round((((2 * sum(eff_q) + 10000) // 20000)::DOUBLE / 100.0)
+        |        / sum(n_tok), 6) AS retention
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_prep_source_budget" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks

@@ -709,8 +709,8 @@ object DedupOps {
       .groupBy(col("source_lo"), col("source_hi"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(sum(col("jq")).cast("double") / count(lit(1)) / 1e6, 6)
-          .as("mean_jaccard"))
+        // half-up in longs, not round(double): Num.quantMean stance
+        Num.quantMean(sum(col("jq")), count(lit(1)), 1e6).as("mean_jaccard"))
       .orderBy(col("source_lo"), col("source_hi"))
   }
 

@@ -1175,7 +1175,10 @@ object RelationalOps {
       .select((-col("m.negkey")).as("lead_suppkey"), col("m.sq").as("sq"))
       .groupBy(col("lead_suppkey"))
       .agg(count(lit(1)).as("n_led_parts"),
-        round(sum(col("sq")).cast("double") / count(lit(1)) / 1e6, 6)
+        // exact half-up in longs — round(sum/n/1e6, 6) crosses engines'
+        // rounding modes when the mean lands on a half micro-unit
+        // (376299/6 observed in the sf1 study)
+        Num.quantMean(sum(col("sq")), count(lit(1)), 1e6)
           .as("mean_led_share"))
       .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
         col("lead_suppkey") === col("s_suppkey"))

@@ -399,10 +399,10 @@ object TimeSeriesOps {
         round((col("n") - col("pred")) * 1e4, 0).cast("long").as("e_q"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_test_hours"),
-        round(sum(col("ae_q")).cast("double") / count(lit(1)) / 1e4, 4)
-          .as("mae"),
-        round(sum(col("e_q")).cast("double") / count(lit(1)) / 1e4, 4)
-          .as("bias"))
+        // half-up in longs, not round(double): Num.quantMean stance
+        // (bias can be negative — halfUpDiv rounds away from zero)
+        Num.quantMean(sum(col("ae_q")), count(lit(1)), 1e4).as("mae"),
+        Num.quantMean(sum(col("e_q")), count(lit(1)), 1e4).as("bias"))
       .orderBy(col("event_type"))
   }
 }

@@ -171,7 +171,11 @@ object TrainPrepOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("raw_tokens"),
-        round(sum(col("eff_q")).cast("double") / 1e6, 2).as("effective_tokens"))
+        // half-up to cents in longs, then one exact division
+        // (Num.quantMean stance: round(sum/1e6, 2) is engine-unstable
+        // exactly when sum ≡ 5000 mod 10000)
+        (Num.halfUpDiv(sum(col("eff_q")), lit(10000L)).cast("double") / 100.0)
+          .as("effective_tokens"))
       .select(col("source"), col("n_docs"), col("raw_tokens"),
         col("effective_tokens"),
         round(col("effective_tokens") / col("raw_tokens"), 6).as("retention"))
