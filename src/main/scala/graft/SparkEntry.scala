@@ -1684,7 +1684,7 @@ object SparkEntry {
         |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
         |pairs AS (
         |  SELECT a, b FROM (
-        |    SELECT a, b, inter::DOUBLE / (na + nb - inter) AS jac FROM (
+        |    SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jac FROM (
         |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
         |             count(*) AS inter
         |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id

@@ -726,14 +726,19 @@ object DedupOps {
     */
   def neardupDegreeDist(
       s: SparkSession, d: String,
-      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
-    val pairs = ngramJaccardPairs(s, d, minSim, maxDf).select(col("a"), col("b"))
-    pairs.select(col("a").as("doc_id"))
-      .union(pairs.select(col("b").as("doc_id")))
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
+    // consume the cached stats directly, NOT ngramJaccardPairs: its
+    // presentation orderBy survives under the union+aggregate here and
+    // re-sorts the full pair table (measured 10.1 s → 1.7 s at sf1);
+    // exploding array(a, b) also reads the persisted stats once instead
+    // of once per union branch
+    cachedPairStats(s, d, maxDf)
+      .where(round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6) >= minSim)
+      .select(explode(array(col("a"), col("b"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("degree"))
-  }
 
   /** Portable 64-bit SimHash as 4×16-bit chunk values: token hashes are
     * md5 hex digests read nibble-by-nibble, the per-bit majority vote is
