@@ -574,6 +574,17 @@ object SparkEntry {
         |WHERE was_late = 1
         |GROUP BY 1, 2
         |ORDER BY n_waiting_orders DESC, s_suppkey LIMIT 10""".stripMargin,
+    "q_rel_q11_important" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev_c) AS total_c, count(*) AS n_parts FROM pp)
+        |SELECT p_partkey, p_name, rev_c::DOUBLE / 100.0 AS revenue
+        |FROM pp CROSS JOIN t
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE rev_c::HUGEINT * 2 * n_parts > total_c::HUGEINT * 3
+        |ORDER BY revenue DESC, p_partkey""".stripMargin,
     "q_rel_q16_diversity" ->
       """SELECT p_type, CAST(p_size // 10 AS INTEGER) AS size_bucket,
         |  count(DISTINCT l_suppkey) AS n_suppliers
@@ -1275,6 +1286,7 @@ object SparkEntry {
     "q_rel_q17_smallqty" -> ((s, d) => RelationalOps.smallQuantityRevenue(s, d)),
     "q_rel_q19_bands" -> (RelationalOps.disjunctiveBandRevenue _),
     "q_rel_q21_waiting" -> ((s, d) => RelationalOps.soleLateSuppliers(s, d)),
+    "q_rel_q11_important" -> (RelationalOps.importantParts _),
     "q_rel_q16_diversity" -> ((s, d) => RelationalOps.supplierDiversity(s, d)),
     "q_rel_q20_dominant" -> ((s, d) => RelationalOps.dominantSuppliers(s, d)),
     "q_rel_histogram" -> ((s, d) => RelationalOps.priceHistogram(s, d)),
@@ -2489,6 +2501,7 @@ object SparkEntry {
     "q_vec_logreg_model" -> ((s, d) => VectorOps.logRegModel(s, d)),
     "q_vec_logreg_eval" -> ((s, d) => VectorOps.logRegEval(s, d)),
     "q_vec_ivf_recall" -> ((s, d) => VectorOps.ivfRecallAudit(s, d)),
+    "q_vec_quant_recall" -> ((s, d) => VectorOps.quantRecallAudit(s, d)),
     "q_vec_sim_pagerank" -> ((s, d) => VectorOps.simGraphPageRank(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
@@ -2799,6 +2812,39 @@ object SparkEntry {
          |      FROM cand)
          |SELECT query_id, rk, vec_id, cos_sim FROM r WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin,
+    "q_vec_quant_recall" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |dqe AS (SELECT vec_id, embedding,
+         |          list_transform(
+         |            list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |            x -> round(x * 127.0 / greatest(list_max(list_transform(
+         |                   list_transform(embedding, y -> CAST(y AS DOUBLE)),
+         |                   y -> abs(y))), 1e-12))
+         |                 * greatest(list_max(list_transform(
+         |                   list_transform(embedding, y -> CAST(y AS DOUBLE)),
+         |                   y -> abs(y))), 1e-12) / 127.0) AS dqv
+         |        FROM embeddings),
+         |sims AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(${duckCos("e.embedding", "qv")}, 6) AS sim_full,
+         |    round(${duckCos("e.dqv", "qv")}, 6) AS sim_q
+         |  FROM dqe e, q WHERE e.vec_id <> q.q_id),
+         |rf AS (SELECT q_id, vec_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY sim_full DESC, vec_id) AS rn
+         |       FROM sims),
+         |rq AS (SELECT q_id, vec_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY sim_q DESC, vec_id) AS rn
+         |       FROM sims),
+         |ov AS (
+         |  SELECT fa.q_id, count(*) AS n_ov
+         |  FROM (SELECT q_id, vec_id FROM rf WHERE rn <= 10) fa
+         |  JOIN (SELECT q_id, vec_id FROM rq WHERE rn <= 10) qa
+         |    USING (q_id, vec_id)
+         |  GROUP BY 1)
+         |SELECT q_id, CAST(coalesce(n_ov, 0) AS BIGINT) AS n_overlap,
+         |  round(coalesce(n_ov, 0) / 10.0, 4) AS overlap_frac
+         |FROM q LEFT JOIN ov USING (q_id) ORDER BY q_id""".stripMargin,
     "q_vec_matryoshka" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 5),

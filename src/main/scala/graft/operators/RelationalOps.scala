@@ -1121,6 +1121,36 @@ object RelationalOps {
       .limit(k)
   }
 
+  /** TPC-H Q11 shape (fixture-adapted: observed revenue stands in for
+    * stock value): parts whose revenue exceeds 1.5× the average part's —
+    * the "important inventory" HAVING-over-scalar-subquery pattern.
+    *
+    * Plan: one partkey rollup of per-row cent-quantized revenue; the
+    * global total and part count ride a 1-row broadcast; the threshold
+    * check `2·n·rev > 3·total` is exact integer arithmetic in
+    * decimal(38)/HUGEINT (a long product would overflow around
+    * petabyte-scale revenue sums, and a float threshold reintroduces the
+    * rounding-boundary class [[graft.operators.Num]] exists to kill).
+    * Part names broadcast onto the surviving slice.
+    */
+  def importantParts(s: SparkSession, d: String): DataFrame = {
+    val perPart = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).as("rev_c"))
+    val tot = perPart.agg(sum(col("rev_c")).as("total_c"),
+      count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(tot))
+      .where(col("rev_c").cast("decimal(38,0)") * 2 * col("n_parts") >
+        col("total_c").cast("decimal(38,0)") * 3)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"),
+        (col("rev_c").cast("double") / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+  }
+
   /** TPC-H Q16 shape (fixture-adapted: supplier relation via lineitem, one
     * excluded brand): how many distinct suppliers serve each
     * (p_type, size-decade) part segment.

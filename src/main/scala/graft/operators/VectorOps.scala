@@ -984,4 +984,46 @@ object VectorOps {
         round(col("n_overlap") / lit(k.toDouble), 4).as("overlap_frac"))
       .orderBy(col("q_id"))
   }
+
+  /** Int8 storage-quantization ANN fidelity audit: overlap between the
+    * float-cosine top-k and the top-k computed against the int8-quantized
+    * (then dequantized) corpus, queries kept full-precision — "how much
+    * recall does 4× cheaper vector storage cost before the exact re-rank".
+    * Completes the audit family: [[matryoshkaAudit]] measures dimension
+    * truncation, [[ivfRecallAudit]] measures cell pruning, this measures
+    * scalar quantization ([[quantError]] gives the geometric error; this
+    * gives the end-task effect).
+    *
+    * Plan: identical machinery to [[matryoshkaAudit]] — ONE corpus scan
+    * computes both similarities per (query, vector) with the per-vector
+    * dequant inline in the same codegen'd pass; bounded `TopKAgg` per
+    * query; in-row overlap.
+    */
+  def quantRecallAudit(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val v = asD(col("embedding"))
+    val maxAbs = greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
+    val dq = transform(v, x => round(x * 127.0 / maxAbs) * maxAbs / lit(127.0))
+    val base = emb.select(col("vec_id"), col("embedding"), dq.as("dqv"))
+    val q = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    base.crossJoin(q).where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim_full"),
+        round(cosine(col("dqv"), col("qv")), 6).as("sim_q"))
+      .groupBy(col("q_id"))
+      .agg(
+        graft.functions.TopKAgg
+          .topK(lit(""), -col("sim_full"), col("vec_id"), lit(0.0), k).as("tf"),
+        graft.functions.TopKAgg
+          .topK(lit(""), -col("sim_q"), col("vec_id"), lit(0.0), k).as("tq"))
+      .select(col("q_id"),
+        size(array_intersect(
+          transform(col("tf"), e => e("id")),
+          transform(col("tq"), e => e("id")))).cast("long").as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("n_overlap") / lit(k.toDouble), 4).as("overlap_frac"))
+      .orderBy(col("q_id"))
+  }
 }

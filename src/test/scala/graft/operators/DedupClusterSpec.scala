@@ -120,6 +120,18 @@ class DedupClusterSpec extends SparkSpec {
     }
   }
 
+  test("quantRecallAudit: overlap bounded by k and int8 stays near-faithful") {
+    val rows = graft.operators.VectorOps.quantRecallAudit(spark, sf0001).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val ov = r.getAs[Long]("n_overlap")
+      assert(ov >= 0 && ov <= 10)
+      assert(r.getAs[Double]("overlap_frac") === ov / 10.0)
+    }
+    // int8 over 64 dims preserves most of the top-10 on the fixture
+    assert(rows.map(_.getAs[Long]("n_overlap")).sum >= 5 * 10 / 2)
+  }
+
   test("effectiveTokens: discount bounded by cluster structure") {
     val d = sf0001
     import org.apache.spark.sql.functions.col

@@ -481,6 +481,18 @@ class RelTimeSeriesSpec extends SparkSpec {
       val sh = r.getAs[Double]("mean_led_share")
       sh > 0.0 && sh <= 1.0
     })
+    // q11: every survivor clears 1.5x the average part revenue (brute check).
+    val q11 = RelationalOps.importantParts(spark, d).collect()
+    val perPart = Tables.lineitem(spark, d)
+      .groupBy("l_partkey").agg(sum("l_extendedprice").as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cut = 1.5 * perPart.values.sum / perPart.size
+    assert(q11.nonEmpty)
+    q11.foreach(r =>
+      assert(r.getAs[Double]("revenue") > cut - 0.02,
+        s"part below the 1.5x-average bar: ${r}"))
+    assert(q11.length >= perPart.values.count(_ > cut + 0.02),
+      "no clearly-qualifying part may be dropped (cent-rounding slack)")
     // q21: a sole-late supplier count never exceeds that supplier's late orders.
     val q21 = RelationalOps.soleLateSuppliers(spark, d).collect()
     val lateBySupp = Tables.lineitem(spark, d)
