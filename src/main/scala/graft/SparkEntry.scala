@@ -1261,6 +1261,7 @@ object SparkEntry {
     "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
     "q_dedup_cross_source" -> ((s, d) => DedupOps.crossSourceLeakage(s, d)),
     "q_dedup_degree_dist" -> ((s, d) => DedupOps.neardupDegreeDist(s, d)),
+    "q_dedup_df_profile" -> ((s, d) => DedupOps.shingleDfProfile(s, d)),
     "q_text_keyphrases" -> ((s, d) => TextOps.keyphrases(s, d)),
     "q_prep_cluster_split" -> ((s, d) => TrainPrepOps.clusterSafeSplit(s, d)),
     "q_prep_source_budget" -> (TrainPrepOps.sourceBudgetCurve _),
@@ -1681,6 +1682,22 @@ object SparkEntry {
         |  WHERE e.y <> r.x)
         |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    "q_dedup_df_profile" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |df AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1)
+        |SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS df_bucket,
+        |  count(*) AS n_shingles,
+        |  CAST(sum(df) AS BIGINT) AS n_postings,
+        |  CAST(sum(CASE WHEN df > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_capped_shingles,
+        |  CAST(sum(CASE WHEN df > 1000 THEN df ELSE 0 END) AS BIGINT)
+        |    AS capped_postings
+        |FROM df GROUP BY 1 ORDER BY df_bucket""".stripMargin,
     // q_dedup_ngram_jaccard's pair CTE + two shrinking degree rollups
     "q_dedup_degree_dist" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

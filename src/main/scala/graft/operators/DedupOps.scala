@@ -714,6 +714,31 @@ object DedupOps {
       .orderBy(col("source_lo"), col("source_hi"))
   }
 
+  /** Shingle document-frequency profile: log₂-bucketed histogram of how
+    * many corpus shingles occur in 1, 2, 3–4, 5–8, … documents, with the
+    * posting mass and the share removed by the df cap — the audit that
+    * justifies (and tunes) `maxDf` in every overlap operator: the
+    * C(df,2) pair explosion is driven by exactly the tail this profile
+    * exposes.
+    *
+    * Plan: one rollup of the memoized (doc_id, sh_h) index to per-shingle
+    * df, one ≤64-key rollup of that. The bucket is
+    * `length(bin(df)) − 1` — integer floor(log₂) with no float log
+    * whose last-ulp could disagree across engines at exact powers of 2.
+    */
+  def shingleDfProfile(s: SparkSession, d: String,
+      maxDf: Long = 1000L): DataFrame =
+    shingleIndex(s, d)
+      .groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+      .groupBy((length(bin(col("df"))) - 1).cast("int").as("df_bucket"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_capped_shingles"),
+        sum(when(col("df") > maxDf, col("df")).otherwise(0L))
+          .as("capped_postings"))
+      .orderBy(col("df_bucket"))
+
   /** Degree distribution of the near-duplicate graph: how many documents
     * have exactly `degree` near-dup partners. The shape diagnostic that
     * separates a corpus with scattered pair-dups from one with giant

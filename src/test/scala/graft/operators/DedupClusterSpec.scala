@@ -120,6 +120,22 @@ class DedupClusterSpec extends SparkSpec {
     }
   }
 
+  test("shingleDfProfile: bucket invariants hold and posting mass is positive") {
+    val rows = DedupOps.shingleDfProfile(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalPostings = rows.map(_.getAs[Long]("n_postings")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("capped_postings") <= r.getAs[Long]("n_postings"))
+      assert(r.getAs[Long]("n_capped_shingles") <= r.getAs[Long]("n_shingles"))
+      // bucket b holds dfs in [2^b, 2^(b+1)): shingles*2^b <= postings
+      val b = r.getAs[Int]("df_bucket")
+      assert(r.getAs[Long]("n_shingles") * (1L << b) <= r.getAs[Long]("n_postings"))
+      assert(r.getAs[Long]("n_postings") <
+        r.getAs[Long]("n_shingles") * (1L << (b + 1)))
+    }
+    assert(totalPostings > 0)
+  }
+
   test("quantRecallAudit: overlap bounded by k and int8 stays near-faithful") {
     val rows = graft.operators.VectorOps.quantRecallAudit(spark, sf0001).collect()
     assert(rows.length === 5)
