@@ -2511,6 +2511,7 @@ object SparkEntry {
     "q_vec_hard_negatives" -> ((s, d) => VectorOps.hardNegatives(s, d)),
     "q_vec_outliers" -> ((s, d) => VectorOps.labelOutliers(s, d)),
     "q_vec_semdedup" -> ((s, d) => VectorOps.semanticDedup(s, d)),
+    "q_vec_sem_decontam" -> ((s, d) => VectorOps.semanticDecontam(s, d)),
     "q_vec_batch_topk" -> ((s, d) => VectorOps.batchTopK(s, d)),
     "q_vec_matryoshka" -> ((s, d) => VectorOps.matryoshkaAudit(s, d)),
     "q_vec_pca_component" -> ((s, d) => VectorOps.pcaComponent(s, d)),
@@ -2810,6 +2811,25 @@ object SparkEntry {
          |  ON x.cell = y.cell AND x.vec_id < y.vec_id
          | AND round(${duckCos("x.embedding", "y.embedding")}, 6) >= 0.4
          |GROUP BY y.vec_id, y.cell ORDER BY y.vec_id""".stripMargin,
+    "q_vec_sem_decontam" ->
+      s"""WITH ev AS (SELECT embedding AS evv FROM embeddings
+         |            WHERE vec_id % 20 = 0),
+         |sims AS (
+         |  SELECT t.vec_id, t.label,
+         |    CAST(round(${duckCos("t.embedding", "e.evv")} * 1e6, 0) AS BIGINT)
+         |      AS simq
+         |  FROM embeddings t, ev e WHERE t.vec_id % 20 <> 0),
+         |ms AS (SELECT vec_id, label, max(simq) AS msimq
+         |       FROM sims GROUP BY 1, 2)
+         |SELECT label, count(*) AS n_train,
+         |  CAST(sum(CASE WHEN msimq >= 350000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(max(msimq) AS DOUBLE) / 1e6 AS max_maxsim,
+         |  CAST(CASE WHEN sum(msimq) >= 0
+         |       THEN (2 * sum(msimq) + count(*)) // (2 * count(*))
+         |       ELSE -((-2 * sum(msimq) + count(*)) // (2 * count(*))) END
+         |    AS DOUBLE) / 1e6 AS mean_maxsim
+         |FROM ms GROUP BY label ORDER BY label""".stripMargin,
     "q_vec_batch_topk" ->
       s"""WITH cells AS (
          |  SELECT vec_id, embedding,

@@ -643,6 +643,54 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Semantic benchmark decontamination: screen the training split for
+    * vectors embedding-close to the held-out/eval split — the
+    * embedding-space companion of [[graft.operators.TrainPrepOps]]'
+    * shingle-based `decontaminate` (surface-form overlap misses
+    * paraphrases; cosine proximity catches them). Split rule mirrors the
+    * deterministic hash-split convention: `vec_id % evalMod == 0` is eval.
+    *
+    * Per-label audit row: train size, how many train vectors exceed
+    * `tau` max-cosine vs ANY eval vector, and the max/mean of that
+    * per-vector max-similarity — the columns a contamination dashboard
+    * plots per data source.
+    *
+    * Plan shape: the eval side is broadcast (eval sets are sample-sized
+    * by construction, exactly the small-dim side Catalyst wants
+    * broadcast), so the screen is ONE scan of train with a
+    * BroadcastNestedLoopJoin fanout of |eval| rows that collapses in the
+    * same stage's partial max on vec_id; the label rollup then moves
+    * |train| constant-width rows. No all-pairs shuffle at any size. For
+    * 100 TB×large-eval, swap the broadcast for the cell-bucketed
+    * candidate join of [[semanticDedupOf]] — kept brute here because
+    * exactness is the point of a decontamination gate. Every pairwise
+    * cosine quantizes to micro-unit longs BEFORE the maxes (long max is
+    * order-independent), and the mean is [[graft.operators.Num.halfUpDiv]]
+    * — hash-identical across engines and partitionings.
+    */
+  def semanticDecontam(s: SparkSession, d: String, evalMod: Long = 20L,
+      tau: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val ev = broadcast(
+      emb.where(col("vec_id") % evalMod === 0).select(col("embedding").as("evv")))
+    val tauQ = math.round(tau * 1e6)
+    emb.where(col("vec_id") % evalMod =!= 0)
+      .crossJoin(ev)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("evv")) * 1e6, 0).cast("long")
+          .as("simq"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("simq")).as("msimq"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(when(col("msimq") >= tauQ, 1L).otherwise(0L)).as("n_flagged"),
+        (max(col("msimq")).cast("double") / 1e6).as("max_maxsim"),
+        (graft.operators.Num.halfUpDiv(sum(col("msimq")), count(lit(1)))
+          .cast("double") / 1e6).as("mean_maxsim"))
+      .orderBy(col("label"))
+  }
+
   // ---- PCA (power iteration) ------------------------------------------
 
   private val pcaCache = new graft.SessionCache[(Array[Double], Array[Double])]

@@ -200,6 +200,23 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  test("semanticDecontam: partition accounting and similarity bounds hold") {
+    val rows = VectorOps.semanticDecontam(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val nTrain = emb.where(col("vec_id") % 20 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n_train")).sum === nTrain)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_train"))
+      val mx = r.getAs[Double]("max_maxsim")
+      val mn = r.getAs[Double]("mean_maxsim")
+      assert(mx >= -1.0 - 1e-9 && mx <= 1.0 + 1e-9)
+      assert(mn <= mx + 1e-9)
+      // a flagged vector requires max_maxsim to clear the threshold
+      if (r.getAs[Long]("n_flagged") > 0) assert(mx >= 0.35)
+    }
+  }
+
   test("sketchCalibration: bands cover the LSH pairs, errors bounded by band math") {
     val pairs = DedupOps.minhashLshPairs(spark, sf0001).count()
     val cal = DedupOps.sketchCalibration(spark, sf0001).collect()
