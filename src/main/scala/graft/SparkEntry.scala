@@ -1263,6 +1263,7 @@ object SparkEntry {
     "q_dedup_degree_dist" -> ((s, d) => DedupOps.neardupDegreeDist(s, d)),
     "q_dedup_df_profile" -> ((s, d) => DedupOps.shingleDfProfile(s, d)),
     "q_text_keyphrases" -> ((s, d) => TextOps.keyphrases(s, d)),
+    "q_text_char_diversity" -> ((s, d) => TextOps.charDiversity(s, d)),
     "q_prep_cluster_split" -> ((s, d) => TrainPrepOps.clusterSafeSplit(s, d)),
     "q_prep_source_budget" -> (TrainPrepOps.sourceBudgetCurve _),
     "q_prep_effective_tokens" -> ((s, d) => TrainPrepOps.effectiveTokens(s, d)),
@@ -1725,6 +1726,27 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT degree, count(*) AS n_docs
         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+    "q_text_char_diversity" ->
+      """WITH cs AS (SELECT source, length(text) AS n,
+        |              string_split(text, '') AS c FROM documents),
+        |g AS (SELECT source, n,
+        |  list_sum(list_transform(list_distinct(c),
+        |    ch -> CAST(len(list_filter(c, x -> x = ch)) AS BIGINT)
+        |          * len(list_filter(c, x -> x = ch)))) AS ssq,
+        |  CAST(list_max(list_transform(list_distinct(c),
+        |    ch -> len(list_filter(c, x -> x = ch)))) AS BIGINT) AS mx
+        | FROM cs),
+        |q AS (SELECT source,
+        |  (2 * 1000000 * (n*n - ssq) + n*n) // (2 * n*n) AS gini_ppm,
+        |  (2 * 1000000 * mx + n) // (2 * n) AS topchar_ppm FROM g)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST((2 * sum(gini_ppm) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1e6 AS mean_gini,
+        |  CAST(min(gini_ppm) AS DOUBLE) / 1e6 AS min_gini,
+        |  CAST(sum(CASE WHEN gini_ppm < 915000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(max(topchar_ppm) AS DOUBLE) / 1e6 AS max_topchar
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "q_text_keyphrases" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
         |             FROM documents),

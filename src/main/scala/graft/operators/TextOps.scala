@@ -506,6 +506,46 @@ object TextOps {
     * cross-engine float op is round(ln·1e6) over ≤|sources| distinct
     * inputs. Ties order by the term id on both engines.
     */
+  /** Character-diversity quality audit: per-document Gini impurity of the
+    * character distribution (1 − Σpᵢ²) — the gibberish/degenerate-text
+    * signal that catches what token-level [[qualityScore]] can't (one
+    * repeated character, base64 blobs, padding floods all collapse the
+    * char distribution long before token ratios move). Entropy is the
+    * textbook choice but needs float logs whose last ulp differs across
+    * engines; Gini is a RATIONAL function of the counts, so the whole
+    * audit runs in exact long arithmetic: gini_ppm =
+    * ⌊1e6·(n²−Σcᵢ²)/n²⌉ (half-up, [[graft.operators.Num.halfUpDiv]]).
+    *
+    * Scale shape: the per-doc counts are one array-HOF pass per row
+    * (O(|alphabet|·n) per doc, ZERO shuffle — no corpus-char explosion),
+    * and the only shuffle is the |sources|-key rollup of constant-width
+    * quantized rows.
+    */
+  def charDiversity(s: SparkSession, d: String,
+      lowPpm: Long = 915000L): DataFrame = {
+    val c = split(col("text"), "")
+    val n = length(col("text")).cast("long")
+    val cnt = (ch: Column) => size(filter(c, x => x === ch)).cast("long")
+    val sumSq = aggregate(array_distinct(c), lit(0L),
+      (acc, ch) => acc + cnt(ch) * cnt(ch))
+    val maxCnt = array_max(transform(array_distinct(c), ch => cnt(ch)))
+    val perDoc = Tables.documents(s, d)
+      .select(col("source"),
+        graft.operators.Num.halfUpDiv(lit(1000000L) * (n * n - sumSq), n * n)
+          .as("gini_ppm"),
+        graft.operators.Num.halfUpDiv(lit(1000000L) * maxCnt, n)
+          .as("topchar_ppm"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (graft.operators.Num.halfUpDiv(sum(col("gini_ppm")), count(lit(1)))
+          .cast("double") / 1e6).as("mean_gini"),
+        (min(col("gini_ppm")).cast("double") / 1e6).as("min_gini"),
+        sum(when(col("gini_ppm") < lowPpm, 1L).otherwise(0L)).as("n_low"),
+        (max(col("topchar_ppm")).cast("double") / 1e6).as("max_topchar"))
+      .orderBy(col("source"))
+  }
+
   def keyphrases(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("term"))

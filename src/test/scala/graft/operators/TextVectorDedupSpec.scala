@@ -200,6 +200,29 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  test("charDiversity: gini bounds and degenerate text collapses the score") {
+    val rows = TextOps.charDiversity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("mean_gini")
+      assert(g > 0.0 && g < 1.0)
+      assert(r.getAs[Double]("min_gini") <= g + 1e-9)
+      assert(r.getAs[Double]("max_topchar") > 0.0)
+      assert(r.getAs[Long]("n_low") <= r.getAs[Long]("n_docs"))
+    }
+    // a synthesized degenerate doc scores near zero; varied text scores high
+    import spark.implicits._
+    val synth = Seq((1L, "aaaaaaaaaaaaaaaa", "x", "s", 16L),
+        (2L, "the quick brown fox jumps", "x", "s", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = Files.createTempDirectory("cdiv").toString
+    synth.write.parquet(s"$tmp/documents.parquet")
+    val g = TextOps.charDiversity(spark, tmp).collect().head
+    assert(g.getAs[Double]("min_gini") === 0.0) // single-char doc
+    assert(g.getAs[Double]("max_topchar") === 1.0)
+    assert(g.getAs[Long]("n_low") >= 1L)
+  }
+
   test("semanticDecontam: partition accounting and similarity bounds hold") {
     val rows = VectorOps.semanticDecontam(spark, sf0001).collect()
     assert(rows.nonEmpty)
