@@ -1264,6 +1264,7 @@ object SparkEntry {
     "q_dedup_df_profile" -> ((s, d) => DedupOps.shingleDfProfile(s, d)),
     "q_text_keyphrases" -> ((s, d) => TextOps.keyphrases(s, d)),
     "q_text_char_diversity" -> ((s, d) => TextOps.charDiversity(s, d)),
+    "q_text_winnow_profile" -> ((s, d) => TextOps.winnowProfile(s, d)),
     "q_prep_cluster_split" -> ((s, d) => TrainPrepOps.clusterSafeSplit(s, d)),
     "q_prep_source_budget" -> (TrainPrepOps.sourceBudgetCurve _),
     "q_prep_effective_tokens" -> ((s, d) => TrainPrepOps.effectiveTokens(s, d)),
@@ -1726,6 +1727,37 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT degree, count(*) AS n_docs
         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+    "q_text_winnow_profile" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |hs AS (SELECT source,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+        |            1, 15))::BIGINT) AS h
+        |  FROM t WHERE len(toks) >= 3),
+        |pos AS (SELECT source, unnest(
+        |    list_transform(range(1, len(h) + 1), i ->
+        |      CASE WHEN
+        |        (CASE WHEN i > 1 AND h[i-1] < h[i] THEN 1
+        |              WHEN i > 2 AND h[i-2] < h[i] THEN 2
+        |              WHEN i > 3 AND h[i-3] < h[i] THEN 3 ELSE 4 END)
+        |      + (CASE WHEN h[i+1] < h[i] THEN 1
+        |              WHEN h[i+2] < h[i] THEN 2
+        |              WHEN h[i+3] < h[i] THEN 3 ELSE 4 END) > 4
+        |      THEN h[i] ELSE NULL END)) AS fp
+        |  FROM hs),
+        |g AS (SELECT source, fp, count(*) AS c FROM pos GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_positions,
+        |  CAST(sum(CASE WHEN fp IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_selected,
+        |  CAST((2 * sum(CASE WHEN fp IS NOT NULL THEN c ELSE 0 END) * 1000000
+        |        + sum(c)) // (2 * sum(c)) AS DOUBLE) / 1e6 AS density,
+        |  CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_distinct_fp,
+        |  CAST(sum(CASE WHEN fp IS NOT NULL AND c > 1 THEN c ELSE 0 END)
+        |    AS BIGINT) AS n_dup_positions
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_text_char_diversity" ->
       """WITH cs AS (SELECT source, length(text) AS n,
         |              string_split(text, '') AS c FROM documents),

@@ -376,6 +376,75 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing fingerprint profile (the MOSS scheme, Schleimer–
+    * Wilkerson–Aiken 2003): hash every k-gram (k = 3 tokens), select the
+    * minimum of each sliding length-`w` window, and profile the selected
+    * fingerprint density per source — the guarantee-carrying sampling
+    * scheme behind plagiarism/overlap detection (any shared run of
+    * w + k − 1 tokens shares ≥ 1 selected fingerprint).
+    *
+    * Selection uses the exact gap characterization instead of a window
+    * scan: with distinct hashes, position `i` is the minimum of SOME
+    * length-`w` window iff its nearest strictly-smaller neighbors on the
+    * two sides are more than `w` apart (distances capped at `w`; doc
+    * edges count as no-smaller, i.e. the sequence extends with +∞ — so
+    * short docs still emit fingerprints). 60-bit md5 k-gram hashes make
+    * ties vanishingly rare; a tie would select both positions, which
+    * only nudges the density audit, never drops a match.
+    *
+    * Scale shape: selection is pure per-row array arithmetic (2(w−1)
+    * bounded probes per position, ZERO window-function shuffle — the
+    * doc-partitioned lag/lead spelling would shuffle the exploded corpus
+    * by doc_id first), and the only shuffle is the (source, fp) rollup
+    * whose unselected mass rides a per-source null key that map-side
+    * combine collapses to one row per partition. Expected density is
+    * 2/(w+1) — the audit column a corpus-overlap dashboard tracks
+    * against theory.
+    */
+  def winnowProfile(s: SparkSession, d: String, w: Int = 4): DataFrame = {
+    val toks = tokens(col("text"))
+    val hs = transform(sequence(lit(1), size(toks) - 2),
+      i => conv(substring(md5(array_join(slice(toks, i, lit(3)), " ")), 1, 15),
+        16, 10).cast("long"))
+    // Nearest strictly-smaller distance on one side, capped at w. The
+    // bounds guard is load-bearing: BOTH engines resolve negative list
+    // indices from the END of the array, so an unguarded i−j ≤ 0 would
+    // silently compare against the far edge instead of +∞.
+    def dist(hsC: Column, i: Column, back: Boolean): Column = {
+      val cases = (1 until w).map { j =>
+        val off = if (back) i - j else i + j
+        val inBounds = if (back) i > j else lit(true)
+        (inBounds && try_element_at(hsC, off) < try_element_at(hsC, i),
+          lit(j))
+      }
+      cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v)
+      }.otherwise(lit(w))
+    }
+    val sel = (hsC: Column, i: Column) =>
+      dist(hsC, i, back = true) + dist(hsC, i, back = false) > w
+    val posFp = Tables.documents(s, d)
+      .where(size(tokens(col("text"))) >= 3)
+      .select(col("source"), hs.as("hs"))
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("hs"))),
+        i => when(sel(col("hs"), i), element_at(col("hs"), i)))).as("fp"))
+    posFp.groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_positions"),
+        sum(when(col("fp").isNotNull, col("c")).otherwise(0L))
+          .as("n_selected"),
+        sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("n_distinct_fp"),
+        sum(when(col("fp").isNotNull && col("c") > 1, col("c")).otherwise(0L))
+          .as("n_dup_positions"))
+      .select(col("source"), col("n_positions"), col("n_selected"),
+        (graft.operators.Num.halfUpDiv(col("n_selected") * 1000000L,
+          col("n_positions")).cast("double") / 1e6).as("density"),
+        col("n_distinct_fp"), col("n_dup_positions"))
+      .orderBy(col("source"))
+  }
+
   /** Language identification via stopword-profile scoring — the classic
     * n-gram/stopword heuristic. Profiles are tiny hardcoded maps; the
     * score is computed with higher-order array functions, no UDF.

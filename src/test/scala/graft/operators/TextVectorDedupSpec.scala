@@ -200,6 +200,45 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  test("property: winnow gap rule ≡ brute-force window-min selection") {
+    import org.scalacheck.Gen
+    val w = 4
+    // brute force: position selected iff it is the min of some length-w
+    // window over the sequence padded with +∞ beyond both edges
+    def brute(h: Vector[Long]): Set[Int] = {
+      val m = h.length
+      def at(p: Int) = if (p < 1 || p > m) Long.MaxValue else h(p - 1)
+      (for {
+        s <- (2 - w) to m
+        win = (s until s + w).map(p => (at(p), p))
+        (mn, p) = win.min if mn != Long.MaxValue
+      } yield p).toSet
+    }
+    def gapRule(h: Vector[Long]): Set[Int] = {
+      val m = h.length
+      (1 to m).filter { i =>
+        def d(dir: Int) = (1 until w)
+          .find(j => i + dir * j >= 1 && i + dir * j <= m &&
+            h(i + dir * j - 1) < h(i - 1)).getOrElse(w)
+        d(-1) + d(+1) > w
+      }.toSet
+    }
+    forSamples(Gen.listOf(Gen.choose(0L, 1L << 60)).map(_.distinct.toVector),
+      n = 200) { h => assert(gapRule(h) === brute(h), s"seq=$h") }
+  }
+
+  test("winnowProfile: density tracks 2/(w+1) and accounting is consistent") {
+    val rows = TextOps.winnowProfile(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("density")
+      assert(d > 0.2 && d < 0.65, s"density $d far from 2/(w+1)=0.4")
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_positions"))
+      assert(r.getAs[Long]("n_distinct_fp") <= r.getAs[Long]("n_selected"))
+      assert(r.getAs[Long]("n_dup_positions") <= r.getAs[Long]("n_selected"))
+    }
+  }
+
   test("charDiversity: gini bounds and degenerate text collapses the score") {
     val rows = TextOps.charDiversity(spark, sf0001).collect()
     assert(rows.nonEmpty)
