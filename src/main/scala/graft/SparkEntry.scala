@@ -1262,6 +1262,7 @@ object SparkEntry {
     "q_dedup_cross_source" -> ((s, d) => DedupOps.crossSourceLeakage(s, d)),
     "q_dedup_degree_dist" -> ((s, d) => DedupOps.neardupDegreeDist(s, d)),
     "q_dedup_df_profile" -> ((s, d) => DedupOps.shingleDfProfile(s, d)),
+    "q_dedup_winnow_pairs" -> ((s, d) => DedupOps.winnowPairs(s, d)),
     "q_text_keyphrases" -> ((s, d) => TextOps.keyphrases(s, d)),
     "q_text_char_diversity" -> ((s, d) => TextOps.charDiversity(s, d)),
     "q_text_winnow_profile" -> ((s, d) => TextOps.winnowProfile(s, d)),
@@ -1684,6 +1685,43 @@ object SparkEntry {
         |  WHERE e.y <> r.x)
         |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    "q_dedup_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |hs AS (SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+        |            1, 15))::BIGINT) AS h
+        |  FROM t WHERE len(toks) >= 3),
+        |pos AS (SELECT doc_id, unnest(
+        |    list_transform(range(1, len(h) + 1), i ->
+        |      CASE WHEN
+        |        (CASE WHEN i > 1 AND h[i-1] < h[i] THEN 1
+        |              WHEN i > 2 AND h[i-2] < h[i] THEN 2
+        |              WHEN i > 3 AND h[i-3] < h[i] THEN 3 ELSE 4 END)
+        |      + (CASE WHEN h[i+1] < h[i] THEN 1
+        |              WHEN h[i+2] < h[i] THEN 2
+        |              WHEN h[i+3] < h[i] THEN 3 ELSE 4 END) > 4
+        |      THEN h[i] ELSE NULL END)) AS fp
+        |  FROM hs),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM pos WHERE fp IS NOT NULL),
+        |capped AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 1000),
+        |idx AS (SELECT s.doc_id, s.fp FROM sel s JOIN capped USING (fp)),
+        |nfp AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_shared_fp
+        |  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, n_shared_fp,
+        |  na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+        |  CAST((2 * n_shared_fp * 1000000 + least(na.n_fp, nb.n_fp))
+        |       // (2 * least(na.n_fp, nb.n_fp)) AS DOUBLE) / 1e6
+        |    AS containment
+        |FROM pairs
+        |JOIN nfp na ON na.doc_id = doc_a
+        |JOIN nfp nb ON nb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_df_profile" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |shs AS (SELECT doc_id,

@@ -714,6 +714,48 @@ object DedupOps {
       .orderBy(col("source_lo"), col("source_hi"))
   }
 
+  /** Winnowing-based near-dup pairs (the MOSS detector proper, on top of
+    * [[graft.operators.TextOps.winnowProfile]]'s selection): documents
+    * sharing ≥ `minShared` winnowed fingerprints, with the shared count
+    * and a containment score shared/min(|A|,|B|). The winnowing guarantee
+    * makes this a RECALL-carrying sampled index: any pair sharing a run
+    * of w+k−1 = 6 tokens shares at least one selected fingerprint, at
+    * ~2/(w+1) of the index size a full shingle join pays.
+    *
+    * Plan: distinct (doc, fp) → df-cap (drop boilerplate fingerprints in
+    * > `maxDf` docs — same stance as the shingle index's cap) → one
+    * fp-keyed self-join whose fanout is C(df,2)-bounded by the cap →
+    * pair rollup. Doc sizes join back on the high-cardinality doc key.
+    * Containment quantizes via [[Num.halfUpDiv]].
+    */
+  def winnowPairs(s: SparkSession, d: String, minShared: Long = 2L,
+      maxDf: Long = 1000L): DataFrame = {
+    val sel = TextOps.winnowPositions(s, d)
+      .where(col("fp").isNotNull)
+      .select(col("doc_id"), col("fp")).distinct()
+    val capped = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val idx = sel.join(capped, Seq("fp"))
+    val nFp = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = idx.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .where(col("n_shared_fp") >= minShared)
+    pairs
+      .join(nFp.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")),
+        Seq("doc_a"))
+      .join(nFp.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_fp"),
+        col("n_fp_a"), col("n_fp_b"),
+        (Num.halfUpDiv(col("n_shared_fp") * 1000000L,
+          least(col("n_fp_a"), col("n_fp_b"))).cast("double") / 1e6)
+          .as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Shingle document-frequency profile: log₂-bucketed histogram of how
     * many corpus shingles occur in 1, 2, 3–4, 5–8, … documents, with the
     * posting mass and the share removed by the df cap — the audit that

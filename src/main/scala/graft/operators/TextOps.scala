@@ -401,7 +401,31 @@ object TextOps {
     * 2/(w+1) — the audit column a corpus-overlap dashboard tracks
     * against theory.
     */
-  def winnowProfile(s: SparkSession, d: String, w: Int = 4): DataFrame = {
+  def winnowProfile(s: SparkSession, d: String, w: Int = 4): DataFrame =
+    winnowPositions(s, d, w)
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_positions"),
+        sum(when(col("fp").isNotNull, col("c")).otherwise(0L))
+          .as("n_selected"),
+        sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("n_distinct_fp"),
+        sum(when(col("fp").isNotNull && col("c") > 1, col("c")).otherwise(0L))
+          .as("n_dup_positions"))
+      .select(col("source"), col("n_positions"), col("n_selected"),
+        (graft.operators.Num.halfUpDiv(col("n_selected") * 1000000L,
+          col("n_positions")).cast("double") / 1e6).as("density"),
+        col("n_distinct_fp"), col("n_dup_positions"))
+      .orderBy(col("source"))
+
+  /** The winnowing selection itself: one row per k-gram position,
+    * `fp` = the 60-bit fingerprint where the position is selected, null
+    * where not (so consumers can count both sides without a second
+    * corpus scan). Shared by [[winnowProfile]] and
+    * [[graft.operators.DedupOps.winnowPairs]].
+    */
+  private[operators] def winnowPositions(s: SparkSession, d: String,
+      w: Int = 4): DataFrame = {
     val toks = tokens(col("text"))
     val hs = transform(sequence(lit(1), size(toks) - 2),
       i => conv(substring(md5(array_join(slice(toks, i, lit(3)), " ")), 1, 15),
@@ -423,26 +447,12 @@ object TextOps {
     }
     val sel = (hsC: Column, i: Column) =>
       dist(hsC, i, back = true) + dist(hsC, i, back = false) > w
-    val posFp = Tables.documents(s, d)
+    Tables.documents(s, d)
       .where(size(tokens(col("text"))) >= 3)
-      .select(col("source"), hs.as("hs"))
-      .select(col("source"), explode(transform(
+      .select(col("doc_id"), col("source"), hs.as("hs"))
+      .select(col("doc_id"), col("source"), explode(transform(
         sequence(lit(1), size(col("hs"))),
         i => when(sel(col("hs"), i), element_at(col("hs"), i)))).as("fp"))
-    posFp.groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
-      .groupBy(col("source"))
-      .agg(
-        sum(col("c")).as("n_positions"),
-        sum(when(col("fp").isNotNull, col("c")).otherwise(0L))
-          .as("n_selected"),
-        sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("n_distinct_fp"),
-        sum(when(col("fp").isNotNull && col("c") > 1, col("c")).otherwise(0L))
-          .as("n_dup_positions"))
-      .select(col("source"), col("n_positions"), col("n_selected"),
-        (graft.operators.Num.halfUpDiv(col("n_selected") * 1000000L,
-          col("n_positions")).cast("double") / 1e6).as("density"),
-        col("n_distinct_fp"), col("n_dup_positions"))
-      .orderBy(col("source"))
   }
 
   /** Language identification via stopword-profile scoring — the classic

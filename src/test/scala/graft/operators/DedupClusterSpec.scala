@@ -136,6 +136,31 @@ class DedupClusterSpec extends SparkSpec {
     assert(totalPostings > 0)
   }
 
+  test("winnowPairs: guarantee catches a shared 6-token run; bounds hold") {
+    import spark.implicits._
+    // two docs sharing a 10-token run (> w+k-1 = 6) must share >= 1 fp
+    val shared = (1 to 10).map(i => s"run$i").mkString(" ")
+    val synth = Seq(
+      (1L, s"alpha beta gamma $shared delta", "x", "s", 0L),
+      (2L, s"omega $shared psi chi phi", "x", "s", 0L),
+      (3L, "totally different words here now", "x", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("wp").toString
+    synth.write.parquet(s"$tmp/documents.parquet")
+    val pairs = DedupOps.winnowPairs(spark, tmp, minShared = 1L).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L), "guaranteed pair missed")
+    // fixture-level invariants
+    val rows = DedupOps.winnowPairs(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared_fp") <=
+        math.min(r.getAs[Long]("n_fp_a"), r.getAs[Long]("n_fp_b")))
+      val c = r.getAs[Double]("containment")
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+
   test("quantRecallAudit: overlap bounded by k and int8 stays near-faithful") {
     val rows = graft.operators.VectorOps.quantRecallAudit(spark, sf0001).collect()
     assert(rows.length === 5)
