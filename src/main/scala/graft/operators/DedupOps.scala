@@ -714,6 +714,9 @@ object DedupOps {
       .orderBy(col("source_lo"), col("source_hi"))
   }
 
+  private val winnowIndexCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+
   /** Winnowing-based near-dup pairs (the MOSS detector proper, on top of
     * [[graft.operators.TextOps.winnowProfile]]'s selection): documents
     * sharing ≥ `minShared` winnowed fingerprints, with the shared count
@@ -730,9 +733,15 @@ object DedupOps {
     */
   def winnowPairs(s: SparkSession, d: String, minShared: Long = 2L,
       maxDf: Long = 1000L): DataFrame = {
-    val sel = TextOps.winnowPositions(s, d)
-      .where(col("fp").isNotNull)
-      .select(col("doc_id"), col("fp")).distinct()
+    // memoized: consumed three times below (df-cap, self-join, doc sizes)
+    // — without the persist each consumer would re-run the corpus scan +
+    // selection arithmetic
+    val sel = winnowIndexCache.getOrElseUpdate(s, d) { (ss, dir) =>
+      TextOps.winnowPositions(ss, dir)
+        .where(col("fp").isNotNull)
+        .select(col("doc_id"), col("fp")).distinct()
+        .persist()
+    }
     val capped = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
     val idx = sel.join(capped, Seq("fp"))
