@@ -2604,6 +2604,7 @@ object SparkEntry {
     "q_vec_outliers" -> ((s, d) => VectorOps.labelOutliers(s, d)),
     "q_vec_semdedup" -> ((s, d) => VectorOps.semanticDedup(s, d)),
     "q_vec_sem_decontam" -> ((s, d) => VectorOps.semanticDecontam(s, d)),
+    "q_vec_ivf_probe_curve" -> ((s, d) => VectorOps.ivfProbeCurve(s, d)),
     "q_vec_batch_topk" -> ((s, d) => VectorOps.batchTopK(s, d)),
     "q_vec_matryoshka" -> ((s, d) => VectorOps.matryoshkaAudit(s, d)),
     "q_vec_pca_component" -> ((s, d) => VectorOps.pcaComponent(s, d)),
@@ -2903,6 +2904,55 @@ object SparkEntry {
          |  ON x.cell = y.cell AND x.vec_id < y.vec_id
          | AND round(${duckCos("x.embedding", "y.embedding")}, 6) >= 0.4
          |GROUP BY y.vec_id, y.cell ORDER BY y.vec_id""".stripMargin,
+    "q_vec_ivf_probe_curve" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+         |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv, cell AS qcell
+         |      FROM cells WHERE vec_id < 8),
+         |ranked AS (
+         |  SELECT q_id, cell, CAST(row_number() OVER (
+         |      PARTITION BY q_id ORDER BY
+         |        abs((cell // 1) % 2 - (qcell // 1) % 2)
+         |      + abs((cell // 2) % 2 - (qcell // 2) % 2)
+         |      + abs((cell // 4) % 2 - (qcell // 4) % 2)
+         |      + abs((cell // 8) % 2 - (qcell // 8) % 2), cell)
+         |    AS BIGINT) AS crank
+         |  FROM q CROSS JOIN (SELECT DISTINCT cell FROM cells)),
+         |sims AS (
+         |  SELECT q.q_id, c.vec_id, r.crank,
+         |    round(${duckCos("c.embedding", "qv")}, 6) AS sim
+         |  FROM cells c
+         |  JOIN q ON c.vec_id <> q.q_id
+         |  JOIN ranked r ON r.q_id = q.q_id AND r.cell = c.cell),
+         |rf AS (SELECT q_id, vec_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |       FROM sims),
+         |ps AS (SELECT unnest([1, 2, 4, 8]) AS probes),
+         |pi AS (SELECT s.*, probes FROM sims s CROSS JOIN ps
+         |       WHERE s.crank <= probes),
+         |ri AS (SELECT q_id, probes, vec_id, row_number() OVER (
+         |         PARTITION BY q_id, probes ORDER BY sim DESC, vec_id) AS rn
+         |       FROM pi),
+         |ov AS (SELECT pa.probes, fa.q_id, count(*) AS n_ov
+         |       FROM (SELECT q_id, vec_id FROM rf WHERE rn <= 10) fa
+         |       JOIN (SELECT q_id, probes, vec_id FROM ri WHERE rn <= 10) pa
+         |         USING (q_id, vec_id)
+         |       GROUP BY 1, 2),
+         |nc AS (SELECT probes, q_id, count(*) AS cands
+         |       FROM pi GROUP BY 1, 2),
+         |grid AS (SELECT q_id, probes FROM q CROSS JOIN ps)
+         |SELECT probes, CAST(sum(coalesce(nc.cands, 0)) AS BIGINT)
+         |    AS total_cands,
+         |  CAST((2 * 1000000 * sum(coalesce(ov.n_ov, 0)) + count(*) * 10)
+         |       // (2 * count(*) * 10) AS DOUBLE) / 1e6 AS mean_recall,
+         |  CAST(min(coalesce(ov.n_ov, 0)) AS DOUBLE) / 10.0 AS min_recall
+         |FROM grid LEFT JOIN ov USING (q_id, probes)
+         |          LEFT JOIN nc USING (q_id, probes)
+         |GROUP BY probes ORDER BY probes""".stripMargin,
     "q_vec_sem_decontam" ->
       s"""WITH ev AS (SELECT embedding AS evv FROM embeddings
          |            WHERE vec_id % 20 = 0),

@@ -991,6 +991,78 @@ object VectorOps {
       .orderBy(col("q_id"))
   }
 
+  /** Multi-probe recall curve: recall@k of the IVF candidate set as the
+    * number of probed cells grows (probe order = Hamming distance of the
+    * sign-bit cell codes, ties by cell id) — the tuning curve that turns
+    * [[ivfRecallAudit]]'s single point into the "how many probes buys how
+    * much recall" decision every serving deployment actually makes.
+    *
+    * Plan: one corpus scan computes every (query, vector) similarity;
+    * the probe ORDER comes from a |cells|×|queries| ranked grid (bounded:
+    * 2^bits cells) that broadcasts onto the scan; every probe budget is
+    * evaluated from the SAME rows via bounded [[graft.functions.TopKAgg]]
+    * aggregations with out-of-budget rows pushed below any real
+    * candidate by a sentinel key — no per-budget rescan, no rank window
+    * over the corpus. Hamming distance is spelled as per-bit integer
+    * arithmetic (shift/mask/abs), exactly replayable in the oracle.
+    */
+  def ivfProbeCurve(s: SparkSession, d: String, nQueries: Int = 8,
+      k: Int = 10, bits: Int = 4,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ham(a: Column, b: Column): Column =
+      (0 until bits).map { j =>
+        abs(shiftright(a, j).bitwiseAND(lit(1L)) -
+          shiftright(b, j).bitwiseAND(lit(1L)))
+      }.reduce(_ + _)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        cell(col("embedding"), bits).as("cell"))
+    val q = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("cell").as("qcell")))
+    val ranked = broadcast(
+      q.select(col("q_id"), col("qcell"))
+        .crossJoin(emb.select(col("cell")).distinct())
+        .select(col("q_id"), col("cell"),
+          row_number().over(Window.partitionBy(col("q_id"))
+            .orderBy(ham(col("cell"), col("qcell")), col("cell")))
+            .as("crank")))
+    val sims = emb.crossJoin(q).where(col("vec_id") =!= col("q_id"))
+      .join(ranked, Seq("q_id", "cell"))
+      .select(col("q_id"), col("vec_id"), col("crank"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+    val aggs = graft.functions.TopKAgg
+      .topK(lit(""), -col("sim"), col("vec_id"), lit(0.0), k).as("tf") +:
+      probes.flatMap { p =>
+        Seq(
+          graft.functions.TopKAgg.topK(lit(""),
+            when(col("crank") <= p, -col("sim")).otherwise(lit(1e9)),
+            col("vec_id"),
+            when(col("crank") <= p, lit(1.0)).otherwise(lit(0.0)), k)
+            .as(s"ti_$p"),
+          sum(when(col("crank") <= p, 1L).otherwise(0L)).as(s"nc_$p"))
+      }
+    val perQuery = sims.groupBy(col("q_id")).agg(aggs.head, aggs.tail: _*)
+    val gt = transform(col("tf"), e => e("id"))
+    val perQP = perQuery.select(col("q_id"), explode(array(probes.map { p =>
+      struct(lit(p).as("probes"),
+        size(array_intersect(gt,
+          transform(filter(col(s"ti_$p"), e => e("p") === 1.0), e => e("id"))))
+          .cast("long").as("ov"),
+        col(s"nc_$p").as("nc"))
+    }: _*)).as("e"))
+      .select(col("q_id"), col("e.probes").as("probes"),
+        col("e.ov").as("ov"), col("e.nc").as("nc"))
+    perQP.groupBy(col("probes"))
+      .agg(
+        sum(col("nc")).as("total_cands"),
+        (Num.halfUpDiv(sum(col("ov")) * 1000000L,
+          count(lit(1)) * k).cast("double") / 1e6).as("mean_recall"),
+        (min(col("ov")).cast("double") / k).as("min_recall"))
+      .orderBy(col("probes"))
+  }
+
   /** Matryoshka-truncation fidelity audit: for each query vector, the
     * overlap between the brute-force cosine top-k at full dimensionality
     * and the top-k computed on only the first `prefixDim` dimensions — the

@@ -262,6 +262,25 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     assert(g.getAs[Long]("n_low") >= 1L)
   }
 
+  test("ivfProbeCurve: recall and candidates are monotone in probes") {
+    val rows = VectorOps.ivfProbeCurve(spark, sf0001).collect()
+      .sortBy(_.getAs[Int]("probes"))
+    assert(rows.map(_.getAs[Int]("probes")).toSeq === Seq(1, 2, 4, 8))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        // probing more cells only ever adds candidates, per query
+        assert(a.getAs[Long]("total_cands") <= b.getAs[Long]("total_cands"))
+        assert(a.getAs[Double]("mean_recall") <=
+          b.getAs[Double]("mean_recall") + 1e-9)
+      case _ =>
+    }
+    rows.foreach { r =>
+      val mn = r.getAs[Double]("min_recall")
+      val mean = r.getAs[Double]("mean_recall")
+      assert(mn >= 0.0 && mn <= mean + 1e-9 && mean <= 1.0 + 1e-9)
+    }
+  }
+
   test("semanticDecontam: partition accounting and similarity bounds hold") {
     val rows = VectorOps.semanticDecontam(spark, sf0001).collect()
     assert(rows.nonEmpty)
