@@ -1263,6 +1263,7 @@ object SparkEntry {
     "q_dedup_degree_dist" -> ((s, d) => DedupOps.neardupDegreeDist(s, d)),
     "q_dedup_df_profile" -> ((s, d) => DedupOps.shingleDfProfile(s, d)),
     "q_dedup_winnow_pairs" -> ((s, d) => DedupOps.winnowPairs(s, d)),
+    "q_dedup_boilerplate" -> ((s, d) => DedupOps.boilerplate(s, d)),
     "q_text_keyphrases" -> ((s, d) => TextOps.keyphrases(s, d)),
     "q_text_char_diversity" -> ((s, d) => TextOps.charDiversity(s, d)),
     "q_text_winnow_profile" -> ((s, d) => TextOps.winnowProfile(s, d)),
@@ -1685,6 +1686,38 @@ object SparkEntry {
         |  WHERE e.y <> r.x)
         |SELECT x AS doc_id, least(x, min(y)) AS cluster_id
         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+    "q_dedup_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |idx AS (SELECT sh0.doc_id, sh, source
+        |        FROM sh0 JOIN documents USING (doc_id)),
+        |nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+        |       FROM idx GROUP BY 1),
+        |sdf AS (SELECT source, sh, count(*) AS df FROM idx GROUP BY 1, 2),
+        |fl AS (SELECT s.source, s.sh,
+        |         (s.df >= 2 AND s.df * 5 >= nd.n_docs) AS boiler
+        |       FROM sdf s JOIN nd USING (source)),
+        |pd AS (SELECT i.source, i.doc_id,
+        |         (2 * 1000000 * sum(CASE WHEN f.boiler THEN 1 ELSE 0 END)
+        |          + count(*)) // (2 * count(*)) AS frac_ppm
+        |       FROM idx i JOIN fl f ON f.source = i.source AND f.sh = i.sh
+        |       GROUP BY 1, 2),
+        |vocab AS (SELECT source, count(*) AS n_shingles,
+        |            CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+        |              AS n_boiler_shingles
+        |          FROM fl GROUP BY 1)
+        |SELECT source, count(*) AS n_docs, n_shingles, n_boiler_shingles,
+        |  CAST((2 * sum(frac_ppm) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1e6 AS mean_doc_boiler_frac,
+        |  CAST(max(frac_ppm) AS DOUBLE) / 1e6 AS max_doc_boiler_frac
+        |FROM pd JOIN vocab USING (source)
+        |GROUP BY source, n_shingles, n_boiler_shingles
+        |ORDER BY source""".stripMargin,
     "q_dedup_winnow_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

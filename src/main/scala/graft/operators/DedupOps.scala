@@ -714,6 +714,57 @@ object DedupOps {
       .orderBy(col("source_lo"), col("source_hi"))
   }
 
+  /** Per-source boilerplate detection: shingles occurring in ≥ 1/`invFrac`
+    * of a source's documents (and ≥ `minDf` docs) are boilerplate — the
+    * header/footer/disclaimer mass a CCNet-style cleaning stage strips
+    * before dedup, because it inflates every similarity metric and
+    * explodes candidate joins (the exact tail [[shingleDfProfile]]
+    * measures, localized per source). Reports, per source, the
+    * boilerplate share of the vocabulary and how much of a typical
+    * document it covers.
+    *
+    * The threshold is the RATIONAL `df · invFrac ≥ n_docs` — no float
+    * fraction whose rounding could flip a shingle at the boundary.
+    *
+    * Plan: the memoized distinct-shingle index picks up `source` in one
+    * doc-keyed join, rolls to (source, sh_h) df, and the boiler verdict
+    * joins back on the same constant-width key; text never crosses the
+    * wire and nothing is all-pairs.
+    */
+  def boilerplate(s: SparkSession, d: String, invFrac: Long = 5L,
+      minDf: Long = 2L): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val idx = shingleIndex(s, d).join(src, Seq("doc_id"))
+    val nd = idx.select(col("source"), col("doc_id")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val sdf = idx.groupBy(col("source"), col("sh_h"))
+      .agg(count(lit(1)).as("df"))
+      .join(nd, Seq("source"))
+      .select(col("source"), col("sh_h"),
+        (col("df") >= minDf && col("df") * invFrac >= col("n_docs"))
+          .as("boiler"))
+    val perDoc = idx.join(sdf, Seq("source", "sh_h"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("source"),
+        Num.halfUpDiv(col("n_boiler") * 1000000L, col("n_sh"))
+          .as("frac_ppm"))
+    val vocab = sdf.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler_shingles"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (Num.halfUpDiv(sum(col("frac_ppm")), count(lit(1)))
+          .cast("double") / 1e6).as("mean_doc_boiler_frac"),
+        (max(col("frac_ppm")).cast("double") / 1e6).as("max_doc_boiler_frac"))
+      .join(vocab, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_shingles"),
+        col("n_boiler_shingles"), col("mean_doc_boiler_frac"),
+        col("max_doc_boiler_frac"))
+      .orderBy(col("source"))
+  }
+
   private val winnowIndexCache =
     new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
 

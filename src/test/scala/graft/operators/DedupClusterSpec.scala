@@ -136,6 +136,25 @@ class DedupClusterSpec extends SparkSpec {
     assert(totalPostings > 0)
   }
 
+  test("boilerplate: planted header is flagged; accounting is consistent") {
+    import spark.implicits._
+    val header = "copyright acme corp all rights reserved"
+    val synth = (1L to 6L).map(i =>
+      (i, s"$header unique$i words body$i content$i here$i now$i", "x", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("bp").toString
+    synth.write.parquet(s"$tmp/documents.parquet")
+    val r = DedupOps.boilerplate(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_boiler_shingles") >= 4L) // the header's shingles
+    assert(r.getAs[Double]("mean_doc_boiler_frac") > 0.2)
+    val fixture = DedupOps.boilerplate(spark, sf0001).collect()
+    fixture.foreach { f =>
+      assert(f.getAs[Long]("n_boiler_shingles") <= f.getAs[Long]("n_shingles"))
+      val mean = f.getAs[Double]("mean_doc_boiler_frac")
+      assert(mean >= 0.0 && mean <= f.getAs[Double]("max_doc_boiler_frac") + 1e-9)
+    }
+  }
+
   test("winnowPairs: guarantee catches a shared 6-token run; bounds hold") {
     import spark.implicits._
     // two docs sharing a 10-token run (> w+k-1 = 6) must share >= 1 fp
