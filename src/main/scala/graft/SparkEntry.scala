@@ -2370,7 +2370,8 @@ object SparkEntry {
     "q_prep_pack_stats" -> ((s, d) => TrainPrepOps.packStats(s, d)),
     "q_prep_leakage" -> ((s, d) => TrainPrepOps.splitLeakage(s, d)),
     "q_prep_mixture_weights" -> (TrainPrepOps.mixtureWeights _),
-    "q_prep_token_budget" -> ((s, d) => TrainPrepOps.tokenBudget(s, d)))
+    "q_prep_token_budget" -> ((s, d) => TrainPrepOps.tokenBudget(s, d)),
+    "q_prep_waterfill" -> ((s, d) => TrainPrepOps.waterfillBudget(s, d)))
 
   private val prepOracles: Map[String, String] = Map(
     "q_prep_split" ->
@@ -2525,6 +2526,35 @@ object SparkEntry {
         |  round(w_raw / (SELECT tot_w FROM tot)
         |        * (SELECT tot_tokens FROM tot)::DOUBLE / n_tokens, 6) AS epochs
         |FROM w ORDER BY source""".stripMargin,
+    "q_prep_waterfill" ->
+      """WITH caps AS (SELECT source,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |          AS cap_tokens
+        |      FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(cap_tokens) AS total, count(*) AS n FROM caps),
+        |t AS (SELECT source, cap_tokens,
+        |        CAST(row_number() OVER (ORDER BY cap_tokens, source)
+        |          AS BIGINT) AS i,
+        |        coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS prefix,
+        |        total, n, (total * 1) // 2 AS budget
+        |      FROM caps CROSS JOIN tot),
+        |f AS (SELECT *, cap_tokens * (n - i + 1) <= budget - prefix
+        |        AS funded FROM t),
+        |line AS (SELECT sum(CASE WHEN funded THEN cap_tokens ELSE 0 END)
+        |           AS fsum,
+        |         sum(CASE WHEN funded THEN 1 ELSE 0 END) AS nf FROM f)
+        |SELECT source, cap_tokens,
+        |  CAST(CASE WHEN funded THEN cap_tokens ELSE wl END AS BIGINT)
+        |    AS alloc_tokens,
+        |  funded, CAST(wl AS BIGINT) AS waterline,
+        |  CAST((2 * (CASE WHEN funded THEN cap_tokens ELSE wl END) * 1000000
+        |        + cap_tokens) // (2 * cap_tokens) AS DOUBLE) / 1e6 AS util
+        |FROM (SELECT f.*, CASE WHEN n = nf THEN budget
+        |        ELSE (budget - fsum) // (n - nf) END AS wl
+        |      FROM f CROSS JOIN line)
+        |ORDER BY source""".stripMargin,
     "q_prep_token_budget" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
         |           FROM documents),

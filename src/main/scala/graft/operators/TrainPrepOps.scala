@@ -111,6 +111,63 @@ object TrainPrepOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Water-filling token-budget allocation: split a total budget of
+    * `budgetNum/budgetDen` × corpus tokens across sources by raising one
+    * waterline λ — every source contributes min(its tokens, λ) — the
+    * classic "equalize sources up to the budget" mixture rule (small
+    * sources keep everything, big crawls are clipped to the line).
+    *
+    * Exactness: runs entirely in integer token counts. A source is
+    * fully funded iff cap·(n−i+1) ≤ B − prefix over the cap-ascending
+    * order (the one-pass waterfilling characterization — once it fails
+    * it fails for every larger cap, so the flag is per-row arithmetic,
+    * no iteration); λ is then one floor division and clipped sources all
+    * receive exactly λ (total ≤ B with slack < #clipped, reported).
+    *
+    * Plan: ONE corpus rollup to |sources| rows; the ordered window and
+    * the two 1-row broadcasts run on that bounded table — the
+    * single-partition window is the POINT here (post-aggregation,
+    * |sources| rows), not the corpus-window trap [[stratifiedSample]]
+    * avoids.
+    */
+  def waterfillBudget(s: SparkSession, d: String, budgetNum: Long = 1L,
+      budgetDen: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(CurationOps.nTokensCol.cast("long")).as("cap_tokens"))
+    val w = Window.orderBy(col("cap_tokens"), col("source"))
+    val tot = caps.agg(sum(col("cap_tokens")).as("total"),
+      count(lit(1)).as("n"))
+    val t = caps
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("prefix", coalesce(
+        sum(col("cap_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget",
+        call_function("div", col("total") * budgetNum, lit(budgetDen)))
+      .withColumn("funded",
+        col("cap_tokens") * (col("n") - col("i") + 1) <=
+          col("budget") - col("prefix"))
+    val line = t.agg(
+      sum(when(col("funded"), col("cap_tokens")).otherwise(0L)).as("fsum"),
+      sum(when(col("funded"), 1L).otherwise(0L)).as("nf")).select(
+      col("fsum"), col("nf"))
+    t.crossJoin(broadcast(line))
+      .withColumn("waterline", when(col("n") === col("nf"), col("budget"))
+        .otherwise(call_function("div",
+          col("budget") - col("fsum"), col("n") - col("nf"))))
+      .select(col("source"), col("cap_tokens"),
+        when(col("funded"), col("cap_tokens")).otherwise(col("waterline"))
+          .as("alloc_tokens"),
+        col("funded"), col("waterline"),
+        (graft.operators.Num.halfUpDiv(
+          when(col("funded"), col("cap_tokens")).otherwise(col("waterline"))
+            * 1000000L, col("cap_tokens")).cast("double") / 1e6).as("util"))
+      .orderBy(col("source"))
+  }
+
   /** Token-budget curve per source × quality bucket: "if I take only
     * quality ≥ x/10 documents from this source, how many tokens do I get,
     * and what share of the source is that?" — the selection curve a

@@ -136,6 +136,29 @@ class DedupClusterSpec extends SparkSpec {
     assert(totalPostings > 0)
   }
 
+  test("waterfillBudget: allocation is feasible, fair, and budget-tight") {
+    val rows = graft.operators.TrainPrepOps.waterfillBudget(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val budget = rows.map(_.getAs[Long]("cap_tokens")).sum / 2
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    val clipped = rows.filterNot(_.getAs[Boolean]("funded"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens"))
+      assert(r.getAs[Double]("util") > 0.0 && r.getAs[Double]("util") <= 1.0)
+    }
+    assert(alloc <= budget)
+    assert(budget - alloc < math.max(clipped.length, 1),
+      s"slack ${budget - alloc} >= ${clipped.length} clipped sources")
+    // every clipped source sits exactly on the waterline, above all funded
+    if (clipped.nonEmpty) {
+      assert(clipped.map(_.getAs[Long]("alloc_tokens")).distinct.length === 1)
+      val wl = clipped.head.getAs[Long]("waterline")
+      rows.filter(_.getAs[Boolean]("funded"))
+        .foreach(r => assert(r.getAs[Long]("cap_tokens") <= wl + 1))
+    }
+  }
+
   test("boilerplate: planted header is flagged; accounting is consistent") {
     import spark.implicits._
     val header = "copyright acme corp all rights reserved"
