@@ -2252,6 +2252,57 @@ object SparkEntry {
         |    AS dup_frac
         |FROM sh JOIN c USING (sfp)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_prf_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(t)) AS avgdl,
+        |  sum(CASE WHEN list_contains(t, 'spark') THEN 1.0 ELSE 0.0 END) AS df0,
+        |  sum(CASE WHEN list_contains(t, 'hash') THEN 1.0 ELSE 0.0 END) AS df1,
+        |  sum(CASE WHEN list_contains(t, 'join') THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM t),
+        |r1 AS (SELECT doc_id FROM (SELECT doc_id,
+        |  round(
+        |    ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+        |      * len(list_filter(t, x -> x = 'spark'))::DOUBLE * 2.2
+        |      / (len(list_filter(t, x -> x = 'spark'))::DOUBLE
+        |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl))
+        |  + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+        |      * len(list_filter(t, x -> x = 'hash'))::DOUBLE * 2.2
+        |      / (len(list_filter(t, x -> x = 'hash'))::DOUBLE
+        |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl))
+        |  + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+        |      * len(list_filter(t, x -> x = 'join'))::DOUBLE * 2.2
+        |      / (len(list_filter(t, x -> x = 'join'))::DOUBLE
+        |         + 1.2 * (0.25 + 0.75 * len(t)::DOUBLE / avgdl)), 6) AS bm25
+        |  FROM t, st) WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 3),
+        |fbc AS (SELECT term, count(*) AS tf_fb
+        |        FROM (SELECT unnest(t.t) AS term FROM t JOIN r1 USING (doc_id))
+        |        WHERE term NOT IN ('spark', 'hash', 'join') GROUP BY 1),
+        |dfs AS (SELECT term, count(*) AS df_fb FROM (
+        |          SELECT DISTINCT u.doc_id, u.term
+        |          FROM (SELECT doc_id, unnest(t) AS term FROM t) u
+        |          JOIN fbc USING (term)) GROUP BY 1),
+        |expt AS (SELECT term, 0.5 AS w FROM (
+        |          SELECT f.term,
+        |            f.tf_fb * CAST(round(ln(n_docs / df_fb) * 1e6, 0) AS BIGINT)
+        |              AS wq
+        |          FROM fbc f JOIN dfs USING (term) CROSS JOIN st)
+        |         ORDER BY wq DESC, term LIMIT 3),
+        |q AS (SELECT unnest(['spark', 'hash', 'join']) AS term, 1.0 AS w
+        |      UNION ALL SELECT term, w FROM expt),
+        |m AS (SELECT u.doc_id, u.term, count(*) AS tf, max(u.dl) AS dl,
+        |        max(q.w) AS w
+        |      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM t) u
+        |      JOIN q USING (term) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+        |ct AS (SELECT doc_id, CAST(round(
+        |         w * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+        |           * tf::DOUBLE * 2.2
+        |           / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl))
+        |         * 1e6, 0) AS BIGINT) AS cq
+        |       FROM m JOIN dfq USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(sum(cq) AS DOUBLE) / 1e6 AS prf_score
+        |FROM ct GROUP BY doc_id
+        |ORDER BY prf_score DESC, doc_id LIMIT 10""".stripMargin,
     "q_text_bm25" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(t)) AS avgdl,
@@ -2656,6 +2707,7 @@ object SparkEntry {
     "q_vec_label_affinity" -> (VectorOps.labelAffinity _),
     "q_text_prefix_dups" -> ((s, d) => TextOps.prefixDups(s, d)),
     "q_text_hybrid_topk" -> ((s, d) => RetrievalOps.hybridTopK(s, d)),
+    "q_text_prf_topk" -> ((s, d) => RetrievalOps.prfTopK(s, d)),
     "q_text_ranker_rbo" -> ((s, d) => RetrievalOps.rankerAgreement(s, d)),
     "q_vec_centroids" -> (VectorOps.labelCentroids _),
     "q_vec_quantize" -> (VectorOps.quantizeInt8 _),

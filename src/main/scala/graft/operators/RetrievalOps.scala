@@ -151,6 +151,71 @@ object RetrievalOps {
       .limit(k)
   }
 
+  /** Pseudo-relevance-feedback retrieval (Rocchio/RM-style PRF): run the
+    * base BM25 query, mine expansion terms from the top `fbDocs` results
+    * (weight = feedback-tf × ln(N/df), the Rocchio centroid term), and
+    * rescore the corpus with the expanded query — original terms at
+    * weight 1, expansion terms at ½. The classic recall-boosting second
+    * pass every retrieval stack ships.
+    *
+    * Determinism: expansion selection ranks an integer weight
+    * (tf_fb × micro-quantized idf, ties by term), and round-2 scoring
+    * quantizes each per-(doc, term) BM25 contribution to micro-unit
+    * longs BEFORE the per-doc sum — a float sum over rows would depend
+    * on partial-aggregation order; long addition doesn't.
+    *
+    * Plan: feedback docs and the ≤ |q|+`fbTerms` expanded-term table are
+    * broadcasts; round 2 explodes the corpus but joins the broadcast
+    * term list IN the same stage, so only rows matching a query term
+    * reach the (doc, term) rollup. Per-term dfs come from that same
+    * matched set (a term's matched set IS its posting set). No driver
+    * collect anywhere — the expanded query stays a DataFrame.
+    */
+  def prfTopK(s: SparkSession, d: String, k: Int = 10, fbDocs: Int = 3,
+      fbTerms: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
+    val fb = broadcast(bm25TopK(s, d, k = fbDocs).select(col("doc_id")))
+    val stats = broadcast(docs.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(size(col("t"))).as("avgdl")))
+    val fbCounts = docs.join(fb, Seq("doc_id"))
+      .select(explode(col("t")).as("term"))
+      .where(!col("term").isInCollection(QueryTerms))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
+    val dfs = docs.select(col("doc_id"), explode(col("t")).as("term"))
+      .join(broadcast(fbCounts), Seq("term"), "left_semi").distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df_fb"))
+    val expTerms = fbCounts.join(dfs, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        (col("tf_fb") *
+          round(log(col("n_docs") / col("df_fb")) * 1e6, 0).cast("long"))
+          .as("wq"))
+      .orderBy(col("wq").desc, col("term")).limit(fbTerms)
+      .select(col("term"), lit(0.5).as("w"))
+    val qterms = broadcast(
+      QueryTerms.map((_, 1.0)).toDF("term", "w").union(expTerms))
+    val matched = docs
+      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+      .join(qterms, Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        max(col("w")).as("w"))
+    val dfq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val contrib = col("w") *
+      log(lit(1d) + (col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d)) *
+      tfD * lit(k1 + 1d) /
+      (tfD + lit(k1) * (lit(1d - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    matched.join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(contrib * 1e6, 0).cast("long").as("cq"))
+      .groupBy(col("doc_id")).agg(sum(col("cq")).as("sq"))
+      .select(col("doc_id"), (col("sq").cast("double") / 1e6).as("prf_score"))
+      .orderBy(col("prf_score").desc, col("doc_id")).limit(k)
+  }
+
   /** Ranker-agreement audit: rank-biased overlap (RBO, Webber et al.,
     * TOIS 2010) between the lexical (BM25) and dense (cosine) top-k lists
     * for the same query — the evaluation metric behind "do our two

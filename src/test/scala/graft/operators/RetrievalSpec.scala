@@ -39,6 +39,21 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 1L))
   }
 
+  test("prfTopK: expanded rescoring keeps feedback docs and ranks deterministically") {
+    val prf = RetrievalOps.prfTopK(spark, sf0001).collect()
+    assert(prf.nonEmpty && prf.length <= 10)
+    val scores = prf.map(_.getAs[Double]("prf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the feedback docs carry both original and expansion terms, so at
+    // least one must survive the rescoring
+    val base = RetrievalOps.bm25TopK(spark, sf0001, k = 3).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(prf.map(_.getAs[Long]("doc_id")).toSet.intersect(base).nonEmpty)
+    // deterministic: a second run is identical row for row
+    val again = RetrievalOps.prfTopK(spark, sf0001).collect()
+    assert(prf.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("tfidf similarity: identical docs hit cosine 1.0, disjoint docs are absent") {
     val corpus = docs(
       (0L, "foo bar"),
