@@ -803,6 +803,7 @@ object SparkEntry {
     "q_ts_sessions" -> (TimeSeriesOps.sessions _),
     "q_ts_props_stats" -> (TimeSeriesOps.propsKeyStats _),
     "q_ts_purchase_props" -> (TimeSeriesOps.purchaseProps _),
+    "q_ts_user_diversity" -> ((s, d) => EventAnalyticsOps.userDiversity(s, d)),
     "q_ts_pivot" -> (TimeSeriesOps.eventTypePivot _),
     "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)),
     "q_ts_seasonality" -> (TimeSeriesOps.seasonality _),
@@ -974,6 +975,23 @@ object SparkEntry {
         | AND o.event_id <> e.event_id
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
+    "q_ts_user_diversity" ->
+      """WITH uc AS (SELECT user_id, event_type, count(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, sum(c) AS n, sum(c*c) AS ssq
+        |      FROM uc GROUP BY 1),
+        |q AS (SELECT n,
+        |        (2 * 1000000 * (n*n - ssq) + n*n) // (2 * n*n) AS gini_ppm
+        |      FROM g)
+        |SELECT CAST(gini_ppm // 100000 AS INTEGER) AS decile,
+        |  count(*) AS n_users,
+        |  CAST((2 * sum(gini_ppm) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1e6 AS mean_gini,
+        |  CAST((2 * sum(n) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    AS mean_events,
+        |  CAST(sum(CASE WHEN gini_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_single_type
+        |FROM q GROUP BY 1 ORDER BY decile""".stripMargin,
     "q_ts_purchase_props" ->
       """SELECT event_id, user_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value

@@ -439,6 +439,43 @@ object EventAnalyticsOps {
     * IEEE on both engines. m(m+1) is always even → shiftright(·,1) stays
     * in exact integer space where /2 would detour through doubles.
     */
+  /** User behavioral-diversity audit: per-user Gini impurity of the
+    * event-type distribution (1 − Σpᵢ²), bucketed into deciles — the
+    * bot/automation screen ([[activityConcentration]] finds users with
+    * too MANY events; this finds users doing only ONE thing, however
+    * much of it). Gini is rational in the counts, so the whole audit is
+    * exact long arithmetic end to end (the `TextOps.charDiversity`
+    * stance on behavioral data).
+    *
+    * Plan: (user, type) rollup → per-user fold (both user-keyed,
+    * high-cardinality — partial aggregation does the heavy lifting) →
+    * ≤ 11-key decile rollup of constant-width rows.
+    */
+  def userDiversity(s: SparkSession, d: String): DataFrame =
+    userDiversityOf(Tables.events(s, d))
+
+  /** [[userDiversity]] over an arbitrary `(user_id, event_type)` frame. */
+  def userDiversityOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ssq"))
+      .select(col("n"),
+        graft.operators.Num.halfUpDiv(
+          lit(1000000L) * (col("n") * col("n") - col("ssq")),
+          col("n") * col("n")).as("gini_ppm"))
+      .groupBy(call_function("div", col("gini_ppm"), lit(100000L))
+        .cast("int").as("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        (graft.operators.Num.halfUpDiv(sum(col("gini_ppm")), count(lit(1)))
+          .cast("double") / 1e6).as("mean_gini"),
+        (graft.operators.Num.halfUpDiv(sum(col("n")), count(lit(1)))
+          .cast("double")).as("mean_events"),
+        sum(when(col("gini_ppm") === 0L, 1L).otherwise(0L))
+          .as("n_single_type"))
+      .orderBy(col("decile"))
+
   def activityConcentration(s: SparkSession, d: String): DataFrame =
     activityConcentrationOf(Tables.events(s, d))
 

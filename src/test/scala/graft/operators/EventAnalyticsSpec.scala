@@ -16,6 +16,25 @@ class EventAnalyticsSpec extends SparkSpec {
     rows.toDF("user_id", "event_id", "event_type")
   }
 
+  test("userDiversity: hand-computed gini buckets land in the right deciles") {
+    // u1: 4 events of one type → gini 0, decile 0, single-type
+    // u2: 2+2 across two types → gini 0.5 → decile 5
+    // u3: 1+1+1+1 across four types → gini 0.75 → decile 7
+    val events = ev(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "a"), (1L, 4L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "b"), (2L, 4L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "b"), (3L, 3L, "c"), (3L, 4L, "d"))
+    val got = EventAnalyticsOps.userDiversityOf(events).collect()
+      .map(r => r.getAs[Int]("decile") ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("mean_gini"),
+          r.getAs[Long]("n_single_type"))).toMap
+    assert(got.keySet === Set(0, 5, 7))
+    assert(got(0) === ((1L, 0.0, 1L)))
+    assert(got(5) === ((1L, 0.5, 0L)))
+    assert(got(7) === ((1L, 0.75, 0L)))
+    assert(got.values.map(_._1).sum === 3L)
+  }
+
   test("funnel counts ordered subsequences, not mere presence") {
     // u1: full chain in order → reaches 4
     // u2: purchase BEFORE the chain starts → only signup+view+click (3)
