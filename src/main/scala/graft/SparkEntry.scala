@@ -804,6 +804,7 @@ object SparkEntry {
     "q_ts_props_stats" -> (TimeSeriesOps.propsKeyStats _),
     "q_ts_purchase_props" -> (TimeSeriesOps.purchaseProps _),
     "q_ts_user_diversity" -> ((s, d) => EventAnalyticsOps.userDiversity(s, d)),
+    "q_ts_trend" -> ((s, d) => TimeSeriesOps.trendFit(s, d)),
     "q_ts_pivot" -> (TimeSeriesOps.eventTypePivot _),
     "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)),
     "q_ts_seasonality" -> (TimeSeriesOps.seasonality _),
@@ -975,6 +976,35 @@ object SparkEntry {
         | AND o.event_id <> e.event_id
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
+    "q_ts_trend" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |                 count(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT event_type, d0, unnest(
+        |           generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |         FROM (SELECT DISTINCT event_type FROM daily) CROSS JOIN b),
+        |xy AS (SELECT g.event_type,
+        |         (epoch_ms(g.day) - epoch_ms(g.d0)) // 86400000 AS x,
+        |         coalesce(daily.c, 0) AS y
+        |       FROM grid g LEFT JOIN daily
+        |         ON daily.event_type = g.event_type AND daily.day = g.day),
+        |f AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |      FROM xy GROUP BY 1)
+        |SELECT event_type, n AS n_days, CAST(sy AS BIGINT) AS n_events,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+        |       ELSE CAST(CASE WHEN (n*sxy - sx*sy) * 1000000 >= 0
+        |         THEN (2 * (n*sxy - sx*sy) * 1000000 + (n*sxx - sx*sx))
+        |              // (2 * (n*sxx - sx*sx))
+        |         ELSE -((-2 * (n*sxy - sx*sy) * 1000000 + (n*sxx - sx*sx))
+        |              // (2 * (n*sxx - sx*sx))) END AS DOUBLE) / 1e6 END
+        |    AS slope_per_day,
+        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0.0
+        |       ELSE round((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE
+        |         / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6)
+        |       END AS r2
+        |FROM f ORDER BY event_type""".stripMargin,
     "q_ts_user_diversity" ->
       """WITH uc AS (SELECT user_id, event_type, count(*) AS c
         |            FROM events GROUP BY 1, 2),

@@ -361,6 +361,62 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** Per-type linear trend fit: ordinary least squares of daily event
+    * counts against the day index on the DENSE day grid (missing days
+    * count 0 — sparse-only fitting biases every growing series), with R²
+    * as fit quality — the "is this event type growing, and is the trend
+    * real" dashboard number next to [[changepoints]]' discrete shifts.
+    *
+    * Exactness: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is RATIONAL in the
+    * integer day-index/count sums, so it micro-quantizes through
+    * [[graft.operators.Num.halfUpDiv]]; R² is the one double expression
+    * (num²/(den₁·den₂)), written with identical parenthesization in the
+    * twin. Degenerate series (one day, constant counts) pin to 0 by
+    * definition rather than dividing by zero.
+    *
+    * Plan: ONE corpus rollup to |types|×|days| cells; the dense grid is
+    * |types| × a 1-row bounds broadcast, and the fit is a |types|-key
+    * rollup of constant-width long rows.
+    */
+  def trendFit(s: SparkSession, d: String): DataFrame =
+    trendFitOf(Tables.events(s, d))
+
+  /** [[trendFit]] over an arbitrary `(event_type, ts)` frame. */
+  def trendFitOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = broadcast(
+      daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1")))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(bounds)
+      .select(col("event_type"), col("d0"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+          .as("day"))
+    val fit = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        call_function("div", tsMs(col("day")) - tsMs(col("d0")),
+          lit(86400000L)).as("x"),
+        coalesce(col("c"), lit(0L)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den1 = col("n") * col("sxx") - col("sx") * col("sx")
+    val den2 = col("n") * col("syy") - col("sy") * col("sy")
+    fit.select(col("event_type"), col("n").as("n_days"),
+      col("sy").as("n_events"),
+      when(den1 === 0L, lit(0.0)).otherwise(
+        graft.operators.Num.halfUpDiv(num * 1000000L, den1)
+          .cast("double") / 1e6).as("slope_per_day"),
+      when(den1 === 0L || den2 === 0L, lit(0.0)).otherwise(
+        round(num.cast("double") * num.cast("double") /
+          (den1.cast("double") * den2.cast("double")), 6)).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   /** Seasonal-naive forecast backtest: hold out the last `horizonDays`
     * days, predict each held-out hour's event count per type as the mean
     * hourly count of the SAME (ISO weekday, hour) cell in the training

@@ -10,6 +10,33 @@ import graft.{SparkSpec, Tables}
   */
 class RelTimeSeriesSpec extends SparkSpec {
 
+  test("trendFit: hand-computed slope/r2, dense-grid zero fill, degenerate pin") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00")
+    // "up": counts 1,2,3 on consecutive days → slope 1, r2 1
+    // "gap": 3 events day1, none day2, 3 events day3 → dense fill → slope 0
+    // "flat": constant 2,2,2 → den2 = 0 → slope 0, r2 pinned 0
+    val rows =
+      Seq.fill(1)(("up", ts(1))) ++ Seq.fill(2)(("up", ts(2))) ++
+        Seq.fill(3)(("up", ts(3))) ++
+        Seq.fill(3)(("gap", ts(1))) ++ Seq.fill(3)(("gap", ts(3))) ++
+        Seq.fill(2)(("flat", ts(1))) ++ Seq.fill(2)(("flat", ts(2))) ++
+        Seq.fill(2)(("flat", ts(3)))
+    val got = TimeSeriesOps.trendFitOf(rows.toDF("event_type", "ts")).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("slope_per_day"), r.getAs[Double]("r2"))).toMap
+    assert(got("up") === ((3L, 6L, 1.0, 1.0)))
+    assert(got("gap") === ((3L, 6L, 0.0, 0.0))) // day 2 filled with 0
+    assert(got("flat") === ((3L, 6L, 0.0, 0.0)))
+    val fixture = TimeSeriesOps.trendFit(spark, sf0001).collect()
+    fixture.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_days") >= 1L)
+    }
+  }
+
   test("semi and anti joins partition the customer set") {
     val urgent = RelationalOps.customersWithUrgentOrders(spark, sf0001)
       .select("c_custkey").collect().map(_.getLong(0)).toSet
