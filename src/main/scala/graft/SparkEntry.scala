@@ -2777,6 +2777,8 @@ object SparkEntry {
     "q_vec_ivf_recall" -> ((s, d) => VectorOps.ivfRecallAudit(s, d)),
     "q_vec_quant_recall" -> ((s, d) => VectorOps.quantRecallAudit(s, d)),
     "q_vec_sim_pagerank" -> ((s, d) => VectorOps.simGraphPageRank(s, d)),
+    "q_vec_pq_recall" -> ((s, d) => VectorOps.pqRecallAudit(s, d)),
+    "q_vec_cluster_quality" -> ((s, d) => VectorOps.clusterQualityAudit(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _),
@@ -2964,6 +2966,77 @@ object SparkEntry {
          |                 for i in range(0, 8)]) AS INTEGER) AS pq_dist
          |FROM c, q WHERE vec_id <> 0
          |ORDER BY pq_dist, vec_id LIMIT 10""".stripMargin,
+    "q_vec_pq_recall" ->
+      s"""WITH c AS (SELECT vec_id, embedding, $duckPqCodes AS codes
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv, codes AS qcodes
+         |      FROM c WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    round(${duckCos("c.embedding", "qv")}, 6) AS sim_full,
+         |    list_sum([bit_count(xor(c.codes[i+1], qcodes[i+1]))
+         |              for i in range(0, 8)]) AS pq_dist
+         |  FROM c, q WHERE c.vec_id <> q.q_id),
+         |rf AS (SELECT q_id, vec_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY sim_full DESC, vec_id) AS rn
+         |       FROM sims),
+         |rp AS (SELECT q_id, vec_id, row_number() OVER (
+         |         PARTITION BY q_id ORDER BY pq_dist ASC, vec_id) AS rn
+         |       FROM sims),
+         |ov AS (
+         |  SELECT fa.q_id, count(*) AS n_ov
+         |  FROM (SELECT q_id, vec_id FROM rf WHERE rn <= 10) fa
+         |  JOIN (SELECT q_id, vec_id FROM rp WHERE rn <= 10) pa
+         |    USING (q_id, vec_id)
+         |  GROUP BY 1)
+         |SELECT q_id, CAST(coalesce(n_ov, 0) AS BIGINT) AS n_overlap,
+         |  round(coalesce(n_ov, 0) / 10.0, 4) AS overlap_frac
+         |FROM q LEFT JOIN ov USING (q_id) ORDER BY q_id""".stripMargin,
+    "q_vec_cluster_quality" -> {
+      val dims = 64
+      val qsums = (0 until dims).map(i =>
+        s"sum(CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1e9) AS BIGINT)) AS q$i")
+        .mkString(",\n  ")
+      val ccomps = (0 until dims).map(i =>
+        s"CAST(q$i AS DOUBLE) / n / 1e9 AS c$i").mkString(",\n  ")
+      val gcomps = (0 until dims).map(i =>
+        s"CAST(q$i AS DOUBLE) / n / 1e9 AS g$i").mkString(",\n  ")
+      val dotEC = (0 until dims)
+        .map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE) * c.c$i")
+        .mkString(" + ")
+      val normE = (0 until dims)
+        .map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE) * CAST(e.embedding[${i + 1}] AS DOUBLE)")
+        .mkString(" + ")
+      val normC = (0 until dims).map(i => s"c.c$i * c.c$i").mkString(" + ")
+      val dotCG = (0 until dims).map(i => s"c.c$i * g.g$i").mkString(" + ")
+      val normG = (0 until dims).map(i => s"g.g$i * g.g$i").mkString(" + ")
+      s"""WITH c0 AS (SELECT label, count(*) AS n,
+         |  $qsums
+         |  FROM embeddings GROUP BY label),
+         |c AS (SELECT label,
+         |  $ccomps
+         |  FROM c0),
+         |g0 AS (SELECT count(*) AS n,
+         |  $qsums
+         |  FROM embeddings),
+         |g AS (SELECT
+         |  $gcomps
+         |  FROM g0),
+         |coh AS (
+         |  SELECT e.label, count(*) AS n_vecs,
+         |    sum(CAST(round(1e6 * round(($dotEC)
+         |          / (sqrt($normE) * sqrt($normC)), 6)) AS BIGINT)) AS ssq
+         |  FROM embeddings e JOIN c ON e.label = c.label
+         |  GROUP BY e.label)
+         |SELECT coh.label, n_vecs,
+         |  CAST(CASE WHEN ssq >= 0
+         |       THEN (2 * ssq + n_vecs) // (2 * n_vecs)
+         |       ELSE -((-2 * ssq + n_vecs) // (2 * n_vecs)) END
+         |    AS DOUBLE) / 1e6 AS cohesion,
+         |  round(($dotCG) / (sqrt($normC) * sqrt($normG)), 6) AS sep_global
+         |FROM coh JOIN c ON coh.label = c.label CROSS JOIN g
+         |ORDER BY coh.label""".stripMargin
+    },
     "q_vec_ivfpq_topk" ->
       s"""WITH cells AS (
          |  SELECT vec_id, embedding,

@@ -1146,4 +1146,90 @@ object VectorOps {
         round(col("n_overlap") / lit(k.toDouble), 4).as("overlap_frac"))
       .orderBy(col("q_id"))
   }
+
+  /** PQ-code ANN fidelity audit: overlap between the float-cosine top-k
+    * and the top-k ranked by symmetric PQ code distance ([[pqTopK]]'s
+    * metric) — "how much recall do 32× smaller code scans cost before
+    * the exact re-rank". Completes the audit family: [[matryoshkaAudit]]
+    * measures dimension truncation, [[ivfRecallAudit]] cell pruning,
+    * [[quantRecallAudit]] scalar quantization; this measures the code
+    * ranking itself, the piece [[ivfPqTopK]] serves with.
+    *
+    * Plan: one corpus scan computes both signals per (query, vector) —
+    * the cosine and the 8 XOR+popcounts — with the query rows riding a
+    * broadcast; bounded `TopKAgg` per query (PQ distance is an integer
+    * with heavy ties, so the id tiebreak is what makes the audit
+    * deterministic — the twin spells the identical ORDER BY).
+    */
+  def pqRecallAudit(s: SparkSession, d: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      pqCodes(col("embedding")).as("codes"))
+    val q = broadcast(base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("codes").as("qcodes")))
+    base.crossJoin(q).where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim_full"),
+        aggregate(
+          zip_with(col("codes"), col("qcodes"),
+            (a, b) => bit_count(a.bitwiseXOR(b))),
+          lit(0), (acc, x) => acc + x).cast("double").as("pq_dist"))
+      .groupBy(col("q_id"))
+      .agg(
+        graft.functions.TopKAgg
+          .topK(lit(""), -col("sim_full"), col("vec_id"), lit(0.0), k).as("tf"),
+        graft.functions.TopKAgg
+          .topK(lit(""), col("pq_dist"), col("vec_id"), lit(0.0), k).as("tp"))
+      .select(col("q_id"),
+        size(array_intersect(
+          transform(col("tf"), e => e("id")),
+          transform(col("tp"), e => e("id")))).cast("long").as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("n_overlap") / lit(k.toDouble), 4).as("overlap_frac"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Label cluster-quality audit: per label, cohesion (mean cosine of
+    * members to their own label centroid) and separation (cosine of the
+    * label centroid to the global corpus centroid) — the "are my labels
+    * actually clusters" diagnostic behind every centroid-based decision
+    * in the pack ([[labelAffinity]] gives pairwise geometry; this gives
+    * each cluster's internal tightness vs its pull toward the corpus
+    * mean). High cohesion + low separation = a real, distinct cluster.
+    *
+    * Determinism: centroids use the nano-quantized order-independent
+    * mean ([[graft.functions.VectorAgg.centroidQ]], the k-means
+    * trainer's stance) and per-member cosines are rounded then
+    * micro-quantized to longs before the rollup ([[Num.quantMean]]) —
+    * every float the oracle sees is the result of exact integer
+    * arithmetic plus one IEEE division.
+    *
+    * Plan: two |labels|-row aggregates (one grouped, one global 1-row)
+    * broadcast back onto ONE corpus scan; the final rollup groups on
+    * `label` — shuffle rows are constant-width, nothing proportional to
+    * the corpus crosses after the first map-side partial agg.
+    */
+  def clusterQualityAudit(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.groupBy(col("label"))
+      .agg(graft.functions.VectorAgg.centroidQ(col("embedding"), dim).as("c"))
+    val global = emb.groupBy()
+      .agg(graft.functions.VectorAgg.centroidQ(col("embedding"), dim).as("g"))
+    val simQ = round(round(cosine(col("embedding"), col("c")), 6) * 1e6)
+      .cast("long")
+    emb.join(broadcast(cents), "label")
+      .select(col("label"), col("c"), simQ.as("sq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sq")).as("ssq"),
+        first(col("c")).as("c"))
+      .crossJoin(broadcast(global))
+      .select(col("label"), col("n_vecs"),
+        (Num.halfUpDiv(col("ssq"), col("n_vecs")).cast("double") / 1e6)
+          .as("cohesion"),
+        round(cosine(col("c"), col("g")), 6).as("sep_global"))
+      .orderBy(col("label"))
+  }
 }
