@@ -1275,6 +1275,8 @@ object SparkEntry {
     "q_text_heavy_hitters" -> ((s, d) => TextOps.heavyTermsExact(s, d)),
     "q_text_tfidf" -> ((s, d) => TextOps.tfIdf(s, d)),
     "q_text_zipf" -> (TextOps.zipfProfile _),
+    "q_text_fertility" -> (TextOps.tokenizerFertility _),
+    "q_text_ttr" -> (TextOps.typeTokenRatio _),
     "q_text_typo_pairs" -> ((s, d) => TextOps.typoPairs(s, d)),
     "q_text_length_profile" -> (TextOps.lengthProfile _),
     "q_text_bm25" -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
@@ -1359,6 +1361,41 @@ object SparkEntry {
         |  CAST(length(text) AS INTEGER) AS n_chars_measured,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fertility" ->
+      """WITH pd AS (SELECT lang,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS nrx,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nws,
+        |  CAST(length(text) AS BIGINT) AS nch
+        |  FROM documents),
+        |q AS (SELECT lang, nrx, nws,
+        |  (2 * 1000000 * nrx + greatest(nws, 1)) // (2 * greatest(nws, 1))
+        |    AS fert_ppm,
+        |  (2 * 100000000 * nrx + greatest(nch, 1)) // (2 * greatest(nch, 1))
+        |    AS per100_ppm
+        |  FROM pd)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST((2 * sum(fert_ppm) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1e6 AS mean_fertility,
+        |  CAST((2 * sum(per100_ppm) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1e6 AS mean_tokens_per_100ch,
+        |  CAST((2 * 1000000 * sum(nrx) + sum(nws)) // (2 * sum(nws))
+        |    AS DOUBLE) / 1e6 AS corpus_fertility
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_ttr" ->
+      """WITH pd AS (SELECT
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_typ
+        |  FROM documents),
+        |q AS (SELECT n_tok,
+        |  (2 * 1000000 * n_typ + greatest(n_tok, 1)) // (2 * greatest(n_tok, 1))
+        |    AS ttr_ppm
+        |  FROM pd)
+        |SELECT CAST(ttr_ppm // 100000 AS INTEGER) AS decile,
+        |  count(*) AS n_docs,
+        |  CAST((2 * sum(ttr_ppm) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1e6 AS mean_ttr,
+        |  (2 * sum(n_tok) + count(*)) // (2 * count(*)) AS mean_tokens
+        |FROM q GROUP BY 1 ORDER BY decile""".stripMargin,
     "q_text_term_freq" ->
       """SELECT term, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

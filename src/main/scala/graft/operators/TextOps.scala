@@ -625,6 +625,74 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Tokenizer-fertility audit: per language, how many subword-ish
+    * tokens the BPE-proxy regex produces per whitespace word and per 100
+    * characters — the "this language costs N× more tokens per byte"
+    * number that drives mixture budgeting and per-language context-window
+    * math in a training pipeline (fertility is THE standard tokenizer
+    * metric; here the regex run-splitter stands in for the real BPE, same
+    * stance as [[tokenStats]]).
+    *
+    * Determinism: per-doc ratios quantize to ppm longs
+    * ([[graft.operators.Num.halfUpDiv]]) before the |langs|-key rollup;
+    * the corpus-level fertility divides the raw long sums once. Zero
+    * shuffle until the constant-width rollup rows.
+    */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val nws = size(tokens(col("text"))).cast("long")
+    val nrx = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+      .cast("long")
+    val nch = length(col("text")).cast("long")
+    val perDoc = Tables.documents(s, d).select(col("lang"),
+      graft.operators.Num
+        .halfUpDiv(lit(1000000L) * nrx, greatest(nws, lit(1L))).as("fert_ppm"),
+      graft.operators.Num
+        .halfUpDiv(lit(100000000L) * nrx, greatest(nch, lit(1L)))
+        .as("per100_ppm"),
+      nrx.as("nrx"), nws.as("nws"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (graft.operators.Num.halfUpDiv(sum(col("fert_ppm")), count(lit(1)))
+          .cast("double") / 1e6).as("mean_fertility"),
+        (graft.operators.Num.halfUpDiv(sum(col("per100_ppm")), count(lit(1)))
+          .cast("double") / 1e6).as("mean_tokens_per_100ch"),
+        (graft.operators.Num
+          .halfUpDiv(lit(1000000L) * sum(col("nrx")), sum(col("nws")))
+          .cast("double") / 1e6).as("corpus_fertility"))
+      .orderBy(col("lang"))
+  }
+
+  /** Type-token-ratio audit: per-document lexical diversity (distinct
+    * whitespace tokens ÷ tokens) bucketed into deciles — the repetition
+    * screen at the WORD level, complementing [[charDiversity]] (chars)
+    * and `repetitionStats` (Gopher bigram mass): templated/spun text
+    * sits in the low deciles, natural prose high. TTR is rational in two
+    * integer counts, so the audit is exact long arithmetic end to end;
+    * decile 10 is the all-distinct (TTR = 1.0) bucket, populated by
+    * short docs — which is WHY the mean doc length rides along (TTR's
+    * length sensitivity is the caveat every corpus-stats writeup flags).
+    */
+  def typeTokenRatio(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("long")
+    val nTyp = size(array_distinct(tokens(col("text")))).cast("long")
+    val perDoc = Tables.documents(s, d).select(
+      graft.operators.Num
+        .halfUpDiv(lit(1000000L) * nTyp, greatest(nTok, lit(1L)))
+        .as("ttr_ppm"),
+      nTok.as("n_tok"))
+    perDoc
+      .groupBy(call_function("div", col("ttr_ppm"), lit(100000L))
+        .cast("int").as("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (graft.operators.Num.halfUpDiv(sum(col("ttr_ppm")), count(lit(1)))
+          .cast("double") / 1e6).as("mean_ttr"),
+        graft.operators.Num.halfUpDiv(sum(col("n_tok")), count(lit(1)))
+          .as("mean_tokens"))
+      .orderBy(col("decile"))
+  }
+
   def keyphrases(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("term"))
