@@ -805,6 +805,7 @@ object SparkEntry {
     "q_ts_purchase_props" -> (TimeSeriesOps.purchaseProps _),
     "q_ts_user_diversity" -> ((s, d) => EventAnalyticsOps.userDiversity(s, d)),
     "q_ts_trend" -> ((s, d) => TimeSeriesOps.trendFit(s, d)),
+    "q_ts_autocorr" -> ((s, d) => TimeSeriesOps.dailyAutocorr(s, d)),
     "q_ts_pivot" -> (TimeSeriesOps.eventTypePivot _),
     "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)),
     "q_ts_seasonality" -> (TimeSeriesOps.seasonality _),
@@ -976,6 +977,41 @@ object SparkEntry {
         | AND o.event_id <> e.event_id
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
+    "q_ts_autocorr" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |                 count(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT event_type, unnest(
+        |           generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |         FROM (SELECT DISTINCT event_type FROM daily) CROSS JOIN b),
+        |dense AS (SELECT g.event_type, g.day, coalesce(daily.c, 0) AS y
+        |          FROM grid g LEFT JOIN daily
+        |            ON daily.event_type = g.event_type AND daily.day = g.day),
+        |ld AS (SELECT event_type, y,
+        |         lead(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+        |         lead(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+        |       FROM dense),
+        |f AS (SELECT event_type, count(*) AS n_days,
+        |        count(y1) AS n1, sum(CASE WHEN y1 IS NOT NULL THEN y END) AS sa1,
+        |        sum(y1) AS sb1,
+        |        sum(CASE WHEN y1 IS NOT NULL THEN y*y END) AS saa1,
+        |        sum(y1*y1) AS sbb1, sum(y*y1) AS sab1,
+        |        count(y7) AS n7, sum(CASE WHEN y7 IS NOT NULL THEN y END) AS sa7,
+        |        sum(y7) AS sb7,
+        |        sum(CASE WHEN y7 IS NOT NULL THEN y*y END) AS saa7,
+        |        sum(y7*y7) AS sbb7, sum(y*y7) AS sab7
+        |      FROM ld GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CASE WHEN n1*saa1 - sa1*sa1 <= 0 OR n1*sbb1 - sb1*sb1 <= 0 THEN 0.0
+        |       ELSE round(CAST(n1*sab1 - sa1*sb1 AS DOUBLE)
+        |         / (sqrt(CAST(n1*saa1 - sa1*sa1 AS DOUBLE))
+        |            * sqrt(CAST(n1*sbb1 - sb1*sb1 AS DOUBLE))), 6) END AS r_lag1,
+        |  CASE WHEN n7*saa7 - sa7*sa7 <= 0 OR n7*sbb7 - sb7*sb7 <= 0 THEN 0.0
+        |       ELSE round(CAST(n7*sab7 - sa7*sb7 AS DOUBLE)
+        |         / (sqrt(CAST(n7*saa7 - sa7*sa7 AS DOUBLE))
+        |            * sqrt(CAST(n7*sbb7 - sb7*sb7 AS DOUBLE))), 6) END AS r_lag7
+        |FROM f ORDER BY event_type""".stripMargin,
     "q_ts_trend" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |                 count(*) AS c

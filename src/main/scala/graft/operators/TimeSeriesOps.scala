@@ -417,6 +417,68 @@ object TimeSeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** Daily autocorrelation audit: lag-1 and lag-7 Pearson autocorrelation
+    * of each type's daily count series on the DENSE day grid — the two
+    * numbers that justify everything else in the pack: high r(7) says
+    * "weekly seasonality is real, trust [[seasonalityProfile]] /
+    * [[forecastBacktest]]'s weekday model", high r(1) says "days carry
+    * over, a naive last-value forecast has signal", both ≈ 0 says the
+    * series is noise and any fitted trend is overreach. The grid matters:
+    * computing lags over OBSERVED days silently compares Friday to Monday
+    * across a quiet weekend — zero-filled missing days are part of the
+    * series ([[trendFitOf]]'s stance).
+    *
+    * Determinism: counts are integers, so every Pearson sum (Σy·y₊,
+    * Σy, Σy², pair count) is an exact long; the only float ops are two
+    * IEEE-exact sqrt over exact longs, one multiply, one divide, then
+    * round 6 — spelled identically in the twin.
+    *
+    * Plan: one (type, day) rollup of the corpus, the dense grid via a
+    * broadcast bounds row + `sequence`, lead() windows over the
+    * |types|·|days| AGGREGATED series (thousands of rows at any corpus
+    * size — the window never sees raw events), one |types|-key rollup.
+    */
+  def dailyAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = broadcast(
+      daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1")))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(bounds)
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+          .as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ld = dense.select(col("event_type"), col("y"),
+      lead(col("y"), 1).over(w).as("y1"),
+      lead(col("y"), 7).over(w).as("y7"))
+    def lagAgg(yl: String, tag: String) = Seq(
+      count(col(yl)).as(s"n$tag"),
+      sum(when(col(yl).isNotNull, col("y"))).as(s"sa$tag"),
+      sum(col(yl)).as(s"sb$tag"),
+      sum(when(col(yl).isNotNull, col("y") * col("y"))).as(s"saa$tag"),
+      sum(col(yl) * col(yl)).as(s"sbb$tag"),
+      sum(col("y") * col(yl)).as(s"sab$tag"))
+    val aggs = (count(lit(1)).as("n_days") +: lagAgg("y1", "1")) ++
+      lagAgg("y7", "7")
+    def r(tag: String): Column = {
+      val da = col(s"n$tag") * col(s"saa$tag") - col(s"sa$tag") * col(s"sa$tag")
+      val db = col(s"n$tag") * col(s"sbb$tag") - col(s"sb$tag") * col(s"sb$tag")
+      val num = col(s"n$tag") * col(s"sab$tag") - col(s"sa$tag") * col(s"sb$tag")
+      when(da <= 0L || db <= 0L, lit(0.0)).otherwise(
+        round(num.cast("double") /
+          (sqrt(da.cast("double")) * sqrt(db.cast("double"))), 6))
+    }
+    ld.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), col("n_days"),
+        r("1").as("r_lag1"), r("7").as("r_lag7"))
+      .orderBy(col("event_type"))
+  }
+
   /** Seasonal-naive forecast backtest: hold out the last `horizonDays`
     * days, predict each held-out hour's event count per type as the mean
     * hourly count of the SAME (ISO weekday, hour) cell in the training
