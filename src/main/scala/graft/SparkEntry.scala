@@ -1342,6 +1342,7 @@ object SparkEntry {
     "q_dedup_novelty" -> (DedupOps.contentNovelty _),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "q_dedup_sketch_calib" -> (DedupOps.sketchCalibration _),
+    "q_dedup_lsh_tuning" -> ((s, d) => DedupOps.lshTuningCurve(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
@@ -1700,6 +1701,65 @@ object SparkEntry {
         |  round(CAST(serr AS DOUBLE) / n_pairs / 1e6, 6) AS mean_abs_err,
         |  round(CAST(merr AS DOUBLE) / 1e6, 6) AS max_abs_err
         |FROM g ORDER BY est_band""".stripMargin,
+    "q_dedup_lsh_tuning" -> {
+      // same signature + exact-pair replay as q_dedup_sketch_calib, then
+      // three band geometries (r rows over 32/r bands) counted against
+      // the exact Jaccard >= 0.5 truth set
+      def bandCtes(r: Int): String = {
+        val nb = 32 / r
+        s"""b$r AS (SELECT doc_id, b AS band,
+           |         md5(array_to_string(sig[b*$r+1:b*$r+$r], ',')) AS bucket
+           |       FROM sg, (SELECT unnest(range($nb)) AS b)),
+           |c$r AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |        FROM b$r x JOIN b$r y
+           |          ON x.band = y.band AND x.bucket = y.bucket
+           |          AND x.doc_id < y.doc_id),
+           |g$r AS (SELECT $r AS rows_per_band, $nb AS n_bands,
+           |          count(*) AS n_cand, count(tp.a) AS n_hit
+           |        FROM c$r LEFT JOIN tp
+           |          ON c$r.a = tp.a AND c$r.b = tp.b)""".stripMargin
+      }
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |shs AS (SELECT doc_id,
+         |          list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                         for i in range(1, len(toks) - 1)]) AS shl
+         |        FROM t WHERE len(toks) >= 3),
+         |hs AS (SELECT doc_id,
+         |         list_transform(shl,
+         |           sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)
+         |           AS hl
+         |       FROM shs),
+         |sg AS (SELECT doc_id,
+         |         list_transform(range(32), i ->
+         |           list_min(list_transform(hl,
+         |             h -> ((i + 1) * h + i * 7919) % 2147483647))) AS sig
+         |       FROM hs),
+         |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+         |capped AS (SELECT doc_id, sh FROM (
+         |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+         |  WHERE df <= 1000),
+         |shx AS (SELECT doc_id, sh,
+         |          count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+         |ex AS (SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+         |       FROM (
+         |         SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+         |                count(*) AS inter
+         |         FROM shx x JOIN shx y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |         GROUP BY 1, 2, 3, 4)),
+         |tp AS (SELECT a, b FROM ex WHERE jaccard >= 0.5),
+         |nt AS (SELECT count(*) AS n_true FROM tp),
+         |${bandCtes(2)},
+         |${bandCtes(4)},
+         |${bandCtes(8)}
+         |SELECT rows_per_band, n_bands, n_cand, n_true,
+         |  CAST((2 * 1000000 * n_hit + greatest(n_true, 1))
+         |       // (2 * greatest(n_true, 1)) AS DOUBLE) / 1e6 AS recall,
+         |  CAST((2 * 1000000 * n_hit + greatest(n_cand, 1))
+         |       // (2 * greatest(n_cand, 1)) AS DOUBLE) / 1e6 AS precision
+         |FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g4
+         |      UNION ALL SELECT * FROM g8) CROSS JOIN nt
+         |ORDER BY rows_per_band""".stripMargin
+    },
     // full SimHash replay: md5-nibble token bits, per-bit majority vote,
     // 16-bit chunk packing and the pigeonhole candidate join — all
     // portable integer/string arithmetic, so the pair set hash-checks

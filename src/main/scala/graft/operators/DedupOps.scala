@@ -955,4 +955,62 @@ object DedupOps {
         round(col("merr").cast("double") / 1e6, 6).as("max_abs_err"))
       .orderBy(col("est_band"))
   }
+
+  /** LSH band-geometry tuning curve: candidate-pair recall AND precision
+    * of the (b bands × r rows) banding against exact Jaccard ≥ `minSim`
+    * pairs, for r ∈ {2, 4, 8} over the same 32-component signature — the
+    * measured version of the S-curve P(candidate) = 1 − (1 − J^r)^b that
+    * every LSH deployment tunes by. [[sketchCalibration]] audits the
+    * ESTIMATE's accuracy; this audits the CANDIDATE GENERATION: small r
+    * buys recall with more false candidates (verify cost), large r the
+    * reverse — the number that decides is this table, not the formula.
+    *
+    * Plan: ONE signature table (the memoized [[portableMinhashSig]]
+    * cache shared with [[minhashLshPairs]]) banded three ways; each
+    * banding is a bucket-keyed self-join whose distinct-pair rollup
+    * shuffles packed 8-byte keys, then a broadcast-sized count join
+    * against the memoized exact pair-stats table. Nothing is all-pairs;
+    * the true set reuses the corpus's one C(f,2) materialization.
+    */
+  def lshTuningCurve(s: SparkSession, d: String, k: Int = 32,
+      minSim: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
+    val sig = sigCache.getOrElseUpdate(s, s"$d#minhashp#$k") { (ss, _) =>
+      shingles(ss, d)
+        .select(col("doc_id"), portableMinhashSig(col("shs"), k).as("sig"))
+        .persist()
+    }
+    // cheap projection of the memoized pair-stats table — no extra persist
+    val truePairs = ngramJaccardPairs(s, d, minSim = 0.0, maxDf = maxDf)
+      .where(col("jaccard") >= minSim)
+      .select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+    val curves = Seq(2, 4, 8).map { r =>
+      val bands = k / r
+      val banded = sig.select(col("doc_id"),
+        posexplode(bandBuckets(col("sig"), bands, r)).as(Seq("band", "bucket")))
+      val cand = banded.select(col("doc_id").as("a"), col("band"), col("bucket"))
+        .join(banded.select(col("doc_id").as("b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .where(col("a") < col("b"))
+        .select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
+        .distinct()
+      cand
+        .join(truePairs.select(col("pair").as("tp")),
+          col("pair") === col("tp"), "left")
+        .agg(count(lit(1)).as("n_cand"),
+          count(col("tp")).as("n_hit"))
+        .select(lit(r).as("rows_per_band"), lit(bands).as("n_bands"),
+          col("n_cand"), col("n_hit"))
+    }.reduce(_ union _)
+    val out = curves.crossJoin(broadcast(nTrue))
+      .select(col("rows_per_band"), col("n_bands"), col("n_cand"),
+        col("n_true"),
+        (Num.halfUpDiv(lit(1000000L) * col("n_hit"),
+          greatest(col("n_true"), lit(1L))).cast("double") / 1e6).as("recall"),
+        (Num.halfUpDiv(lit(1000000L) * col("n_hit"),
+          greatest(col("n_cand"), lit(1L))).cast("double") / 1e6)
+          .as("precision"))
+      .orderBy(col("rows_per_band"))
+    out
+  }
 }
