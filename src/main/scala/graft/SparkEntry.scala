@@ -2592,6 +2592,7 @@ object SparkEntry {
   private val prepQueries: Map[String, Q] = Map(
     "q_prep_split" -> (TrainPrepOps.hashSplit _),
     "q_prep_split_stats" -> (TrainPrepOps.splitStats _),
+    "q_prep_shard_balance" -> ((s, d) => TrainPrepOps.shardBalance(s, d)),
     "q_prep_sample" -> ((s, d) => TrainPrepOps.stratifiedSample(s, d)),
     "q_prep_decontam" -> ((s, d) => TrainPrepOps.decontaminate(s, d)),
     "q_prep_repetition" -> ((s, d) => TrainPrepOps.repetitionStats(s, d)),
@@ -2615,6 +2616,21 @@ object SparkEntry {
         |        substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_prep_shard_balance" ->
+      """WITH pd AS (SELECT
+        |  ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 16 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |per AS (SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        |        FROM pd GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens) AS tot_tokens FROM per)
+        |SELECT shard, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((2 * 1000000 * n_tokens + tot_tokens) // (2 * tot_tokens)
+        |    AS DOUBLE) / 1e6 AS token_share,
+        |  CAST((2 * 1000000 * n_tokens * 16 + tot_tokens) // (2 * tot_tokens)
+        |    AS DOUBLE) / 1e6 AS skew
+        |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin,
     "q_prep_split_stats" ->
       """WITH s AS (
         |  SELECT lang, len(string_split(text, ' ')) AS n_tok,

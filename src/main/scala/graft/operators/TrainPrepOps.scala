@@ -546,6 +546,42 @@ object TrainPrepOps {
     spark.read.parquet(s"$outDir/_manifest")
   }
 
+  /** Hash-shard balance audit: assign every document to one of `nShards`
+    * buckets by portable salted hash (the random-access sharding a
+    * SHUFFLED training dataloader reads, vs [[writeShardsOf]]'s
+    * sequential packing) and measure how even the token load actually
+    * is — `skew` = shard tokens ÷ ideal per-shard mean, the number that
+    * decides whether 1000 data-parallel readers finish together or wait
+    * on the fattest shard. Hash uniformity over doc COUNT is guaranteed
+    * by md5; over TOKENS it is not (a shard that drew the long docs runs
+    * hot), which is exactly what this audit measures.
+    *
+    * Determinism: the shard id is the same 60-bit md5 arithmetic as
+    * [[hashSplit]]/`keyphrases`' term ids (recomputable from doc_id
+    * alone, engine-portable); shares/skews are ppm longs via
+    * [[graft.operators.Num.halfUpDiv]]. One |nShards|-key rollup plus a
+    * 1-row broadcast of the totals.
+    */
+  def shardBalance(s: SparkSession, d: String, nShards: Int = 16): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val shard = pmod(
+      conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val per = Tables.documents(s, d)
+      .select(shard.as("shard"), size(toks).as("n_tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        (Num.halfUpDiv(lit(1000000L) * col("n_tokens"), col("tot_tokens"))
+          .cast("double") / 1e6).as("token_share"),
+        (Num.halfUpDiv(lit(1000000L) * col("n_tokens") * nShards,
+          col("tot_tokens")).cast("double") / 1e6).as("skew"))
+      .orderBy(col("shard"))
+  }
+
   // ---- cross-split leakage audit ------------------------------------------
 
   /** Train/val/test leakage audit: exact-duplicate pairs whose two copies
