@@ -806,6 +806,7 @@ object SparkEntry {
     "q_ts_user_diversity" -> ((s, d) => EventAnalyticsOps.userDiversity(s, d)),
     "q_ts_trend" -> ((s, d) => TimeSeriesOps.trendFit(s, d)),
     "q_ts_autocorr" -> ((s, d) => TimeSeriesOps.dailyAutocorr(s, d)),
+    "q_ts_slo_burn" -> ((s, d) => TimeSeriesOps.sloBurnRate(s, d)),
     "q_ts_pivot" -> (TimeSeriesOps.eventTypePivot _),
     "q_ts_range_join" -> ((s, d) => TimeSeriesOps.eventsNearErrors(s, d)),
     "q_ts_seasonality" -> (TimeSeriesOps.seasonality _),
@@ -977,6 +978,33 @@ object SparkEntry {
         | AND o.event_id <> e.event_id
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id ORDER BY err_id""".stripMargin,
+    "q_ts_slo_burn" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS tot,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+        |grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |         FROM b),
+        |dense AS (SELECT g.h, coalesce(tot, 0) AS tot, coalesce(err, 0) AS err
+        |          FROM grid g LEFT JOIN hourly ON hourly.h = g.h),
+        |wl AS (SELECT h, tot, err,
+        |  sum(err) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |    AS errl,
+        |  sum(tot) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |    AS totl
+        |  FROM dense),
+        |r AS (SELECT h, tot, err,
+        |  CAST((2 * 1000000000000 * err + greatest(tot, 1) * 10000)
+        |       // (2 * greatest(tot, 1) * 10000) AS DOUBLE) / 1e6
+        |    AS burn_short,
+        |  CAST((2 * 1000000000000 * errl + greatest(totl, 1) * 10000)
+        |       // (2 * greatest(totl, 1) * 10000) AS DOUBLE) / 1e6
+        |    AS burn_long
+        |  FROM wl)
+        |SELECT epoch_ms(h) AS bucket_ms, tot AS n_events, err AS n_errors,
+        |  burn_short, burn_long,
+        |  (burn_short >= 2.0 AND burn_long >= 2.0) AS is_alert
+        |FROM r ORDER BY bucket_ms""".stripMargin,
     "q_ts_autocorr" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |                 count(*) AS c
@@ -1343,6 +1371,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "q_dedup_sketch_calib" -> (DedupOps.sketchCalibration _),
     "q_dedup_lsh_tuning" -> ((s, d) => DedupOps.lshTuningCurve(s, d)),
+    "q_dedup_nearest" -> ((s, d) => DedupOps.nearestNeighbors(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
     "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
@@ -1701,6 +1730,36 @@ object SparkEntry {
         |  round(CAST(serr AS DOUBLE) / n_pairs / 1e6, 6) AS mean_abs_err,
         |  round(CAST(merr AS DOUBLE) / 1e6, 6) AS max_abs_err
         |FROM g ORDER BY est_band""".stripMargin,
+    "q_dedup_nearest" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |shx AS (SELECT doc_id, sh,
+        |          count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |ex AS (SELECT a, b,
+        |         CAST(round(round(inter::DOUBLE / (na + nb - inter), 6) * 1e6)
+        |           AS BIGINT) AS jq
+        |       FROM (
+        |         SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |                count(*) AS inter
+        |         FROM shx x JOIN shx y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |         GROUP BY 1, 2, 3, 4)),
+        |dirs AS (SELECT a AS doc_id, b AS nbr, jq FROM ex
+        |         UNION ALL SELECT b, a, jq FROM ex),
+        |r AS (SELECT doc_id, nbr, jq,
+        |        count(*) OVER (PARTITION BY doc_id) AS n_candidates,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY jq DESC, nbr ASC) AS rn
+        |      FROM dirs)
+        |SELECT doc_id, nbr AS nearest_doc,
+        |  round(CAST(jq AS DOUBLE) / 1e6, 6) AS jaccard, n_candidates
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_lsh_tuning" -> {
       // same signature + exact-pair replay as q_dedup_sketch_calib, then
       // three band geometries (r rows over 32/r bands) counted against

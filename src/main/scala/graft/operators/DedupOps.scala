@@ -956,6 +956,39 @@ object DedupOps {
       .orderBy(col("est_band"))
   }
 
+  /** Nearest near-duplicate per document: each doc's single most-similar
+    * counterpart by exact n-gram Jaccard — the lookup a reviewer (or an
+    * active-learning loop picking borderline pairs) actually queries,
+    * where the pair TABLE answers "what pairs exist" this answers "what
+    * is THIS doc's closest relative and how close". Restricted to docs
+    * with ≥ 1 candidate pair (a doc sharing no capped shingle has no
+    * meaningful neighbor).
+    *
+    * Plan: both directions of the memoized pair-stats table in one
+    * explode, then an arg-max per doc_id via `max(struct(...))` — a
+    * single high-cardinality-key rollup with map-side partials, no rank
+    * window, no re-scan of texts. Ties (equal micro-quantized Jaccard)
+    * break toward the SMALLER neighbor id on both engines.
+    */
+  def nearestNeighbors(s: SparkSession, d: String,
+      maxDf: Long = 1000L): DataFrame = {
+    val p = ngramJaccardPairs(s, d, minSim = 0.0, maxDf = maxDf)
+      .select(col("a"), col("b"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("jq"))
+    p.select(explode(array(
+        struct(col("a").as("doc_id"), col("b").as("nbr"), col("jq")),
+        struct(col("b").as("doc_id"), col("a").as("nbr"), col("jq")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
+        col("e.jq").as("jq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("jq").as("jq"), (-col("nbr")).as("nnbr"))).as("best"))
+      .select(col("doc_id"), (-col("best.nnbr")).as("nearest_doc"),
+        round(col("best.jq").cast("double") / 1e6, 6).as("jaccard"),
+        col("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
   /** LSH band-geometry tuning curve: candidate-pair recall AND precision
     * of the (b bands × r rows) banding against exact Jaccard ≥ `minSim`
     * pairs, for r ∈ {2, 4, 8} over the same 32-component signature — the

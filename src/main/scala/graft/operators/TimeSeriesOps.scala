@@ -417,6 +417,58 @@ object TimeSeriesOps {
       .orderBy(col("event_type"))
   }
 
+  /** SLO error-budget burn-rate monitor (the SRE multi-window alert): per
+    * hour on the DENSE hourly grid, the error share of all events over
+    * the trailing 1 h and `longWin` h windows, expressed as a multiple of
+    * the error budget (`budgetPpm`, default 1%) — and the alert bit that
+    * fires only when BOTH windows burn ≥ `alertMult`× budget, the
+    * two-window conjunction that makes burn alerts page on real
+    * sustained burn instead of one bad minute (short window = still
+    * happening, long window = material budget spend). The dense grid
+    * matters for the trailing window: quiet hours are part of the
+    * 6-hour span, not skipped.
+    *
+    * Determinism: burn ratios are ppm longs —
+    * burn_ppm = ⌊1e12·err ÷ (tot·budget)⌉ half-up in long arithmetic
+    * ([[graft.operators.Num.halfUpDiv]]); a zero-traffic window burns 0.
+    *
+    * Plan: one (hour)-key corpus rollup computing total + error counts
+    * in the same pass (conditional agg, no second scan), the dense grid
+    * from a broadcast bounds row, and ONE unpartitioned rows-window over
+    * the AGGREGATED hourly series — thousands of rows at any corpus
+    * size, never raw events (same stance as [[hourlyDenseOf]]).
+    */
+  def sloBurnRate(s: SparkSession, d: String, budgetPpm: Long = 10000L,
+      longWin: Int = 6, alertMult: Long = 2L): DataFrame = {
+    require(budgetPpm >= 1, s"need budgetPpm >= 1, got $budgetPpm")
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("tot"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+    val span = broadcast(
+      hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1")))
+    val grid = span.select(
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL '1' HOUR")))
+        .as("h"))
+    val wl = Window.orderBy(col("h")).rowsBetween(-(longWin - 1), 0)
+    def burn(e: Column, t: Column): Column =
+      Num.halfUpDiv(lit(1000000000000L) * e,
+        greatest(t, lit(1L)) * budgetPpm)
+    grid.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("tot"), lit(0L)).as("tot"),
+        coalesce(col("err"), lit(0L)).as("err"))
+      .withColumn("errL", sum(col("err")).over(wl))
+      .withColumn("totL", sum(col("tot")).over(wl))
+      .select(tsMs(col("h")).as("bucket_ms"),
+        col("tot").as("n_events"), col("err").as("n_errors"),
+        (burn(col("err"), col("tot")).cast("double") / 1e6).as("burn_short"),
+        (burn(col("errL"), col("totL")).cast("double") / 1e6).as("burn_long"))
+      .withColumn("is_alert",
+        col("burn_short") >= alertMult.toDouble &&
+          col("burn_long") >= alertMult.toDouble)
+      .orderBy(col("bucket_ms"))
+  }
+
   /** Daily autocorrelation audit: lag-1 and lag-7 Pearson autocorrelation
     * of each type's daily count series on the DENSE day grid — the two
     * numbers that justify everything else in the pack: high r(7) says
