@@ -2652,6 +2652,7 @@ object SparkEntry {
     "q_prep_split" -> (TrainPrepOps.hashSplit _),
     "q_prep_split_stats" -> (TrainPrepOps.splitStats _),
     "q_prep_shard_balance" -> ((s, d) => TrainPrepOps.shardBalance(s, d)),
+    "q_prep_quality_norm" -> (TrainPrepOps.qualityNormalize _),
     "q_prep_sample" -> ((s, d) => TrainPrepOps.stratifiedSample(s, d)),
     "q_prep_decontam" -> ((s, d) => TrainPrepOps.decontaminate(s, d)),
     "q_prep_repetition" -> ((s, d) => TrainPrepOps.repetitionStats(s, d)),
@@ -2675,6 +2676,29 @@ object SparkEntry {
         |        substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_prep_quality_norm" ->
+      """WITH sc AS (SELECT doc_id, source,
+        |    round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |          * (len(list_distinct(toks))::DOUBLE / len(toks)), 4)
+        |      AS quality
+        |  FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)),
+        |f AS (SELECT source,
+        |        round(quantile_cont(quality, 0.05), 6) AS p05,
+        |        round(quantile_cont(quality, 0.95), 6) AS p95
+        |      FROM sc GROUP BY 1),
+        |j AS (SELECT sc.source, p05, p95,
+        |        CAST(round(CASE WHEN p95 > p05
+        |          THEN (least(greatest(quality, p05), p95) - p05)
+        |               / (p95 - p05) ELSE 0.0 END * 1e6) AS BIGINT) AS nq,
+        |        CASE WHEN quality < p05 THEN 1 ELSE 0 END AS lo,
+        |        CASE WHEN quality > p95 THEN 1 ELSE 0 END AS hi
+        |      FROM sc JOIN f ON sc.source = f.source)
+        |SELECT source, count(*) AS n_docs, min(p05) AS p05, min(p95) AS p95,
+        |  CAST((2 * sum(nq) + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6
+        |    AS mean_norm,
+        |  CAST(sum(lo) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(hi) AS BIGINT) AS n_clipped_high
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q_prep_shard_balance" ->
       """WITH pd AS (SELECT
         |  ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
@@ -2986,6 +3010,7 @@ object SparkEntry {
     "q_vec_quant_recall" -> ((s, d) => VectorOps.quantRecallAudit(s, d)),
     "q_vec_sim_pagerank" -> ((s, d) => VectorOps.simGraphPageRank(s, d)),
     "q_vec_pq_recall" -> ((s, d) => VectorOps.pqRecallAudit(s, d)),
+    "q_vec_centroid_drift" -> (VectorOps.centroidDrift _),
     "q_vec_cluster_quality" -> ((s, d) => VectorOps.clusterQualityAudit(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
@@ -3200,6 +3225,29 @@ object SparkEntry {
          |SELECT q_id, CAST(coalesce(n_ov, 0) AS BIGINT) AS n_overlap,
          |  round(coalesce(n_ov, 0) / 10.0, 4) AS overlap_frac
          |FROM q LEFT JOIN ov USING (q_id) ORDER BY q_id""".stripMargin,
+    "q_vec_centroid_drift" -> {
+      val dims = 64
+      val qsums = (0 until dims).map(i =>
+        s"sum(CAST(round(CAST(embedding[${i + 1}] AS DOUBLE) * 1e9) AS BIGINT)) AS q$i")
+        .mkString(",\n  ")
+      val comps = (0 until dims).map(i =>
+        s"CAST(q$i AS DOUBLE) / n / 1e9 AS c$i").mkString(",\n  ")
+      val dot = (0 until dims).map(i => s"a.c$i * b.c$i").mkString(" + ")
+      val na = (0 until dims).map(i => s"a.c$i * a.c$i").mkString(" + ")
+      val nb = (0 until dims).map(i => s"b.c$i * b.c$i").mkString(" + ")
+      s"""WITH m AS (SELECT (min(vec_id) + max(vec_id)) // 2 AS mid
+         |           FROM embeddings),
+         |h AS (SELECT label, (vec_id <= mid) AS early, count(*) AS n,
+         |  $qsums
+         |  FROM embeddings CROSS JOIN m GROUP BY 1, 2),
+         |c AS (SELECT label, early, n,
+         |  $comps
+         |  FROM h)
+         |SELECT a.label, a.n AS n_early, b.n AS n_late,
+         |  round(($dot) / (sqrt($na) * sqrt($nb)), 6) AS cos_halves
+         |FROM c a JOIN c b ON a.label = b.label AND a.early AND NOT b.early
+         |ORDER BY a.label""".stripMargin
+    },
     "q_vec_cluster_quality" -> {
       val dims = 64
       val qsums = (0 until dims).map(i =>

@@ -582,6 +582,49 @@ object TrainPrepOps {
       .orderBy(col("shard"))
   }
 
+  /** Per-source quality normalization audit (winsorize + min-max): each
+    * source's quality scores clamped to its own [p5, p95] and rescaled to
+    * [0, 1] — the standard pre-step before pooling heterogeneous sources
+    * under ONE global quality threshold ([[tokenBudget]],
+    * [[qualityTiers]] compare raw scores, which silently favors sources
+    * whose scorer runs hot; normalizing per source makes "top 30%" mean
+    * the same thing everywhere). Reports the per-source calibration:
+    * the fences, the clipped-tail counts, and the normalized mean.
+    *
+    * Determinism: the fences are exact interpolated percentiles rounded
+    * to 6 dp (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    * q_rel_quantiles precedent); per-doc normalized scores are built
+    * from identically-derived doubles and ppm-quantized before the
+    * rollup. Plan: one |sources|-row percentile aggregate broadcast back
+    * onto one scan, then a |sources|-key rollup — the percentile runs on
+    * the 4-dp quality column, not text.
+    */
+  def qualityNormalize(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        CurationOps.qualityCol.as("quality"))
+    val fences = scored.groupBy(col("source"))
+      .agg(
+        round(expr("percentile(quality, 0.05)"), 6).as("p05"),
+        round(expr("percentile(quality, 0.95)"), 6).as("p95"))
+    val clamped = least(greatest(col("quality"), col("p05")), col("p95"))
+    val norm = when(col("p95") > col("p05"),
+      (clamped - col("p05")) / (col("p95") - col("p05"))).otherwise(lit(0.0))
+    scored.join(broadcast(fences), "source")
+      .select(col("source"), col("p05"), col("p95"),
+        round(norm * 1e6, 0).cast("long").as("nq"),
+        when(col("quality") < col("p05"), 1L).otherwise(0L).as("lo"),
+        when(col("quality") > col("p95"), 1L).otherwise(0L).as("hi"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+        (Num.halfUpDiv(sum(col("nq")), count(lit(1))).cast("double") / 1e6)
+          .as("mean_norm"),
+        sum(col("lo")).as("n_clipped_low"),
+        sum(col("hi")).as("n_clipped_high"))
+      .orderBy(col("source"))
+  }
+
   // ---- cross-split leakage audit ------------------------------------------
 
   /** Train/val/test leakage audit: exact-duplicate pairs whose two copies

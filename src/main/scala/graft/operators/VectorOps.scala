@@ -1191,6 +1191,43 @@ object VectorOps {
       .orderBy(col("q_id"))
   }
 
+  /** Embedding drift audit: per label, the cosine between the centroid of
+    * the EARLY half of the corpus (vec_id ≤ id midpoint — ids are the
+    * ingest-order proxy) and the LATE half — the "did this class's
+    * embedding distribution move between snapshots" check run before
+    * trusting a centroid/IVF model trained on the old snapshot
+    * ([[dimStats]] watches single dimensions; this watches each class's
+    * mean direction). cos ≈ 1 means the old model still fits; a drifting
+    * label is the one to re-train on.
+    *
+    * Determinism: both half-centroids are nano-quantized
+    * order-independent means ([[graft.functions.VectorAgg.centroidQ]]);
+    * the midpoint derives from min/max ids as exact long arithmetic on a
+    * 1-row broadcast. Plan: ONE corpus scan into a (label, half) rollup
+    * (2·|labels| constant-width rows), self-join on label.
+    */
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val emb = Tables.embeddings(s, d)
+    val bounds = broadcast(
+      emb.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")))
+    val halves = emb.crossJoin(bounds)
+      .select(col("label"), col("embedding"),
+        (col("vec_id") <=
+          call_function("div", col("mn") + col("mx"), lit(2L))).as("early"))
+      .groupBy(col("label"), col("early"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.VectorAgg.centroidQ(col("embedding"), dim).as("c"))
+    val a = halves.where(col("early"))
+      .select(col("label"), col("n").as("n_early"), col("c").as("ca"))
+    val b = halves.where(!col("early"))
+      .select(col("label"), col("n").as("n_late"), col("c").as("cb"))
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n_early"), col("n_late"),
+        round(cosine(col("ca"), col("cb")), 6).as("cos_halves"))
+      .orderBy(col("label"))
+  }
+
   /** Label cluster-quality audit: per label, cohesion (mean cosine of
     * members to their own label centroid) and separation (cosine of the
     * label centroid to the global corpus centroid) — the "are my labels
