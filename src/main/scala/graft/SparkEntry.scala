@@ -1332,6 +1332,7 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.qualityScore _),
     "q_text_fingerprints" -> (TextOps.fingerprints _),
     "q_text_langid" -> (TextOps.languageId _),
+    "q_text_langid_calib" -> (TextOps.langIdCalibration _),
     // Space-Saving candidates + exact recount of the <= m survivors:
     // the published over-threshold rows are deterministic (sketch
     // guarantee), so this IS hash-checked; sketch internals are pinned
@@ -1540,6 +1541,32 @@ object SparkEntry {
         |                            ORDER BY score DESC, lng DESC) AS rn
         |  FROM s) WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    // q_text_langid's scoring CTE + a confidence-decile calibration rollup
+    "q_text_langid_calib" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, p.lng,
+        |    round(len(list_filter(toks, x -> list_contains(p.words, x)))::DOUBLE
+        |          / greatest(len(toks), 1), 6) AS score
+        |  FROM t, (VALUES ('de', ['der','die','das','und','ist']),
+        |                  ('en', ['the','a','of','and','to']),
+        |                  ('es', ['el','la','de','que','y']),
+        |                  ('fr', ['le','la','les','et','que']),
+        |                  ('zh', ['的','是','了','在','我'])) AS p(lng, words)),
+        |best AS (SELECT doc_id,
+        |           CAST(round(score * 1e6) AS BIGINT) AS cq,
+        |           CASE WHEN lng = lang THEN 1 ELSE 0 END AS ok
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY score DESC, lng DESC) AS rn FROM s)
+        |         WHERE rn = 1)
+        |SELECT CAST(cq // 100000 AS INTEGER) AS decile,
+        |  count(*) AS n_docs,
+        |  CAST((2 * 1000000 * sum(ok) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1e6 AS accuracy,
+        |  CAST((2 * sum(cq) + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6
+        |    AS mean_confidence
+        |FROM best GROUP BY 1 ORDER BY decile""".stripMargin,
     // q_text_langid's scoring CTE + a |langs|² rollup
     "q_text_lang_confusion" ->
       """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
@@ -3013,6 +3040,7 @@ object SparkEntry {
     "q_vec_centroid_drift" -> (VectorOps.centroidDrift _),
     "q_vec_cluster_quality" -> ((s, d) => VectorOps.clusterQualityAudit(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
+    "q_media_dedup" -> (MultimodalOps.mediaDedup _),
     "q_media_frames" -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_media_features" -> (MultimodalOps.extractFeatures _),
     "q_media_features_meta" -> (MultimodalOps.extractFeaturesMeta _),
@@ -3806,6 +3834,23 @@ object SparkEntry {
         |  md5(text) AS checksum,
         |  substring(hex(encode(text)), 1, 16) AS magic
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_media_dedup" ->
+      """WITH g AS (SELECT
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+        |      AS modality,
+        |    md5(text) AS checksum,
+        |    count(*) AS cnt,
+        |    min(CAST(octet_length(encode(text)) AS BIGINT)) AS n_bytes
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT modality, CAST(sum(cnt) AS BIGINT) AS n_media,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(cnt - 1) AS BIGINT) AS n_dup_copies,
+        |  CAST(sum(cnt * n_bytes) AS BIGINT) AS bytes_total,
+        |  CAST((2 * 1000000 * (sum(cnt * n_bytes) - sum(n_bytes))
+        |        + greatest(sum(cnt * n_bytes), 1))
+        |       // (2 * greatest(sum(cnt * n_bytes), 1)) AS DOUBLE) / 1e6
+        |    AS savings
+        |FROM g GROUP BY modality ORDER BY modality""".stripMargin,
     "q_media_features_meta" ->
       """SELECT doc_id AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,

@@ -55,6 +55,37 @@ object MultimodalOps {
       substring(hex(col("payload")), 1, 16).as("magic"))
       .orderBy(col("media_id"))
 
+  /** Content-addressed-storage dedup audit per modality: group payloads
+    * by checksum and report how many bytes content-addressing saves —
+    * the first question any multimodal corpus store answers (media
+    * payloads dominate storage, and crawls re-fetch the same asset from
+    * many pages). No decode, no payload comparison: identity IS the
+    * 16-byte md5, so the only shuffle carries (checksum, count, length)
+    * — the payload bytes never leave their scan (the same
+    * never-ship-the-content stance as the text dedup pack).
+    */
+  def mediaDedup(s: SparkSession, d: String): DataFrame = {
+    val groups = mediaTable(s, d)
+      .select(col("modality"), md5(col("payload")).as("checksum"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("modality"), col("checksum"))
+      .agg(count(lit(1)).as("cnt"), first(col("n_bytes")).as("n_bytes"))
+    groups.groupBy(col("modality"))
+      .agg(
+        sum(col("cnt")).as("n_media"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") - 1).as("n_dup_copies"),
+        sum(col("cnt") * col("n_bytes")).as("bytes_total"),
+        sum(col("n_bytes")).as("bytes_unique"))
+      .select(col("modality"), col("n_media"), col("n_distinct"),
+        col("n_dup_copies"), col("bytes_total"),
+        (graft.operators.Num.halfUpDiv(
+          lit(1000000L) * (col("bytes_total") - col("bytes_unique")),
+          greatest(col("bytes_total"), lit(1L))).cast("double") / 1e6)
+          .as("savings"))
+      .orderBy(col("modality"))
+  }
+
   /** STUB decoder: a real implementation would decode the codec here
     * (JPEG → pixels, WAV → samples). Deterministic fake: 8 features from
     * byte statistics so the pipeline shape (fixed-size Array[Double] per

@@ -567,6 +567,34 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confidence calibration: accuracy of [[languageId]]'s
+    * prediction within each confidence decile — "can I trust the
+    * confidence as a probability?" The operational question behind every
+    * threshold choice downstream (curation keeps docs whose langid is
+    * confident; this table says what a 0.3 actually buys). A calibrated
+    * classifier shows accuracy rising with the decile; a flat column
+    * means the score ranks but does not calibrate.
+    *
+    * Exact arithmetic: confidence is already a 6-dp rational (stopword
+    * hit ratio), so deciles and per-decile accuracy are integer ops; one
+    * |deciles|-key rollup after the per-doc scoring scan.
+    */
+  def langIdCalibration(s: SparkSession, d: String): DataFrame = {
+    val lid = languageId(s, d).select(
+      round(col("confidence") * 1e6, 0).cast("long").as("cq"),
+      when(col("lang_predicted") === col("lang_actual"), 1L).otherwise(0L)
+        .as("ok"))
+    lid
+      .groupBy(call_function("div", col("cq"), lit(100000L))
+        .cast("int").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        (graft.operators.Num.halfUpDiv(lit(1000000L) * sum(col("ok")),
+          count(lit(1))).cast("double") / 1e6).as("accuracy"),
+        (graft.operators.Num.halfUpDiv(sum(col("cq")), count(lit(1)))
+          .cast("double") / 1e6).as("mean_confidence"))
+      .orderBy(col("decile"))
+  }
+
   /** Top TF-IDF keyphrases per source: the terms that most distinguish
     * each source slice from the rest of the corpus — smoothed idf
     * (ln((N+1)/(df+1)) + 1 over SOURCE document frequency), score =
