@@ -3038,6 +3038,7 @@ object SparkEntry {
     "q_vec_sim_pagerank" -> ((s, d) => VectorOps.simGraphPageRank(s, d)),
     "q_vec_pq_recall" -> ((s, d) => VectorOps.pqRecallAudit(s, d)),
     "q_vec_centroid_drift" -> (VectorOps.centroidDrift _),
+    "q_vec_knn_eval" -> ((s, d) => VectorOps.knnEval(s, d)),
     "q_vec_cluster_quality" -> ((s, d) => VectorOps.clusterQualityAudit(s, d)),
     "q_media_metadata" -> (MultimodalOps.mediaMetadata _),
     "q_media_dedup" -> (MultimodalOps.mediaDedup _),
@@ -3253,6 +3254,27 @@ object SparkEntry {
          |SELECT q_id, CAST(coalesce(n_ov, 0) AS BIGINT) AS n_overlap,
          |  round(coalesce(n_ov, 0) / 10.0, 4) AS overlap_frac
          |FROM q LEFT JOIN ov USING (q_id) ORDER BY q_id""".stripMargin,
+    "q_vec_knn_eval" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS label_true,
+         |             embedding AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |sims AS (SELECT q.q_id, q.label_true, e.vec_id, e.label AS lbl,
+         |    round(${duckCos("e.embedding", "qv")}, 6) AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |top AS (SELECT q_id, label_true, lbl FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, vec_id) AS rn FROM sims)
+         |  WHERE rn <= 10),
+         |v AS (SELECT q_id, label_true, lbl, count(*) AS votes
+         |      FROM top GROUP BY 1, 2, 3),
+         |best AS (SELECT q_id, label_true, lbl AS label_pred,
+         |           votes AS n_votes,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY votes DESC, lbl ASC) AS rn
+         |         FROM v)
+         |SELECT q_id, label_true, label_pred, n_votes,
+         |  (label_pred = label_true) AS correct
+         |FROM best WHERE rn = 1 ORDER BY q_id""".stripMargin,
     "q_vec_centroid_drift" -> {
       val dims = 64
       val qsums = (0 until dims).map(i =>

@@ -1191,6 +1191,48 @@ object VectorOps {
       .orderBy(col("q_id"))
   }
 
+  /** k-NN classification eval: for each anchor vector, predict its label
+    * by majority vote of its k nearest cosine neighbors (self excluded)
+    * and compare to the true label — the standard "are these embeddings
+    * good for retrieval-by-meaning" probe, and the non-parametric
+    * counterpart of [[logRegEval]]'s trained linear probe (k-NN needs no
+    * training, so it isolates embedding quality from classifier
+    * capacity). Vote ties break toward the smaller label id, neighbor
+    * ties toward the smaller vec_id — both spelled identically in the
+    * twin.
+    *
+    * Plan: anchors ride a broadcast against ONE corpus scan; per-anchor
+    * neighbor selection is the bounded `TopKAgg` (labels ride as the
+    * payload, so voting needs no join-back); votes explode k·|anchors|
+    * rows — nothing downstream of the scan is corpus-sized.
+    */
+  def knnEval(s: SparkSession, d: String, nQueries: Int = 20,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("label_true"),
+        col("embedding").as("qv")))
+    val votes = emb.crossJoin(q).where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("label_true"), col("vec_id"),
+        col("label").cast("double").as("nbr_label"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .groupBy(col("q_id"), col("label_true"))
+      .agg(graft.functions.TopKAgg
+        .topK(lit(""), -col("sim"), col("vec_id"), col("nbr_label"), k)
+        .as("top"))
+      .select(col("q_id"), col("label_true"),
+        explode(col("top")).as("e"))
+      .groupBy(col("q_id"), col("label_true"),
+        col("e.p").cast("int").as("lbl"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col("q_id"), col("label_true"))
+      .agg(max(struct(col("votes").as("v"), (-col("lbl")).as("nl"))).as("best"))
+      .select(col("q_id"), col("label_true"),
+        (-col("best.nl")).as("label_pred"), col("best.v").as("n_votes"))
+      .withColumn("correct", col("label_pred") === col("label_true"))
+      .orderBy(col("q_id"))
+  }
+
   /** Embedding drift audit: per label, the cosine between the centroid of
     * the EARLY half of the corpus (vec_id ≤ id midpoint — ids are the
     * ingest-order proxy) and the LATE half — the "did this class's
