@@ -461,4 +461,32 @@ class PlansSpec extends SparkSpec {
     assert(hashExchanges === 2,
       s"expected rollup + grid-window exchanges only, got $hashExchanges:\n$plan")
   }
+
+  test("knnEval: anchors ride a broadcast, no cartesian, no rank window") {
+    val plan = executedPlan(graft.operators.VectorOps.knnEval(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"anchor set should broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"neighbor selection must be the bounded TopKAgg, not a window:\n$plan")
+  }
+
+  test("nearestNeighbors: arg-max rollup — no rank window, no cartesian") {
+    val plan = executedPlan(
+      graft.operators.DedupOps.nearestNeighbors(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-doc best must be max(struct), not a rank window:\n$plan")
+  }
+
+  test("sloBurnRate: trailing window runs over the aggregated hourly grid") {
+    val df = graft.operators.TimeSeriesOps.sloBurnRate(spark, sf0001)
+    val plan = executedPlan(df)
+    // one corpus rollup (hour key); the trailing-window sort sees only the
+    // dense grid rows — assert the rollup count stays at 1 so a regression
+    // that windows raw events (a second corpus exchange) fails here
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"expected the single hourly rollup exchange, got $hashExchanges:\n$plan")
+  }
 }
