@@ -2680,6 +2680,7 @@ object SparkEntry {
     "q_prep_split_stats" -> (TrainPrepOps.splitStats _),
     "q_prep_shard_balance" -> ((s, d) => TrainPrepOps.shardBalance(s, d)),
     "q_prep_quality_norm" -> (TrainPrepOps.qualityNormalize _),
+    "q_prep_dataset_card" -> (TrainPrepOps.datasetCard _),
     "q_prep_sample" -> ((s, d) => TrainPrepOps.stratifiedSample(s, d)),
     "q_prep_decontam" -> ((s, d) => TrainPrepOps.decontaminate(s, d)),
     "q_prep_repetition" -> ((s, d) => TrainPrepOps.repetitionStats(s, d)),
@@ -2694,6 +2695,57 @@ object SparkEntry {
     "q_prep_waterfill" -> ((s, d) => TrainPrepOps.waterfillBudget(s, d)))
 
   private val prepOracles: Map[String, String] = Map(
+    "q_prep_dataset_card" ->
+      """WITH base AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    md5(text) AS fp,
+        |    CAST(round(round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |      * (len(list_distinct(toks))::DOUBLE / len(toks)), 4) * 10000, 0)
+        |      AS BIGINT) AS q4
+        |  FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)),
+        |cells AS (
+        |  SELECT source, lang, count(*) AS nd, sum(n_tok) AS nt,
+        |    sum(n_chars) AS nc, sum(q4) AS qs
+        |  FROM base GROUP BY source, lang),
+        |by_src AS (
+        |  SELECT source, sum(nd) AS n_docs, sum(nt) AS n_tokens,
+        |    sum(nc) AS n_chars, sum(qs) AS q_sum, count(*) AS n_langs
+        |  FROM cells GROUP BY source),
+        |top AS (
+        |  SELECT source, lang AS top_lang, nd AS top_nd
+        |  FROM (SELECT source, lang, nd, row_number() OVER (
+        |          PARTITION BY source ORDER BY nd DESC, lang DESC) AS rn
+        |        FROM cells) WHERE rn = 1),
+        |uniq AS (
+        |  SELECT source, count(DISTINCT fp) AS n_unique_texts
+        |  FROM base GROUP BY source),
+        |tot AS (SELECT sum(n_docs) AS tot_docs, sum(n_tokens) AS tot_tokens
+        |        FROM by_src)
+        |SELECT b.source,
+        |  CAST(b.n_docs AS BIGINT) AS n_docs,
+        |  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(b.n_chars AS BIGINT) AS n_chars,
+        |  CAST((2 * 1000000 * b.n_docs + tot_docs) // (2 * tot_docs)
+        |    AS DOUBLE) / 1e6 AS doc_share,
+        |  CAST((2 * 1000000 * b.n_tokens + tot_tokens) // (2 * tot_tokens)
+        |    AS DOUBLE) / 1e6 AS token_share,
+        |  CAST((2 * 1000000 * b.n_tokens + b.n_docs) // (2 * b.n_docs)
+        |    AS DOUBLE) / 1e6 AS mean_doc_tokens,
+        |  CAST((2 * b.q_sum * 100 + b.n_docs) // (2 * b.n_docs)
+        |    AS DOUBLE) / 1e6 AS mean_quality,
+        |  b.n_langs,
+        |  t.top_lang,
+        |  CAST((2 * 1000000 * t.top_nd + b.n_docs) // (2 * b.n_docs)
+        |    AS DOUBLE) / 1e6 AS top_lang_share,
+        |  CAST(b.n_docs - u.n_unique_texts AS BIGINT) AS n_exact_dup_docs,
+        |  CAST((2 * 1000000 * (b.n_docs - u.n_unique_texts) + b.n_docs)
+        |    // (2 * b.n_docs) AS DOUBLE) / 1e6 AS dup_rate
+        |FROM by_src b
+        |JOIN top t ON b.source = t.source
+        |JOIN uniq u ON b.source = u.source
+        |CROSS JOIN tot
+        |ORDER BY b.source""".stripMargin,
     "q_prep_split" ->
       """SELECT doc_id, lang, bucket,
         |  CASE WHEN bucket < 'cc' THEN 'train'

@@ -926,4 +926,78 @@ object TrainPrepOps {
         sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("source"), col("tier"))
   }
+
+  // ---- dataset card -------------------------------------------------------
+
+  /** Dataset card: the per-source summary table a training-data release
+    * ships with — document/token/char volumes and corpus shares, language
+    * mix (count + dominant language and its share), exact-duplicate rate,
+    * and mean composite quality. One row per source; the single table a
+    * consumer reads before deciding mixture weights.
+    *
+    * Plan shape (the 100 TB stance — exactly TWO corpus passes):
+    *  - every per-document signal (token count, ppm-quantized quality,
+    *    16-byte fingerprint) is pure codegen'd column arithmetic out of
+    *    one scan — no UDF, no per-document window;
+    *  - volumes + language mix collapse to a |sources|x|langs| cell grid
+    *    in ONE rollup; the per-source row (incl. the dominant language —
+    *    a max(struct) arg-max, no rank window) is a re-aggregation of
+    *    that tiny grid, and the corpus totals are an UNPARTITIONED
+    *    window over the |sources|-row frame (the seasonality grid-window
+    *    precedent: a `tot = bySrc.agg(...)` branch would fork the plan
+    *    tree and re-scan the corpus a third time — column pruning makes
+    *    the forked subtrees unequal, so ReusedExchange never fires);
+    *  - the second pass is distinct-fingerprint counting, and it
+    *    shuffles (source, 32-char md5) — never text — with Spark's
+    *    two-phase distinct aggregate deduplicating map-side.
+    *
+    * Determinism: quality is quantized to 1e-4 longs at the doc level
+    * (the [[qualityNormalize]] precedent); every published ratio is a
+    * [[Num.halfUpDiv]] ppm over exact long sums; dominant-language ties
+    * break on the lexicographically largest lang in both engines.
+    */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d).select(
+      col("source"), col("lang"), col("n_chars"),
+      size(toks).cast("long").as("n_tok"),
+      md5(col("text")).as("fp"),
+      round(CurationOps.qualityCol * 1e4, 0).cast("long").as("q4"))
+    val cells = base
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"),
+        sum(col("n_chars")).as("nc"), sum(col("q4")).as("qs"))
+    val bySrc = cells
+      .groupBy(col("source"))
+      .agg(
+        sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"), sum(col("qs")).as("q_sum"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("nd"), col("lang"))).as("top"))
+    val uniq = base
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_unique_texts"))
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def ppm(num: Column, den: Column): Column =
+      Num.halfUpDiv(lit(1000000L) * num, den).cast("double") / 1e6
+    bySrc
+      .withColumn("tot_docs", sum(col("n_docs")).over(wAll))
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(wAll))
+      .join(broadcast(uniq), Seq("source"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        ppm(col("n_docs"), col("tot_docs")).as("doc_share"),
+        ppm(col("n_tokens"), col("tot_tokens")).as("token_share"),
+        ppm(col("n_tokens"), col("n_docs")).as("mean_doc_tokens"),
+        Num.quantMean(col("q_sum") * 100L, col("n_docs"), 1e6)
+          .as("mean_quality"),
+        col("n_langs"),
+        col("top.lang").as("top_lang"),
+        ppm(col("top.nd"), col("n_docs")).as("top_lang_share"),
+        (col("n_docs") - col("n_unique_texts")).as("n_exact_dup_docs"),
+        ppm(col("n_docs") - col("n_unique_texts"), col("n_docs"))
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
 }

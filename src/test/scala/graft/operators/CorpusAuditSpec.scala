@@ -188,4 +188,36 @@ class CorpusAuditSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum ===
       Tables.documents(spark, sf0001).count())
   }
+
+  test("datasetCard: volumes, shares, and dup counts reconcile with the corpus") {
+    val rows = TrainPrepOps.datasetCard(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows.map(_.getAs[String]("source")).distinct.length === rows.length)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(rows.map(_.getAs[Long]("n_chars")).sum ===
+      docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+        .head.getLong(0))
+    // ppm shares sum to 1 within rounding slack (one quantum per source)
+    val docShare = rows.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(docShare - 1.0) <= rows.length * 1e-6,
+      s"doc shares must sum to ~1, got $docShare")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact_dup_docs") >= 0L)
+      assert(r.getAs[Long]("n_exact_dup_docs") < r.getAs[Long]("n_docs"))
+      val dr = r.getAs[Double]("dup_rate")
+      assert(dr >= 0.0 && dr < 1.0)
+      val tls = r.getAs[Double]("top_lang_share")
+      assert(tls > 0.0 && tls <= 1.0)
+      assert(r.getAs[Long]("n_langs") >= 1L)
+      val q = r.getAs[Double]("mean_quality")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+    // cross-check one source's dominant language against a direct count
+    val src = rows.head.getAs[String]("source")
+    val byLang = docs.filter(org.apache.spark.sql.functions.col("source") === src)
+      .groupBy("lang").count().collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("count")))
+    val expected = byLang.maxBy { case (l, n) => (n, l) }
+    assert(rows.head.getAs[String]("top_lang") === expected._1)
+  }
 }

@@ -479,6 +479,20 @@ class PlansSpec extends SparkSpec {
       s"per-doc best must be max(struct), not a rank window:\n$plan")
   }
 
+  test("datasetCard: two corpus scans, totals ride the grid window") {
+    val plan = executedPlan(
+      graft.operators.TrainPrepOps.datasetCard(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    // pass 1: cell-grid rollup (+ per-source re-agg + grid window);
+    // pass 2: distinct-fingerprint count. A third scan means the corpus
+    // totals forked the tree again (the bug this shape exists to avoid).
+    assert(scans === 2, s"expected exactly 2 corpus scans, got $scans:\n$plan")
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows === 1,
+      s"corpus totals must be ONE unpartitioned grid window, got $windows:\n$plan")
+  }
+
   test("sloBurnRate: trailing window runs over the aggregated hourly grid") {
     val df = graft.operators.TimeSeriesOps.sloBurnRate(spark, sf0001)
     val plan = executedPlan(df)
