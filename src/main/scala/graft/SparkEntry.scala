@@ -2681,6 +2681,7 @@ object SparkEntry {
     "q_prep_shard_balance" -> ((s, d) => TrainPrepOps.shardBalance(s, d)),
     "q_prep_quality_norm" -> (TrainPrepOps.qualityNormalize _),
     "q_prep_dataset_card" -> (TrainPrepOps.datasetCard _),
+    "q_prep_packing_curve" -> ((s, d) => TrainPrepOps.packingCurve(s, d)),
     "q_prep_sample" -> ((s, d) => TrainPrepOps.stratifiedSample(s, d)),
     "q_prep_decontam" -> ((s, d) => TrainPrepOps.decontaminate(s, d)),
     "q_prep_repetition" -> ((s, d) => TrainPrepOps.repetitionStats(s, d)),
@@ -2695,6 +2696,42 @@ object SparkEntry {
     "q_prep_waterfill" -> ((s, d) => TrainPrepOps.waterfillBudget(s, d)))
 
   private val prepOracles: Map[String, String] = Map(
+    "q_prep_packing_curve" ->
+      """WITH hist AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+        |         count(*) AS n
+        |  FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT ctx, len, n FROM hist
+        |  CROSS JOIN (SELECT unnest([256, 512, 1024, 2048, 4096, 8192]
+        |    ::BIGINT[]) AS ctx)),
+        |agg AS (
+        |  SELECT ctx,
+        |    sum(n) AS n_docs,
+        |    sum(len * n) AS n_tokens,
+        |    sum(CASE WHEN len > ctx THEN n ELSE 0 END) AS n_docs_over_ctx,
+        |    sum(CASE WHEN len > ctx THEN (len - ctx) * n ELSE 0 END)
+        |      AS trunc_tokens_lost,
+        |    sum(((len + ctx - 1) // ctx) * n) AS pad_seqs
+        |  FROM g GROUP BY ctx),
+        |agg2 AS (
+        |  SELECT *, (n_tokens + ctx - 1) // ctx AS concat_seqs FROM agg)
+        |SELECT ctx,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_docs_over_ctx AS BIGINT) AS n_docs_over_ctx,
+        |  CAST((2 * 1000000 * n_docs_over_ctx + n_docs) // (2 * n_docs)
+        |    AS DOUBLE) / 1e6 AS over_ctx_frac,
+        |  CAST(trunc_tokens_lost AS BIGINT) AS trunc_tokens_lost,
+        |  CAST((2 * 1000000 * trunc_tokens_lost + n_tokens) // (2 * n_tokens)
+        |    AS DOUBLE) / 1e6 AS trunc_loss_frac,
+        |  CAST(pad_seqs AS BIGINT) AS pad_seqs,
+        |  CAST((2 * 1000000 * n_tokens + pad_seqs * ctx)
+        |    // (2 * pad_seqs * ctx) AS DOUBLE) / 1e6 AS pad_utilization,
+        |  CAST(concat_seqs AS BIGINT) AS concat_seqs,
+        |  CAST((2 * 1000000 * n_tokens + concat_seqs * ctx)
+        |    // (2 * concat_seqs * ctx) AS DOUBLE) / 1e6 AS concat_utilization
+        |FROM agg2 ORDER BY ctx""".stripMargin,
     "q_prep_dataset_card" ->
       """WITH base AS (
         |  SELECT source, lang, n_chars,

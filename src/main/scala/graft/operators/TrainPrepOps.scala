@@ -484,6 +484,62 @@ object TrainPrepOps {
         round(col("n_tokens").cast("double") / (col("n_seqs") * ctx), 6))
       .orderBy(col("source"))
 
+  /** Packing-efficiency curve across candidate context lengths — the
+    * capacity-planning table consulted when choosing a training context
+    * window. For each `ctx`, reports the three standard disciplines
+    * evaluated over the SAME corpus:
+    *  - truncate-to-ctx: docs over the window and the tokens lost;
+    *  - pad-per-doc: each doc rounded up to whole sequences
+    *    (`ceil(len/ctx)`) — the no-packing baseline and its utilization;
+    *  - concat-pack: contiguous concatenation ([[packStats]]'s model) —
+    *    `ceil(total/ctx)` sequences, the utilization ceiling.
+    *
+    * Plan shape: the corpus collapses to its document-length histogram
+    * (len → n_docs) in ONE rollup — a shuffle keyed on a long, bounded
+    * by the number of DISTINCT lengths — and every (ctx, discipline)
+    * cell is integer arithmetic over that tiny grid × |ctxs| rows. Adding
+    * a candidate context length costs zero extra corpus passes.
+    *
+    * Determinism: pure long arithmetic throughout; ratios are
+    * [[Num.halfUpDiv]] ppm.
+    */
+  def packingCurve(s: SparkSession, d: String,
+      ctxs: Seq[Int] = Seq(256, 512, 1024, 2048, 4096, 8192)): DataFrame = {
+    require(ctxs.nonEmpty && ctxs.forall(_ >= 1), s"need positive ctxs, got $ctxs")
+    val hist = Tables.documents(s, d)
+      .groupBy(size(toks).cast("long").as("len"))
+      .agg(count(lit(1)).as("n"))
+    def ppm(num: Column, den: Column): Column =
+      Num.halfUpDiv(lit(1000000L) * num, den).cast("double") / 1e6
+    hist
+      .select(col("len"), col("n"),
+        explode(typedLit(ctxs.sorted.map(_.toLong))).as("ctx"))
+      .groupBy(col("ctx"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        sum(col("len") * col("n")).as("n_tokens"),
+        sum(when(col("len") > col("ctx"), col("n")).otherwise(0L))
+          .as("n_docs_over_ctx"),
+        sum(when(col("len") > col("ctx"), (col("len") - col("ctx")) * col("n"))
+          .otherwise(0L)).as("trunc_tokens_lost"),
+        sum(call_function("div", col("len") + col("ctx") - 1, col("ctx"))
+          * col("n")).as("pad_seqs"))
+      .withColumn("concat_seqs",
+        call_function("div", col("n_tokens") + col("ctx") - 1, col("ctx")))
+      .select(
+        col("ctx"), col("n_docs"), col("n_tokens"), col("n_docs_over_ctx"),
+        ppm(col("n_docs_over_ctx"), col("n_docs")).as("over_ctx_frac"),
+        col("trunc_tokens_lost"),
+        ppm(col("trunc_tokens_lost"), col("n_tokens")).as("trunc_loss_frac"),
+        col("pad_seqs"),
+        ppm(col("n_tokens"), col("pad_seqs") * col("ctx"))
+          .as("pad_utilization"),
+        col("concat_seqs"),
+        ppm(col("n_tokens"), col("concat_seqs") * col("ctx"))
+          .as("concat_utilization"))
+      .orderBy(col("ctx"))
+  }
+
   /** Export the corpus as training shards — the WRITE side of the prep
     * pack: documents pack into ~`targetTokens`-token shards per source (the
     * same per-shard running-sum assignment as [[packSequences]] — a global

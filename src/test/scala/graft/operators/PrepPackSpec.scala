@@ -154,4 +154,30 @@ class PrepPackSpec extends SparkSpec {
     assert(ds.forall(d => d >= 0 && d <= 64))
     assert(ds.sameElements(ds.sorted))
   }
+
+  test("packingCurve: disciplines ordered, volumes constant, curve monotone") {
+    val rows = TrainPrepOps.packingCurve(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("ctx"))
+    assert(rows.length === 6)
+    val nTok = rows.head.getAs[Long]("n_tokens")
+    val nDocs = rows.head.getAs[Long]("n_docs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === nTok, "token volume is ctx-invariant")
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      // padding each doc can never beat contiguous concatenation
+      assert(r.getAs[Long]("pad_seqs") >= r.getAs[Long]("concat_seqs"))
+      assert(r.getAs[Double]("concat_utilization") >=
+        r.getAs[Double]("pad_utilization") - 1e-9)
+      assert(r.getAs[Long]("trunc_tokens_lost") <= nTok)
+    }
+    // longer windows truncate less and span fewer docs over ctx
+    val loss = rows.map(_.getAs[Long]("trunc_tokens_lost"))
+    assert(loss.sameElements(loss.sorted.reverse), "trunc loss must fall with ctx")
+    val over = rows.map(_.getAs[Long]("n_docs_over_ctx"))
+    assert(over.sameElements(over.sorted.reverse))
+    // cross-check ctx=512 concat sequences against packStats' model
+    val concat512 = rows.find(_.getAs[Long]("ctx") === 512L).get
+      .getAs[Long]("concat_seqs")
+    assert(concat512 === (nTok + 511L) / 512L)
+  }
 }

@@ -493,6 +493,18 @@ class PlansSpec extends SparkSpec {
       s"corpus totals must be ONE unpartitioned grid window, got $windows:\n$plan")
   }
 
+  test("packingCurve: one corpus scan into the length histogram, no window") {
+    val plan = executedPlan(
+      graft.operators.TrainPrepOps.packingCurve(spark, sf0001))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected one corpus scan, got $scans:\n$plan")
+    assert(!plan.contains("Window"), s"curve must be histogram math:\n$plan")
+    // len-histogram rollup + ctx rollup; the explode sits between them
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 2,
+      s"expected len + ctx rollup exchanges only, got $hashExchanges:\n$plan")
+  }
+
   test("sloBurnRate: trailing window runs over the aggregated hourly grid") {
     val df = graft.operators.TimeSeriesOps.sloBurnRate(spark, sf0001)
     val plan = executedPlan(df)
