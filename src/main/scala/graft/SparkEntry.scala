@@ -1342,6 +1342,7 @@ object SparkEntry {
     "q_text_zipf" -> (TextOps.zipfProfile _),
     "q_text_fertility" -> (TextOps.tokenizerFertility _),
     "q_text_ttr" -> (TextOps.typeTokenRatio _),
+    "q_text_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "q_text_typo_pairs" -> ((s, d) => TextOps.typoPairs(s, d)),
     "q_text_length_profile" -> (TextOps.lengthProfile _),
     "q_text_bm25" -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
@@ -1448,6 +1449,51 @@ object SparkEntry {
         |  CAST((2 * 1000000 * sum(nrx) + sum(nws)) // (2 * sum(nws))
         |    AS DOUBLE) / 1e6 AS corpus_fertility
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_vocab_growth" ->
+      """WITH f AS (
+        |  SELECT [round(quantile_cont(doc_id, 0.1), 6),
+        |          round(quantile_cont(doc_id, 0.2), 6),
+        |          round(quantile_cont(doc_id, 0.3), 6),
+        |          round(quantile_cont(doc_id, 0.4), 6),
+        |          round(quantile_cont(doc_id, 0.5), 6),
+        |          round(quantile_cont(doc_id, 0.6), 6),
+        |          round(quantile_cont(doc_id, 0.7), 6),
+        |          round(quantile_cont(doc_id, 0.8), 6),
+        |          round(quantile_cont(doc_id, 0.9), 6)] AS fs
+        |  FROM documents),
+        |grid AS (
+        |  SELECT CAST(len(list_filter(fs, x -> x < doc_id)) + 1 AS INTEGER)
+        |           AS decile,
+        |         count(*) AS n_docs,
+        |         sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+        |  FROM documents CROSS JOIN f GROUP BY 1),
+        |fs2 AS (
+        |  SELECT term, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY term),
+        |newt AS (
+        |  SELECT CAST(len(list_filter(fs, x -> x < first_doc)) + 1 AS INTEGER)
+        |           AS decile,
+        |         count(*) AS new_terms
+        |  FROM fs2 CROSS JOIN f GROUP BY 1),
+        |j AS (
+        |  SELECT g.decile, g.n_docs, g.n_tokens,
+        |         coalesce(n.new_terms, 0) AS new_terms
+        |  FROM grid g LEFT JOIN newt n USING (decile)),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (ORDER BY decile) AS cum_tokens,
+        |            sum(new_terms) OVER (ORDER BY decile) AS cum_vocab
+        |  FROM j)
+        |SELECT decile,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(new_terms AS BIGINT) AS new_terms,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(cum_vocab AS BIGINT) AS cum_vocab,
+        |  CAST((2 * 1000000 * cum_vocab + cum_tokens) // (2 * cum_tokens)
+        |    AS BIGINT) AS types_per_mtok
+        |FROM c ORDER BY decile""".stripMargin,
     "q_text_ttr" ->
       """WITH pd AS (SELECT
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

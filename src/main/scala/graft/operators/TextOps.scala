@@ -749,4 +749,62 @@ object TextOps {
         round(col("score_q").cast("double") / 1e6, 6).as("score"))
       .orderBy(col("source"), col("rank"))
   }
+
+  /** Vocabulary-growth (Heaps-law) profile: distinct whitespace terms
+    * first seen per doc-id decile, with cumulative vocabulary and token
+    * volume — the table that answers "is the corpus still contributing
+    * new types, or are we re-reading the same vocabulary?" (tokenizer
+    * sizing + diminishing-returns check before buying more of a source).
+    * Published as exact counts plus types-per-million-tokens; no float
+    * logs (the charDiversity precedent — a Heaps exponent fit would put
+    * ln() in the hash check).
+    *
+    * Plan shape: pass 1 rolls the corpus into the 10-row decile grid
+    * (docs + tokens); pass 2 is the first-occurrence rollup — a shuffle
+    * keyed on the term (bounded by vocabulary, the inverted-index/tf-idf
+    * precedent) collapsed onto the same grid. The 9 doc-id fences are a
+    * percentile aggregate broadcast onto each pass; each consumer branch
+    * re-derives it from a scan PRUNED to the single int64 doc_id column
+    * (fence recompute is 2 extra int-column passes, not text passes —
+    * cheaper than persisting a 1-row frame at cluster scale).
+    * Cumulatives are a window over the 10-row grid, never the corpus.
+    *
+    * Determinism: fences are interpolated percentiles rounded to 6 dp
+    * (`percentile` ≡ `quantile_cont`, the q_rel_quantiles precedent);
+    * deciles compare `fence < doc_id` in both engines; ratios are
+    * [[Num.halfUpDiv]] ppm.
+    */
+  def vocabGrowth(s: SparkSession, d: String, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val docs = Tables.documents(s, d)
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val fences = docs.agg(array(
+      qs.map(q => round(expr(s"percentile(doc_id, $q)"), 6)): _*).as("fs"))
+    def decileOf(id: Column): Column =
+      size(filter(col("fs"), f => f < id.cast("double"))) + 1
+    val grid = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .crossJoin(broadcast(fences))
+      .groupBy(decileOf(col("doc_id")).as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(fences))
+      .groupBy(decileOf(col("first_doc")).as("decile"))
+      .agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(firstSeen, Seq("decile"), "left")
+      .na.fill(0L, Seq("new_terms"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+      .select(col("decile"), col("n_docs"), col("n_tokens"), col("new_terms"),
+        col("cum_tokens"), col("cum_vocab"),
+        graft.operators.Num
+          .halfUpDiv(lit(1000000L) * col("cum_vocab"), col("cum_tokens"))
+          .as("types_per_mtok"))
+      .orderBy(col("decile"))
+  }
 }

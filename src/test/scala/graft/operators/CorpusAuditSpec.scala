@@ -220,4 +220,28 @@ class CorpusAuditSpec extends SparkSpec {
     val expected = byLang.maxBy { case (l, n) => (n, l) }
     assert(rows.head.getAs[String]("top_lang") === expected._1)
   }
+
+  test("vocabGrowth: vocabulary and volumes reconcile, cumulatives monotone") {
+    val rows = TextOps.vocabGrowth(spark, sf0001).collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.length === 10)
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val distinctTerms = docs
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(rows.map(_.getAs[Long]("new_terms")).sum === distinctTerms)
+    assert(rows.last.getAs[Long]("cum_vocab") === distinctTerms)
+    assert(rows.last.getAs[Long]("cum_tokens") ===
+      rows.map(_.getAs[Long]("n_tokens")).sum)
+    // every term in decile 1's docs is new there; cum curves never fall
+    assert(rows.head.getAs[Long]("new_terms") > 0L)
+    val cumV = rows.map(_.getAs[Long]("cum_vocab"))
+    assert(cumV.sameElements(cumV.sorted))
+    // marginal novelty falls: later deciles add fewer types per token
+    // than the first (Heaps sublinearity on any natural-ish corpus)
+    val first = rows.head
+    val last = rows.last
+    assert(last.getAs[Long]("new_terms").toDouble / last.getAs[Long]("n_tokens") <=
+      first.getAs[Long]("new_terms").toDouble / first.getAs[Long]("n_tokens"))
+  }
 }

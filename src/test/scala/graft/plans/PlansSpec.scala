@@ -505,6 +505,23 @@ class PlansSpec extends SparkSpec {
       s"expected len + ctx rollup exchanges only, got $hashExchanges:\n$plan")
   }
 
+  test("vocabGrowth: two text passes + pruned fence scans, grid-only window") {
+    val df = graft.operators.TextOps.vocabGrowth(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // 2 corpus (text) passes + 2 fence branches pruned to doc_id only; a
+    // 5th scan means a consumer forked a text pass
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 4, s"expected 4 scans (2 text + 2 doc_id-only), got $scans:\n$plan")
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows === 1,
+      s"cumulatives must be ONE grid window, got $windows:\n$plan")
+    // fence branches must prune to doc_id — no text column in their scans
+    val fenceScans = "ReadSchema: struct<doc_id:bigint>".r.findAllIn(plan).size
+    assert(fenceScans === 2,
+      s"fence scans must read ONLY doc_id, got $fenceScans:\n$plan")
+  }
+
   test("sloBurnRate: trailing window runs over the aggregated hourly grid") {
     val df = graft.operators.TimeSeriesOps.sloBurnRate(spark, sf0001)
     val plan = executedPlan(df)
