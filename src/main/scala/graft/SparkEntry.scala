@@ -2728,6 +2728,7 @@ object SparkEntry {
     "q_prep_quality_norm" -> (TrainPrepOps.qualityNormalize _),
     "q_prep_dataset_card" -> (TrainPrepOps.datasetCard _),
     "q_prep_packing_curve" -> ((s, d) => TrainPrepOps.packingCurve(s, d)),
+    "q_prep_quality_drift" -> (TrainPrepOps.qualityDrift _),
     "q_prep_sample" -> ((s, d) => TrainPrepOps.stratifiedSample(s, d)),
     "q_prep_decontam" -> ((s, d) => TrainPrepOps.decontaminate(s, d)),
     "q_prep_repetition" -> ((s, d) => TrainPrepOps.repetitionStats(s, d)),
@@ -2742,6 +2743,51 @@ object SparkEntry {
     "q_prep_waterfill" -> ((s, d) => TrainPrepOps.waterfillBudget(s, d)))
 
   private val prepOracles: Map[String, String] = Map(
+    "q_prep_quality_drift" ->
+      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+        |           FROM documents),
+        |base AS (
+        |  SELECT source,
+        |    CAST(least(CAST(round(round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |      * (len(list_distinct(toks))::DOUBLE / len(toks)), 4) * 10000,
+        |      0) AS BIGINT) // 1000, 9) AS INTEGER) AS bucket,
+        |    doc_id <= (mn + mx) // 2 AS early
+        |  FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
+        |  CROSS JOIN b),
+        |cells AS (
+        |  SELECT source, bucket,
+        |    sum(CASE WHEN early THEN 1 ELSE 0 END) AS ne,
+        |    sum(CASE WHEN early THEN 0 ELSE 1 END) AS nl
+        |  FROM base GROUP BY source, bucket),
+        |g AS (
+        |  SELECT *, sum(ne) OVER (PARTITION BY source) AS n_early,
+        |            sum(nl) OVER (PARTITION BY source) AS n_late
+        |  FROM cells),
+        |dd AS (
+        |  SELECT source, bucket, ne, nl, n_early, n_late,
+        |    (CASE WHEN n_late > 0
+        |          THEN (2 * 1000000 * nl + n_late) // (2 * n_late)
+        |          ELSE 0 END)
+        |    - (CASE WHEN n_early > 0
+        |            THEN (2 * 1000000 * ne + n_early) // (2 * n_early)
+        |            ELSE 0 END) AS dppm
+        |  FROM g),
+        |top AS (
+        |  SELECT source, bucket AS top_shift_bucket, dppm AS top_dppm
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |          ORDER BY abs(dppm) DESC, bucket DESC) AS rn FROM dd)
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT source, sum(ne) AS n_early, sum(nl) AS n_late,
+        |         sum(abs(dppm)) AS sad
+        |  FROM dd GROUP BY source)
+        |SELECT a.source,
+        |  CAST(a.n_early AS BIGINT) AS n_early,
+        |  CAST(a.n_late AS BIGINT) AS n_late,
+        |  CAST((2 * sad + 2) // 4 AS DOUBLE) / 1e6 AS tvd,
+        |  t.top_shift_bucket,
+        |  CAST(t.top_dppm AS DOUBLE) / 1e6 AS top_shift
+        |FROM agg a JOIN top t USING (source) ORDER BY a.source""".stripMargin,
     "q_prep_packing_curve" ->
       """WITH hist AS (
         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len,

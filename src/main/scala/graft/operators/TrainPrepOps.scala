@@ -983,6 +983,67 @@ object TrainPrepOps {
       .orderBy(col("source"), col("tier"))
   }
 
+  /** Quality-distribution drift per source: the early-half vs late-half
+    * (doc-id midpoint split, the centroidDrift snapshot convention)
+    * comparison of the composite-quality decile histogram — the "did the
+    * scorer or the source shift under us?" audit run before trusting a
+    * threshold tuned on last month's corpus. Published as exact
+    * total-variation distance (½·Σ|Δshare|) plus the most-shifted
+    * bucket; TVD instead of PSI because PSI's ln() would put a libm
+    * call in the cross-engine hash (the charDiversity precedent).
+    *
+    * Plan shape: ONE corpus scan — the half flag and the integer decile
+    * (from the 1e-4-quantized quality, no float×10 boundary risk) are
+    * column arithmetic, and the early/late counts are CONDITIONAL sums
+    * in a single (source, bucket) rollup, so there is no per-half
+    * self-join and no forked subtree. Totals ride a window over the
+    * ≤ |sources|×10 grid; the arg-max bucket is max(struct), not a rank
+    * window. The doc-id bounds are a 1-row broadcast.
+    *
+    * Determinism: shares are [[Num.halfUpDiv]] ppm longs; an empty half
+    * contributes zero shares (drift vs an empty snapshot reads as the
+    * full mass of the other half).
+    */
+  def qualityDrift(s: SparkSession, d: String): DataFrame =
+    qualityDriftOf(Tables.documents(s, d))
+
+  /** [[qualityDrift]] over an arbitrary `(doc_id, source, text)` frame. */
+  def qualityDriftOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = broadcast(
+      docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")))
+    val q4 = round(CurationOps.qualityCol * 1e4, 0).cast("long")
+    val cells = docs.crossJoin(bounds)
+      .select(col("source"),
+        least(call_function("div", q4, lit(1000L)), lit(9L)).cast("int")
+          .as("bucket"),
+        (col("doc_id") <=
+          call_function("div", col("mn") + col("mx"), lit(2L))).as("early"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("ne"),
+        sum(when(col("early"), 0L).otherwise(1L)).as("nl"))
+    val wSrc = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def share(n: Column, tot: Column): Column =
+      when(tot > 0L, Num.halfUpDiv(lit(1000000L) * n, tot)).otherwise(lit(0L))
+    cells
+      .withColumn("n_early", sum(col("ne")).over(wSrc))
+      .withColumn("n_late", sum(col("nl")).over(wSrc))
+      .withColumn("dppm",
+        share(col("nl"), col("n_late")) - share(col("ne"), col("n_early")))
+      .groupBy(col("source"))
+      .agg(first(col("n_early")).as("n_early"),
+        first(col("n_late")).as("n_late"),
+        Num.halfUpDiv(sum(abs(col("dppm"))), lit(2L)).as("tvd_ppm"),
+        max(struct(abs(col("dppm")).as("a"), col("bucket").as("bucket"),
+          col("dppm").as("dppm"))).as("top"))
+      .select(col("source"), col("n_early"), col("n_late"),
+        (col("tvd_ppm").cast("double") / 1e6).as("tvd"),
+        col("top.bucket").as("top_shift_bucket"),
+        (col("top.dppm").cast("double") / 1e6).as("top_shift"))
+      .orderBy(col("source"))
+  }
+
   // ---- dataset card -------------------------------------------------------
 
   /** Dataset card: the per-source summary table a training-data release

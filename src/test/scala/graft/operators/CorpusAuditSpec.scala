@@ -244,4 +244,28 @@ class CorpusAuditSpec extends SparkSpec {
     assert(last.getAs[Long]("new_terms").toDouble / last.getAs[Long]("n_tokens") <=
       first.getAs[Long]("new_terms").toDouble / first.getAs[Long]("n_tokens"))
   }
+
+  test("qualityDrift: halves reconcile, TVD bounded, shift bucket sane") {
+    val rows = TrainPrepOps.qualityDrift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(r =>
+      r.getAs[Long]("n_early") + r.getAs[Long]("n_late")).sum === total)
+    rows.foreach { r =>
+      val tvd = r.getAs[Double]("tvd")
+      assert(tvd >= 0.0 && tvd <= 1.0, s"TVD out of range: $tvd")
+      val b = r.getAs[Int]("top_shift_bucket")
+      assert(b >= 0 && b <= 9)
+      assert(math.abs(r.getAs[Double]("top_shift")) <= 2 * tvd + 1e-6,
+        "no single bucket can shift more than the full TVD mass")
+    }
+    // identical halves => zero drift: replicate a tiny frame symmetrically
+    import spark.implicits._
+    val sym = Seq(
+      (1L, "a b c d e", "s"), (2L, "f g h i j k l m n o", "s"),
+      (3L, "a b c d e", "s"), (4L, "f g h i j k l m n o", "s"))
+      .toDF("doc_id", "text", "source")
+    val zero = TrainPrepOps.qualityDriftOf(sym).collect()
+    assert(zero.length === 1 && zero.head.getAs[Double]("tvd") === 0.0)
+  }
 }

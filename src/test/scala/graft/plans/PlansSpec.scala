@@ -522,6 +522,18 @@ class PlansSpec extends SparkSpec {
       s"fence scans must read ONLY doc_id, got $fenceScans:\n$plan")
   }
 
+  test("qualityDrift: one corpus scan, conditional sums — no half self-join") {
+    val plan = executedPlan(
+      graft.operators.TrainPrepOps.qualityDrift(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // 1 corpus scan + 1 doc_id-pruned bounds scan; a third means the
+    // halves were joined instead of conditionally summed
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 2, s"expected corpus + bounds scans, got $scans:\n$plan")
+    val sorts = "SortMergeJoin".r.findAllIn(plan).size
+    assert(sorts === 0, s"no shuffled join belongs in this plan:\n$plan")
+  }
+
   test("sloBurnRate: trailing window runs over the aggregated hourly grid") {
     val df = graft.operators.TimeSeriesOps.sloBurnRate(spark, sf0001)
     val plan = executedPlan(df)
