@@ -2729,6 +2729,7 @@ object SparkEntry {
     "q_prep_dataset_card" -> (TrainPrepOps.datasetCard _),
     "q_prep_packing_curve" -> ((s, d) => TrainPrepOps.packingCurve(s, d)),
     "q_prep_quality_drift" -> (TrainPrepOps.qualityDrift _),
+    "q_prep_quality_auc" -> (TrainPrepOps.qualityAuc _),
     "q_prep_sample" -> ((s, d) => TrainPrepOps.stratifiedSample(s, d)),
     "q_prep_decontam" -> ((s, d) => TrainPrepOps.decontaminate(s, d)),
     "q_prep_repetition" -> ((s, d) => TrainPrepOps.repetitionStats(s, d)),
@@ -2743,6 +2744,65 @@ object SparkEntry {
     "q_prep_waterfill" -> ((s, d) => TrainPrepOps.waterfillBudget(s, d)))
 
   private val prepOracles: Map[String, String] = Map(
+    "q_prep_quality_auc" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |hs AS (SELECT doc_id,
+        |         list_transform(shl,
+        |           sh -> ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)
+        |           AS hl
+        |       FROM shs),
+        |sg AS (SELECT doc_id,
+        |         list_transform(range(32), i ->
+        |           list_min(list_transform(hl,
+        |             h -> ((i + 1) * h + i * 7919) % 2147483647))) AS sig
+        |       FROM hs),
+        |banded AS (SELECT doc_id, sig, b AS band,
+        |             md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+        |           FROM sg, (SELECT unnest(range(8)) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |           round(len(list_filter(range(32),
+        |             i -> x.sig[i+1] = y.sig[i+1]))::DOUBLE / 32, 6) AS est_jaccard
+        |         FROM banded x JOIN banded y
+        |           ON x.band = y.band AND x.bucket = y.bucket
+        |           AND x.doc_id < y.doc_id),
+        |est AS (SELECT a, b FROM cand WHERE est_jaccard >= 0.5),
+        |dup_ids AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT a AS doc_id FROM est UNION ALL SELECT b AS doc_id FROM est)),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    CAST(round(round(least(len(toks)::DOUBLE / 50.0, 1.0)
+        |      * (len(list_distinct(toks))::DOUBLE / len(toks)), 4) * 10000, 0)
+        |      AS BIGINT) AS q4
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents) d),
+        |flagged AS (
+        |  SELECT q4, di.doc_id IS NOT NULL AS dup
+        |  FROM scored s LEFT JOIN dup_ids di ON s.doc_id = di.doc_id),
+        |hist AS (
+        |  SELECT q4,
+        |    sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN dup THEN 1 ELSE 0 END) AS neg
+        |  FROM flagged GROUP BY q4),
+        |g AS (
+        |  SELECT *, coalesce(sum(neg) OVER (ORDER BY q4
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM hist),
+        |agg AS (
+        |  SELECT sum(pos) AS n_unique, sum(neg) AS n_dup,
+        |    sum(pos::HUGEINT * (2 * neg_below + neg)::HUGEINT) AS two_u
+        |  FROM g)
+        |SELECT CAST(n_unique AS BIGINT) AS n_unique,
+        |  CAST(n_dup AS BIGINT) AS n_dup,
+        |  CASE WHEN n_unique = 0 OR n_dup = 0 THEN NULL
+        |       ELSE CAST((2::HUGEINT * 1000000 * two_u
+        |              + 2::HUGEINT * n_unique * n_dup)
+        |            // (4::HUGEINT * n_unique * n_dup) AS DOUBLE) / 1e6
+        |  END AS auc
+        |FROM agg""".stripMargin,
     "q_prep_quality_drift" ->
       """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
         |           FROM documents),

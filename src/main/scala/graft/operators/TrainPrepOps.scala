@@ -1044,6 +1044,64 @@ object TrainPrepOps {
       .orderBy(col("source"))
   }
 
+  /** Ranking power of the composite quality score against NEAR-DUPLICATE
+    * membership: the exact Mann-Whitney ROC-AUC of "quality ranks unique
+    * documents above documents caught in a MinHash-LSH near-dup pair",
+    * with the tie-aware ½ credit — THE one-number audit of whether a
+    * quality threshold is even the right knob before
+    * [[tokenBudget]]/[[qualityTiers]] act on it (AUC ≈ 0.5 says quality
+    * and duplication are unrelated; the correlation twin
+    * `q_text_signal_corr` measures association, this measures
+    * separability). The label is [[DedupOps.minhashLshPairs]]'s verdict
+    * (est J ≥ 0.5), so the audit composes the memoized signature/pair
+    * machinery instead of re-deriving it.
+    *
+    * Exactness: AUC = U/(P·N) with U = Σ_t pos_t·(neg_below_t + ½neg_t)
+    * over the score histogram. Doubling clears the ½: 2U is an integer,
+    * accumulated in DECIMAL(38,0) (P·N overflows a long once the corpus
+    * passes ~6×10⁹ docs — at 100 TB that's not hypothetical), and the
+    * published ppm is one half-up integral division of exact decimals.
+    *
+    * Plan shape: one corpus scan for the score; the near-dup id set
+    * (exploded from the cached pair table, ids only) left-joins onto it
+    * — dup ids are a small fraction of the corpus, so AQE broadcasts;
+    * the corpus then collapses to the ≤ 10 001-cell score histogram,
+    * and the strictly-below cumulative + final fold run on that grid
+    * alone.
+    */
+  def qualityAuc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q4 = round(CurationOps.qualityCol * 1e4, 0).cast("long")
+    val dupIds = DedupOps.minhashLshPairs(s, d)
+      .select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    val hist = Tables.documents(s, d)
+      .select(col("doc_id"), q4.as("q4"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .select(col("q4"), coalesce(col("dup"), lit(false)).as("dup"))
+      .groupBy(col("q4"))
+      .agg(sum(when(!col("dup"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("neg"))
+    val wBelow = Window.orderBy(col("q4"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = "decimal(38,0)"
+    hist
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+      .agg(
+        sum(col("pos")).as("n_unique"),
+        sum(col("neg")).as("n_dup"),
+        sum(col("pos").cast(dec) *
+          (lit(2L) * col("neg_below") + col("neg")).cast(dec)).as("two_u"))
+      .select(col("n_unique"), col("n_dup"),
+        when(col("n_unique") === 0L || col("n_dup") === 0L, lit(null))
+          .otherwise(call_function("div",
+            lit(2L).cast(dec) * lit(1000000L) * col("two_u") +
+              lit(2L).cast(dec) * col("n_unique") * col("n_dup"),
+            lit(4L).cast(dec) * col("n_unique") * col("n_dup"))
+            .cast("double") / 1e6).as("auc"))
+  }
+
   // ---- dataset card -------------------------------------------------------
 
   /** Dataset card: the per-source summary table a training-data release

@@ -268,4 +268,29 @@ class CorpusAuditSpec extends SparkSpec {
     val zero = TrainPrepOps.qualityDriftOf(sym).collect()
     assert(zero.length === 1 && zero.head.getAs[Double]("tvd") === 0.0)
   }
+
+  test("qualityAuc equals the brute-force tie-aware Mann-Whitney statistic") {
+    val row = TrainPrepOps.qualityAuc(spark, sf0001).collect().head
+    val docs = Tables.documents(spark, sf0001)
+    assert(row.getAs[Long]("n_unique") + row.getAs[Long]("n_dup") ===
+      docs.count())
+    // recompute from scratch: per-doc q4 + near-dup membership
+    val dupIds = DedupOps.minhashLshPairs(spark, sf0001).collect()
+      .flatMap(r => Seq(r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val scored = docs
+      .select(col("doc_id"),
+        round(CurationOps.qualityCol * 1e4, 0).cast("long").as("q4"))
+      .collect()
+      .map(r => (r.getAs[Long]("q4"), dupIds.contains(r.getAs[Long]("doc_id"))))
+    val pos = scored.filter(!_._2).map(_._1)
+    val neg = scored.filter(_._2).map(_._1)
+    assert(row.getAs[Long]("n_unique") === pos.length.toLong)
+    assert(row.getAs[Long]("n_dup") === neg.length.toLong)
+    // 2U = sum over positives of (2 * negatives strictly below + ties)
+    val twoU = pos.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    val den = 2L * pos.length * neg.length
+    val expectPpm = (2L * 1000000L * twoU + den) / (2L * den)
+    assert(row.getAs[Double]("auc") === expectPpm.toDouble / 1e6)
+  }
 }
