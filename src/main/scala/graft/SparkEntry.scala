@@ -823,9 +823,52 @@ object SparkEntry {
     "q_ts_concentration" -> (EventAnalyticsOps.activityConcentration _),
     "q_ts_attribution" -> (EventAnalyticsOps.lastTouchAttribution _),
     "q_ts_independence" -> (EventAnalyticsOps.typeDayIndependence _),
+    "q_ts_predictability" -> (EventAnalyticsOps.transitionPredictability _),
+    "q_ts_dispersion" -> (TimeSeriesOps.hourlyDispersion _),
     "q_ts_baskets" -> ((s, d) => EventAnalyticsOps.sessionBaskets(s, d)))
 
   private val tsOracles: Map[String, String] = Map(
+    "q_ts_predictability" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS from_type
+        |  FROM events),
+        |cells AS (SELECT from_type, event_type AS to_type, count(*) AS n
+        |          FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |top AS (SELECT from_type, to_type AS top_next, n AS top_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY from_type
+        |      ORDER BY n DESC, to_type DESC) AS rn FROM cells) WHERE rn = 1),
+        |agg AS (SELECT from_type, sum(n) AS n_transitions,
+        |          count(*) AS n_next_types
+        |        FROM cells GROUP BY 1)
+        |SELECT a.from_type,
+        |  CAST(a.n_transitions AS BIGINT) AS n_transitions,
+        |  CAST(a.n_next_types AS BIGINT) AS n_next_types,
+        |  t.top_next, CAST(t.top_n AS BIGINT) AS top_n,
+        |  CAST((2 * 1000000 * t.top_n + a.n_transitions)
+        |    // (2 * a.n_transitions) AS DOUBLE) / 1e6 AS top1_acc
+        |FROM agg a JOIN top t ON a.from_type = t.from_type
+        |ORDER BY a.from_type""".stripMargin,
+    "q_ts_dispersion" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |             count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM h),
+        |agg AS (SELECT event_type, sum(c) AS s,
+        |          sum(c::HUGEINT * c::HUGEINT) AS q, count(*) AS nz
+        |        FROM h GROUP BY 1),
+        |wb AS (SELECT *, (epoch_ms(h1) - epoch_ms(h0)) // 3600000 + 1 AS n
+        |       FROM agg CROSS JOIN b)
+        |SELECT event_type,
+        |  CAST(n AS BIGINT) AS n_hours,
+        |  CAST(nz AS BIGINT) AS nonzero_hours,
+        |  CAST(s AS BIGINT) AS n_events,
+        |  CAST((2 * 1000000 * s + n) // (2 * n) AS DOUBLE) / 1e6
+        |    AS mean_per_hour,
+        |  CAST((2 * 1000000 * (n::HUGEINT * q - s::HUGEINT * s::HUGEINT)
+        |        + n::HUGEINT * s)
+        |    // (2 * n::HUGEINT * s) AS DOUBLE) / 1e6 AS dispersion
+        |FROM wb ORDER BY event_type""".stripMargin,
     "q_ts_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
@@ -2732,6 +2775,7 @@ object SparkEntry {
     "q_prep_quality_auc" -> (TrainPrepOps.qualityAuc _),
     "q_prep_sample" -> ((s, d) => TrainPrepOps.stratifiedSample(s, d)),
     "q_prep_decontam" -> ((s, d) => TrainPrepOps.decontaminate(s, d)),
+    "q_prep_decontam_curve" -> ((s, d) => TrainPrepOps.decontamCurve(s, d)),
     "q_prep_repetition" -> ((s, d) => TrainPrepOps.repetitionStats(s, d)),
     "q_prep_pii" -> (TrainPrepOps.piiRedact _),
     "q_prep_chunks" -> ((s, d) => TrainPrepOps.chunk(s, d)),
@@ -3002,6 +3046,44 @@ object SparkEntry {
         |      AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+    "q_prep_decontam_curve" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, substring(md5(sh), 1, 16) AS shk FROM (
+        |    SELECT doc_id,
+        |      unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                            for i in range(1, len(toks) - 1)])) AS sh
+        |    FROM t WHERE len(toks) >= 3)),
+        |ev AS (SELECT DISTINCT shk FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, shk FROM sh WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_tainted FROM tr
+        |        WHERE shk IN (SELECT shk FROM ev) GROUP BY doc_id),
+        |td AS (SELECT t.doc_id, t.n_shingles,
+        |         coalesce(h.n_tainted, 0) AS n_tainted,
+        |         round(coalesce(h.n_tainted, 0)::DOUBLE / t.n_shingles, 6)
+        |           AS tainted_frac
+        |       FROM tot t LEFT JOIN hit h USING (doc_id)),
+        |g AS (SELECT thr, n_shingles, n_tainted, tainted_frac
+        |      FROM td CROSS JOIN
+        |        (SELECT unnest([0.01, 0.02, 0.05, 0.1, 0.2, 0.5]::DOUBLE[])
+        |           AS thr)),
+        |agg AS (SELECT thr AS threshold, count(*) AS n_docs,
+        |          sum(CASE WHEN tainted_frac >= thr THEN 1 ELSE 0 END)
+        |            AS n_flagged,
+        |          sum(n_shingles) AS tot_shingles,
+        |          sum(CASE WHEN tainted_frac >= thr THEN n_shingles
+        |              ELSE 0 END) AS flagged_shingles,
+        |          sum(CASE WHEN tainted_frac >= thr THEN n_tainted
+        |              ELSE 0 END) AS flagged_tainted
+        |        FROM g GROUP BY 1)
+        |SELECT threshold,
+        |  CAST(n_flagged AS BIGINT) AS n_flagged,
+        |  CAST((2 * 1000000 * n_flagged + n_docs) // (2 * n_docs)
+        |    AS DOUBLE) / 1e6 AS flagged_doc_frac,
+        |  CAST((2 * 1000000 * flagged_shingles + tot_shingles)
+        |    // (2 * tot_shingles) AS DOUBLE) / 1e6 AS flagged_shingle_frac,
+        |  CAST(flagged_tainted AS BIGINT) AS flagged_tainted
+        |FROM agg ORDER BY threshold""".stripMargin,
     "q_prep_decontam" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, substring(md5(sh), 1, 16) AS shk FROM (

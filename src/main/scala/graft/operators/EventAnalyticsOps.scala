@@ -331,6 +331,44 @@ object EventAnalyticsOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Markov top-1 predictability per event type: for each `from_type`,
+    * the most likely next event and the accuracy a predict-the-argmax
+    * model achieves — the "how deterministic is the product flow" audit
+    * that tells you whether [[transitionMatrixOf]]'s chain is worth
+    * modeling at all (top1_acc ≈ 1/|types| says the stream is noise;
+    * high accuracy flags scripted/bot-like traffic).
+    *
+    * Plan: the same single user-window pass as the transition matrix,
+    * collapsed to |types|² cells; the per-from arg-max is max(struct)
+    * over cells (no rank window) and the accuracy is a [[Num.halfUpDiv]]
+    * ppm. Adding this audit to a pipeline already computing transitions
+    * costs one |types|-key rollup of the cell grid.
+    */
+  def transitionPredictability(s: SparkSession, d: String): DataFrame =
+    transitionPredictabilityOf(Tables.events(s, d))
+
+  /** [[transitionPredictability]] over a `(user_id, event_id, event_type)` frame. */
+  def transitionPredictabilityOf(events: DataFrame): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val cells = events
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(wUser))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .groupBy(col("from_type"))
+      .agg(
+        sum(col("n")).as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        max(struct(col("n").as("n"), col("to_type").as("to_type"))).as("top"))
+      .select(col("from_type"), col("n_transitions"), col("n_next_types"),
+        col("top.to_type").as("top_next"), col("top.n").as("top_n"),
+        (Num.halfUpDiv(lit(1000000L) * col("top.n"), col("n_transitions"))
+          .cast("double") / 1e6).as("top1_acc"))
+      .orderBy(col("from_type"))
+  }
+
   /** Chi-squared independence audit: is the event-type mix independent of
     * the day of week? Pearson χ² over the type × weekday contingency
     * table plus Cramér's V — the drift/seasonality screen run before

@@ -495,6 +495,57 @@ object TimeSeriesOps {
     * |types|·|days| AGGREGATED series (thousands of rows at any corpus
     * size — the window never sees raw events), one |types|-key rollup.
     */
+  /** Burstiness audit: the index of dispersion (Fano factor — variance
+    * over mean) of each event type's hourly count series across the
+    * corpus-wide DENSE hour span. Dispersion ≈ 1 is Poisson arrivals;
+    * ≫ 1 flags bursty/campaign traffic whose z-score anomaly thresholds
+    * ([[anomalies]]) and burn windows (sloBurnRate) need wider margins —
+    * the one-number companion to [[dailyAutocorr]]'s "is there weekly
+    * structure" and [[seasonality]]'s "where is it".
+    *
+    * The dense grid costs NOTHING here: empty hours contribute 0 to both
+    * Σc and Σc², so the span length n comes from the corpus hour bounds
+    * arithmetically — no grid materialization, no explode. Variance is
+    * the exact population form n·Σc² − (Σc)² over n², so dispersion is
+    * (n·Σc² − S²)/(n·S): non-negative by Cauchy–Schwarz, accumulated in
+    * DECIMAL(38,0) (c² sums overflow a long at ~4×10⁹ events/hour), and
+    * published as one half-up ppm division.
+    *
+    * Plan: one corpus rollup to (type, hour) cells, a |types|-key rollup
+    * of the cells, and a 1-row broadcast of the hour bounds.
+    */
+  def hourlyDispersion(s: SparkSession, d: String): DataFrame =
+    hourlyDispersionOf(Tables.events(s, d))
+
+  /** [[hourlyDispersion]] over a `(ts, event_type)` frame. */
+  def hourlyDispersionOf(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = broadcast(
+      hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1")))
+    val n = call_function("div",
+      unix_millis(col("h1")) - unix_millis(col("h0")), lit(3600000L)) + 1L
+    hourly
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("s"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("q"),
+        count(lit(1)).as("nonzero_hours"))
+      .crossJoin(bounds)
+      .select(col("event_type"), n.as("n_hours"), col("nonzero_hours"),
+        col("s").as("n_events"),
+        (Num.halfUpDiv(lit(1000000L) * col("s"), n).cast("double") / 1e6)
+          .as("mean_per_hour"),
+        (call_function("div",
+          lit(2L).cast(dec) * lit(1000000L) *
+            (n.cast(dec) * col("q") - col("s").cast(dec) * col("s")) +
+            n.cast(dec) * col("s"),
+          lit(2L).cast(dec) * n * col("s"))
+          .cast("double") / 1e6).as("dispersion"))
+      .orderBy(col("event_type"))
+  }
+
   def dailyAutocorr(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))

@@ -313,7 +313,16 @@ object TrainPrepOps {
     * counts are per-train-doc (how many of MY shingles are tainted), and
     * `is_contaminated` applies the fraction threshold.
     */
-  def decontaminate(s: SparkSession, d: String, minFrac: Double = 0.05): DataFrame = {
+  def decontaminate(s: SparkSession, d: String, minFrac: Double = 0.05): DataFrame =
+    taintTable(s, d)
+      .withColumn("is_contaminated", col("tainted_frac") >= minFrac)
+      .orderBy(col("doc_id"))
+
+  /** The per-document taint statistics [[decontaminate]] and
+    * [[decontamCurve]] share: (doc_id, n_shingles, n_tainted,
+    * tainted_frac) over the train side of the synthetic eval split.
+    */
+  private def taintTable(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), explode(wordShingles(toks, 3)).as("sh"))
       .select(col("doc_id"), shingleKey(col("sh")).as("shk"))
@@ -334,8 +343,46 @@ object TrainPrepOps {
         coalesce(col("n_tainted"), lit(0L)).as("n_tainted"),
         round(coalesce(col("n_tainted"), lit(0L)).cast("double") /
           col("n_shingles"), 6).as("tainted_frac"))
-      .withColumn("is_contaminated", col("tainted_frac") >= minFrac)
-      .orderBy(col("doc_id"))
+  }
+
+  /** Decontamination threshold sweep: how many training documents (and
+    * how much of their shingle mass) each candidate `tainted_frac`
+    * threshold would flag — the sensitivity table consulted before
+    * committing [[decontaminate]]'s cutoff, because the flagged count is
+    * a step function of the threshold and a cliff between two candidate
+    * values means the verdict is an artifact of the cutoff, not the
+    * overlap. Same shape as the LSH band-tuning curve: measure the knob,
+    * don't guess it.
+    *
+    * Plan: ONE pass over the shared per-doc taint table ([[taintTable]]
+    * — the expensive shingle join runs once), exploded by |thresholds|
+    * and rolled up to |thresholds| rows; ratios are [[Num.halfUpDiv]]
+    * ppm over exact counts.
+    */
+  def decontamCurve(s: SparkSession, d: String,
+      thresholds: Seq[Double] = Seq(0.01, 0.02, 0.05, 0.1, 0.2, 0.5)): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    def ppm(num: Column, den: Column): Column =
+      Num.halfUpDiv(lit(1000000L) * num, den).cast("double") / 1e6
+    taintTable(s, d)
+      .select(col("n_shingles"), col("n_tainted"), col("tainted_frac"),
+        explode(typedLit(thresholds.sorted)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("tainted_frac") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("n_shingles")).as("tot_shingles"),
+        sum(when(col("tainted_frac") >= col("threshold"), col("n_shingles"))
+          .otherwise(0L)).as("flagged_shingles"),
+        sum(when(col("tainted_frac") >= col("threshold"), col("n_tainted"))
+          .otherwise(0L)).as("flagged_tainted"))
+      .select(col("threshold"), col("n_flagged"),
+        ppm(col("n_flagged"), col("n_docs")).as("flagged_doc_frac"),
+        ppm(col("flagged_shingles"), col("tot_shingles"))
+          .as("flagged_shingle_frac"),
+        col("flagged_tainted"))
+      .orderBy(col("threshold"))
   }
 
   // ---- repetition quality signals -----------------------------------------

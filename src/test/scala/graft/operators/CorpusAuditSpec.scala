@@ -269,6 +269,26 @@ class CorpusAuditSpec extends SparkSpec {
     assert(zero.length === 1 && zero.head.getAs[Double]("tvd") === 0.0)
   }
 
+  test("decontamCurve: monotone in the threshold, reconciles with decontaminate") {
+    val rows = TrainPrepOps.decontamCurve(spark, sf0001).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.length === 6)
+    val flagged = rows.map(_.getAs[Long]("n_flagged"))
+    assert(flagged.sameElements(flagged.sorted.reverse),
+      "raising the threshold can only flag fewer docs")
+    val shFrac = rows.map(_.getAs[Double]("flagged_shingle_frac"))
+    assert(shFrac.sameElements(shFrac.sorted.reverse))
+    // the 0.05 point IS decontaminate's verdict count
+    val at05 = rows.find(_.getAs[Double]("threshold") === 0.05).get
+    val direct = TrainPrepOps.decontaminate(spark, sf0001).collect()
+      .count(_.getAs[Boolean]("is_contaminated"))
+    assert(at05.getAs[Long]("n_flagged") === direct.toLong)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("flagged_doc_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("qualityAuc equals the brute-force tie-aware Mann-Whitney statistic") {
     val row = TrainPrepOps.qualityAuc(spark, sf0001).collect().head
     val docs = Tables.documents(spark, sf0001)

@@ -271,4 +271,52 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(top1.length === 1 &&
       top1(0).getAs[String]("s1") === "a" && top1(0).getAs[Long]("n") === 2L)
   }
+
+  test("transitionPredictability agrees with the transition matrix arg-max") {
+    // a -> b twice, a -> c once; b -> c once; ties broken to larger type
+    val events = ev(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "c"))
+    val got = EventAnalyticsOps.transitionPredictabilityOf(events).collect()
+      .map(r => r.getAs[String]("from_type") ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Long]("n_next_types"),
+          r.getAs[String]("top_next"), r.getAs[Long]("top_n"),
+          r.getAs[Double]("top1_acc"))).toMap
+    assert(got === Map(
+      "a" -> ((3L, 2L, "b", 2L, 0.666667)),
+      "b" -> ((1L, 1L, "c", 1L, 1.0))))
+    // tie on counts resolves to the lexicographically larger next type,
+    // matching the oracle's ORDER BY n DESC, to_type DESC
+    val tied = ev((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "a"), (2L, 2L, "c"))
+    val t = EventAnalyticsOps.transitionPredictabilityOf(tied).collect()
+    assert(t.length === 1 && t.head.getAs[String]("top_next") === "c")
+    // sum over the matrix's per-from rows reconciles with n_transitions
+    val matrix = EventAnalyticsOps.transitionMatrixOf(events).collect()
+      .groupBy(_.getAs[String]("from_type"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    got.foreach { case (f, (n, _, _, _, _)) => assert(matrix(f) === n) }
+  }
+
+  test("hourlyDispersion: constant series 0, bursty series above 1") {
+    import spark.implicits._
+    val h = 3600000L
+    val t0 = 1700000000000L / h * h
+    // "flat": 1 event every hour for 8 hours -> variance 0
+    // "burst": 8 events in hour 0, none in hours 1-7 -> dispersion = 7
+    val events = ((0 until 8).map(i => (t0 + i * h + 1000L, "flat")) ++
+      (0 until 8).map(i => (t0 + i * 1000L, "burst")))
+      .toDF("ms", "event_type")
+      .select(org.apache.spark.sql.functions.timestamp_millis(
+        org.apache.spark.sql.functions.col("ms")).as("ts"),
+        org.apache.spark.sql.functions.col("event_type"))
+    val got = TimeSeriesOps.hourlyDispersionOf(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_hours"), r.getAs[Long]("nonzero_hours"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("mean_per_hour"),
+          r.getAs[Double]("dispersion"))).toMap
+    assert(got("flat") === ((8L, 8L, 8L, 1.0, 0.0)))
+    // burst: n=8, S=8, Q=64 -> var = (8*64-64)/64 = 7; mean 1 -> D = 7
+    assert(got("burst") === ((8L, 1L, 8L, 1.0, 7.0)))
+  }
 }
