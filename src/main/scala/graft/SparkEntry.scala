@@ -1416,6 +1416,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
     "q_dedup_sketch_calib" -> (DedupOps.sketchCalibration _),
     "q_dedup_lsh_tuning" -> ((s, d) => DedupOps.lshTuningCurve(s, d)),
+    "q_dedup_threshold_curve" -> ((s, d) => DedupOps.thresholdCurve(s, d)),
     "q_dedup_nearest" -> ((s, d) => DedupOps.nearestNeighbors(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
@@ -1763,6 +1764,44 @@ object SparkEntry {
         |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |    GROUP BY 1, 2, 3, 4))
         |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin,
+    "q_dedup_threshold_curve" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b,
+        |    CAST(round(round(inter::DOUBLE / (na + nb - inter), 6) * 1e6, 0)
+        |      AS BIGINT) AS jq
+        |  FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |           count(*) AS inter
+        |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |    GROUP BY 1, 2, 3, 4)),
+        |surv AS (SELECT a, b, jq, thr FROM pairs CROSS JOIN
+        |    (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+        |       ::DOUBLE[]) AS thr)
+        |  WHERE jq >= CAST(round(thr * 1e6, 0) AS BIGINT)),
+        |bythr AS (SELECT thr AS threshold, count(*) AS n_pairs,
+        |            sum(jq) AS sj
+        |          FROM surv GROUP BY 1),
+        |docs AS (SELECT thr AS threshold, count(DISTINCT doc_id) AS n_docs
+        |         FROM (SELECT thr, unnest([a, b]) AS doc_id FROM surv)
+        |         GROUP BY 1)
+        |SELECT b.threshold,
+        |  CAST(b.n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(d.n_docs AS BIGINT) AS n_docs,
+        |  CAST((2 * sj + n_pairs) // (2 * n_pairs) AS DOUBLE) / 1e6
+        |    AS mean_jaccard
+        |FROM bythr b JOIN docs d ON b.threshold = d.threshold
+        |ORDER BY b.threshold""".stripMargin,
     // full MinHash+LSH replay: portable integer hashing (md5-prefix base
     // hash, (a·h+b) mod 2³¹−1 permutations) makes signatures, banding,
     // candidates and the estimate bit-identical across engines

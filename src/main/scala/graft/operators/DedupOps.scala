@@ -989,6 +989,46 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup-threshold survival curve: surviving pair count, distinct docs
+    * touched, and mean Jaccard of survivors for each candidate
+    * similarity threshold — the sensitivity table consulted before
+    * committing [[ngramJaccardPairs]]' `minSim` (the [[lshTuningCurve]]
+    * stance for the VERDICT knob instead of the banding knob: a cliff in
+    * doc count between candidate thresholds means the dedup sweep's
+    * yield is an artifact of the cutoff).
+    *
+    * Plan: one pass over the memoized pair-statistics table (the
+    * C(f,2) self-join runs once per corpus snapshot and is shared with
+    * the five other pair consumers), exploded ×|thresholds|; the doc
+    * count is a distinct over (threshold, doc_id) — pair-stage bounded,
+    * 8-byte ids only. Mean Jaccard quantizes to 1e-6 longs before the
+    * rollup ([[Num.quantMean]]).
+    */
+  def thresholdCurve(s: SparkSession, d: String,
+      thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+      maxDf: Long = 1000L): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val pairs = ngramJaccardPairs(s, d, minSim = 0.0, maxDf = maxDf)
+      .select(col("a"), col("b"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("jq"))
+    val surviving = pairs
+      .select(col("a"), col("b"), col("jq"),
+        explode(typedLit(thresholds.sorted)).as("threshold"))
+      .where(col("jq") >= round(col("threshold") * 1e6, 0).cast("long"))
+    val byThr = surviving.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.operators.Num.quantMean(sum(col("jq")), count(lit(1)), 1e6)
+          .as("mean_jaccard"))
+    val docs = surviving
+      .select(col("threshold"), explode(array(col("a"), col("b"))).as("doc_id"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    byThr.join(docs, Seq("threshold"))
+      .select(col("threshold"), col("n_pairs"), col("n_docs"),
+        col("mean_jaccard"))
+      .orderBy(col("threshold"))
+  }
+
   /** LSH band-geometry tuning curve: candidate-pair recall AND precision
     * of the (b bands × r rows) banding against exact Jaccard ≥ `minSim`
     * pairs, for r ∈ {2, 4, 8} over the same 32-component signature — the

@@ -53,4 +53,29 @@ class DedupRecallSpec extends SparkSpec {
     val recall = (strong & sim).size.toDouble / strong.size
     assert(recall >= 0.7, s"recall=$recall over ${strong.size} strong pairs")
   }
+
+  test("thresholdCurve: survival monotone, points reconcile with pair queries") {
+    val rows = DedupOps.thresholdCurve(spark, sf0001).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(rows.nonEmpty)
+    val nPairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(nPairs.sameElements(nPairs.sorted.reverse),
+      "raising the threshold can only keep fewer pairs")
+    val nDocs = rows.map(_.getAs[Long]("n_docs"))
+    assert(nDocs.sameElements(nDocs.sorted.reverse))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 2 * r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Double]("mean_jaccard") >=
+        r.getAs[Double]("threshold") - 1e-6)
+    }
+    // each point equals a direct minSim query's pair count (quantized
+    // jq >= thr*1e6 is exactly the jaccard >= thr filter on 6-dp values)
+    rows.take(2).foreach { r =>
+      val thr = r.getAs[Double]("threshold")
+      val direct = DedupOps.ngramJaccardPairs(spark, sf0001, minSim = 0.0)
+        .collect()
+        .count(_.getAs[Double]("jaccard") * 1e6 >= math.round(thr * 1e6) - 0.5)
+      assert(r.getAs[Long]("n_pairs") === direct.toLong)
+    }
+  }
 }
