@@ -1417,6 +1417,7 @@ object SparkEntry {
     "q_dedup_sketch_calib" -> (DedupOps.sketchCalibration _),
     "q_dedup_lsh_tuning" -> ((s, d) => DedupOps.lshTuningCurve(s, d)),
     "q_dedup_threshold_curve" -> ((s, d) => DedupOps.thresholdCurve(s, d)),
+    "q_dedup_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
     "q_dedup_nearest" -> ((s, d) => DedupOps.nearestNeighbors(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
@@ -1764,6 +1765,38 @@ object SparkEntry {
         |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |    GROUP BY 1, 2, 3, 4))
         |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin,
+    "q_dedup_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |gl AS (SELECT doc_id, len(toks) AS dl,
+        |         [{'pos': i, 'gram': array_to_string(toks[i:i+4], ' ')}
+        |          for i in range(1, len(toks) - 3)] AS gs
+        |       FROM t WHERE len(toks) >= 5),
+        |g AS (SELECT doc_id, u.gram AS gram, u.pos AS pos
+        |      FROM (SELECT doc_id, unnest(gs) AS u FROM gl)),
+        |keep AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1) q
+        |  WHERE df <= 1000),
+        |gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+        |seeds AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa,
+        |            x.pos - y.pos AS diag
+        |          FROM gg x JOIN gg y USING (gram) WHERE x.doc_id < y.doc_id),
+        |runs AS (SELECT a, b, count(*) + 4 AS run_tokens FROM (
+        |    SELECT a, b, diag,
+        |      pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa)
+        |        AS grp
+        |    FROM seeds) GROUP BY a, b, diag, grp
+        |  HAVING count(*) + 4 >= 8),
+        |lens AS (SELECT doc_id, dl FROM gl)
+        |SELECT r.a, r.b, CAST(r.n_runs AS BIGINT) AS n_runs,
+        |  r.max_run_tokens, CAST(r.dup_tokens AS BIGINT) AS dup_tokens,
+        |  CAST((2 * r.dup_tokens * 1000000 + least(la.dl, lb.dl))
+        |      // (2 * least(la.dl, lb.dl)) AS DOUBLE) / 1e6 AS dup_frac
+        |FROM (SELECT a, b, count(*) AS n_runs, max(run_tokens)
+        |        AS max_run_tokens, sum(run_tokens) AS dup_tokens
+        |      FROM runs GROUP BY a, b) r
+        |JOIN lens la ON r.a = la.doc_id
+        |JOIN lens lb ON r.b = lb.doc_id
+        |ORDER BY r.a, r.b""".stripMargin,
     "q_dedup_threshold_curve" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |shs AS (SELECT doc_id,

@@ -1086,4 +1086,77 @@ object DedupOps {
       .orderBy(col("rows_per_band"))
     out
   }
+
+  /** Exact duplicated-SPAN profile: for every doc pair sharing at least
+    * one verbatim run of ≥ `minRun` consecutive tokens, the maximal-run
+    * inventory — run count, longest run, total duplicated tokens, and
+    * that total as a fraction of the smaller doc. The substring-level
+    * audit from the suffix-array line of work (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): doc-
+    * and shingle-level dedup miss long verbatim spans embedded in
+    * otherwise-distinct documents, and this table is what decides
+    * span-surgery vs whole-doc removal.
+    *
+    * Method (the distributed stand-in for a suffix array): every k-token
+    * window hash is a SEED at its position; two docs sharing a maximal
+    * verbatim run of L ≥ k tokens produce exactly L−k+1 seed matches on
+    * ONE diagonal (pos_a − pos_b), so consecutive-position islands per
+    * (pair, diagonal) recover maximal runs exactly — `run_tokens` =
+    * island size + k − 1. Self-repetitive text can echo a run on nearby
+    * diagonals; the `minRun` filter and the df cap keep that mass out.
+    *
+    * Plan: positions explode once (60-bit md5 window hashes — 8-byte
+    * join keys, text never crosses the wire); the df cap bounds the
+    * seed join's fanout at C(maxDf,2) per window value; the island
+    * window function shuffles only matched seeds keyed by pair — at
+    * 100 TB that stage is sized by actual cross-doc duplication, not by
+    * the corpus.
+    */
+  def dupSpans(s: SparkSession, d: String, k: Int = 5, minRun: Int = 8,
+      maxDf: Long = 1000L): DataFrame =
+    dupSpansOf(Tables.documents(s, d), k, minRun, maxDf)
+
+  /** [[dupSpans]] over an arbitrary `(doc_id, text)` frame. */
+  def dupSpansOf(docsIn: DataFrame, k: Int = 5, minRun: Int = 8,
+      maxDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && minRun >= k, "need k >= 2 and minRun >= k")
+    val docs = docsIn
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= k)
+    val grams = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+        i => struct(i.as("pos"),
+          conv(substring(md5(array_join(slice(col("t"), i, lit(k)), " ")), 1, 15),
+            16, 10).cast("long").as("g")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val keep = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") <= maxDf).select(col("g"))
+    val idx = grams.join(keep, Seq("g"))
+    val seeds = idx.select(col("g"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(idx.select(col("g"), col("doc_id").as("b"), col("pos").as("pb")),
+        Seq("g"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    val runs = seeds
+      .withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy(col("a"), col("b"), col("diag"))
+          .orderBy(col("pa"))))
+      .groupBy(col("a"), col("b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + (k - 1)).as("run_tokens"))
+      .where(col("run_tokens") >= minRun)
+    val lens = docs.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    runs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_tokens")).as("max_run_tokens"),
+        sum(col("run_tokens")).as("dup_tokens"))
+      .join(lens.select(col("doc_id").as("a"), col("dl").as("la")), Seq("a"))
+      .join(lens.select(col("doc_id").as("b"), col("dl").as("lb")), Seq("b"))
+      .select(col("a"), col("b"), col("n_runs"), col("max_run_tokens"),
+        col("dup_tokens"),
+        (Num.halfUpDiv(col("dup_tokens") * 1000000L,
+          least(col("la"), col("lb"))).cast("double") / 1e6).as("dup_frac"))
+      .orderBy(col("a"), col("b"))
+  }
 }

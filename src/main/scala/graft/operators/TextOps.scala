@@ -418,14 +418,29 @@ object TextOps {
         col("n_distinct_fp"), col("n_dup_positions"))
       .orderBy(col("source"))
 
+  // The selection arithmetic (an md5 per k-gram position) is the pack's
+  // single most expensive scan and is consumed by BOTH the density profile
+  // and the MOSS pair detector — memoize the full positions frame per
+  // (session, dir, w) like DedupOps' shingle index, so a session (and the
+  // interleaved bench) pays the corpus hash pass once per snapshot.
+  private val winnowPosCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+
   /** The winnowing selection itself: one row per k-gram position,
     * `fp` = the 60-bit fingerprint where the position is selected, null
     * where not (so consumers can count both sides without a second
     * corpus scan). Shared by [[winnowProfile]] and
-    * [[graft.operators.DedupOps.winnowPairs]].
+    * [[graft.operators.DedupOps.winnowPairs]]; memoized + persisted per
+    * (session, dir, w).
     */
   private[operators] def winnowPositions(s: SparkSession, d: String,
-      w: Int = 4): DataFrame = {
+      w: Int = 4): DataFrame =
+    winnowPosCache.getOrElseUpdate(s, s"$d#$w") { (ss, _) =>
+      winnowPositionsUncached(ss, d, w).persist()
+    }
+
+  private def winnowPositionsUncached(s: SparkSession, d: String,
+      w: Int): DataFrame = {
     val toks = tokens(col("text"))
     val hs = transform(sequence(lit(1), size(toks) - 2),
       i => conv(substring(md5(array_join(slice(toks, i, lit(3)), " ")), 1, 15),

@@ -54,6 +54,28 @@ class DedupRecallSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall=$recall over ${strong.size} strong pairs")
   }
 
+  test("dupSpans recovers planted maximal runs exactly") {
+    import spark.implicits._
+    // doc 2 embeds tokens 10..29 of doc 1 (a 20-token verbatim run) plus
+    // a second, shorter 9-token run (40..48), separated by alien text;
+    // doc 3 shares nothing long enough (7 tokens < minRun=8)
+    val base = (0 until 60).map(i => s"w$i")
+    val d1 = base.mkString(" ")
+    val d2 = ((100 until 110).map(i => s"a$i") ++ base.slice(10, 30) ++
+      (200 until 215).map(i => s"b$i") ++ base.slice(40, 49)).mkString(" ")
+    val d3 = ((300 until 320).map(i => s"c$i") ++ base.slice(0, 7)).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = DedupOps.dupSpansOf(docs).collect()
+    assert(out.length == 1, s"only the (1,2) pair qualifies: ${out.toSeq}")
+    val r = out.head
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b")) == (1L, 2L))
+    assert(r.getAs[Long]("n_runs") == 2L)
+    assert(r.getAs[Long]("max_run_tokens") == 20L)
+    assert(r.getAs[Long]("dup_tokens") == 29L)
+    // min doc length = 54 tokens (doc 2); 29/54 half-up at 1e-6
+    assert(math.abs(r.getAs[Double]("dup_frac") - 29.0 / 54.0) < 1e-6)
+  }
+
   test("thresholdCurve: survival monotone, points reconcile with pair queries") {
     val rows = DedupOps.thresholdCurve(spark, sf0001).collect()
       .sortBy(_.getAs[Double]("threshold"))
