@@ -1418,6 +1418,7 @@ object SparkEntry {
     "q_dedup_lsh_tuning" -> ((s, d) => DedupOps.lshTuningCurve(s, d)),
     "q_dedup_threshold_curve" -> ((s, d) => DedupOps.thresholdCurve(s, d)),
     "q_dedup_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
+    "q_dedup_span_rewrite" -> ((s, d) => DedupOps.dupSpanRewrite(s, d)),
     "q_dedup_nearest" -> ((s, d) => DedupOps.nearestNeighbors(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
@@ -1797,6 +1798,52 @@ object SparkEntry {
         |JOIN lens la ON r.a = la.doc_id
         |JOIN lens lb ON r.b = lb.doc_id
         |ORDER BY r.a, r.b""".stripMargin,
+    "q_dedup_span_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |gl AS (SELECT doc_id, len(toks) AS dl,
+        |         [{'pos': i, 'gram': array_to_string(toks[i:i+4], ' ')}
+        |          for i in range(1, len(toks) - 3)] AS gs
+        |       FROM t WHERE len(toks) >= 5),
+        |g AS (SELECT doc_id, u.gram AS gram, u.pos AS pos
+        |      FROM (SELECT doc_id, unnest(gs) AS u FROM gl)),
+        |keep AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1) q
+        |  WHERE df <= 1000),
+        |gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+        |seeds AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa,
+        |            x.pos - y.pos AS diag
+        |          FROM gg x JOIN gg y USING (gram) WHERE x.doc_id < y.doc_id),
+        |runs AS (SELECT a, b, diag, count(*) + 4 AS run_tokens,
+        |           min(pa) AS pa_start FROM (
+        |    SELECT a, b, diag, pa,
+        |      pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa)
+        |        AS grp
+        |    FROM seeds) GROUP BY a, b, diag, grp
+        |  HAVING count(*) + 4 >= 8),
+        |iv AS (SELECT DISTINCT b AS doc_id, pa_start - diag AS s0,
+        |         pa_start - diag + run_tokens - 1 AS e0 FROM runs),
+        |mg AS (SELECT doc_id, s0, e0,
+        |         max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |       FROM iv),
+        |grps AS (SELECT doc_id, s0, e0,
+        |           sum(CASE WHEN pm IS NULL OR s0 > pm + 1 THEN 1 ELSE 0 END)
+        |             OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS grp
+        |         FROM mg),
+        |spans AS (SELECT doc_id, grp, min(s0) AS s, max(e0) AS e
+        |          FROM grps GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_spans,
+        |          sum(e - s + 1) AS tokens_removed FROM spans GROUP BY 1)
+        |SELECT a.doc_id, CAST(a.n_spans AS BIGINT) AS n_spans,
+        |  l.dl AS tokens_before,
+        |  CAST(a.tokens_removed AS BIGINT) AS tokens_removed,
+        |  CAST(l.dl - a.tokens_removed AS BIGINT) AS tokens_after,
+        |  CAST((2 * a.tokens_removed * 1000000 + l.dl) // (2 * l.dl)
+        |    AS DOUBLE) / 1e6 AS removed_frac
+        |FROM agg a JOIN gl l ON a.doc_id = l.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "q_dedup_threshold_curve" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |shs AS (SELECT doc_id,

@@ -1116,14 +1116,21 @@ object DedupOps {
       maxDf: Long = 1000L): DataFrame =
     dupSpansOf(Tables.documents(s, d), k, minRun, maxDf)
 
-  /** [[dupSpans]] over an arbitrary `(doc_id, text)` frame. */
-  def dupSpansOf(docsIn: DataFrame, k: Int = 5, minRun: Int = 8,
-      maxDf: Long = 1000L): DataFrame = {
+  /** Tokenized `(doc_id, t)` projection shared by the span operators. */
+  private def spanDocs(docsIn: DataFrame, k: Int): DataFrame = docsIn
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    .where(size(col("t")) >= k)
+
+  /** The maximal-run extraction shared by [[dupSpansOf]] and
+    * [[dupSpanRewriteOf]]: one row per maximal verbatim cross-doc run of
+    * ≥ `minRun` tokens — `(a, b, diag, run_tokens, pa_start)` with
+    * `a < b`; the run covers positions `pa_start … pa_start+run_tokens−1`
+    * in `a` and `pa_start−diag …` in `b` (1-based token positions).
+    */
+  private def spanRunsOf(docs: DataFrame, k: Int, minRun: Int,
+      maxDf: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2 && minRun >= k, "need k >= 2 and minRun >= k")
-    val docs = docsIn
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= k)
     val grams = docs.select(col("doc_id"),
       explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
         i => struct(i.as("pos"),
@@ -1139,13 +1146,23 @@ object DedupOps {
         Seq("g"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), col("pa"), (col("pa") - col("pb")).as("diag"))
-    val runs = seeds
+    seeds
       .withColumn("grp", col("pa") - row_number().over(
         Window.partitionBy(col("a"), col("b"), col("diag"))
           .orderBy(col("pa"))))
       .groupBy(col("a"), col("b"), col("diag"), col("grp"))
-      .agg((count(lit(1)) + (k - 1)).as("run_tokens"))
+      .agg((count(lit(1)) + (k - 1)).as("run_tokens"),
+        min(col("pa")).as("pa_start"))
       .where(col("run_tokens") >= minRun)
+      .select(col("a"), col("b"), col("diag"), col("run_tokens"),
+        col("pa_start"))
+  }
+
+  /** [[dupSpans]] over an arbitrary `(doc_id, text)` frame. */
+  def dupSpansOf(docsIn: DataFrame, k: Int = 5, minRun: Int = 8,
+      maxDf: Long = 1000L): DataFrame = {
+    val docs = spanDocs(docsIn, k)
+    val runs = spanRunsOf(docs, k, minRun, maxDf)
     val lens = docs.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
     runs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_runs"),
@@ -1158,5 +1175,64 @@ object DedupOps {
         (Num.halfUpDiv(col("dup_tokens") * 1000000L,
           least(col("la"), col("lb"))).cast("double") / 1e6).as("dup_frac"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Span-level dedup surgery accounting (keep-first): for every doc that
+    * contains a ≥ `minRun`-token verbatim run already present in a
+    * LOWER-id doc, the excision plan — how many maximal contiguous
+    * regions would be cut, how many tokens go, and what remains. The
+    * operation Lee et al. 2022 actually apply ("remove one span of each
+    * duplicate pair"): whole-doc removal ([[blockDedupRewrite]]) throws
+    * away the unique remainder of a mostly-novel doc, while span surgery
+    * keeps it — this table quantifies that trade per document.
+    *
+    * Keep-first is id-ordered (the corpus-snapshot convention every
+    * rewrite in this pack uses): a run shared by docs {3, 7, 9} stays in
+    * doc 3 and is cut from 7 and 9. Overlapping and adjacent cut
+    * intervals merge before accounting, so `n_spans` counts maximal
+    * contiguous removed regions and `tokens_removed` never double-counts
+    * a position.
+    *
+    * Plan: [[spanRunsOf]]'s matched-seed stage dominates (df-capped);
+    * interval merging is a per-doc prefix-max window over interval
+    * endpoints — rows = planted runs, keyed by doc, nothing corpus-sized.
+    */
+  def dupSpanRewrite(s: SparkSession, d: String, k: Int = 5, minRun: Int = 8,
+      maxDf: Long = 1000L): DataFrame =
+    dupSpanRewriteOf(Tables.documents(s, d), k, minRun, maxDf)
+
+  /** [[dupSpanRewrite]] over an arbitrary `(doc_id, text)` frame. */
+  def dupSpanRewriteOf(docsIn: DataFrame, k: Int = 5, minRun: Int = 8,
+      maxDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spanDocs(docsIn, k)
+    val runs = spanRunsOf(docs, k, minRun, maxDf)
+    // the cut lands in the later doc (b): 1-based [start, end] token span
+    val intervals = runs.select(col("b").as("doc_id"),
+      (col("pa_start") - col("diag")).as("start"),
+      (col("pa_start") - col("diag") + col("run_tokens") - 1).as("end"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("end"))
+    val merged = intervals
+      .withColumn("prev_max",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_grp",
+        when(col("prev_max").isNull || col("start") > col("prev_max") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("grp",
+        sum(col("new_grp")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    val lens = docs.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("tokens_removed"))
+      .join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"),
+        col("dl").as("tokens_before"), col("tokens_removed"),
+        (col("dl") - col("tokens_removed")).as("tokens_after"),
+        (Num.halfUpDiv(col("tokens_removed") * 1000000L, col("dl"))
+          .cast("double") / 1e6).as("removed_frac"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -76,6 +76,27 @@ class DedupRecallSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("dup_frac") - 29.0 / 54.0) < 1e-6)
   }
 
+  test("dupSpanRewrite merges adjacent cuts and keeps the first occurrence") {
+    import spark.implicits._
+    // doc 4 embeds two doc-1 runs that land ADJACENT in doc-4 coordinates
+    // (positions 11..30 and 31..42) — the excision plan must merge them
+    // into one maximal cut; doc 1 (the keeper) must not appear at all
+    val base = (0 until 60).map(i => s"w$i")
+    val d1 = base.mkString(" ")
+    val d4 = ((100 until 110).map(i => s"a$i") ++ base.slice(10, 30) ++
+      base.slice(28, 40)).mkString(" ")
+    val docs = Seq((1L, d1), (4L, d4)).toDF("doc_id", "text")
+    val out = DedupOps.dupSpanRewriteOf(docs).collect()
+    assert(out.length == 1, s"only doc 4 gets surgery: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == 4L)
+    assert(r.getAs[Long]("n_spans") == 1L, "adjacent intervals must merge")
+    assert(r.getAs[Long]("tokens_before") == 42L)
+    assert(r.getAs[Long]("tokens_removed") == 32L)
+    assert(r.getAs[Long]("tokens_after") == 10L)
+    assert(math.abs(r.getAs[Double]("removed_frac") - 0.761905) < 1e-9)
+  }
+
   test("thresholdCurve: survival monotone, points reconcile with pair queries") {
     val rows = DedupOps.thresholdCurve(spark, sf0001).collect()
       .sortBy(_.getAs[Double]("threshold"))
