@@ -1419,6 +1419,7 @@ object SparkEntry {
     "q_dedup_threshold_curve" -> ((s, d) => DedupOps.thresholdCurve(s, d)),
     "q_dedup_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
     "q_dedup_span_rewrite" -> ((s, d) => DedupOps.dupSpanRewrite(s, d)),
+    "q_dedup_span_sources" -> ((s, d) => DedupOps.dupSpanSources(s, d)),
     "q_dedup_nearest" -> ((s, d) => DedupOps.nearestNeighbors(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
@@ -1798,6 +1799,36 @@ object SparkEntry {
         |JOIN lens la ON r.a = la.doc_id
         |JOIN lens lb ON r.b = lb.doc_id
         |ORDER BY r.a, r.b""".stripMargin,
+    "q_dedup_span_sources" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |gl AS (SELECT doc_id,
+        |         [{'pos': i, 'gram': array_to_string(toks[i:i+4], ' ')}
+        |          for i in range(1, len(toks) - 3)] AS gs
+        |       FROM t WHERE len(toks) >= 5),
+        |g AS (SELECT doc_id, u.gram AS gram, u.pos AS pos
+        |      FROM (SELECT doc_id, unnest(gs) AS u FROM gl)),
+        |keep AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1) q
+        |  WHERE df <= 1000),
+        |gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+        |seeds AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa,
+        |            x.pos - y.pos AS diag
+        |          FROM gg x JOIN gg y USING (gram) WHERE x.doc_id < y.doc_id),
+        |runs AS (SELECT a, b, count(*) + 4 AS run_tokens FROM (
+        |    SELECT a, b, diag, pa,
+        |      pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa)
+        |        AS grp
+        |    FROM seeds) GROUP BY a, b, diag, grp
+        |  HAVING count(*) + 4 >= 8)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |  count(*) AS n_runs,
+        |  count(DISTINCT (r.a, r.b)) AS n_pairs,
+        |  CAST(sum(r.run_tokens) AS BIGINT) AS run_tokens_sum,
+        |  max(r.run_tokens) AS max_run_tokens
+        |FROM runs r
+        |JOIN documents sa ON r.a = sa.doc_id
+        |JOIN documents sb ON r.b = sb.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_dedup_span_rewrite" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |gl AS (SELECT doc_id, len(toks) AS dl,

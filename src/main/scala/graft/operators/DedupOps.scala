@@ -1177,6 +1177,36 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Span-level cross-source leakage matrix: verbatim ≥ `minRun`-token
+    * runs rolled up by (source of the lower-id doc, source of the
+    * higher-id doc) — run count, distinct doc pairs, total and longest
+    * run. The span-grained decontamination audit: doc-level n-gram
+    * decontam ([[graft.operators.TrainPrepOps]]) asks "does a training
+    * doc look like an eval doc", this asks "which source pairs exchange
+    * verbatim passages, and how long are they" — the diagonal is
+    * intra-source boilerplate, the off-diagonal is leakage.
+    *
+    * Plan: [[spanRunsOf]] plus two id-keyed joins to the doc→source map
+    * and a |sources|²-bounded rollup.
+    */
+  def dupSpanSources(s: SparkSession, d: String, k: Int = 5, minRun: Int = 8,
+      maxDf: Long = 1000L): DataFrame = {
+    val docsIn = Tables.documents(s, d)
+    val runs = spanRunsOf(spanDocs(docsIn, k), k, minRun, maxDf)
+    val src = docsIn.select(col("doc_id"), col("source"))
+    runs
+      .join(src.select(col("doc_id").as("a"), col("source").as("source_a")),
+        Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("source_b")),
+        Seq("b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_runs"),
+        countDistinct(col("a"), col("b")).as("n_pairs"),
+        sum(col("run_tokens")).as("run_tokens_sum"),
+        max(col("run_tokens")).as("max_run_tokens"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Span-level dedup surgery accounting (keep-first): for every doc that
     * contains a ≥ `minRun`-token verbatim run already present in a
     * LOWER-id doc, the excision plan — how many maximal contiguous

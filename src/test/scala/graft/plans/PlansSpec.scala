@@ -544,4 +544,31 @@ class PlansSpec extends SparkSpec {
     assert(hashExchanges === 1,
       s"expected the single hourly rollup exchange, got $hashExchanges:\n$plan")
   }
+
+  test("dupSpans: hash-keyed seed join, df-cap applied, no cartesian, no text in the join") {
+    val df = graft.operators.DedupOps.dupSpans(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // the self-join must key on the 8-byte window hash `g`, never the
+    // gram string — a `text`/`gram` attribute inside a join key means the
+    // corpus is riding the shuffle
+    val joinKeyed = "SortMergeJoin \\[g".r.findAllIn(plan).size +
+      "BroadcastHashJoin \\[g".r.findAllIn(plan).size +
+      "ShuffledHashJoin \\[g".r.findAllIn(plan).size
+    assert(joinKeyed >= 1, s"seed join must be keyed on g:\n$plan")
+    assert(!plan.contains("SortMergeJoin [text"),
+      s"text must never be a join key:\n$plan")
+  }
+
+  test("dupSpanRewrite: interval merge windows only matched runs, not the corpus") {
+    val df = graft.operators.DedupOps.dupSpanRewrite(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // the two Window passes (island grouping, interval merge) must sit
+    // above the seed join — i.e. partitioned by pair/doc keys, never an
+    // unpartitioned global window (the single-partition collapse WARN)
+    assert(!plan.contains("Window [")
+      || !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined,
+      s"unpartitioned window appeared:\n$plan")
+  }
 }
