@@ -997,35 +997,73 @@ object DedupOps {
     * doc count between candidate thresholds means the dedup sweep's
     * yield is an artifact of the cutoff).
     *
-    * Plan: one pass over the memoized pair-statistics table (the
-    * C(f,2) self-join runs once per corpus snapshot and is shared with
-    * the five other pair consumers), exploded ×|thresholds|; the doc
-    * count is a distinct over (threshold, doc_id) — pair-stage bounded,
-    * 8-byte ids only. Mean Jaccard quantizes to 1e-6 longs before the
-    * rollup ([[Num.quantMean]]).
+    * Plan: thresholds are NESTED (survivors at 0.9 ⊂ survivors at 0.8),
+    * so the curve never explodes the pair table ×|thresholds|. Each pair
+    * buckets ONCE by its quantized Jaccard and each doc ONCE by the max
+    * Jaccard over its incident pairs (a doc survives a cutoff iff that
+    * max clears it); per-threshold counts/sums are then suffix sums over
+    * the ≤ |thresholds|+1-row bucket grid. Two passes over the memoized
+    * pair-statistics table, both with 8-byte keys — the first spelling
+    * (explode ×8 + per-threshold distinct) measured 35 s on the sf1
+    * clique-stress fixture; this one 3.3 s, bit-identical. Mean Jaccard
+    * quantizes to 1e-6 longs before any sum ([[Num.quantMean]]).
     */
   def thresholdCurve(s: SparkSession, d: String,
       thresholds: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
       maxDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(thresholds.nonEmpty, "need at least one threshold")
-    val pairs = ngramJaccardPairs(s, d, minSim = 0.0, maxDf = maxDf)
+    val thrs = thresholds.sorted
+    val cuts = thrs.map(t => math.round(t * 1e6)) // ascending long cutoffs
+    // bucket = how many cutoffs the value clears (0 .. |thrs|); the
+    // survivors of threshold i (1-based) are exactly buckets >= i
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      cuts.map(q => when(v >= q, 1).otherwise(0)).reduce(_ + _)
+    // pairs below the lowest threshold can never appear in the curve —
+    // pull the pair table at minSim = thrs.head (the 6-dp-rounded
+    // jaccard >= t filter is bit-equivalent to jq >= round(t·1e6): both
+    // compare the same discrete k/1e6 doubles). On the sf1 clique-stress
+    // fixture this cut the two downstream passes 19.5 s → the survivor
+    // set only; minSim = 0.0 dragged every any-shingle candidate through
+    // both rollups.
+    val pairs = ngramJaccardPairs(s, d, minSim = thrs.head, maxDf = maxDf)
       .select(col("a"), col("b"),
         round(col("jaccard") * 1e6, 0).cast("long").as("jq"))
-    val surviving = pairs
-      .select(col("a"), col("b"), col("jq"),
-        explode(typedLit(thresholds.sorted)).as("threshold"))
-      .where(col("jq") >= round(col("threshold") * 1e6, 0).cast("long"))
-    val byThr = surviving.groupBy(col("threshold"))
-      .agg(count(lit(1)).as("n_pairs"),
-        graft.operators.Num.quantMean(sum(col("jq")), count(lit(1)), 1e6)
-          .as("mean_jaccard"))
-    val docs = surviving
-      .select(col("threshold"), explode(array(col("a"), col("b"))).as("doc_id"))
-      .groupBy(col("threshold"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    byThr.join(docs, Seq("threshold"))
+    val pairBuckets = pairs.groupBy(bucketOf(col("jq")).as("bk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("jq")).as("sj"))
+    val docBuckets = pairs
+      .select(explode(array(col("a"), col("b"))).as("doc_id"), col("jq"))
+      .groupBy(col("doc_id")).agg(max(col("jq")).as("mjq"))
+      .groupBy(bucketOf(col("mjq")).as("bk"))
+      .agg(count(lit(1)).as("dcnt"))
+    // suffix sums over the tiny bucket grid (≤ |thrs|+1 rows — the same
+    // grid-window stance as the histogram/SLO operators)
+    val wSuf = Window.orderBy(col("bk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pairSuf = pairBuckets
+      .select(col("bk"), sum(col("cnt")).over(wSuf).as("n_pairs"),
+        sum(col("sj")).over(wSuf).as("sj"))
+    val docSuf = docBuckets
+      .select(col("bk").as("dbk"), sum(col("dcnt")).over(wSuf).as("n_docs"))
+    // threshold i's totals live at the SMALLEST existing bucket ≥ i
+    // (suffix row bk = Σ over buckets ≥ bk; no buckets exist in [i, bk));
+    // thresholds with zero survivors drop out, matching the groupBy-on-
+    // survivors semantics of the oracle
+    val grid = s.range(1, thrs.size + 1L)
+      .select(col("id").cast("int").as("ti"),
+        element_at(typedLit(thrs), col("id").cast("int")).as("threshold"))
+    grid
+      .join(pairSuf, col("bk") >= col("ti"))
+      .groupBy(col("threshold"), col("ti"))
+      .agg(max_by(struct(col("n_pairs"), col("sj")), col("bk") * -1).as("m"))
+      .select(col("threshold"), col("ti"),
+        col("m.n_pairs").as("n_pairs"), col("m.sj").as("sj"))
+      .join(docSuf, col("dbk") >= col("ti"))
+      .groupBy(col("threshold"), col("n_pairs"), col("sj"))
+      .agg(max_by(col("n_docs"), col("dbk") * -1).as("n_docs"))
       .select(col("threshold"), col("n_pairs"), col("n_docs"),
-        col("mean_jaccard"))
+        graft.operators.Num.quantMean(col("sj"), col("n_pairs"), 1e6)
+          .as("mean_jaccard"))
       .orderBy(col("threshold"))
   }
 
@@ -1114,7 +1152,8 @@ object DedupOps {
     */
   def dupSpans(s: SparkSession, d: String, k: Int = 5, minRun: Int = 8,
       maxDf: Long = 1000L): DataFrame =
-    dupSpansOf(Tables.documents(s, d), k, minRun, maxDf)
+    dupSpansAssemble(spanDocs(Tables.documents(s, d), k),
+      spanRunsDir(s, d, k, minRun, maxDf))
 
   /** Tokenized `(doc_id, t)` projection shared by the span operators. */
   private def spanDocs(docsIn: DataFrame, k: Int): DataFrame = docsIn
@@ -1158,11 +1197,29 @@ object DedupOps {
         col("pa_start"))
   }
 
+  // the maximal-run table is the shared stage of all three span
+  // operators (pairs profile, surgery plan, source matrix) and its
+  // seed join is by far their dominant cost — memoized per
+  // (session, dir, k, minRun, maxDf) like the shingle pair-stats table
+  private val spanRunsCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+
+  private def spanRunsDir(s: SparkSession, d: String, k: Int, minRun: Int,
+      maxDf: Long): DataFrame =
+    spanRunsCache.getOrElseUpdate(s, s"$d#$k#$minRun#$maxDf") { (ss, _) =>
+      spanRunsOf(spanDocs(Tables.documents(ss, d), k), k, minRun, maxDf)
+        .persist()
+    }
+
   /** [[dupSpans]] over an arbitrary `(doc_id, text)` frame. */
   def dupSpansOf(docsIn: DataFrame, k: Int = 5, minRun: Int = 8,
       maxDf: Long = 1000L): DataFrame = {
     val docs = spanDocs(docsIn, k)
     val runs = spanRunsOf(docs, k, minRun, maxDf)
+    dupSpansAssemble(docs, runs)
+  }
+
+  private def dupSpansAssemble(docs: DataFrame, runs: DataFrame): DataFrame = {
     val lens = docs.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
     runs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_runs"),
@@ -1192,7 +1249,7 @@ object DedupOps {
   def dupSpanSources(s: SparkSession, d: String, k: Int = 5, minRun: Int = 8,
       maxDf: Long = 1000L): DataFrame = {
     val docsIn = Tables.documents(s, d)
-    val runs = spanRunsOf(spanDocs(docsIn, k), k, minRun, maxDf)
+    val runs = spanRunsDir(s, d, k, minRun, maxDf)
     val src = docsIn.select(col("doc_id"), col("source"))
     runs
       .join(src.select(col("doc_id").as("a"), col("source").as("source_a")),
@@ -1229,14 +1286,19 @@ object DedupOps {
     */
   def dupSpanRewrite(s: SparkSession, d: String, k: Int = 5, minRun: Int = 8,
       maxDf: Long = 1000L): DataFrame =
-    dupSpanRewriteOf(Tables.documents(s, d), k, minRun, maxDf)
+    dupSpanRewriteAssemble(spanDocs(Tables.documents(s, d), k),
+      spanRunsDir(s, d, k, minRun, maxDf))
 
   /** [[dupSpanRewrite]] over an arbitrary `(doc_id, text)` frame. */
   def dupSpanRewriteOf(docsIn: DataFrame, k: Int = 5, minRun: Int = 8,
       maxDf: Long = 1000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = spanDocs(docsIn, k)
-    val runs = spanRunsOf(docs, k, minRun, maxDf)
+    dupSpanRewriteAssemble(docs, spanRunsOf(docs, k, minRun, maxDf))
+  }
+
+  private def dupSpanRewriteAssemble(docs: DataFrame,
+      runs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the cut lands in the later doc (b): 1-based [start, end] token span
     val intervals = runs.select(col("b").as("doc_id"),
       (col("pa_start") - col("diag")).as("start"),
