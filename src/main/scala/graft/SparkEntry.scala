@@ -1420,6 +1420,8 @@ object SparkEntry {
     "q_dedup_dup_spans" -> ((s, d) => DedupOps.dupSpans(s, d)),
     "q_dedup_span_rewrite" -> ((s, d) => DedupOps.dupSpanRewrite(s, d)),
     "q_dedup_span_sources" -> ((s, d) => DedupOps.dupSpanSources(s, d)),
+    "q_dedup_cluster_sizes" -> ((s, d) => DedupOps.clusterSizeProfile(s, d)),
+    "q_text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
     "q_dedup_nearest" -> ((s, d) => DedupOps.nearestNeighbors(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
@@ -1799,6 +1801,63 @@ object SparkEntry {
         |JOIN lens la ON r.a = la.doc_id
         |JOIN lens lb ON r.b = lb.doc_id
         |ORDER BY r.a, r.b""".stripMargin,
+    "q_dedup_cluster_sizes" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, inter::DOUBLE / (na + nb - inter) AS jac FROM (
+        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |             count(*) AS inter
+        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4))
+        |  WHERE jac >= 0.2),
+        |edges AS (SELECT a AS x, b AS y FROM pairs
+        |          UNION SELECT b AS x, a AS y FROM pairs),
+        |reach AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        |  WHERE e.y <> r.x),
+        |cl AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+        |       FROM reach GROUP BY x),
+        |sizes AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
+        |SELECT CAST(length(bin(sz)) - 1 AS INTEGER) AS size_bucket,
+        |  count(*) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(sum(sz - 1) AS BIGINT) AS dup_excess
+        |FROM sizes GROUP BY 1 ORDER BY size_bucket""".stripMargin,
+    "q_text_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bg0 AS (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+        |                       for i in range(1, len(toks))]) AS bg
+        |        FROM t WHERE len(toks) >= 2),
+        |bgc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c_ab
+        |        FROM bg0 GROUP BY 1, 2),
+        |btot AS (SELECT CAST(sum(c_ab) AS HUGEINT) AS nb FROM bgc),
+        |unic AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |ntot AS (SELECT CAST(sum(c) AS HUGEINT) AS nt FROM unic)
+        |SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  CAST((2 * CAST(b.c_ab AS HUGEINT) * nt * nt * 1000000
+        |        + nb * ua.c * ub.c)
+        |      // (2 * nb * ua.c * ub.c) AS DOUBLE) / 1e6 AS lift
+        |FROM bgc b
+        |JOIN unic ua ON b.w1 = ua.w
+        |JOIN unic ub ON b.w2 = ub.w
+        |CROSS JOIN btot CROSS JOIN ntot
+        |WHERE b.c_ab >= 5
+        |ORDER BY lift DESC, b.w1, b.w2 LIMIT 30""".stripMargin,
     "q_dedup_span_sources" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |gl AS (SELECT doc_id,

@@ -651,6 +651,31 @@ object DedupOps {
     clusters(ngramJaccardPairs(s, d, minSim, maxDf).select(col("a"), col("b")))
       .orderBy(col("doc_id"))
 
+  /** Near-dup cluster-size histogram: log₂-bucketed distribution of
+    * connected-component sizes with doc mass and removable excess
+    * (size − 1 per cluster — the docs a keep-one-per-cluster sweep
+    * deletes). The shape diagnostic behind every dedup yield estimate:
+    * a corpus of doc-pairs (bucket 1) deduplicates very differently
+    * from one dominated by a giant boilerplate component, and
+    * [[neardupDegreeDist]]'s per-NODE view can't distinguish many
+    * mid-size cliques from one huge sparse component — this per-
+    * COMPONENT view can.
+    *
+    * Plan: one rollup of the cluster assignment (member-sized, far
+    * smaller than the corpus) to per-cluster sizes, one ≤64-key rollup
+    * of that. Bucket = `length(bin(size)) − 1` (integer floor(log₂),
+    * the [[shingleDfProfile]] spelling — no float log ulp risk).
+    */
+  def clusterSizeProfile(s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
+    duplicateClusters(s, d, minSim, maxDf)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy((length(bin(col("sz"))) - 1).cast("int").as("size_bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("dup_excess"))
+      .orderBy(col("size_bucket"))
+
   /** Best-quality representative per near-dup cluster: the rewrite
     * decision a curation pass makes AFTER clustering — unlike exact-dup
     * groups (identical text ⇒ identical quality ⇒ min-id is already the

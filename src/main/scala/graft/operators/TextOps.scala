@@ -255,6 +255,57 @@ object TextOps {
     * Plan: explode → vocabulary-sized term count (map-side partial agg
     * collapses the token stream before the shuffle) → ~60-row band rollup.
     */
+  /** Top-k collocations by LIFT — adjacent bigrams whose observed rate
+    * most exceeds independence: lift(a,b) = p(ab) / (p(a)·p(b)) with
+    * p(ab) over bigram slots and p(w) over tokens. The association
+    * measure behind phrase mining / tokenizer-merge candidates, kept as
+    * the RAW ratio instead of its log (PMI = ln(lift)): ordering is
+    * identical and `ln` is the one function whose last ulp differs
+    * across libms — the ratio quantizes exactly.
+    *
+    * Determinism: lift is computed as ONE half-up integer division of
+    * exact products, c_ab·N²·10⁶ ÷ (B·c_a·c_b), in DECIMAL(38,0)
+    * ([[graft.operators.Num.halfUpDiv]] semantics; headroom to ~10¹⁴
+    * tokens before 38 digits clip — past that, shard the corpus or drop
+    * the 10⁶ quantizer a digit). Ties break on (w1, w2).
+    *
+    * Plan: one in-row bigram explode (native [[graft.functions.sketch]]
+    * kernel) → vocabulary²-bounded count; one token explode → vocabulary
+    * rollup; totals ride 1-row broadcasts; the two unigram joins hit the
+    * ≥ `minCount` survivors only. TakeOrderedAndProject emits k rows.
+    */
+  def collocations(s: SparkSession, d: String, minCount: Long = 5L,
+      k: Int = 30): DataFrame =
+    collocationsOf(Tables.documents(s, d), minCount, k)
+
+  /** [[collocations]] over an arbitrary `(text)` frame. */
+  def collocationsOf(docs: DataFrame, minCount: Long = 5L,
+      k: Int = 30): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bigrams = docs.select(tokens(col("text")).as("t"))
+      .select(explode(graft.functions.sketch.bigramPairs(col("t"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val bTot = broadcast(bgCounts.agg(sum(col("c_ab")).as("n_bigrams")))
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTot = broadcast(uni.agg(sum(col("c")).as("n_tokens")))
+    bgCounts.where(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(bTot).crossJoin(nTot)
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        (Num.halfUpDiv(
+          col("c_ab").cast(dec) * col("n_tokens").cast(dec) *
+            col("n_tokens").cast(dec) * lit(1000000L).cast(dec),
+          col("n_bigrams").cast(dec) * col("c_a").cast(dec) *
+            col("c_b").cast(dec))
+          .cast("double") / 1e6).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def zipfProfile(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("term"))

@@ -136,6 +136,39 @@ class DedupClusterSpec extends SparkSpec {
     assert(totalPostings > 0)
   }
 
+  test("clusterSizeProfile reconciles with the live cluster assignment") {
+    val prof = DedupOps.clusterSizeProfile(spark, sf0001).collect()
+    assert(prof.nonEmpty)
+    val cl = DedupOps.duplicateClusters(spark, sf0001).collect()
+    val sizes = cl.groupBy(_.getAs[Long]("cluster_id")).map(_._2.length.toLong)
+    assert(prof.map(_.getAs[Long]("n_clusters")).sum == sizes.size.toLong)
+    assert(prof.map(_.getAs[Long]("n_docs")).sum == cl.length.toLong)
+    assert(prof.map(_.getAs[Long]("dup_excess")).sum ==
+      cl.length.toLong - sizes.size)
+    prof.foreach { r =>
+      val b = r.getAs[Int]("size_bucket")
+      assert(b >= 1, "pair-built clusters have size >= 2 so bucket >= 1")
+      // bucket b holds sizes in [2^b, 2^(b+1))
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_clusters") * (1L << b))
+      assert(r.getAs[Long]("n_docs") <
+        r.getAs[Long]("n_clusters") * (1L << (b + 1)))
+    }
+  }
+
+  test("collocations: planted adjacent pair gets the hand-computed lift") {
+    import spark.implicits._
+    // 5 docs "x y" + one 10-token filler: N=20 tokens, B=14 bigram slots,
+    // c_xy=5, c_x=c_y=5 → lift = 5·20²·10⁶ / (14·5·5) half-up = 5.714286
+    val docs = (Seq.fill(5)("x y") ++
+      Seq((1 to 10).map(i => s"f$i").mkString(" "))).toDF("text")
+    val out = TextOps.collocationsOf(docs, minCount = 5L, k = 10).collect()
+    assert(out.length == 1, s"only (x,y) clears minCount: ${out.toSeq}")
+    val r = out.head
+    assert((r.getAs[String]("w1"), r.getAs[String]("w2")) == ("x", "y"))
+    assert(r.getAs[Long]("c_ab") == 5L && r.getAs[Long]("c_a") == 5L)
+    assert(math.abs(r.getAs[Double]("lift") - 5.714286) < 1e-9)
+  }
+
   test("waterfillBudget: allocation is feasible, fair, and budget-tight") {
     val rows = graft.operators.TrainPrepOps.waterfillBudget(spark, sf0001)
       .collect()
