@@ -1422,6 +1422,10 @@ object SparkEntry {
     "q_dedup_span_sources" -> ((s, d) => DedupOps.dupSpanSources(s, d)),
     "q_dedup_cluster_sizes" -> ((s, d) => DedupOps.clusterSizeProfile(s, d)),
     "q_text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
+    // fixture docs only repeat SHORT runs internally (synthetic vocab) —
+    // k=2/minRun=3 exercises the machinery with non-trivial yield; real
+    // corpora run the 5/8 defaults
+    "q_text_repeat_spans" -> ((s, d) => TextOps.repeatSpans(s, d, k = 2, minRun = 3)),
     "q_dedup_nearest" -> ((s, d) => DedupOps.nearestNeighbors(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.duplicateClusters(s, d)),
@@ -1837,6 +1841,63 @@ object SparkEntry {
         |  CAST(sum(sz) AS BIGINT) AS n_docs,
         |  CAST(sum(sz - 1) AS BIGINT) AS dup_excess
         |FROM sizes GROUP BY 1 ORDER BY size_bucket""".stripMargin,
+    "q_text_repeat_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |gl AS (SELECT doc_id, len(toks) AS dl,
+        |         [{'pos': i, 'gram': array_to_string(toks[i:i+1], ' ')}
+        |          for i in range(1, len(toks))] AS gs
+        |       FROM t WHERE len(toks) >= 2),
+        |g AS (SELECT doc_id, u.gram AS gram, u.pos AS pos
+        |      FROM (SELECT doc_id, unnest(gs) AS u FROM gl)),
+        |keep AS (SELECT doc_id, gram FROM (
+        |    SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2) q
+        |  WHERE tf BETWEEN 2 AND 100),
+        |gg AS (SELECT g.* FROM g JOIN keep USING (doc_id, gram)),
+        |seeds AS (SELECT x.doc_id AS doc_id, x.pos AS pa,
+        |            y.pos - x.pos AS diag
+        |          FROM gg x JOIN gg y
+        |          ON x.doc_id = y.doc_id AND x.gram = y.gram
+        |            AND x.pos < y.pos),
+        |runs AS (SELECT doc_id, diag, count(*) + 1 AS run_tokens,
+        |           min(pa) AS pa_start FROM (
+        |    SELECT doc_id, diag, pa,
+        |      pa - row_number() OVER (PARTITION BY doc_id, diag ORDER BY pa)
+        |        AS grp
+        |    FROM seeds) GROUP BY doc_id, diag, grp
+        |  HAVING count(*) + 1 >= 3),
+        |iv AS (SELECT DISTINCT doc_id, pa_start + diag AS s0,
+        |         pa_start + diag + run_tokens - 1 AS e0 FROM runs),
+        |mg AS (SELECT doc_id, s0, e0,
+        |         max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |       FROM iv),
+        |grps AS (SELECT doc_id, s0, e0,
+        |           sum(CASE WHEN pm IS NULL OR s0 > pm + 1 THEN 1 ELSE 0 END)
+        |             OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS grp
+        |         FROM mg),
+        |spans AS (SELECT doc_id, grp, min(s0) AS s, max(e0) AS e
+        |          FROM grps GROUP BY 1, 2),
+        |red AS (SELECT doc_id, sum(e - s + 1) AS redundant_tokens
+        |        FROM spans GROUP BY 1),
+        |best AS (SELECT doc_id, n_runs, run_tokens AS max_run_tokens,
+        |           diag AS max_run_period FROM (
+        |    SELECT doc_id, run_tokens, diag,
+        |      count(*) OVER (PARTITION BY doc_id) AS n_runs,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY run_tokens DESC, diag ASC) AS rn
+        |    FROM runs) WHERE rn = 1)
+        |SELECT b.doc_id, CAST(b.n_runs AS BIGINT) AS n_runs,
+        |  b.max_run_tokens, b.max_run_period,
+        |  CAST(r.redundant_tokens AS BIGINT) AS redundant_tokens,
+        |  l.dl AS tokens_total,
+        |  CAST((2 * r.redundant_tokens * 1000000 + l.dl) // (2 * l.dl)
+        |    AS DOUBLE) / 1e6 AS redundancy_frac
+        |FROM best b
+        |JOIN red r ON b.doc_id = r.doc_id
+        |JOIN gl l ON b.doc_id = l.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q_text_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |bg0 AS (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}

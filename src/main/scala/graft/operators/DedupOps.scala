@@ -640,16 +640,30 @@ object DedupOps {
     labels.select(col("x").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  // the cluster assignment is consumed by four operators (labels query,
+  // best-quality reps, size histogram, cluster-safe split) and its
+  // iterative propagation is the pack's only multi-job stage — memoize
+  // the label frame per (session, dir, minSim, maxDf); it is
+  // member-sized, far below the corpus
+  private val clusterCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+
   /** Near-duplicate clusters of `documents` by n-gram Jaccard: pairs from
-    * [[ngramJaccardPairs]], components from [[clusters]]. The DuckDB twin
-    * computes the same components via a recursive-CTE transitive closure —
-    * exact check, not rows-only.
+    * [[ngramJaccardPairs]], components from [[clusters]]. Memoized +
+    * persisted per (session, dir, minSim, maxDf) — a dedup pipeline
+    * computes components once per snapshot and runs every downstream
+    * verdict off the assignment. The DuckDB twin computes the same
+    * components via a recursive-CTE transitive closure — exact check,
+    * not rows-only.
     */
   def duplicateClusters(
       s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
-    clusters(ngramJaccardPairs(s, d, minSim, maxDf).select(col("a"), col("b")))
-      .orderBy(col("doc_id"))
+    clusterCache.getOrElseUpdate(s, s"$d#$minSim#$maxDf") { (ss, _) =>
+      clusters(ngramJaccardPairs(ss, d, minSim, maxDf)
+        .select(col("a"), col("b")))
+        .persist()
+    }.orderBy(col("doc_id"))
 
   /** Near-dup cluster-size histogram: log₂-bucketed distribution of
     * connected-component sizes with doc mass and removable excess

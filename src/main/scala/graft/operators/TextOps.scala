@@ -306,6 +306,100 @@ object TextOps {
       .limit(k)
   }
 
+  /** Intra-document repeated-span profile: for every doc containing a
+    * verbatim token run of ≥ `minRun` tokens that occurs AGAIN later in
+    * the same doc, the repeat inventory — run count, longest repeat and
+    * its period (offset between the two occurrences; period < length ⇒
+    * tandem repeat), and the redundant token mass (merged coverage of
+    * all later occurrences) as a fraction of the doc. The span-exact
+    * version of the Gopher/MassiveText repetition filters: bigram-ratio
+    * stats ([[graft.operators.TrainPrepOps.repetitionStats]]) flag that
+    * a doc repeats itself; this says WHAT repeats, how long, and how
+    * much of the doc is literally recoverable from its own prefix —
+    * the template/spam/generated-text signature.
+    *
+    * Method: the [[graft.operators.DedupOps.dupSpans]] diagonal-island
+    * extraction turned inward — seeds are same-doc k-gram position
+    * pairs (pa < pb), a maximal repeat of length L at offset `diag` =
+    * pb − pa is L−k+1 consecutive-pa seeds on one (doc, diag) diagonal.
+    * `maxTf` caps the per-(doc, gram) occurrence count before the
+    * C(tf,2) self-join the way the cross-doc ops cap df.
+    *
+    * Plan: positions explode once; the self-join keys on (doc_id, g) —
+    * 16 bytes, text never moves; islands and the interval merge are
+    * per-doc windows over matched seeds only.
+    */
+  def repeatSpans(s: SparkSession, d: String, k: Int = 5, minRun: Int = 8,
+      maxTf: Long = 100L): DataFrame =
+    repeatSpansOf(Tables.documents(s, d), k, minRun, maxTf)
+
+  /** [[repeatSpans]] over an arbitrary `(doc_id, text)` frame. */
+  def repeatSpansOf(docsIn: DataFrame, k: Int = 5, minRun: Int = 8,
+      maxTf: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && minRun >= k, "need k >= 2 and minRun >= k")
+    val docs = docsIn
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+    val grams = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+        i => struct(i.as("pos"),
+          conv(substring(md5(array_join(slice(col("t"), i, lit(k)), " ")), 1, 15),
+            16, 10).cast("long").as("g")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val keep = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+      .where(col("tf") >= 2 && col("tf") <= maxTf)
+      .select(col("doc_id"), col("g"))
+    val idx = grams.join(keep, Seq("doc_id", "g"))
+    val seeds = idx.select(col("doc_id"), col("g"), col("pos").as("pa"))
+      .join(idx.select(col("doc_id"), col("g"), col("pos").as("pb")),
+        Seq("doc_id", "g"))
+      .where(col("pa") < col("pb"))
+      .select(col("doc_id"), col("pa"), (col("pb") - col("pa")).as("diag"))
+    val runs = seeds
+      .withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("diag")).orderBy(col("pa"))))
+      .groupBy(col("doc_id"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + (k - 1)).as("run_tokens"),
+        min(col("pa")).as("pa_start"))
+      .where(col("run_tokens") >= minRun)
+    // redundant mass = merged coverage of the LATER occurrence intervals
+    val iv = runs.select(col("doc_id"),
+      (col("pa_start") + col("diag")).as("start"),
+      (col("pa_start") + col("diag") + col("run_tokens") - 1).as("end"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"), col("end"))
+    val merged = iv
+      .withColumn("prev_max",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_grp",
+        when(col("prev_max").isNull || col("start") > col("prev_max") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("grp",
+        sum(col("new_grp")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s") + 1).as("redundant_tokens"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(struct(col("run_tokens"), (-col("diag")).as("nd")))
+          .as("best"))
+      .select(col("doc_id"), col("n_runs"),
+        col("best.run_tokens").as("max_run_tokens"),
+        (-col("best.nd")).cast("long").as("max_run_period"))
+    val lens = docs.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    perDoc.join(merged, Seq("doc_id"))
+      .join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("n_runs"), col("max_run_tokens"),
+        col("max_run_period"), col("redundant_tokens"),
+        col("dl").as("tokens_total"),
+        (Num.halfUpDiv(col("redundant_tokens") * 1000000L, col("dl"))
+          .cast("double") / 1e6).as("redundancy_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def zipfProfile(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("term"))

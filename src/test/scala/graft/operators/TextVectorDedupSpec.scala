@@ -541,4 +541,33 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     } yield (a, b, lev(a, b))).toSet
     assert(pairs(2) === brute)
   }
+
+  test("repeatSpans: planted repeat and tandem periodicity are exact") {
+    import spark.implicits._
+    // doc 1: 10-token block A, 5 alien tokens, A again → one 10-token
+    // repeat at period 15; redundant mass = the later occurrence only
+    val a10 = (0 until 10).map(i => s"w$i")
+    val d1 = (a10 ++ (0 until 5).map(i => s"g$i") ++ a10).mkString(" ")
+    // doc 2: (p0 p1 p2) × 6 — tandem repeat, period 3; diagonals 3/6/9
+    // clear minRun=8 (runs 15/12/9), diagonal 12 (run 6) does not
+    val d2 = Seq.fill(6)(Seq("p0", "p1", "p2")).flatten.mkString(" ")
+    // doc 3: no internal repeats
+    val d3 = (100 until 130).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = TextOps.repeatSpansOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_runs") == 1L)
+    assert(r1.getAs[Long]("max_run_tokens") == 10L)
+    assert(r1.getAs[Long]("max_run_period") == 15L)
+    assert(r1.getAs[Long]("redundant_tokens") == 10L)
+    assert(math.abs(r1.getAs[Double]("redundancy_frac") - 0.4) < 1e-9)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_runs") == 3L)
+    assert(r2.getAs[Long]("max_run_tokens") == 15L)
+    assert(r2.getAs[Long]("max_run_period") == 3L, "longest run has period 3")
+    assert(r2.getAs[Long]("redundant_tokens") == 15L)
+    assert(math.abs(r2.getAs[Double]("redundancy_frac") - 15.0 / 18.0) < 1e-6)
+  }
 }
