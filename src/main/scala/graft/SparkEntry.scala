@@ -1421,6 +1421,7 @@ object SparkEntry {
     "q_dedup_span_rewrite" -> ((s, d) => DedupOps.dupSpanRewrite(s, d)),
     "q_dedup_span_sources" -> ((s, d) => DedupOps.dupSpanSources(s, d)),
     "q_dedup_cluster_sizes" -> ((s, d) => DedupOps.clusterSizeProfile(s, d)),
+    "q_dedup_transitivity" -> ((s, d) => DedupOps.clusterTransitivity(s, d)),
     "q_text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
     // fixture docs only repeat SHORT runs internally (synthetic vocab) —
     // k=2/minRun=3 exercises the machinery with non-trivial yield; real
@@ -1841,6 +1842,49 @@ object SparkEntry {
         |  CAST(sum(sz) AS BIGINT) AS n_docs,
         |  CAST(sum(sz - 1) AS BIGINT) AS dup_excess
         |FROM sizes GROUP BY 1 ORDER BY size_bucket""".stripMargin,
+    "q_dedup_transitivity" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, inter::DOUBLE / (na + nb - inter) AS jac FROM (
+        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |             count(*) AS inter
+        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4))
+        |  WHERE jac >= 0.2),
+        |edges AS (SELECT a AS x, b AS y FROM pairs
+        |          UNION SELECT b AS x, a AS y FROM pairs),
+        |reach AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        |  WHERE e.y <> r.x),
+        |cl AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+        |       FROM reach GROUP BY x),
+        |direct AS (SELECT c.cluster_id, count(*) AS n_direct
+        |           FROM pairs p JOIN cl c ON p.a = c.doc_id GROUP BY 1),
+        |pc AS (SELECT s.cluster_id, s.sz, d.n_direct,
+        |         s.sz * (s.sz - 1) // 2 AS poss
+        |       FROM (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1) s
+        |       JOIN direct d ON s.cluster_id = d.cluster_id)
+        |SELECT CAST(length(bin(sz)) - 1 AS INTEGER) AS size_bucket,
+        |  count(*) AS n_clusters,
+        |  CAST(sum(poss) AS BIGINT) AS possible_pairs,
+        |  CAST(sum(n_direct) AS BIGINT) AS direct_pairs,
+        |  CAST((2 * (sum(poss) - sum(n_direct)) * 1000000 + sum(poss))
+        |      // (2 * sum(poss)) AS DOUBLE) / 1e6 AS closure_inflation
+        |FROM pc GROUP BY 1 ORDER BY size_bucket""".stripMargin,
     "q_text_repeat_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |gl AS (SELECT doc_id, len(toks) AS dl,

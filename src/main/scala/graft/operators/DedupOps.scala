@@ -690,6 +690,46 @@ object DedupOps {
         sum(col("sz") - 1).as("dup_excess"))
       .orderBy(col("size_bucket"))
 
+  /** Cluster-transitivity audit: per size bucket, how much of each
+    * component is DIRECT near-dup evidence vs transitive-closure
+    * inflation — `closure_inflation` = 1 − direct_pairs / C(n,2). The
+    * over-deletion risk gauge for cluster-level dedup: a clique
+    * (inflation ≈ 0) really is one document; a long chain
+    * (inflation → 1) connects docs that were never pairwise similar,
+    * and keep-one-per-cluster would delete genuinely distinct text.
+    * Decides clusters-vs-pairs as the removal unit next to
+    * [[clusterSizeProfile]]'s size view.
+    *
+    * Plan: every qualifying pair is by construction intra-cluster (the
+    * components are BUILT from those edges), so direct counts come from
+    * one member-sized join of the pair endpoints to the memoized label
+    * frame; possible counts are per-cluster arithmetic. Both rollups are
+    * cluster-sized; quantization via [[Num.halfUpDiv]].
+    */
+  def clusterTransitivity(s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    val labels = duplicateClusters(s, d, minSim, maxDf)
+    val direct = ngramJaccardPairs(s, d, minSim, maxDf)
+      .join(labels.select(col("doc_id").as("a"), col("cluster_id")), Seq("a"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_direct"))
+    val perCluster = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+      .join(direct, Seq("cluster_id"))
+      // n(n−1) is even: `div` keeps C(n,2) in exact long arithmetic
+      .withColumn("poss",
+        call_function("div", col("sz") * (col("sz") - 1), lit(2L)))
+    perCluster
+      .groupBy((length(bin(col("sz"))) - 1).cast("int").as("size_bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("poss")).as("possible_pairs"),
+        sum(col("n_direct")).as("direct_pairs"))
+      .select(col("size_bucket"), col("n_clusters"), col("possible_pairs"),
+        col("direct_pairs"),
+        (Num.halfUpDiv((col("possible_pairs") - col("direct_pairs")) * 1000000L,
+          col("possible_pairs")).cast("double") / 1e6).as("closure_inflation"))
+      .orderBy(col("size_bucket"))
+  }
+
   /** Best-quality representative per near-dup cluster: the rewrite
     * decision a curation pass makes AFTER clustering — unlike exact-dup
     * groups (identical text ⇒ identical quality ⇒ min-id is already the

@@ -155,6 +155,21 @@ class DedupClusterSpec extends SparkSpec {
     }
   }
 
+  test("clusterTransitivity: direct mass reconciles with the live pair table") {
+    val rows = DedupOps.clusterTransitivity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nPairs = DedupOps.ngramJaccardPairs(spark, sf0001).count()
+    // every qualifying pair is intra-cluster by construction
+    assert(rows.map(_.getAs[Long]("direct_pairs")).sum == nPairs)
+    rows.foreach { r =>
+      val poss = r.getAs[Long]("possible_pairs")
+      val direct = r.getAs[Long]("direct_pairs")
+      assert(direct >= 1L && direct <= poss)
+      val infl = r.getAs[Double]("closure_inflation")
+      assert(infl >= 0.0 && infl < 1.0)
+    }
+  }
+
   test("collocations: planted adjacent pair gets the hand-computed lift") {
     import spark.implicits._
     // 5 docs "x y" + one 10-token filler: N=20 tokens, B=14 bigram slots,
