@@ -3665,6 +3665,7 @@ object SparkEntry {
     "q_vec_sem_decontam" -> ((s, d) => VectorOps.semanticDecontam(s, d)),
     "q_vec_ivf_probe_curve" -> ((s, d) => VectorOps.ivfProbeCurve(s, d)),
     "q_vec_batch_topk" -> ((s, d) => VectorOps.batchTopK(s, d)),
+    "q_vec_hubness" -> ((s, d) => VectorOps.hubness(s, d)),
     "q_vec_matryoshka" -> ((s, d) => VectorOps.matryoshkaAudit(s, d)),
     "q_vec_pca_component" -> ((s, d) => VectorOps.pcaComponent(s, d)),
     "q_vec_pca_scores" -> ((s, d) => VectorOps.pcaLabelScores(s, d)),
@@ -4151,6 +4152,21 @@ object SparkEntry {
          |       ELSE -((-2 * sum(msimq) + count(*)) // (2 * count(*))) END
          |    AS DOUBLE) / 1e6 AS mean_maxsim
          |FROM ms GROUP BY label ORDER BY label""".stripMargin,
+    "q_vec_hubness" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 50),
+         |cand AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(${duckCos("e.embedding", "q.qv")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY sim DESC, vec_id) AS rk
+         |      FROM cand),
+         |occs AS (SELECT vec_id, count(*) AS occ FROM r WHERE rk <= 10
+         |         GROUP BY 1)
+         |SELECT occ AS occurrences, count(*) AS n_vectors
+         |FROM occs GROUP BY 1 ORDER BY occurrences""".stripMargin,
     "q_vec_batch_topk" ->
       s"""WITH cells AS (
          |  SELECT vec_id, embedding,

@@ -1233,6 +1233,42 @@ object VectorOps {
       .orderBy(col("q_id"))
   }
 
+  /** Hubness audit: the k-occurrence histogram of the sampled exact k-NN
+    * graph — for `nQueries` anchor queries, how many corpus vectors
+    * appear in exactly `occurrences` of the top-`k` lists. The classic
+    * high-dimensional pathology check (Radovanović et al., JMLR 2010):
+    * a healthy space puts mass near E[occ] = Q·k/N; a hubby one
+    * concentrates it on a few vectors that answer every query (and
+    * antihubs that answer none), which silently wrecks k-NN labels,
+    * hard-negative mining, and semdedup anchoring. Run next to
+    * [[knnEval]]: low k-NN accuracy + high hub mass says the metric, not
+    * the labels, is the problem.
+    *
+    * Plan: anchors ride ONE broadcast; the corpus is scanned once and
+    * reduced per query by the bounded [[graft.functions.TopKAgg]] (no
+    * rank-window shuffle of Q·N candidate rows); the k-occurrence rollup
+    * keys on vec_id (Q·k rows), the histogram on occurrence counts
+    * (≤ Q values).
+    */
+  def hubness(s: SparkSession, d: String, nQueries: Int = 50,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = broadcast(emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    emb.crossJoin(q).where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg
+        .topK(lit(""), -col("sim"), col("vec_id"), lit(0d), k).as("top"))
+      .select(explode(col("top")).as("e"))
+      .groupBy(col("e.id").as("nbr_id"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("occ").cast("long").as("occurrences"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("occurrences"))
+  }
+
   /** Embedding drift audit: per label, the cosine between the centroid of
     * the EARLY half of the corpus (vec_id ≤ id midpoint — ids are the
     * ingest-order proxy) and the LATE half — the "did this class's

