@@ -171,6 +171,13 @@ object RetrievalOps {
     * matched set (a term's matched set IS its posting set). No driver
     * collect anywhere — the expanded query stays a DataFrame.
     */
+  // (Measured dead end: memoizing an exploded (doc_id, dl, term) postings
+  // view per (session, dir) for PRF's two corpus-wide stages made the
+  // WARM query slower, 1.89 → 2.14 s min-of-5 at sf0.1 — the persisted
+  // exploded table is ~|tokens| rows wide and its InMemory scan loses to
+  // whole-stage-codegen'd explode straight off the parquet arrays. The
+  // per-query explodes stand; the corpus-snapshot artifact worth caching
+  // is the AGGREGATED shingle/pair index (DedupOps), not raw postings.)
   def prfTopK(s: SparkSession, d: String, k: Int = 10, fbDocs: Int = 3,
       fbTerms: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
