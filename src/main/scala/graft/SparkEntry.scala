@@ -3666,6 +3666,7 @@ object SparkEntry {
     "q_vec_ivf_probe_curve" -> ((s, d) => VectorOps.ivfProbeCurve(s, d)),
     "q_vec_batch_topk" -> ((s, d) => VectorOps.batchTopK(s, d)),
     "q_vec_hubness" -> ((s, d) => VectorOps.hubness(s, d)),
+    "q_media_decode_plan" -> ((s, d) => MultimodalOps.decodePlan(s, d)),
     "q_vec_matryoshka" -> ((s, d) => VectorOps.matryoshkaAudit(s, d)),
     "q_vec_pca_component" -> ((s, d) => VectorOps.pcaComponent(s, d)),
     "q_vec_pca_scores" -> ((s, d) => VectorOps.pcaLabelScores(s, d)),
@@ -4502,6 +4503,18 @@ object SparkEntry {
         |  round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS c2,
         |  round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS c3
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_media_decode_plan" ->
+      """WITH m AS (SELECT
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+        |      AS modality,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT modality,
+        |  CAST(length(bin(n_bytes)) - 1 AS INTEGER) AS size_bucket,
+        |  count(*) AS n_items,
+        |  CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
+        |  CAST(sum(n_bytes) + 4194303 AS BIGINT) // 4194304 AS n_partitions
+        |FROM m GROUP BY 1, 2 ORDER BY modality, size_bucket""".stripMargin,
     "q_media_metadata" ->
       """SELECT doc_id AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,

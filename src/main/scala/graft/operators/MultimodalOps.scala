@@ -86,6 +86,35 @@ object MultimodalOps {
       .orderBy(col("modality"))
   }
 
+  /** Decode-stage partition plan: per (modality, log₂-size bucket), item
+    * and byte mass plus the partition count a byte-balanced decode stage
+    * needs at `targetBytes` per partition — the operator form of this
+    * pack's "repartition by size-bucket if payload skew is observed"
+    * guidance. Decode cost tracks BYTES, not rows: hash-partitioning a
+    * mixed corpus by id strands one 4 GB video with 10 000 thumbnails on
+    * the same executor; bucketing by size first makes every decode task
+    * comparable, and this table is the plan (`repartitionByRange` /
+    * AQE-advisory sizing reads straight off `n_partitions`).
+    *
+    * Exact integer arithmetic end to end: bucket = `length(bin(bytes))−1`
+    * (floor(log₂)), partitions = ceil-div in longs.
+    */
+  def decodePlan(s: SparkSession, d: String,
+      targetBytes: Long = 4L << 20): DataFrame =
+    mediaTable(s, d)
+      .select(col("modality"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("modality"),
+        (length(bin(col("n_bytes"))) - 1).cast("int").as("size_bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("bytes_total"))
+      .select(col("modality"), col("size_bucket"), col("n_items"),
+        col("bytes_total"),
+        call_function("div",
+          col("bytes_total") + (targetBytes - 1), lit(targetBytes))
+          .as("n_partitions"))
+      .orderBy(col("modality"), col("size_bucket"))
+
   /** STUB decoder: a real implementation would decode the codec here
     * (JPEG → pixels, WAV → samples). Deterministic fake: 8 features from
     * byte statistics so the pipeline shape (fixed-size Array[Double] per
