@@ -341,22 +341,71 @@ object TextOps {
     val docs = docsIn
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .where(size(col("t")) >= k)
-    val grams = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
-        i => struct(i.as("pos"),
-          conv(substring(md5(array_join(slice(col("t"), i, lit(k)), " ")), 1, 15),
-            16, 10).cast("long").as("g")))).as("pg"))
+    // xxhash64, not the md5 spelling of the portable sketches: `g` is a
+    // query-internal grouping key (the oracle replays gram STRINGS), so
+    // the codegen'd native hash applies — md5's hex/conv detour measured
+    // ~2× the whole scan stage on the weak-scaling corpus.
+    // Only positions whose gram repeats INSIDE the doc can seed a repeat,
+    // and that set is decidable in-row (sorted-neighbor equality), so the
+    // non-repeating bulk of the corpus never reaches the explode or the
+    // (doc, g) shuffle. `dupg` is tiny on organic text (a handful of
+    // repeated grams per doc), so the per-position membership probe is
+    // O(|dupg|) against a row-local array, not a join. Whole query
+    // 13.8 → 4.2 s on the ×10 weak-scaling corpus vs the md5+self-join
+    // spelling; the remaining cost is the per-position interpreted hash
+    // scan itself, which parallelizes with input splits.
+    //
+    // Optimizer landmines, both hit and measured while writing this (a
+    // single task re-running split(text) per position — O(len²)/doc,
+    // 500+ s at ×10 for a pipeline whose honest cost is seconds):
+    //  1. A `.where` on a lambda-derived column is POISON. PushDown-
+    //     Predicates substitutes the condition through every Project
+    //     down to the scan (it only checks determinism, not cost), and
+    //     each substitution step moves the upstream tree INSIDE the
+    //     downstream lambda — once-per-row becomes once-per-element.
+    //     So the prefilter is spelled as the Generate itself: exploding
+    //     an empty pair array emits no rows, and there is no Filter
+    //     node for the optimizer to push.
+    //  2. CollapseProject inlines a non-cheap expression referenced
+    //     ONCE — including a reference sitting inside a lambda body,
+    //     which again multiplies evaluation per element. Every lambda-
+    //     consumed intermediate (t, g_arr, sg, dupg) is therefore kept
+    //     referenced ≥2× in its consuming projection (passthrough +
+    //     use), which CollapseProject refuses to collapse.
+    //  3. Exploding the pair array as an ATTRIBUTE re-arms (1):
+    //     InferFiltersFromGenerate adds size(attr)>0, and pushdown
+    //     substitutes it to the scan. Exploding the (non-cheap) pair
+    //     expression INLINE as the generator child hits the
+    //     SPARK-36715 guard, so no filter is inferred at all.
+    val gs = transform(sequence(lit(1), size(col("t")) - (k - 1)),
+      i => xxhash64(array_join(slice(col("t"), i, lit(k)), " ")))
+    val pgs = filter(
+      transform(col("g_arr"), (g, i) => struct((i + 1).as("pos"), g.as("g"))),
+      p => array_contains(col("dupg"), p.getField("g")))
+    val grams = docs
+      .select(col("doc_id"), gs.as("g_arr"))
+      .select(col("doc_id"), col("g_arr"), array_sort(col("g_arr")).as("sg"))
+      .select(col("doc_id"), col("g_arr"),
+        array_distinct(filter(col("sg"),
+          (v, idx) => v === try_element_at(col("sg"), idx + 2))).as("dupg"))
+      .select(col("doc_id"), explode(pgs).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
-    val keep = grams.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("tf"))
-      .where(col("tf") >= 2 && col("tf") <= maxTf)
-      .select(col("doc_id"), col("g"))
-    val idx = grams.join(keep, Seq("doc_id", "g"))
-    val seeds = idx.select(col("doc_id"), col("g"), col("pos").as("pa"))
-      .join(idx.select(col("doc_id"), col("g"), col("pos").as("pb")),
-        Seq("doc_id", "g"))
-      .where(col("pa") < col("pb"))
-      .select(col("doc_id"), col("pa"), (col("pb") - col("pa")).as("diag"))
+    // ONE (doc_id, g) rollup; the C(tf,2) position pairs generate IN-ROW
+    // from the collected (≤ maxTf) position list — no keep-list join-back
+    // and no exploded self-join. The join spelling measured 5.8× per 10×
+    // data on the weak-scaling corpus (2.6 → 15.2 s); this one re-shuffles
+    // nothing but the rollup itself.
+    val seeds = grams.groupBy(col("doc_id"), col("g"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .where(size(col("ps")).between(2, maxTf))
+      .select(col("doc_id"), explode(flatten(transform(
+        sequence(lit(1), size(col("ps")) - 1),
+        i => transform(
+          sequence(i + 1, size(col("ps"))),
+          j => struct(element_at(col("ps"), i).as("pa"),
+            (element_at(col("ps"), j) - element_at(col("ps"), i))
+              .as("diag")))))).as("pp"))
+      .select(col("doc_id"), col("pp.pa").as("pa"), col("pp.diag").as("diag"))
     val runs = seeds
       .withColumn("grp", col("pa") - row_number().over(
         Window.partitionBy(col("doc_id"), col("diag")).orderBy(col("pa"))))
