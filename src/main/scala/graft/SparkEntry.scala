@@ -3012,7 +3012,7 @@ object SparkEntry {
         |        CAST(round((cnt::DOUBLE / n_tok)
         |          * ln(n_docs::DOUBLE / df) * 1e6) AS BIGINT) AS wq
         |      FROM tf JOIN df USING (term) CROSS JOIN n
-        |      WHERE df * 10 <= n_docs),
+        |      WHERE df * 10 <= n_docs AND df <= 1000),
         |norms AS (SELECT doc_id, sum(wq * wq) AS nq FROM w GROUP BY 1),
         |dots AS (SELECT x.doc_id AS a, y.doc_id AS b, sum(x.wq * y.wq) AS dot
         |         FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id

@@ -400,15 +400,20 @@ object RetrievalOps {
     *  - The postings self-join is keyed by the term's 64-bit hash (the
     *    shingle-index stance of [[DedupOps.ngramJaccardPairs]]) — strings
     *    never cross the pair shuffle.
-    *  - The df cap is a FRACTION of the corpus (df·denom ≤ N as pure
-    *    integer math — bit-identical on both engines), not an absolute
-    *    count: an absolute cap silently stops capping as the corpus grows
-    *    (at 500 fixture docs a 500-doc cap keeps everything; at 100 TB it
-    *    keeps almost nothing). The fraction rule is an idf floor — terms
-    *    dropped have idf < ln(denom) — so the discarded high-df terms are
-    *    exactly the ones whose cosine contribution vanishes, and per-term
-    *    join fanout is bounded at (N/denom)². Similarity is defined over
-    *    the capped vocabulary; the twin applies the same rule.
+    *  - The df cut is TWO rules, semantic and operational. The FRACTION
+    *    rule (df·denom ≤ N as pure integer math — bit-identical on both
+    *    engines) is an idf floor: terms dropped have idf < ln(denom),
+    *    exactly the ones whose cosine contribution vanishes. But a
+    *    fraction alone leaves per-term join fanout at (N/denom)² —
+    *    quadratic in corpus size. The ×10 weak-scaling study measured
+    *    the consequence: 0.55 s → 197 s per 10× data (DuckDB twin at
+    *    parity, 178 s — the pair MASS is intrinsic, not a plan defect),
+    *    because tenfold N admits tenfold-df terms. `maxDf` is the
+    *    absolute skew guard on top (the [[DedupOps.ngramJaccardPairs]]
+    *    precedent): per-term fanout ≤ C(maxDf, 2) at ANY corpus size.
+    *    Defaults make it inactive below N = denom·maxDf docs, so small-
+    *    fixture results are unchanged. Similarity is defined over the
+    *    capped vocabulary; the twin applies both rules.
     *  - Cross-engine exactness: weights quantize to integer micro-units
     *    (round(w·10⁶) as BIGINT), so dot products and norms are ORDER-
     *    INDEPENDENT integer sums — a float Σ over shuffled rows would hash-
@@ -420,12 +425,14 @@ object RetrievalOps {
     */
   def tfidfSimilarPairs(
       s: SparkSession, d: String,
-      minSim: Double = 0.5, dfDenom: Int = 10): DataFrame =
-    tfidfSimilarPairsOf(Tables.documents(s, d), minSim, dfDenom)
+      minSim: Double = 0.5, dfDenom: Int = 10,
+      maxDf: Long = 1000L): DataFrame =
+    tfidfSimilarPairsOf(Tables.documents(s, d), minSim, dfDenom, maxDf)
 
   /** [[tfidfSimilarPairs]] over an arbitrary `(doc_id, text)` frame. */
   def tfidfSimilarPairsOf(
-      docs: DataFrame, minSim: Double = 0.5, dfDenom: Int = 10): DataFrame = {
+      docs: DataFrame, minSim: Double = 0.5, dfDenom: Int = 10,
+      maxDf: Long = 1000L): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // n_tok joins on AFTER the count rollup instead of riding the explode:
     // carrying size(split(text)) through the Generate makes collapsed
@@ -441,7 +448,7 @@ object RetrievalOps {
     val tf = cnts.join(ntok, Seq("doc_id"))
     val df = tf.groupBy(col("term_h")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n)) // 1 row — the corpus size
-      .where(col("df") * dfDenom <= col("n_docs"))
+      .where(col("df") * dfDenom <= col("n_docs") && col("df") <= maxDf)
     val w = tf.join(df, Seq("term_h"))
       .select(col("doc_id"), col("term_h"),
         round((col("cnt").cast("double") / col("n_tok")) *
