@@ -4058,12 +4058,14 @@ object SparkEntry {
     // LSH candidate generation itself is oracle-checkable: same cells CTE
     // as q_vec_ivf_topk, self-joined on cell
     "q_vec_neardup_lsh" ->
-      s"""WITH cells AS (
+      s"""WITH n AS (SELECT count(*) AS n_vec FROM embeddings),
+         |b AS (SELECT CASE WHEN n_vec <= 4096 THEN 4 WHEN n_vec <= 8192 THEN 5 WHEN n_vec <= 16384 THEN 6 WHEN n_vec <= 32768 THEN 7 WHEN n_vec <= 65536 THEN 8 WHEN n_vec <= 131072 THEN 9 WHEN n_vec <= 262144 THEN 10 WHEN n_vec <= 524288 THEN 11 WHEN n_vec <= 1048576 THEN 12 WHEN n_vec <= 2097152 THEN 13 WHEN n_vec <= 4194304 THEN 14 WHEN n_vec <= 8388608 THEN 15 WHEN n_vec <= 16777216 THEN 16 WHEN n_vec <= 33554432 THEN 17 WHEN n_vec <= 67108864 THEN 18 WHEN n_vec <= 134217728 THEN 19 ELSE 20 END AS bits FROM n),
+         |cells AS (
          |  SELECT vec_id, embedding,
-         |    CAST(list_sum(list_transform(range(1, 5),
+         |    CAST(list_sum(list_transform(range(1, bits + 1),
          |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
          |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell
-         |  FROM embeddings)
+         |  FROM embeddings CROSS JOIN b)
          |SELECT a, b, cos_sim FROM (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    round(${duckCos("x.embedding", "y.embedding")}, 6) AS cos_sim
@@ -4136,7 +4138,7 @@ object SparkEntry {
          |GROUP BY probes ORDER BY probes""".stripMargin,
     "q_vec_sem_decontam" ->
       s"""WITH ev AS (SELECT embedding AS evv FROM embeddings
-         |            WHERE vec_id % 20 = 0),
+         |            WHERE vec_id % 20 = 0 AND vec_id < 10000),
          |sims AS (
          |  SELECT t.vec_id, t.label,
          |    CAST(round(${duckCos("t.embedding", "e.evv")} * 1e6, 0) AS BIGINT)
@@ -4270,12 +4272,14 @@ object SparkEntry {
     "q_vec_sim_pagerank" -> {
       val iters = 5
       val sb = new StringBuilder
-      sb ++= s"""WITH cells AS (
+      sb ++= s"""WITH nv AS (SELECT count(*) AS n_vec FROM embeddings),
+        |bb AS (SELECT CASE WHEN n_vec <= 4096 THEN 4 WHEN n_vec <= 8192 THEN 5 WHEN n_vec <= 16384 THEN 6 WHEN n_vec <= 32768 THEN 7 WHEN n_vec <= 65536 THEN 8 WHEN n_vec <= 131072 THEN 9 WHEN n_vec <= 262144 THEN 10 WHEN n_vec <= 524288 THEN 11 WHEN n_vec <= 1048576 THEN 12 WHEN n_vec <= 2097152 THEN 13 WHEN n_vec <= 4194304 THEN 14 WHEN n_vec <= 8388608 THEN 15 WHEN n_vec <= 16777216 THEN 16 WHEN n_vec <= 33554432 THEN 17 WHEN n_vec <= 67108864 THEN 18 WHEN n_vec <= 134217728 THEN 19 ELSE 20 END AS bits FROM nv),
+        |cells AS (
         |  SELECT vec_id, embedding,
-        |    CAST(list_sum(list_transform(range(1, 5),
+        |    CAST(list_sum(list_transform(range(1, bits + 1),
         |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
         |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell
-        |  FROM embeddings),
+        |  FROM embeddings CROSS JOIN bb),
         |prp AS (
         |  SELECT a, b FROM (
         |    SELECT x.vec_id AS a, y.vec_id AS b,

@@ -64,6 +64,31 @@ object VectorOps {
                (x, p) => when(x > 0, p).otherwise(lit(0.0))),
       lit(0.0), (acc, x) => acc + x).cast("long")
 
+  /** Corpus-adaptive bit count for [[cell]]: the smallest `b` in
+    * [minBits, maxBits] with `n ≤ targetCell·2^b`, i.e. mean cell
+    * occupancy stays ≤ targetCell as the corpus grows — the FAISS
+    * `nlist ∝ n` index-sizing rule. A CONSTANT bit count makes every
+    * within-cell candidate join O(n²/2^bits), which is still quadratic;
+    * the ×100 weak-scaling study measured exactly that (PERF_r09).
+    * Spelled as exact integer threshold comparisons (never
+    * ceil(log2(double)) — a half-ulp of log noise at a power-of-two
+    * boundary would disagree across engines); the oracle replays the
+    * same CASE chain.
+    */
+  def adaptiveBits(n: Column, targetCell: Long = 256L,
+      minBits: Int = 4, maxBits: Int = 20): Column =
+    (minBits until maxBits).reverse.foldLeft(lit(maxBits): Column) {
+      case (els, b) => when(n <= targetCell * (1L << b), lit(b)).otherwise(els)
+    }
+
+  /** [[cell]] with a per-row dynamic bit count (an int Column). */
+  def cellDyn(v: Column, bits: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), bits - 1),
+        i => when(element_at(v, i + 1) > lit(0f), pow(lit(2.0), i))
+          .otherwise(lit(0.0))),
+      lit(0.0), (acc, x) => acc + x).cast("long")
+
   /** IVF-style ANN: scan only vectors in the query's cell, cosine-rank
     * them. Approximate (recall < 1 vs brute force) but the scan cost drops
     * by the cell count; with the table partitioned by cell id the probe
@@ -101,14 +126,26 @@ object VectorOps {
   }
 
   /** Embedding near-duplicates at full-table scale: candidates share a
-    * coarse cell (sign-bit LSH bucket), exact cosine filters. No O(n²)
-    * stage — the join fans out only within cells. The cell id is
-    * deterministic arithmetic, so the whole query (candidate generation
-    * included) hash-matches a DuckDB twin.
+    * coarse cell (sign-bit LSH bucket), exact cosine filters. The bit
+    * count is [[adaptiveBits]] of the corpus count, so mean cell
+    * occupancy — and with it the per-cell join fanout — stays bounded
+    * as the corpus grows; with the pre-fix CONSTANT 4 bits the ×100
+    * weak-scaling study measured the O(n²/16) consequence, 0.24 → 131 s
+    * per 100× data. Under the defaults bits stays 4 below 4096 vectors,
+    * so fixture results are unchanged. The selectivity/recall trade
+    * moving to more bits is the standard LSH scaling story (a more
+    * selective hash at larger n); the cell id stays deterministic
+    * arithmetic, so the whole query (candidate generation included)
+    * hash-matches a DuckDB twin.
     */
-  def nearDupPairsLsh(s: SparkSession, d: String, minSim: Double = 0.4, bits: Int = 4): DataFrame = {
+  def nearDupPairsLsh(s: SparkSession, d: String, minSim: Double = 0.4,
+      targetCell: Long = 256L): DataFrame = {
+    val n = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vec"))
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), cell(col("embedding"), bits).as("cell"))
+      .crossJoin(broadcast(n)) // 1 row — the corpus size
+      .select(col("vec_id"), col("embedding"),
+        cellDyn(col("embedding"),
+          adaptiveBits(col("n_vec"), targetCell)).as("cell"))
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"), col("cell"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"), col("cell"))
     a.join(b, Seq("cell"))
@@ -667,12 +704,22 @@ object VectorOps {
     * cosine quantizes to micro-unit longs BEFORE the maxes (long max is
     * order-independent), and the mean is [[graft.operators.Num.halfUpDiv]]
     * — hash-identical across engines and partitionings.
+    *
+    * `evalCap` keeps the fixture's modulus-selected stand-in eval set
+    * CONSTANT-SIZED (the first `evalCap` hits, a deterministic id
+    * cutoff): real benchmark suites don't grow with the training
+    * corpus, but `vec_id % evalMod == 0` alone does — |eval| = n/20
+    * made the "broadcast" side O(n) and the screen O(n²/20), measured
+    * 0.12 → 13.6 s per 100× data in the ×100 weak-scaling study.
+    * Inactive below evalMod·evalCap ids (all fixtures), linear above.
     */
   def semanticDecontam(s: SparkSession, d: String, evalMod: Long = 20L,
-      tau: Double = 0.35): DataFrame = {
+      tau: Double = 0.35, evalCap: Long = 500L): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val ev = broadcast(
-      emb.where(col("vec_id") % evalMod === 0).select(col("embedding").as("evv")))
+      emb.where(col("vec_id") % evalMod === 0 &&
+          col("vec_id") < evalMod * evalCap)
+        .select(col("embedding").as("evv")))
     val tauQ = math.round(tau * 1e6)
     emb.where(col("vec_id") % evalMod =!= 0)
       .crossJoin(ev)
@@ -809,9 +856,9 @@ object VectorOps {
     * hold the teleport base) — same convention both sides.
     */
   def simGraphPageRank(s: SparkSession, d: String, iters: Int = 5,
-      minSim: Double = 0.4, bits: Int = 4): DataFrame = {
+      minSim: Double = 0.4, targetCell: Long = 256L): DataFrame = {
     val nodes = Tables.embeddings(s, d).select(col("vec_id"))
-    val pairs = nearDupPairsLsh(s, d, minSim, bits).select(col("a"), col("b"))
+    val pairs = nearDupPairsLsh(s, d, minSim, targetCell).select(col("a"), col("b"))
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
