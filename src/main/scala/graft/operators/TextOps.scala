@@ -832,20 +832,23 @@ object TextOps {
     * audit runs in exact long arithmetic: gini_ppm =
     * ⌊1e6·(n²−Σcᵢ²)/n²⌉ (half-up, [[graft.operators.Num.halfUpDiv]]).
     *
-    * Scale shape: the per-doc counts are one array-HOF pass per row
-    * (O(|alphabet|·n) per doc, ZERO shuffle — no corpus-char explosion),
-    * and the only shuffle is the |sources|-key rollup of constant-width
-    * quantized rows.
+    * Scale shape: the per-doc counts are ONE compiled pass per row
+    * ([[graft.functions.sketch.charStats]], a codegen'd
+    * native expression — the original array-HOF spelling re-filtered
+    * the char array once per DISTINCT char per statistic, interpreted,
+    * and the honest noop-sink bench measured it as the single most
+    * expensive query in the suite, 6.9 s at sf0.1 → 0.3 s native; ZERO
+    * shuffle — no corpus-char explosion), and the only shuffle is the
+    * |sources|-key rollup of constant-width quantized rows.
     */
   def charDiversity(s: SparkSession, d: String,
       lowPpm: Long = 915000L): DataFrame = {
-    val c = split(col("text"), "")
-    val n = length(col("text")).cast("long")
-    val cnt = (ch: Column) => size(filter(c, x => x === ch)).cast("long")
-    val sumSq = aggregate(array_distinct(c), lit(0L),
-      (acc, ch) => acc + cnt(ch) * cnt(ch))
-    val maxCnt = array_max(transform(array_distinct(c), ch => cnt(ch)))
+    val n = col("st.n")
+    val sumSq = col("st.sum_sq")
+    val maxCnt = col("st.max_cnt")
     val perDoc = Tables.documents(s, d)
+      .select(col("source"),
+        graft.functions.sketch.charStats(col("text")).as("st"))
       .select(col("source"),
         graft.operators.Num.halfUpDiv(lit(1000000L) * (n * n - sumSq), n * n)
           .as("gini_ppm"),

@@ -339,21 +339,29 @@ object VectorOps {
     * `greatest(…, 1e-12)` guard makes the zero vector quantize to zeros
     * instead of NaN.
     */
-  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
-    val emb = asD(col("embedding"))
-    val maxAbs = greatest(array_max(transform(emb, x => abs(x))), lit(1e-12))
-    val q = transform(emb, x => round(x * 127.0 / maxAbs).cast("int"))
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    // Staged projections (the TextOps.repeatSpansOf landmine): the one-val
+    // spelling spliced maxAbs — itself a full array pass — into the
+    // quantize lambda (per-ELEMENT re-eval) and the q tree five times
+    // into one projection: O(dim²)+ per row, 2.3 s at sf0.1 for 2 k×64
+    // floats. Staged: 0.1 s, each pass once per row.
     Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
+      .select(col("vec_id"), col("label"), col("e"),
+        greatest(array_max(transform(col("e"), x => abs(x))), lit(1e-12))
+          .as("ma"))
+      .select(col("vec_id"), col("label"), col("ma"),
+        transform(col("e"), x => round(x * lit(127.0) / col("ma")).cast("int"))
+          .as("q"))
       .select(
         col("vec_id"), col("label"),
-        round(maxAbs, 6).as("max_abs"),
-        element_at(q, 1).as("q0"),
-        element_at(q, 2).as("q1"),
-        element_at(q, 3).as("q2"),
-        element_at(q, 4).as("q3"),
-        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"))
+        round(col("ma"), 6).as("max_abs"),
+        element_at(col("q"), 1).as("q0"),
+        element_at(col("q"), 2).as("q1"),
+        element_at(col("q"), 3).as("q2"),
+        element_at(col("q"), 4).as("q3"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"))
       .orderBy(col("vec_id"))
-  }
 
   /** Quantization-error audit: per label, the reconstruction error of the
     * int8 roundtrip ([[quantizeInt8]]'s dequantized vector vs the
@@ -367,19 +375,25 @@ object VectorOps {
     * label sum (the order-independence stance); max is order-free.
     */
   def quantError(s: SparkSession, d: String): DataFrame = {
-    val emb = asD(col("embedding"))
-    val maxAbs = greatest(array_max(transform(emb, x => abs(x))), lit(1e-12))
-    val dq = transform(emb,
-      x => round(x * 127.0 / maxAbs) * maxAbs / lit(127.0))
+    // Staged like quantizeInt8 (maxAbs appeared TWICE inside the
+    // dequantize lambda — two full array passes per element).
     val errSq = aggregate(
-      zip_with(emb, dq, (a, b) => (a - b) * (a - b)),
+      zip_with(col("e"), col("dq"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
-    val normSq = aggregate(transform(emb, x => x * x),
+    val normSq = aggregate(transform(col("e"), x => x * x),
       lit(0.0), (acc, x) => acc + x)
     Tables.embeddings(s, d)
+      .select(col("label"), asD(col("embedding")).as("e"))
+      .select(col("label"), col("e"),
+        greatest(array_max(transform(col("e"), x => abs(x))), lit(1e-12))
+          .as("ma"))
+      .select(col("label"), col("e"),
+        transform(col("e"),
+          x => round(x * lit(127.0) / col("ma")) * col("ma") / lit(127.0))
+          .as("dq"))
       .select(col("label"),
         round(errSq / greatest(normSq, lit(1e-12)) * 1e9).cast("long").as("rq"),
-        round(errSq / size(col("embedding")).cast("double") * 1e9)
+        round(errSq / size(col("e")).cast("double") * 1e9)
           .cast("long").as("mq"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -858,11 +872,20 @@ object VectorOps {
   def simGraphPageRank(s: SparkSession, d: String, iters: Int = 5,
       minSim: Double = 0.4, targetCell: Long = 256L): DataFrame = {
     val nodes = Tables.embeddings(s, d).select(col("vec_id"))
-    val pairs = nearDupPairsLsh(s, d, minSim, targetCell).select(col("a"), col("b"))
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src")
+    // The edge table is read once per iteration plus once for the final
+    // degree join — without persistence the whole LSH candidate join
+    // re-executes iters+1 times inside one action (measured 3.1 s at
+    // sf0.1, ~6× the single-pass cost). Memoized per (dir, params) like
+    // every shared table (SessionCache evicts LRU + unpersists).
+    val ed = prCache.getOrElseUpdate(s, s"$d|$minSim|$targetCell") { (ss, _) =>
+      val pairs =
+        nearDupPairsLsh(ss, d, minSim, targetCell).select(col("a"), col("b"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      edges.join(deg, "src").persist()
+    }
+    val deg = ed.groupBy(col("src")).agg(first(col("deg")).as("deg"))
     val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
     val baseQ = round(lit(0.15) * lit(1e9) / col("n"), 0).cast("long")
     var pr = nodes.crossJoin(nn)
@@ -887,6 +910,9 @@ object VectorOps {
   }
 
   // ---- Logistic-regression label classifier (full-batch GD) -----------
+
+  private val prCache = new graft.SessionCache[org.apache.spark.sql.DataFrame](
+    maxEntries = 8, onEvict = _.unpersist(false))
 
   private val logRegCache = new graft.SessionCache[(Array[Double], Double)]
 
@@ -1169,10 +1195,16 @@ object VectorOps {
   def quantRecallAudit(s: SparkSession, d: String, nQueries: Int = 5,
       k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val v = asD(col("embedding"))
-    val maxAbs = greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
-    val dq = transform(v, x => round(x * 127.0 / maxAbs) * maxAbs / lit(127.0))
-    val base = emb.select(col("vec_id"), col("embedding"), dq.as("dqv"))
+    // Staged like quantizeInt8 (maxAbs-in-lambda landmine).
+    val base = emb
+      .select(col("vec_id"), col("embedding"), asD(col("embedding")).as("e"))
+      .select(col("vec_id"), col("embedding"), col("e"),
+        greatest(array_max(transform(col("e"), x => abs(x))), lit(1e-12))
+          .as("ma"))
+      .select(col("vec_id"), col("embedding"),
+        transform(col("e"),
+          x => round(x * lit(127.0) / col("ma")) * col("ma") / lit(127.0))
+          .as("dqv"))
     val q = broadcast(emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
     base.crossJoin(q).where(col("vec_id") =!= col("q_id"))

@@ -17,12 +17,21 @@ object ProfRepeat {
     graft.SparkEntry.entry(spark).count() // warm
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (prefixes.isEmpty || prefixes.exists(name.startsWith)) {
-        val times = (0 until n).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        println(f"$name%-28s min=${times.head}%6.2f med=${times(n / 2)}%6.2f")
+        // Partial fixtures (e.g. the documents-only weak-scaling corpora)
+        // make some queries unresolvable — report and continue rather than
+        // abort the sweep.
+        try {
+          val times = (0 until n).map { _ =>
+            val t0 = System.nanoTime()
+            // noop write = full evaluation of every column (see Bench)
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"$name%-28s min=${times.head}%6.2f med=${times(n / 2)}%6.2f")
+        } catch {
+          case e: Exception =>
+            println(f"$name%-28s ERR ${e.getClass.getSimpleName}")
+        }
       }
     }
     spark.stop()
