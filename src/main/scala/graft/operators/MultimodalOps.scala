@@ -160,19 +160,30 @@ object MultimodalOps {
     */
   def resizeStub(s: SparkSession, d: String, stride: Int = 4, maxBytes: Int = 64): DataFrame = {
     require(stride >= 1 && maxBytes >= 1, s"need stride/maxBytes >= 1, got $stride/$maxBytes")
-    val hx = hex(col("payload"))
-    val nBytes = length(col("payload"))
-    val nOut = least(lit(maxBytes), ceil(nBytes.cast("double") / stride).cast("int"))
-    val resized = array_join(
-      transform(sequence(lit(0), nOut - 1),
-        i => hx.substr(i * (2 * stride) + 1, lit(2))), "")
+    // Staged projections (the TextOps.repeatSpansOf lambda landmine): the
+    // one-val spelling put hex(payload) INSIDE the byte-selection lambda —
+    // the full payload re-hexed once per output byte — and spliced the
+    // resized tree twice (hex + md5). Each pass now runs once per row;
+    // hx/resized stay referenced 2x in their consuming projection so
+    // CollapseProject can't re-inline them.
     mediaTable(s, d)
+      .select(col("media_id"), col("modality"),
+        length(col("payload")).as("n_bytes"), hex(col("payload")).as("hx"))
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("hx"),
+        least(lit(maxBytes),
+          ceil(col("n_bytes").cast("double") / stride).cast("int")).as("n_out"))
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("n_out"),
+        col("hx"),
+        array_join(
+          transform(sequence(lit(0), col("n_out") - 1),
+            i => col("hx").substr(i * (2 * stride) + 1, lit(2))), "")
+          .as("resized"))
       .select(
         col("media_id"), col("modality"),
-        nBytes.as("n_bytes"),
-        nOut.as("n_resized_bytes"),
-        resized.as("resized_hex"),
-        md5(resized).as("resized_fp"))
+        col("n_bytes"),
+        col("n_out").as("n_resized_bytes"),
+        col("resized").as("resized_hex"),
+        md5(col("resized")).as("resized_fp"))
       .orderBy(col("media_id"))
   }
 

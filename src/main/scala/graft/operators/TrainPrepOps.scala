@@ -434,20 +434,25 @@ object TrainPrepOps {
     * global-replace semantics on both engines — zero shuffle,
     * embarrassingly parallel at 100 TB.
     */
-  def piiRedact(s: SparkSession, d: String): DataFrame = {
-    val redacted = regexp_replace(
-      regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    // regexp_count, not size(regexp_extract_all): same count without
+    // materializing every match; and the redacted text is computed in its
+    // own projection (referenced 2x below) instead of splicing the nested
+    // regexp_replace tree into both length() and md5() — the regex passes
+    // per row drop from 6 to 4.
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
-          .as("n_emails"),
-        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
-          .as("n_digit_runs"),
-        length(redacted).as("n_chars_redacted"),
-        md5(redacted).as("redacted_fp"))
+        regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("text"), lit("[0-9]+")).as("n_digit_runs"),
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
+          .as("redacted"))
+      .select(
+        col("doc_id"), col("n_emails"), col("n_digit_runs"),
+        length(col("redacted")).as("n_chars_redacted"),
+        md5(col("redacted")).as("redacted_fp"))
       .orderBy(col("doc_id"))
-  }
 
   // ---- context-window chunking --------------------------------------------
 
