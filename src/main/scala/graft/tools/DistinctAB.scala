@@ -15,22 +15,12 @@ object DistinctAB {
         mk.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-20s min=${times.min}%6.2f")
+      println(f"$name%-22s min=${times.min}%6.2f")
     }
-    import graft.Tables
-    val up = Tables.lineitem(s, d)
-      .select(col("l_returnflag"), explode(array(
-        struct(lit("p").as("kind"), col("l_partkey").as("key")),
-        struct(lit("s").as("kind"), col("l_suppkey").as("key")))).as("e"))
-      .select(col("l_returnflag"), col("e.kind"), col("e.key"))
-    def full(lgk: Int) = up.distinct().groupBy(col("l_returnflag"))
-      .agg(sum(when(col("kind") === "p", 1L).otherwise(0L)).as("n_parts"),
-           sum(when(col("kind") === "s", 1L).otherwise(0L)).as("n_supps"),
-           expr(s"hll_sketch_estimate(hll_sketch_agg(CASE WHEN kind='p' THEN key END, $lgk))").as("pa"),
-           expr(s"hll_sketch_estimate(hll_sketch_agg(CASE WHEN kind='s' THEN key END, $lgk))").as("sa"))
-    t("sketch12") { full(12) }
-    t("sketch14") { full(14) }
-    full(14).orderBy("l_returnflag").show()
+    import graft.operators.DedupOps
+    t("labels") { DedupOps.duplicateClusters(s, d, 0.2, 1000L) }
+    t("pairs02") { DedupOps.ngramJaccardPairs(s, d, 0.2, 1000L) }
+    t("transitivity") { DedupOps.clusterTransitivity(s, d, 0.2, 1000L) }
     spark.stop()
   }
 }
