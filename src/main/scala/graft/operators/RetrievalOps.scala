@@ -189,8 +189,12 @@ object RetrievalOps {
       .select(explode(col("t")).as("term"))
       .where(!col("term").isInCollection(QueryTerms))
       .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
-    val dfs = docs.select(col("doc_id"), explode(col("t")).as("term"))
-      .join(broadcast(fbCounts), Seq("term"), "left_semi").distinct()
+    // df needs each (doc, term) once: array_distinct BEFORE the explode
+    // makes the exploded stream per-doc-unique in-row, so the corpus-wide
+    // (doc, term) distinct shuffle the first draft paid disappears — the
+    // semi-pruned stream partial-counts straight into the term rollup.
+    val dfs = docs.select(explode(array_distinct(col("t"))).as("term"))
+      .join(broadcast(fbCounts), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df_fb"))
     val expTerms = fbCounts.join(dfs, Seq("term"))
       .crossJoin(broadcast(stats))
@@ -202,12 +206,19 @@ object RetrievalOps {
       .select(col("term"), lit(0.5).as("w"))
     val qterms = broadcast(
       QueryTerms.map((_, 1.0)).toDF("term", "w").union(expTerms))
+    // Per-(doc, term) tf via the broadcast term grid + in-row array
+    // filter (the bm25TopKOf stance): ≤|qterms| narrow rows per doc, NO
+    // token explode and NO (doc, term) shuffle — scoring is a pure scan.
+    // tf is computed in its own projection and referenced twice below so
+    // PushDownPredicates/CollapseProject can't splice the lambda into the
+    // filter (the TextOps.repeatSpansOf landmine).
     val matched = docs
-      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
-      .join(qterms, Seq("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
-        max(col("w")).as("w"))
+      .crossJoin(qterms)
+      .select(col("doc_id"), size(col("t")).as("dl"), col("term"),
+        col("w"), size(filter(col("t"), x => x === col("term"))).as("tf"))
+      .where(col("tf") > 0)
+      .select(col("doc_id"), col("term"), col("tf").as("tf"), col("dl"),
+        col("w"))
     val dfq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val tfD = col("tf").cast("double")
     val contrib = col("w") *

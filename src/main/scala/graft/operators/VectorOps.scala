@@ -883,7 +883,11 @@ object VectorOps {
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      edges.join(deg, "src").persist()
+      // Persist HASH-PARTITIONED on src: the cached partitioning then
+      // satisfies every iteration's contribution join directly — the
+      // edge table (the big side at scale) crosses the wire once at
+      // build, not once per iteration.
+      edges.join(deg, "src").repartition(col("src")).persist()
     }
     val deg = ed.groupBy(col("src")).agg(first(col("deg")).as("deg"))
     val nn = broadcast(nodes.agg(count(lit(1)).as("n")))

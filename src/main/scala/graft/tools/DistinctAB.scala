@@ -17,10 +17,13 @@ object DistinctAB {
       }
       println(f"$name%-22s min=${times.min}%6.2f")
     }
-    import graft.operators.DedupOps
-    t("labels") { DedupOps.duplicateClusters(s, d, 0.2, 1000L) }
-    t("pairs02") { DedupOps.ngramJaccardPairs(s, d, 0.2, 1000L) }
-    t("transitivity") { DedupOps.clusterTransitivity(s, d, 0.2, 1000L) }
+    import graft.operators.RetrievalOps
+    import graft.Tables
+    t("bm25") { RetrievalOps.bm25TopK(s, d, k = 3) }
+    val docs = Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+    t("docscan") { docs }
+    t("distinct_explode") { docs.select(explode(array_distinct(col("t"))).as("term")).groupBy("term").count() }
+    t("prf_full") { RetrievalOps.prfTopK(s, d) }
     spark.stop()
   }
 }
