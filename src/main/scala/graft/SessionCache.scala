@@ -51,3 +51,19 @@ private[graft] final class SessionCache[V](
   /** Visible for tests. */
   private[graft] def size: Int = cache.synchronized(cache.size)
 }
+
+private[graft] object SessionCache {
+  /** Materialize a memoized frame AND cut its lineage (eager
+    * localCheckpoint): a plain `.persist()` keeps the full logical tree,
+    * and every downstream ACTION re-analyzes + re-canonicalizes it to
+    * find the cache hit — measured 0.5 s of driver CPU per action on a
+    * 477-row cached cluster assignment whose lineage spanned 8 label-
+    * propagation generations. Checkpointing keeps the data distributed
+    * (no collect) and hands consumers a leaf plan. The data is cached by
+    * the checkpoint itself (MEMORY_AND_DISK), so no extra persist; pair
+    * with `onEvict = _.unpersist(false)` as before — on a checkpointed
+    * frame it simply releases the blocks.
+    */
+  def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.localCheckpoint(true)
+}

@@ -243,7 +243,7 @@ object DedupOps {
     */
   private def cappedIndex(s: SparkSession, d: String, maxDf: Long): DataFrame =
     cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
-      capByDf(shingleIndex(ss, d), maxDf).persist()
+      graft.SessionCache.cut(capByDf(shingleIndex(ss, d), maxDf))
     }
 
   private val pairStatsCache =
@@ -264,7 +264,7 @@ object DedupOps {
     pairStatsCache.getOrElseUpdate(s, s"$d#$maxDf#pairs") { (ss, _) =>
       val capped = cappedIndex(ss, d, maxDf)
       val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      pairStats(capped, sizes).persist()
+      graft.SessionCache.cut(pairStats(capped, sizes))
     }
 
   /** Drop shingle hashes with document frequency above `maxDf` (the skew
@@ -282,10 +282,9 @@ object DedupOps {
 
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     shingleIndexCache.getOrElseUpdate(s, d) { (ss, dir) =>
-      shingles(ss, dir)
+      graft.SessionCache.cut(shingles(ss, dir)
         .select(col("doc_id"), explode(col("shs")).as("sh"))
-        .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
-        .persist()
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh_h")))
     }
 
   /** Content-novelty score: the share of each document's shingles whose
@@ -490,8 +489,8 @@ object DedupOps {
     */
   def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame =
     sigCache.getOrElseUpdate(s, s"$d#minhash#$k") { (ss, _) =>
-      shingles(ss, d).select(col("doc_id"), minhashSig(col("shs"), k).as("sig"))
-        .persist()
+      graft.SessionCache.cut(shingles(ss, d)
+        .select(col("doc_id"), minhashSig(col("shs"), k).as("sig")))
     }
 
   private val sigCache =
@@ -552,9 +551,8 @@ object DedupOps {
       k: Int = 32, bands: Int = 8, minEst: Double = 0.5): DataFrame = {
     val rows = k / bands
     val sig = sigCache.getOrElseUpdate(s, s"$d#minhashp#$k") { (ss, _) =>
-      shingles(ss, d)
-        .select(col("doc_id"), portableMinhashSig(col("shs"), k).as("sig"))
-        .persist()
+      graft.SessionCache.cut(shingles(ss, d)
+        .select(col("doc_id"), portableMinhashSig(col("shs"), k).as("sig")))
     }
     val banded = sig.select(
       col("doc_id"), col("sig"),
@@ -636,8 +634,20 @@ object DedupOps {
       labels = next.select(col("x"), col("lbl"))
       it += 1
     }
+    // Cut the lineage (eager localCheckpoint) before handing the frame
+    // out: after ~8 generations the logical tree spans every generation
+    // plus the full pair subtree, and EVERY consumer action re-analyzes
+    // and re-canonicalizes it — measured 0.5 s of pure driver CPU per
+    // action on a 477-row cached result. Checkpointing leaves the data
+    // distributed (no collect) and makes downstream plans see a leaf.
+    // (At cluster scale use reliable checkpoint() if re-computability
+    // after executor loss matters; the iterative CC state is cheap to
+    // rebuild here.)
+    val out = labels.select(col("x").as("doc_id"), col("lbl").as("cluster_id"))
+      .localCheckpoint(true)
+    backing.unpersist()
     edges.unpersist()
-    labels.select(col("x").as("doc_id"), col("lbl").as("cluster_id"))
+    out
   }
 
   // the cluster assignment is consumed by four operators (labels query,
@@ -660,9 +670,9 @@ object DedupOps {
       s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
     clusterCache.getOrElseUpdate(s, s"$d#$minSim#$maxDf") { (ss, _) =>
+      // clusters() already checkpoints its result — store the leaf as-is
       clusters(ngramJaccardPairs(ss, d, minSim, maxDf)
         .select(col("a"), col("b")))
-        .persist()
     }.orderBy(col("doc_id"))
 
   /** Near-dup cluster-size histogram: log₂-bucketed distribution of
@@ -867,10 +877,9 @@ object DedupOps {
     // — without the persist each consumer would re-run the corpus scan +
     // selection arithmetic
     val sel = winnowIndexCache.getOrElseUpdate(s, d) { (ss, dir) =>
-      TextOps.winnowPositions(ss, dir)
+      graft.SessionCache.cut(TextOps.winnowPositions(ss, dir)
         .where(col("fp").isNotNull)
-        .select(col("doc_id"), col("fp")).distinct()
-        .persist()
+        .select(col("doc_id"), col("fp")).distinct())
     }
     val capped = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
@@ -966,10 +975,9 @@ object DedupOps {
     */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
     val docs = sigCache.getOrElseUpdate(s, s"$d#simhashp") { (ss, _) =>
-      Tables.documents(ss, d)
+      graft.SessionCache.cut(Tables.documents(ss, d)
         .select(col("doc_id"),
-          portableSimhashChunks(split(col("text"), " ")).as("cks"))
-        .persist()
+          portableSimhashChunks(split(col("text"), " ")).as("cks")))
     }
     val chunked = docs.select(
       col("doc_id"), posexplode(col("cks")).as(Seq("chunk", "ck")))
@@ -1303,8 +1311,8 @@ object DedupOps {
   private def spanRunsDir(s: SparkSession, d: String, k: Int, minRun: Int,
       maxDf: Long): DataFrame =
     spanRunsCache.getOrElseUpdate(s, s"$d#$k#$minRun#$maxDf") { (ss, _) =>
-      spanRunsOf(spanDocs(Tables.documents(ss, d), k), k, minRun, maxDf)
-        .persist()
+      graft.SessionCache.cut(
+        spanRunsOf(spanDocs(Tables.documents(ss, d), k), k, minRun, maxDf))
     }
 
   /** [[dupSpans]] over an arbitrary `(doc_id, text)` frame. */

@@ -630,7 +630,7 @@ object TextOps {
   private[operators] def winnowPositions(s: SparkSession, d: String,
       w: Int = 4): DataFrame =
     winnowPosCache.getOrElseUpdate(s, s"$d#$w") { (ss, _) =>
-      winnowPositionsUncached(ss, d, w).persist()
+      graft.SessionCache.cut(winnowPositionsUncached(ss, d, w))
     }
 
   private def winnowPositionsUncached(s: SparkSession, d: String,

@@ -984,11 +984,10 @@ object TrainPrepOps {
     // keyed pattern as DedupOps' shingle index; the cached row is ~32
     // bytes/doc — no text — distributed across executors at scale.
     val base = qualityBaseCache.getOrElseUpdate(s, d) { (ss, dir) =>
-      Tables.documents(ss, dir)
+      graft.SessionCache.cut(Tables.documents(ss, dir)
         .select(col("doc_id"), col("source"),
           graft.operators.CurationOps.qualityCol.as("quality"),
-          size(toks).as("n_tokens"))
-        .persist()
+          size(toks).as("n_tokens")))
     }
     // boundary vector: driver-side model data (≤ rangeBuckets doubles)
     val bounds = base.stat.approxQuantile("quality",

@@ -887,7 +887,8 @@ object VectorOps {
       // satisfies every iteration's contribution join directly — the
       // edge table (the big side at scale) crosses the wire once at
       // build, not once per iteration.
-      edges.join(deg, "src").repartition(col("src")).persist()
+      graft.SessionCache.cut(
+        edges.join(deg, "src").repartition(col("src")))
     }
     val deg = ed.groupBy(col("src")).agg(first(col("deg")).as("deg"))
     val nn = broadcast(nodes.agg(count(lit(1)).as("n")))

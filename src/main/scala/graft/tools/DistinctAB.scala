@@ -17,13 +17,15 @@ object DistinctAB {
       }
       println(f"$name%-22s min=${times.min}%6.2f")
     }
-    import graft.operators.RetrievalOps
-    import graft.Tables
-    t("bm25") { RetrievalOps.bm25TopK(s, d, k = 3) }
-    val docs = Tables.documents(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
-    t("docscan") { docs }
-    t("distinct_explode") { docs.select(explode(array_distinct(col("t"))).as("term")).groupBy("term").count() }
-    t("prf_full") { RetrievalOps.prfTopK(s, d) }
+    import graft.operators.DedupOps
+    val cl = DedupOps.duplicateClusters(s, d, 0.2, 1000L)
+    println("rows=" + cl.count())
+    val raw = cl.queryExecution.analyzed // peel orderBy? easier: time both
+    t("with_orderby") { cl }
+    t("count_only") { cl.groupBy().count() }
+    // the underlying cached frame without the presentation sort:
+    t("sizes") { cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize")) }
+    println("numPartitions=" + cl.rdd.getNumPartitions)
     spark.stop()
   }
 }

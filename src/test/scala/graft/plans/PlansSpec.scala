@@ -353,12 +353,18 @@ class PlansSpec extends SparkSpec {
       s"scoring stream must not shuffle into the join:\n$plan")
   }
 
-  test("profile: one scan of orders, aggregation only — no join, no window") {
+  test("profile: two scans (stats + distinct), no Expand, broadcast-only join") {
     val plan = executedPlan(graft.operators.RelationalOps.profileOrders(spark, sf0001))
-    assert(!plan.contains("Join"), s"profiler reads one table:\n$plan")
+    // the countDistinct-in-one-agg spelling planned an Expand ×(cols+1)
+    // whose first phase SORTED 7× the table on 7-column keys — the plan
+    // must stay Expand-free, with n_distinct from the unpivot+hash-
+    // distinct pass and the |cols|-row rollup joined by broadcast only
+    assert(!plan.contains("Expand"), s"no multi-distinct Expand:\n$plan")
     assert(!plan.contains("Window"), s"profiler is pure aggregation:\n$plan")
-    assert("Scan parquet".r.findAllIn(plan).size === 1,
-      s"profiler must scan orders exactly once:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"only the broadcast rollup join is allowed:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size === 2,
+      s"profiler must scan orders exactly twice (stats + distinct):\n$plan")
   }
 
   test("rfmSegments: boundaries broadcast; no global one-partition sort") {
@@ -546,7 +552,10 @@ class PlansSpec extends SparkSpec {
   }
 
   test("dupSpans: hash-keyed seed join, df-cap applied, no cartesian, no text in the join") {
-    val df = graft.operators.DedupOps.dupSpans(spark, sf0001)
+    // dupSpansOf bypasses the span-run memo: the cached table is a
+    // checkpointed leaf, so the seed join is only visible uncached
+    val df = graft.operators.DedupOps.dupSpansOf(
+      graft.Tables.documents(spark, sf0001))
     val plan = executedPlan(df)
     assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
     // the self-join must key on the 8-byte window hash `g`, never the
