@@ -473,18 +473,23 @@ object TextOps {
   def tfIdf(s: SparkSession, d: String, maxDocId: Long = 20): DataFrame = {
     val docs = Tables.documents(s, d)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    // (A/B note: the join-n_tok-after-rollup rewrite that wins 2× in
-    // tfidfSimilarPairsOf measured SLOWER here — this query end-filters to
-    // maxDocId docs, so the extra doc_id join outweighs the re-split tax.)
-    val terms = docs.select(
-      col("doc_id"), size(tokens(col("text"))).as("n_tok"),
-      explode(tokens(col("text"))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("n_tok"), col("term"))
+    // df does NOT need the corpus-wide (doc, term) rollup the first
+    // draft paid (1M-row shuffle at sf0.1): array_distinct before the
+    // explode makes the stream per-doc-unique in-row, so df is a plain
+    // vocabulary-sized term count. tf only needs the emitted doc slice,
+    // so its explode runs on the doc_id-pruned scan. Corpus-global
+    // statistics are unchanged — df still counts every document.
+    val tf = docs.where(col("doc_id") < maxDocId)
+      .select(
+        col("doc_id"), size(tokens(col("text"))).as("n_tok"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("n_tok"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = docs
+      .select(explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
-      .where(col("doc_id") < maxDocId)
       .select(
         col("doc_id"), col("term"),
         round(col("cnt").cast("double") / col("n_tok"), 6).as("tf"),
