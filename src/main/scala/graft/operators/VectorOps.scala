@@ -298,9 +298,14 @@ object VectorOps {
     val dim = 64
     val sums = (0 until dim).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+    // |labels|-row result, but its aggregation scans the corpus — cut the
+    // plan here so the self-cross below reads the 10-row leaf twice
+    // instead of running the 65-expression aggregate scan per branch
+    // (ReusedExchange does not fire across broadcast-NLJ branches).
     val cents = Tables.embeddings(s, d)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sums: _*)
+      .localCheckpoint(true)
     def comps(tag: String) = cents.select(
       col("label").as(s"l$tag") +:
         (0 until dim).map(i => (col(s"s$i") / col("n")).as(s"$tag$i")): _*)
@@ -1380,6 +1385,9 @@ object VectorOps {
       .groupBy(col("label"), col("early"))
       .agg(count(lit(1)).as("n"),
         graft.functions.VectorAgg.centroidQ(col("embedding"), dim).as("c"))
+      // 2·|labels| rows, corpus-sized aggregation: cut so the early/late
+      // branches below read the leaf instead of re-running the scan each
+      .localCheckpoint(true)
     val a = halves.where(col("early"))
       .select(col("label"), col("n").as("n_early"), col("c").as("ca"))
     val b = halves.where(!col("early"))
