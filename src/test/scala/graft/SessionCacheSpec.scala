@@ -29,4 +29,22 @@ class SessionCacheSpec extends SparkSpec {
     assert(c.getOrElseUpdate(spark, "b")((_, _) => "vb") == "vb")
     assert(c.size == 1)
   }
+
+  test("cut: rows preserved, lineage truncated to a leaf plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val deep = (1 to 100).toDF("x")
+      .groupBy((col("x") % 7).as("k")).agg(sum(col("x")).as("s"))
+      .where(col("s") > 0)
+    val cut = SessionCache.cut(deep)
+    // same result...
+    assert(cut.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ===
+      deep.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+    // ...but the plan is a leaf: no aggregate/scan lineage survives for
+    // consumers to re-analyze (the round-9 per-action canonicalization tax)
+    val plan = cut.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"), s"lineage must be cut:\n$plan")
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"expected a checkpointed leaf:\n$plan")
+  }
 }
