@@ -39,17 +39,25 @@ object RetrievalOps {
   def bm25TopKOf(docsIn: DataFrame, terms: Seq[String], k: Int = 15,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val QueryTerms = terms
-    val docs = docsIn.select(col("doc_id"), toks.as("t"))
+    // ONE full-array traversal per pass: keep only query-term tokens
+    // (`tq`) in a staged projection; every per-term statistic then runs
+    // on that tiny array instead of re-walking the document. The first
+    // spelling paid 5 array_contains + 5 filter() full walks per row —
+    // 2× the whole suite's per-pass scan cost at sf1. tq/dl sit outside
+    // lambda bodies, so codegen CSE evaluates them once per row.
+    val qArr = array(QueryTerms.map(lit): _*)
+    val docs = docsIn.select(col("doc_id"), size(toks).as("dl0"),
+      filter(toks, x => array_contains(qArr, x)).as("tq"))
     val statCols =
       count(lit(1)).cast("double").as("n_docs") ::
-        avg(size(col("t"))).as("avgdl") ::
+        avg(col("dl0")).as("avgdl") ::
         QueryTerms.zipWithIndex.map { case (t, i) =>
-          sum(when(array_contains(col("t"), t), 1d).otherwise(0d)).as(s"df$i")
+          sum(when(array_contains(col("tq"), t), 1d).otherwise(0d)).as(s"df$i")
         }.toList
     val stats = broadcast(docs.agg(statCols.head, statCols.tail: _*))
-    val dl = size(col("t")).cast("double")
+    val dl = col("dl0").cast("double")
     val score = QueryTerms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("t"), x => x === t)).cast("double")
+      val tf = size(filter(col("tq"), x => x === t)).cast("double")
       val idf = log(lit(1d) + (col("n_docs") - col(s"df$i") + 0.5d) / (col(s"df$i") + 0.5d))
       idf * tf * lit(k1 + 1d) / (tf + lit(k1) * (lit(1d - b) + lit(b) * dl / col("avgdl")))
     }.reduce(_ + _)
@@ -209,13 +217,20 @@ object RetrievalOps {
     // Per-(doc, term) tf via the broadcast term grid + in-row array
     // filter (the bm25TopKOf stance): ≤|qterms| narrow rows per doc, NO
     // token explode and NO (doc, term) shuffle — scoring is a pure scan.
-    // tf is computed in its own projection and referenced twice below so
-    // PushDownPredicates/CollapseProject can't splice the lambda into the
-    // filter (the TextOps.repeatSpansOf landmine).
-    val matched = docs
+    // The expanded term set is data-dependent, so the one-traversal
+    // prune array (bm25TopKOf's `tq` trick) rides a 1-row broadcast:
+    // each doc walks its full token array ONCE against the collected
+    // term list; the |qterms| per-term tf filters then run on the tiny
+    // pruned array. tq is referenced by every grid row, outside lambda
+    // bodies, so codegen CSE evaluates it once per row.
+    val qarr = broadcast(qterms.agg(collect_list(col("term")).as("qt")))
+    val pruned = docs.crossJoin(qarr)
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        filter(col("t"), x => array_contains(col("qt"), x)).as("tq"))
+    val matched = pruned
       .crossJoin(qterms)
-      .select(col("doc_id"), size(col("t")).as("dl"), col("term"),
-        col("w"), size(filter(col("t"), x => x === col("term"))).as("tf"))
+      .select(col("doc_id"), col("dl"), col("term"),
+        col("w"), size(filter(col("tq"), x => x === col("term"))).as("tf"))
       .where(col("tf") > 0)
       .select(col("doc_id"), col("term"), col("tf").as("tf"), col("dl"),
         col("w"))
