@@ -234,9 +234,9 @@ object DedupOps {
   // bounded + unpersist-on-evict so multi-directory sessions cycle cached
   // indexes instead of accumulating them (ADVICE r8)
   private val shingleIndexCache =
-    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
   private val cappedIndexCache =
-    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
   /** The df-capped (doc_id, sh_h) index — memoized per (session, dir, cap)
     * and shared by every overlap measure over the same corpus.
@@ -247,7 +247,7 @@ object DedupOps {
     }
 
   private val pairStatsCache =
-    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
   /** The aggregated pair-statistics table (a, b, inter, na, nb) over the
     * df-capped index — memoized per (session, dir, cap) like the index
@@ -494,7 +494,7 @@ object DedupOps {
     }
 
   private val sigCache =
-    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
   /** MinHash + LSH candidate pairs with estimated Jaccard.
     * bands=8 × rows=4 over a k=32 signature: P(candidate) ≈ 1−(1−j⁴)⁸ —
@@ -546,14 +546,21 @@ object DedupOps {
       bnd => xxhash64(concat_ws(",",
         transform(slice(sig, bnd * rows + 1, lit(rows)), x => x.cast("string")))))
 
+  // ONE builder for the portable signature memo — minhashLshPairs and
+  // lshTuningCurve share the key, so they must share the build (a second
+  // spelling left a full-lineage persist in the cache when the tuning
+  // curve ran first, re-arming the per-action canonicalization tax).
+  private def portableSigs(s: SparkSession, d: String, k: Int): DataFrame =
+    sigCache.getOrElseUpdate(s, s"$d#minhashp#$k") { (ss, _) =>
+      graft.SessionCache.cut(shingles(ss, d)
+        .select(col("doc_id"), portableMinhashSig(col("shs"), k).as("sig")))
+    }
+
   def minhashLshPairs(
       s: SparkSession, d: String,
       k: Int = 32, bands: Int = 8, minEst: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sig = sigCache.getOrElseUpdate(s, s"$d#minhashp#$k") { (ss, _) =>
-      graft.SessionCache.cut(shingles(ss, d)
-        .select(col("doc_id"), portableMinhashSig(col("shs"), k).as("sig")))
-    }
+    val sig = portableSigs(s, d, k)
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(bandBuckets(col("sig"), bands, rows))
@@ -656,7 +663,7 @@ object DedupOps {
   // the label frame per (session, dir, minSim, maxDf); it is
   // member-sized, far below the corpus
   private val clusterCache =
-    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
   /** Near-duplicate clusters of `documents` by n-gram Jaccard: pairs from
     * [[ngramJaccardPairs]], components from [[clusters]]. Memoized +
@@ -855,7 +862,7 @@ object DedupOps {
   }
 
   private val winnowIndexCache =
-    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
   /** Winnowing-based near-dup pairs (the MOSS detector proper, on top of
     * [[graft.operators.TextOps.winnowProfile]]'s selection): documents
@@ -1172,11 +1179,7 @@ object DedupOps {
     */
   def lshTuningCurve(s: SparkSession, d: String, k: Int = 32,
       minSim: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
-    val sig = sigCache.getOrElseUpdate(s, s"$d#minhashp#$k") { (ss, _) =>
-      shingles(ss, d)
-        .select(col("doc_id"), portableMinhashSig(col("shs"), k).as("sig"))
-        .persist()
-    }
+    val sig = portableSigs(s, d, k)
     // cheap projection of the memoized pair-stats table — no extra persist
     val truePairs = ngramJaccardPairs(s, d, minSim = 0.0, maxDf = maxDf)
       .where(col("jaccard") >= minSim)
@@ -1306,7 +1309,7 @@ object DedupOps {
   // seed join is by far their dominant cost — memoized per
   // (session, dir, k, minRun, maxDf) like the shingle pair-stats table
   private val spanRunsCache =
-    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
   private def spanRunsDir(s: SparkSession, d: String, k: Int, minRun: Int,
       maxDf: Long): DataFrame =

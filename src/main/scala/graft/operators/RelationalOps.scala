@@ -752,6 +752,11 @@ object RelationalOps {
         case org.apache.spark.sql.types.DoubleType |
              org.apache.spark.sql.types.FloatType =>
           (nulL, col(fd.name).cast("double"), nulS)
+        // decimals keep full precision through the string slot — a long
+        // cast would truncate the fraction and merge distinct values
+        // (1.10 vs 1.25 → 1); a fixed-scale column renders injectively
+        case _: org.apache.spark.sql.types.DecimalType =>
+          (nulL, nulD, col(fd.name).cast("string"))
         case _: NumericType => (col(fd.name).cast("long"), nulD, nulS)
         case _: TimestampType => (unix_micros(col(fd.name)), nulD, nulS)
         case _: TimestampNTZType =>

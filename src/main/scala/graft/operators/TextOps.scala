@@ -623,7 +623,7 @@ object TextOps {
   // (session, dir, w) like DedupOps' shingle index, so a session (and the
   // interleaved bench) pays the corpus hash pass once per snapshot.
   private val winnowPosCache =
-    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = _.unpersist(false))
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
   /** The winnowing selection itself: one row per k-gram position,
     * `fp` = the 60-bit fingerprint where the position is selected, null

@@ -31,7 +31,7 @@ object TrainPrepOps {
   // bounded + unpersist-on-evict: many-directory sessions cycle persisted
   // bases instead of accumulating them (ADVICE r8)
   private val qualityBaseCache = new graft.SessionCache[org.apache.spark.sql.DataFrame](
-    maxEntries = 8, onEvict = _.unpersist(false))
+    maxEntries = 8, onEvict = graft.SessionCache.release)
 
   private def toks: Column = split(col("text"), " ")
 

@@ -302,10 +302,14 @@ object VectorOps {
     // plan here so the self-cross below reads the 10-row leaf twice
     // instead of running the 65-expression aggregate scan per branch
     // (ReusedExchange does not fire across broadcast-NLJ branches).
-    val cents = Tables.embeddings(s, d)
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), sums: _*)
-      .localCheckpoint(true)
+    // Memoized per (session, dir): an unmemoized eager checkpoint would
+    // re-run the corpus scan AND register a fresh never-freed RDD on
+    // every call.
+    val cents = smallAggCache.getOrElseUpdate(s, s"$d#labelcents") { (ss, _) =>
+      graft.SessionCache.cut(Tables.embeddings(ss, d)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sums: _*))
+    }
     def comps(tag: String) = cents.select(
       col("label").as(s"l$tag") +:
         (0 until dim).map(i => (col(s"s$i") / col("n")).as(s"$tag$i")): _*)
@@ -922,7 +926,12 @@ object VectorOps {
   // ---- Logistic-regression label classifier (full-batch GD) -----------
 
   private val prCache = new graft.SessionCache[org.apache.spark.sql.DataFrame](
-    maxEntries = 8, onEvict = _.unpersist(false))
+    maxEntries = 8, onEvict = graft.SessionCache.release)
+
+  // label-sized corpus-aggregate memos (affinity centroids, drift halves)
+  private val smallAggCache =
+    new graft.SessionCache[org.apache.spark.sql.DataFrame](
+      maxEntries = 8, onEvict = graft.SessionCache.release)
 
   private val logRegCache = new graft.SessionCache[(Array[Double], Double)]
 
@@ -1385,12 +1394,14 @@ object VectorOps {
       .groupBy(col("label"), col("early"))
       .agg(count(lit(1)).as("n"),
         graft.functions.VectorAgg.centroidQ(col("embedding"), dim).as("c"))
-      // 2·|labels| rows, corpus-sized aggregation: cut so the early/late
-      // branches below read the leaf instead of re-running the scan each
-      .localCheckpoint(true)
-    val a = halves.where(col("early"))
+    // 2·|labels| rows, corpus-sized aggregation: memoize + cut so the
+    // early/late branches read the leaf instead of re-running the scan
+    val halvesCut = smallAggCache.getOrElseUpdate(s, s"$d#drifthalves") {
+      (_, _) => graft.SessionCache.cut(halves)
+    }
+    val a = halvesCut.where(col("early"))
       .select(col("label"), col("n").as("n_early"), col("c").as("ca"))
-    val b = halves.where(!col("early"))
+    val b = halvesCut.where(!col("early"))
       .select(col("label"), col("n").as("n_late"), col("c").as("cb"))
     a.join(b, Seq("label"))
       .select(col("label"), col("n_early"), col("n_late"),

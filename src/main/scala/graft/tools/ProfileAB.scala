@@ -14,5 +14,6 @@ object ProfileAB {
     df.write.format("noop").mode("overwrite").save()
     println("=== FINAL ===")
     println(df.queryExecution.executedPlan.toString)
+    spark.stop()
   }
 }
