@@ -833,12 +833,19 @@ object DedupOps {
     val idx = shingleIndex(s, d).join(src, Seq("doc_id"))
     val nd = idx.select(col("source"), col("doc_id")).distinct()
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val sdf = idx.groupBy(col("source"), col("sh_h"))
-      .agg(count(lit(1)).as("df"))
-      .join(nd, Seq("source"))
-      .select(col("source"), col("sh_h"),
-        (col("df") >= minDf && col("df") * invFrac >= col("n_docs"))
-          .as("boiler"))
+    // (source, sh_h, boiler) is consumed by BOTH the per-doc join and
+    // the vocabulary rollup — memoize + cut like the pair-stats table
+    // (no text, constant-width keys) so the df shuffle runs once, not
+    // per consumer.
+    val sdf = boilerCache.getOrElseUpdate(s, s"$d#$invFrac#$minDf") {
+      (_, _) =>
+        graft.SessionCache.cut(idx.groupBy(col("source"), col("sh_h"))
+          .agg(count(lit(1)).as("df"))
+          .join(nd, Seq("source"))
+          .select(col("source"), col("sh_h"),
+            (col("df") >= minDf && col("df") * invFrac >= col("n_docs"))
+              .as("boiler")))
+    }
     val perDoc = idx.join(sdf, Seq("source", "sh_h"))
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_sh"),
@@ -860,6 +867,9 @@ object DedupOps {
         col("max_doc_boiler_frac"))
       .orderBy(col("source"))
   }
+
+  private val boilerCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
   private val winnowIndexCache =
     new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
