@@ -287,6 +287,18 @@ class RelTimeSeriesSpec extends SparkSpec {
     assert(v.getAs[Double]("min_num") === 0.5)
   }
 
+  test("profileOf: decimal columns keep fractional distinctness (no long truncation)") {
+    import spark.implicits._
+    // 1.10 vs 1.25 vs 1.10 — a long-cast distinct slot would merge all
+    // three to 1L; the string slot must report 2 distinct values
+    val df = Seq("1.10", "1.25", "1.10").toDF("raw")
+      .select(col("raw").cast("decimal(12,2)").as("price"))
+    val row = RelationalOps.profileOf(df, Seq("price")).collect().head
+    assert(row.getAs[Long]("n_distinct") === 2L)
+    assert(row.getAs[Double]("min_num") === 1.1)
+    assert(row.getAs[Double]("max_num") === 1.25)
+  }
+
   test("anomalies: spike over a varying history is flagged, normal buckets are not") {
     import spark.implicits._
     val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
