@@ -37,7 +37,16 @@ object RetrievalOps {
 
   /** [[bm25TopK]] over an arbitrary `(doc_id, text)` frame and term set. */
   def bm25TopKOf(docsIn: DataFrame, terms: Seq[String], k: Int = 15,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKAndStats(docsIn, terms, k, k1, b)._1
+
+  /** [[bm25TopKOf]] plus its corpus-stats row (n_docs, avgdl, df0..n) —
+    * composition hook so PRF reuses the aggregate instead of scanning
+    * the corpus for a second identical stats pass.
+    */
+  private[operators] def bm25TopKAndStats(
+      docsIn: DataFrame, terms: Seq[String], k: Int = 15,
+      k1: Double = 1.2, b: Double = 0.75): (DataFrame, DataFrame) = {
     val QueryTerms = terms
     // ONE full-array traversal per pass: keep only query-term tokens
     // (`tq`) in a staged projection; every per-term statistic then runs
@@ -61,11 +70,12 @@ object RetrievalOps {
       val idf = log(lit(1d) + (col("n_docs") - col(s"df$i") + 0.5d) / (col(s"df$i") + 0.5d))
       idf * tf * lit(k1 + 1d) / (tf + lit(k1) * (lit(1d - b) + lit(b) * dl / col("avgdl")))
     }.reduce(_ + _)
-    docs.crossJoin(broadcast(stats)) // 1-row corpus stats
+    val topk = docs.crossJoin(broadcast(stats)) // 1-row corpus stats
       .select(col("doc_id"), round(score, 6).as("bm25"))
       .where(col("bm25") > 0d)
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
+    (topk, stats)
   }
 
   /** Inverted-index build: term → document frequency, total term
@@ -190,9 +200,12 @@ object RetrievalOps {
       fbTerms: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
-    val fb = broadcast(bm25TopK(s, d, k = fbDocs).select(col("doc_id")))
-    val stats = broadcast(docs.agg(
-      count(lit(1)).cast("double").as("n_docs"), avg(size(col("t"))).as("avgdl")))
+    // one corpus-stats aggregate for the whole chain: bm25's stats row
+    // already carries n_docs/avgdl — reuse it instead of a second scan
+    val (fbTopK, bmStats) =
+      bm25TopKAndStats(Tables.documents(s, d), QueryTerms, k = fbDocs)
+    val fb = broadcast(fbTopK.select(col("doc_id")))
+    val stats = broadcast(bmStats.select(col("n_docs"), col("avgdl")))
     val fbCounts = docs.join(fb, Seq("doc_id"))
       .select(explode(col("t")).as("term"))
       .where(!col("term").isInCollection(QueryTerms))
