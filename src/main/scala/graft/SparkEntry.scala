@@ -4072,13 +4072,18 @@ object SparkEntry {
          |  FROM cells x JOIN cells y
          |    ON x.cell = y.cell AND x.vec_id < y.vec_id)
          |WHERE cos_sim >= 0.4 ORDER BY a, b""".stripMargin,
+    // same corpus-adaptive bit chain as q_vec_neardup_lsh — the
+    // constant-bits original was the O(n^2/16) defect the honest x100
+    // sweep caught at 277 s
     "q_vec_semdedup" ->
-      s"""WITH cells AS (
+      s"""WITH n AS (SELECT count(*) AS n_vec FROM embeddings),
+         |b AS (SELECT CASE WHEN n_vec <= 4096 THEN 4 WHEN n_vec <= 8192 THEN 5 WHEN n_vec <= 16384 THEN 6 WHEN n_vec <= 32768 THEN 7 WHEN n_vec <= 65536 THEN 8 WHEN n_vec <= 131072 THEN 9 WHEN n_vec <= 262144 THEN 10 WHEN n_vec <= 524288 THEN 11 WHEN n_vec <= 1048576 THEN 12 WHEN n_vec <= 2097152 THEN 13 WHEN n_vec <= 4194304 THEN 14 WHEN n_vec <= 8388608 THEN 15 WHEN n_vec <= 16777216 THEN 16 WHEN n_vec <= 33554432 THEN 17 WHEN n_vec <= 67108864 THEN 18 WHEN n_vec <= 134217728 THEN 19 ELSE 20 END AS bits FROM n),
+         |cells AS (
          |  SELECT vec_id, embedding,
-         |    CAST(list_sum(list_transform(range(1, 5),
+         |    CAST(list_sum(list_transform(range(1, bits + 1),
          |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
          |                THEN power(2.0, i - 1) ELSE 0.0 END)) AS BIGINT) AS cell
-         |  FROM embeddings)
+         |  FROM embeddings CROSS JOIN b)
          |SELECT y.vec_id, y.cell,
          |  CASE WHEN min(x.vec_id) IS NULL THEN 'kept' ELSE 'dropped' END
          |    AS status,

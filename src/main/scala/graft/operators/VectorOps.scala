@@ -675,18 +675,27 @@ object VectorOps {
     * Plan: the candidate join fans out only within cells (sign-bit cells
     * here — deterministic arithmetic, so the whole query hash-matches its
     * twin; swap in the learned k-means cells of [[ivfKmeansTopK]] at
-    * scale), and the per-vector verdict is a min-rollup on vec_id — the
-    * same bounded-candidate stance as [[nearDupPairsLsh]], never O(n²).
+    * scale), and the per-vector verdict is a min-rollup on vec_id. The
+    * bit count is [[adaptiveBits]] of the corpus size — the honest-
+    * harness ×100 sweep caught the CONSTANT-4-bit original at 277 s
+    * (O(n²/16) within-cell fanout, the exact defect [[nearDupPairsLsh]]
+    * fixed earlier; the pruned `.count()` harness had hidden this one
+    * because the verdict aggregate collapsed the join). Bits stay 4
+    * below 4096 vectors, so fixture results are bit-unchanged.
     */
   def semanticDedup(s: SparkSession, d: String, minSim: Double = 0.4,
-      bits: Int = 4): DataFrame =
-    semanticDedupOf(Tables.embeddings(s, d), minSim, bits)
+      targetCell: Long = 256L): DataFrame =
+    semanticDedupOf(Tables.embeddings(s, d), minSim, targetCell)
 
   /** [[semanticDedup]] over an arbitrary `(vec_id, embedding)` frame. */
   def semanticDedupOf(embIn: DataFrame, minSim: Double = 0.4,
-      bits: Int = 4): DataFrame = {
+      targetCell: Long = 256L): DataFrame = {
+    val n = embIn.agg(count(lit(1)).as("n_vec"))
     val emb = embIn
-      .select(col("vec_id"), col("embedding"), cell(col("embedding"), bits).as("cell"))
+      .crossJoin(broadcast(n)) // 1 row — the corpus size
+      .select(col("vec_id"), col("embedding"),
+        cellDyn(col("embedding"),
+          adaptiveBits(col("n_vec"), targetCell)).as("cell"))
     val y = emb.select(col("vec_id"), col("cell"), col("embedding").as("vy"))
     val x = emb.select(col("vec_id").as("anchor_id"), col("cell").as("xcell"),
       col("embedding").as("vx"))
