@@ -1433,6 +1433,8 @@ object SparkEntry {
     "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
     "q_dedup_cross_source" -> ((s, d) => DedupOps.crossSourceLeakage(s, d)),
     "q_dedup_degree_dist" -> ((s, d) => DedupOps.neardupDegreeDist(s, d)),
+    "q_dedup_triangles" -> ((s, d) => DedupOps.neardupTriangles(s, d)),
+    "q_text_burstiness" -> ((s, d) => TextOps.termBurstiness(s, d)),
     "q_dedup_df_profile" -> ((s, d) => DedupOps.shingleDfProfile(s, d)),
     "q_dedup_winnow_pairs" -> ((s, d) => DedupOps.winnowPairs(s, d)),
     "q_dedup_boilerplate" -> ((s, d) => DedupOps.boilerplate(s, d)),
@@ -1567,6 +1569,25 @@ object SparkEntry {
       """SELECT term, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+    // VMR = (n·Σx² − (Σx)²)/(n·Σx) in exact long arithmetic, half-up at
+    // micro-units — the engine's rational spelling replayed verbatim
+    "q_text_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |st AS (SELECT term, count(*) AS df,
+        |         CAST(sum(tf) AS BIGINT) AS total_tf,
+        |         CAST(sum(tf * tf) AS BIGINT) AS tf_sq
+        |       FROM tf GROUP BY 1)
+        |SELECT term, df, total_tf,
+        |  ((2 * (total_tf * 1000000) + df) // (2 * df))::DOUBLE / 1000000.0
+        |    AS mean_tf,
+        |  ((2 * ((df * tf_sq - total_tf * total_tf) * 1000000)
+        |    + (df * total_tf)) // (2 * (df * total_tf)))::DOUBLE / 1000000.0
+        |    AS vmr
+        |FROM st ORDER BY df DESC, term LIMIT 20""".stripMargin,
     // deterministic by the Space-Saving guarantee: every term with true
     // count·m > N is in the summary, and the exact recount makes the
     // published rows independent of sketch arrival order
@@ -2468,6 +2489,49 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT degree, count(*) AS n_docs
         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+    // same pair CTE; triangles counted once via a < b < c ordered joins
+    // (orientation-invariant, so the oracle needn't replay the engine's
+    // degree-ordered compact-forward plan)
+    "q_dedup_triangles" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jac FROM (
+        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |             count(*) AS inter
+        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4))
+        |  WHERE jac >= 0.2),
+        |deg AS (SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT a AS doc_id FROM pairs
+        |    UNION ALL SELECT b AS doc_id FROM pairs)
+        |  GROUP BY 1),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM pairs e1
+        |        JOIN pairs e2 ON e2.a = e1.b
+        |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM pairs) AS n_edges,
+        |  (SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  n_triangles,
+        |  CASE WHEN (SELECT sum(degree * (degree - 1) // 2) FROM deg) = 0
+        |    THEN 0.0
+        |    ELSE ((2 * (n_triangles * 3000000) +
+        |           (SELECT sum(degree * (degree - 1) // 2) FROM deg))
+        |          // (2 * (SELECT sum(degree * (degree - 1) // 2) FROM deg)))
+        |         ::DOUBLE / 1000000.0 END AS transitivity
+        |FROM tri""".stripMargin,
     "q_text_winnow_profile" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks
         |           FROM documents),

@@ -1413,6 +1413,78 @@ object DedupOps {
     dupSpanRewriteAssemble(docs, spanRunsOf(docs, k, minRun, maxDf))
   }
 
+  /** Triangle census of the near-duplicate graph: node/edge/wedge/triangle
+    * counts plus global transitivity (3·triangles/wedges). The structure
+    * diagnostic [[neardupDegreeDist]] can't see: the same degree histogram
+    * can come from scattered pair-dups (transitivity → 0) or syndication
+    * cliques (→ 1), and the answer decides whether cluster rewrite plans
+    * face a few giant components or many small ones.
+    *
+    * Plan: the edges are the memoized pair-stats artifact (ids only), so
+    * nothing here touches text or the raw index. Triangles use the
+    * degree-ordered orientation (compact-forward): each edge points from
+    * its lower-(degree, id) endpoint to the higher, every triangle is
+    * counted exactly once at its minimum-order vertex, and the wedge-join
+    * fanout is Σ C(out-degree, 2) = O(|E|^1.5) instead of Σ C(degree, 2) —
+    * the bound that survives a power-law near-dup graph whose hub would
+    * explode an id-oriented join. Both joins and the closing semi-join
+    * carry two longs per row. Transitivity is exact-rational long
+    * arithmetic (half-up micro-units).
+    */
+  def neardupTriangles(s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
+    trianglesOfEdges(
+      cachedPairStats(s, d, maxDf)
+        .where(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6) >= minSim)
+        .select(col("a"), col("b")))
+
+  /** [[neardupTriangles]] over an arbitrary undirected edge frame
+    * `(a, b)` with `a < b` and no duplicate edges. Output is one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles, transitivity).
+    */
+  def trianglesOfEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    // degree table feeds three branches (summary row, both orientation
+    // joins) — materialize once; it is node-sized, never corpus-sized
+    val deg = graft.SessionCache.cut(
+      e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg")))
+    val base = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      call_function("div", sum(col("deg")), lit(2L)).as("n_edges"),
+      sum(call_function("div", col("deg") * (col("deg") - 1), lit(2L)))
+        .as("n_wedges"))
+    // orient each edge toward the higher-(degree, id) endpoint; the edge
+    // table feeds the wedge self-join plus the closing semi-join, so cut
+    // it too (edge-sized, ids + one degree column only)
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir = graft.SessionCache.cut(e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("ddst")))
+    // wedges at the minimum-order vertex; the closing edge, if present,
+    // is oriented v1 → v2 exactly (v1 precedes v2 in the total order)
+    val tri = dir.select(col("src"), col("dst").as("v1"), col("ddst").as("o1"))
+      .join(dir.select(col("src"), col("dst").as("v2"), col("ddst").as("o2")),
+        Seq("src"))
+      .where(col("o1") < col("o2") ||
+        (col("o1") === col("o2") && col("v1") < col("v2")))
+      .join(dir.select(col("src").as("v1"), col("dst").as("v2")),
+        Seq("v1", "v2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    base.crossJoin(broadcast(tri)) // 1-row × 1-row
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(0.0)).otherwise(
+          Num.halfUpDiv(col("n_triangles") * 3000000L, col("n_wedges"))
+            .cast("double") / 1e6).as("transitivity"))
+  }
+
   private def dupSpanRewriteAssemble(docs: DataFrame,
       runs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

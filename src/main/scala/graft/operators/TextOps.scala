@@ -1024,4 +1024,49 @@ object TextOps {
           .as("types_per_mtok"))
       .orderBy(col("decile"))
   }
+
+  /** Term burstiness (Church–Gale): for the corpus' `topN` highest-df
+    * terms, the variance-to-mean ratio of within-document term frequency
+    * over the documents containing the term. VMR ≈ 1 is Poisson
+    * (function words scatter uniformly); VMR ≫ 1 is bursty (content
+    * words clump — one mention begets more). The signal separates
+    * topical vocabulary from glue even when raw frequency can't, and it
+    * flags template/boilerplate terms (high df AND high VMR) that
+    * quality filters should discount.
+    *
+    * Plan: explode → (doc_id, term) tf rollup — each document's tokens
+    * sit in one input row, so map-side partial aggregation collapses
+    * within-doc duplicates BEFORE the exchange; the shuffle carries one
+    * row per distinct (doc, term), the information floor for per-doc tf.
+    * Then a vocabulary-sized rollup to (df, Σtf, Σtf²) and a top-N
+    * TakeOrderedAndProject. VMR is exact-rational in long arithmetic:
+    * Var/mean = (n·Σx² − (Σx)²)/(n·Σx), half-up at micro-units —
+    * no engine-divergent float accumulation anywhere.
+    */
+  def termBurstiness(s: SparkSession, d: String, topN: Int = 20): DataFrame =
+    termBurstinessOf(Tables.documents(s, d), topN)
+
+  /** [[termBurstiness]] over an arbitrary `(doc_id, text)` frame. */
+  def termBurstinessOf(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        sum(col("tf") * col("tf")).as("tf_sq"))
+      .select(
+        col("term"), col("df"), col("total_tf"),
+        (graft.operators.Num.halfUpDiv(col("total_tf") * 1000000L, col("df"))
+          .cast("double") / 1e6).as("mean_tf"),
+        (graft.operators.Num.halfUpDiv(
+          (col("df") * col("tf_sq") - col("total_tf") * col("total_tf"))
+            * 1000000L,
+          col("df") * col("total_tf"))
+          .cast("double") / 1e6).as("vmr"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(topN)
+  }
 }

@@ -297,4 +297,45 @@ class DedupClusterSpec extends SparkSpec {
       assert(math.abs(ordered.last._5 - 1.0) < 1e-9)
     }
   }
+
+  private def censusOf(edges: Seq[(Long, Long)])
+      : (Long, Long, Long, Long, Double) = {
+    import spark.implicits._
+    val r = DedupOps.trianglesOfEdges(edges.toDF("a", "b")).collect().head
+    (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"),
+      r.getAs[Double]("transitivity"))
+  }
+
+  test("triangle census: chain, triangle, K4, triangle+pendant") {
+    // chain 1-2-3-4: 2 wedges, no triangle
+    assert(censusOf(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      ((4L, 3L, 2L, 0L, 0.0)))
+    // closed triangle: 3 wedges all closed
+    assert(censusOf(Seq((1L, 2L), (1L, 3L), (2L, 3L))) ==
+      ((3L, 3L, 3L, 1L, 1.0)))
+    // K4: 12 wedges, 4 triangles, transitivity 1
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(censusOf(k4) == ((4L, 6L, 12L, 4L, 1.0)))
+    // triangle + pendant off node 3: degrees 2,2,3,1 → 5 wedges, 1 closed
+    assert(censusOf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))) ==
+      ((4L, 4L, 5L, 1L, 0.6)))
+  }
+
+  test("fixture triangle count agrees with an in-memory brute force") {
+    val pairs = DedupOps.ngramJaccardPairs(spark, sf0001, minSim = 0.2)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val tri = pairs.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b) // a < b < c once per triangle
+    }.sum
+    val wedges = adj.values.map(n => n.size.toLong * (n.size - 1) / 2).sum
+    val r = DedupOps.neardupTriangles(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_nodes") == adj.size.toLong)
+    assert(r.getAs[Long]("n_edges") == pairs.length.toLong)
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("n_triangles") == tri.toLong)
+  }
 }

@@ -570,4 +570,30 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     assert(r2.getAs[Long]("redundant_tokens") == 15L)
     assert(math.abs(r2.getAs[Double]("redundancy_frac") - 15.0 / 18.0) < 1e-6)
   }
+
+  test("termBurstiness: hand-computed VMR, df ordering, top-N cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"), // a: tf 3, b: tf 1
+      (2L, "a b"), //      a: tf 1, b: tf 1
+      (3L, "b b")) //               b: tf 2
+      .toDF("doc_id", "text")
+    val out = TextOps.termBurstinessOf(docs)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("total_tf"),
+          r.getAs[Double]("mean_tf"), r.getAs[Double]("vmr"))).toMap
+    // b: df 3 ranks before a: df 2
+    assert(out.keySet == Set("a", "b"))
+    // a: mean 4/2 = 2.0; VMR = (2·10 − 16)/(2·4) = 0.5
+    assert(out("a") == ((2L, 4L, 2.0, 0.5)))
+    // b: mean 4/3 half-up at micro-units; VMR = (3·6 − 16)/(3·4) = 1/6
+    assert(out("b") == ((3L, 4L, 1.333333, 0.166667)))
+    // topN cuts on (df desc, term asc)
+    val top1 = TextOps.termBurstinessOf(docs, topN = 1).collect()
+    assert(top1.length == 1 && top1.head.getAs[String]("term") == "b")
+    // uniform per-doc tf ⇒ VMR exactly 0 (Poisson floor is data, not code)
+    val uni = TextOps.termBurstinessOf(
+      Seq((1L, "x x"), (2L, "x x")).toDF("doc_id", "text")).collect()
+    assert(uni.head.getAs[Double]("vmr") == 0.0)
+  }
 }
