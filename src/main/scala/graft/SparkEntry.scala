@@ -1434,6 +1434,7 @@ object SparkEntry {
     "q_dedup_cross_source" -> ((s, d) => DedupOps.crossSourceLeakage(s, d)),
     "q_dedup_degree_dist" -> ((s, d) => DedupOps.neardupDegreeDist(s, d)),
     "q_dedup_triangles" -> ((s, d) => DedupOps.neardupTriangles(s, d)),
+    "q_dedup_hybrid" -> ((s, d) => DedupOps.hybridNearDup(s, d)),
     "q_text_burstiness" -> ((s, d) => TextOps.termBurstiness(s, d)),
     "q_dedup_df_profile" -> ((s, d) => DedupOps.shingleDfProfile(s, d)),
     "q_dedup_winnow_pairs" -> ((s, d) => DedupOps.winnowPairs(s, d)),
@@ -2532,6 +2533,41 @@ object SparkEntry {
         |          // (2 * (SELECT sum(degree * (degree - 1) // 2) FROM deg)))
         |         ::DOUBLE / 1000000.0 END AS transitivity
         |FROM tri""".stripMargin,
+    // lexical candidates (same pair CTE, carrying jaccard) verified by
+    // embedding cosine where both endpoints are embedded; the CASE keeps
+    // NULL-coverage pairs 'unverified' before the threshold comparison
+    "q_dedup_hybrid" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |shs AS (SELECT doc_id,
+         |          list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                         for i in range(1, len(toks) - 1)]) AS shl
+         |        FROM t WHERE len(toks) >= 3),
+         |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+         |capped AS (SELECT doc_id, sh FROM (
+         |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+         |  WHERE df <= 1000),
+         |sh AS (SELECT doc_id, sh,
+         |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+         |pairs AS (
+         |  SELECT a, b, jac AS jaccard FROM (
+         |    SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jac FROM (
+         |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+         |             count(*) AS inter
+         |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2, 3, 4))
+         |  WHERE jac >= 0.2),
+         |j AS (SELECT p.a, p.b, p.jaccard,
+         |        CASE WHEN x.vec_id IS NOT NULL AND y.vec_id IS NOT NULL
+         |             THEN round(${duckCos("x.embedding", "y.embedding")}, 6)
+         |        END AS cos_sim
+         |      FROM pairs p
+         |      LEFT JOIN embeddings x ON x.vec_id = p.a
+         |      LEFT JOIN embeddings y ON y.vec_id = p.b)
+         |SELECT a, b, jaccard, cos_sim,
+         |  CASE WHEN cos_sim IS NULL THEN 'unverified'
+         |       WHEN cos_sim >= 0.0 THEN 'confirmed'
+         |       ELSE 'rejected' END AS verdict
+         |FROM j ORDER BY a, b""".stripMargin,
     "q_text_winnow_profile" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS toks
         |           FROM documents),

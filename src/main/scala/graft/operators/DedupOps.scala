@@ -1485,6 +1485,58 @@ object DedupOps {
             .cast("double") / 1e6).as("transitivity"))
   }
 
+  /** Hybrid near-dup verification: lexical candidates (the memoized
+    * pair-stats table at `jaccard >= minSim`) verified by embedding
+    * cosine where embedding coverage exists — the production two-tier
+    * shape (cheap lexical candidate generation, semantic confirmation)
+    * that neither tier implements alone, and the only operator that
+    * joins `documents`-derived artifacts against `embeddings`. Coverage
+    * is PARTIAL by design (real pipelines embed a subset): pairs with
+    * both endpoints embedded get `confirmed`/`rejected` by cosine;
+    * anything else stays `unverified` for the lexical-only policy path.
+    *
+    * Plan: candidates come from the cut pair-stats leaf (pair-graph-
+    * sized); the embedding side is pre-filtered by a left-semi join
+    * against the DISTINCT candidate-incident id set, which is tiny
+    * relative to the corpus — AQE broadcasts it, so the full embedding
+    * table never shuffles; only candidate-incident vectors move to the
+    * two id-keyed verification joins.
+    */
+  def hybridNearDup(s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L,
+      minCos: Double = 0.0): DataFrame = {
+    val cand = cachedPairStats(s, d, maxDf)
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= minSim)
+    hybridVerdicts(cand, Tables.embeddings(s, d), minCos)
+  }
+
+  /** The verification stage of [[hybridNearDup]] over arbitrary frames:
+    * `cand` is `(a, b, jaccard)`, `emb` is `(vec_id, embedding)`.
+    */
+  def hybridVerdicts(cand: DataFrame, emb: DataFrame,
+      minCos: Double): DataFrame = {
+    val candIds = cand
+      .select(explode(array(col("a"), col("b"))).as("vec_id")).distinct()
+    val embC = emb.select(col("vec_id"), col("embedding"))
+      .join(candIds, Seq("vec_id"), "left_semi")
+    cand
+      .join(embC.select(col("vec_id").as("a"), col("embedding").as("va")),
+        Seq("a"), "left")
+      .join(embC.select(col("vec_id").as("b"), col("embedding").as("vb")),
+        Seq("b"), "left")
+      .select(col("a"), col("b"), col("jaccard"),
+        when(col("va").isNotNull && col("vb").isNotNull,
+          round(VectorOps.cosine(col("va"), col("vb")), 6)).as("cos_sim"))
+      .withColumn("verdict",
+        when(col("cos_sim").isNull, lit("unverified"))
+          .when(col("cos_sim") >= minCos, lit("confirmed"))
+          .otherwise(lit("rejected")))
+      .orderBy(col("a"), col("b"))
+  }
+
   private def dupSpanRewriteAssemble(docs: DataFrame,
       runs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

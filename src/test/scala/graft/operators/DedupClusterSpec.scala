@@ -322,6 +322,24 @@ class DedupClusterSpec extends SparkSpec {
       ((4L, 4L, 5L, 1L, 0.6)))
   }
 
+  test("hybridVerdicts: cosine confirm/reject, missing coverage stays unverified") {
+    import spark.implicits._
+    val cand = Seq((1L, 2L, 0.5), (1L, 3L, 0.4), (2L, 4L, 0.3))
+      .toDF("a", "b", "jaccard")
+    val emb = Seq( // doc 4 has no embedding
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)), // cos(1,2) = 1 → confirmed
+      (3L, Array(-1f, 0f, 0f, 0f))) // cos(1,3) = −1 → rejected
+      .toDF("vec_id", "embedding")
+    val out = DedupOps.hybridVerdicts(cand, emb, minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getAs[String]("verdict"))).toMap
+    assert(out((1L, 2L)) == ((Some(1.0), "confirmed")))
+    assert(out((1L, 3L)) == ((Some(-1.0), "rejected")))
+    assert(out((2L, 4L)) == ((None, "unverified")))
+  }
+
   test("fixture triangle count agrees with an in-memory brute force") {
     val pairs = DedupOps.ngramJaccardPairs(spark, sf0001, minSim = 0.2)
       .select(col("a"), col("b"))
