@@ -1518,8 +1518,14 @@ object DedupOps {
     */
   def hybridVerdicts(cand: DataFrame, emb: DataFrame,
       minCos: Double): DataFrame = {
-    val candIds = cand
-      .select(explode(array(col("a"), col("b"))).as("vec_id")).distinct()
+    // explicit hint: the candidate-id set comes off a checkpointed memo
+    // leaf with no stats, so Catalyst assumes it is huge and AQE leaves
+    // the semi as sort-merge — which would shuffle the whole corpus
+    // embedding table just to filter it. The set is ≤ 2·|pairs|, a
+    // bounded dedup artifact (df-capped candidate generation), the same
+    // contract as hardNegatives' broadcast anchor set.
+    val candIds = broadcast(cand
+      .select(explode(array(col("a"), col("b"))).as("vec_id")).distinct())
     val embC = emb.select(col("vec_id"), col("embedding"))
       .join(candIds, Seq("vec_id"), "left_semi")
     cand

@@ -580,4 +580,36 @@ class PlansSpec extends SparkSpec {
       || !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined,
       s"unpartitioned window appeared:\n$plan")
   }
+
+  test("termBurstiness: two aggregation shuffles, top-N stays TakeOrdered") {
+    val plan = executedPlan(
+      graft.operators.TextOps.termBurstiness(spark, sf0001))
+    // (doc, term) tf rollup + term stats rollup — nothing else shuffles;
+    // a third exchange would mean the token stream crossed the wire raw
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 2,
+      s"expected 2 aggregation shuffles, got $hashExchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must not be a global sort:\n$plan")
+  }
+
+  test("hybridNearDup: candidate-id semi join broadcasts (corpus embeddings never sort-merge)") {
+    val plan = executedPlan(
+      graft.operators.DedupOps.hybridNearDup(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // the left-semi prune of the embedding table must ride a broadcast of
+    // the (tiny) candidate-id set; a sort-merge semi means the whole
+    // corpus embedding table shuffled just to be filtered
+    assert(!"SortMergeJoin [^\n]*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"embedding semi-prune fell back to sort-merge:\n$plan")
+    assert("BroadcastHashJoin [^\n]*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"expected broadcast left-semi prune:\n$plan")
+  }
+
+  test("neardupTriangles: single summary row, no cartesian in the census") {
+    val df = graft.operators.DedupOps.neardupTriangles(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    assert(df.count() === 1L)
+  }
 }
