@@ -1485,6 +1485,44 @@ object DedupOps {
             .cast("double") / 1e6).as("transitivity"))
   }
 
+  /** Materialize the corpus-snapshot dedup artifacts to parquet: the
+    * df-capped pair-statistics table `(a, b, inter, na, nb)` and the
+    * connected-component cluster assignment `(doc_id, cluster)`. This is
+    * the durable twin of the session memos — the batch-pipeline contract
+    * every PERF study measures (statistics built ONCE per corpus
+    * snapshot, many verdicts run off the artifact): a later job calls
+    * [[loadDedupIndex]] and every pair-stats / cluster consumer (Jaccard
+    * pairs, containment, degree/triangle census, threshold curve,
+    * cross-source matrix, sketch calibration, cluster reps/sizes/safe-
+    * split, hybrid verification) runs WITHOUT touching document text.
+    * Both artifacts are id-and-count tables — bytes scale with the
+    * near-dup structure, not the corpus text.
+    */
+  def writeDedupIndex(s: SparkSession, d: String, indexDir: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): Unit = {
+    cachedPairStats(s, d, maxDf).write.mode("overwrite")
+      .parquet(s"$indexDir/pair_stats")
+    duplicateClusters(s, d, minSim, maxDf).write.mode("overwrite")
+      .parquet(s"$indexDir/clusters")
+  }
+
+  /** Prime this session's dedup memos for corpus `d` from a
+    * [[writeDedupIndex]] artifact (prime-if-absent: a memo already built
+    * in-session wins). After this call the pair-stats/cluster consumers
+    * above serve from the artifact — the `documents` table of `d` is
+    * never opened, so verdict jobs need only the index, not the corpus.
+    */
+  def loadDedupIndex(s: SparkSession, d: String, indexDir: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): Unit = {
+    pairStatsCache.getOrElseUpdate(s, s"$d#$maxDf#pairs") { (ss, _) =>
+      graft.SessionCache.cut(ss.read.parquet(s"$indexDir/pair_stats"))
+    }
+    clusterCache.getOrElseUpdate(s, s"$d#$minSim#$maxDf") { (ss, _) =>
+      graft.SessionCache.cut(ss.read.parquet(s"$indexDir/clusters"))
+    }
+    ()
+  }
+
   /** Hybrid near-dup verification: lexical candidates (the memoized
     * pair-stats table at `jaccard >= minSim`) verified by embedding
     * cosine where embedding coverage exists — the production two-tier

@@ -72,4 +72,28 @@ class CorpusExportSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(out + ".staging")))
     assert(!Files.exists(Paths.get(out + ".old")))
   }
+
+  test("dedup index roundtrip: verdicts run off the artifact with no corpus") {
+    val idx = Files.createTempDirectory("graft-dedupidx").toString
+    DedupOps.writeDedupIndex(spark, sf0001, idx)
+    assert(Files.isDirectory(Paths.get(idx, "pair_stats")))
+    assert(Files.isDirectory(Paths.get(idx, "clusters")))
+
+    // the originals, computed from text as usual
+    val degDirect = DedupOps.neardupDegreeDist(spark, sf0001).collect().toSeq
+    val triDirect = DedupOps.neardupTriangles(spark, sf0001).collect().toSeq
+    val cluDirect = DedupOps.duplicateClusters(spark, sf0001).collect().toSeq
+
+    // a "corpus" directory that does NOT exist: any operator that touches
+    // document text would throw. Priming the memos from the artifact must
+    // make every pair-stats/cluster consumer serve anyway.
+    val ghost = "/nonexistent/graft-ghost-corpus"
+    DedupOps.loadDedupIndex(spark, ghost, idx)
+    assert(DedupOps.neardupDegreeDist(spark, ghost).collect().toSeq
+      === degDirect)
+    assert(DedupOps.neardupTriangles(spark, ghost).collect().toSeq
+      === triDirect)
+    assert(DedupOps.duplicateClusters(spark, ghost).collect().toSeq
+      === cluDirect)
+  }
 }
