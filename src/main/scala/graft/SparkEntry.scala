@@ -149,6 +149,7 @@ object SparkEntry {
     "q_rel_cube" -> (RelationalOps.cubeReturns _),
     "q_rel_quantiles" -> (RelationalOps.priceQuantiles _),
     "q_rel_distinct_approx" -> (RelationalOps.distinctPartsApprox _),
+    "q_rel_distinct_merge" -> (RelationalOps.distinctMergeAudit _),
     "q_rel_quantiles_approx" -> (RelationalOps.priceQuantilesApprox _),
     "q_rel_window_rank" -> (RelationalOps.top3OrdersPerCustomer _),
     "q_rel_window_running" -> (RelationalOps.runningRevenue _),
@@ -297,6 +298,15 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  TRUE AS parts_ok, TRUE AS supps_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the sketch union's accuracy contract is the pinned TRUE (the
+    // distinct_approx convention); exact counts are replayed exactly
+    "q_rel_distinct_merge" ->
+      """WITH dd AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |per AS (SELECT l_returnflag, count(*) AS n_exact FROM dd GROUP BY 1)
+        |SELECT (SELECT count(*) FROM per) AS n_groups,
+        |  (SELECT CAST(sum(n_exact) AS BIGINT) FROM per) AS sum_group_exact,
+        |  (SELECT count(DISTINCT l_partkey) FROM dd) AS global_exact,
+        |  TRUE AS merged_ok""".stripMargin,
     "q_rel_quantiles_approx" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,

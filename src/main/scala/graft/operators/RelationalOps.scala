@@ -381,6 +381,39 @@ object RelationalOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Sketch-MERGEABILITY audit — the property [[distinctPartsApprox]]
+    * exercises implicitly, made explicit and checked: per-group HLL
+    * sketches built independently (as 1000 executors would), UNIONED
+    * into one global sketch, and the merged estimate verified against
+    * the exact global distinct. This is the algebraic contract that
+    * makes sketch rollups distributable at all (per-shard summaries
+    * compose without revisiting rows); the output also carries
+    * Σ per-group exact vs global exact — the overlap a naive
+    * sum-of-groups "merge" double-counts and the sketch union must not.
+    *
+    * Plan: ONE dedup pass of (flag, partkey) feeds per-group exact
+    * counts, per-group sketches, AND the global exact (HLL registers
+    * are duplicate-insensitive, the distinctPartsApprox move); the
+    * union stage aggregates 3 sketch objects.
+    */
+  def distinctMergeAudit(s: SparkSession, d: String): DataFrame = {
+    val dd = graft.SessionCache.cut(Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey")).distinct())
+    val per = dd.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"),
+        expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+    val merged = per.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("n_exact")).as("sum_group_exact"),
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val globalExact = dd.select(col("l_partkey")).distinct()
+      .agg(count(lit(1)).as("global_exact"))
+    merged.crossJoin(broadcast(globalExact)) // 1 row × 1 row
+      .select(col("n_groups"), col("sum_group_exact"), col("global_exact"),
+        (abs(col("est") - col("global_exact")).cast("double") <=
+          col("global_exact") * 0.05).as("merged_ok"))
+  }
+
   /** Approx-percentile calibration audit — the 100 TB form of
     * priceQuantiles, made driver-checkable (VERDICT r5 #2): published
     * columns are the exact percentiles plus a tolerance VERDICT (sketch

@@ -573,4 +573,21 @@ class RelTimeSeriesSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(bandRev >= 0.0 && bandRev <= brandsRev + 1e-6)
   }
+
+  test("distinctMergeAudit: union dedups group overlap a naive sum cannot") {
+    val r = RelationalOps.distinctMergeAudit(spark, sf0001).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_groups") === 3L) // A/N/R flags
+    val sumGroups = row.getAs[Long]("sum_group_exact")
+    val global = row.getAs[Long]("global_exact")
+    // parts recur under several flags: the naive per-group sum
+    // double-counts them, the merged sketch must not
+    assert(sumGroups > global, s"fixture has no overlap? $sumGroups vs $global")
+    assert(row.getAs[Boolean]("merged_ok"))
+    // cross-check the exact global against an independent count
+    val expected = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey")).distinct().count()
+    assert(global === expected)
+  }
 }
