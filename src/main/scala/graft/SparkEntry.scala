@@ -1446,6 +1446,8 @@ object SparkEntry {
     "q_dedup_triangles" -> ((s, d) => DedupOps.neardupTriangles(s, d)),
     "q_dedup_hybrid" -> ((s, d) => DedupOps.hybridNearDup(s, d)),
     "q_text_burstiness" -> ((s, d) => TextOps.termBurstiness(s, d)),
+    "q_text_bpe_merges" -> ((s, d) => RetrievalOps.bpeMerges(s, d)),
+    "q_text_bpe_fertility" -> ((s, d) => RetrievalOps.bpeFertility(s, d)),
     "q_dedup_df_profile" -> ((s, d) => DedupOps.shingleDfProfile(s, d)),
     "q_dedup_winnow_pairs" -> ((s, d) => DedupOps.winnowPairs(s, d)),
     "q_dedup_boilerplate" -> ((s, d) => DedupOps.boilerplate(s, d)),
@@ -1580,6 +1582,33 @@ object SparkEntry {
       """SELECT term, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+    // full BPE induction replayed as unrolled per-round CTEs — the
+    // k-means twin's trick applied to tokenizer training
+    "q_text_bpe_merges" ->
+      s"""WITH ${duckBpeCtes(6)}
+         |SELECT * FROM (
+         |  ${(1 to 6).map(i =>
+               s"SELECT $i AS round, l AS left_sym, r AS right_sym, " +
+                 s"l || r AS merged, n FROM b$i")
+               .mkString("\n  UNION ALL ")}
+         |) ORDER BY round""".stripMargin,
+    "q_text_bpe_fertility" ->
+      s"""WITH ${duckBpeCtes(6)},
+         |enc AS (SELECT w, len(regexp_extract_all(seq, '[^~]+')) AS n_syms
+         |        FROM v6)
+         |SELECT source, count(*) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(length(tw.w)) AS BIGINT) AS n_chars,
+         |  ((2 * (CAST(sum(n_syms) AS BIGINT) * 1000000) + count(*))
+         |   // (2 * count(*)))::DOUBLE / 1000000.0 AS fertility,
+         |  ((2 * (CAST(sum(length(tw.w)) AS BIGINT) * 1000000)
+         |    + CAST(sum(n_syms) AS BIGINT))
+         |   // (2 * CAST(sum(n_syms) AS BIGINT)))::DOUBLE / 1000000.0
+         |    AS chars_per_token
+         |FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |      FROM documents) tw
+         |JOIN enc ON enc.w = tw.w
+         |GROUP BY source ORDER BY source""".stripMargin,
     // VMR = (n·Σx² − (Σx)²)/(n·Σx) in exact long arithmetic, half-up at
     // micro-units — the engine's rational spelling replayed verbatim
     "q_text_burstiness" ->
@@ -3797,6 +3826,45 @@ object SparkEntry {
     "q_media_resize" -> ((s, d) => MultimodalOps.resizeStub(s, d)))
 
   private def duckCos(v1: String, v2: String): String = duckCosN(v1, v2, 64)
+
+  /** Replays [[graft.operators.RetrievalOps.bpeLearn]] as unrolled CTEs
+    * (the k-means/PCA twin trick): per round, frequency-weighted adjacent
+    * pair counts over the `~~`-separated symbol strings, the (n DESC, l,
+    * r) argmax, and the boundary-anchored `replace` application — every
+    * string operation identical to the engine's, so the learned merges
+    * and final segmentation are bit-identical. Returns the CTE chain (no
+    * WITH keyword, no trailing comma); round i's winner is `b<i>(l, r,
+    * n)`, the final vocab is `v<rounds>(w, freq, seq)`.
+    */
+  private def duckBpeCtes(rounds: Int = 6): String = {
+    // MATERIALIZED is load-bearing: each v_i is referenced twice and each
+    // b_i three times — inlined CTEs re-evaluate the whole prefix chain
+    // per reference (3^rounds blowup measured as a hang at 6 rounds)
+    val v0 =
+      """v0 AS MATERIALIZED (SELECT w, count(*) AS freq,
+        |  '~~' || regexp_replace(w, '(.)', '\1~~', 'g') AS seq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$')
+        |  GROUP BY w)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT string_split(pr, '~')[1] AS l,
+         |    string_split(pr, '~')[2] AS r, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq,
+         |      unnest([syms[j] || '~' || syms[j + 1]
+         |              for j in range(1, len(syms))]) AS pr
+         |    FROM (SELECT freq, regexp_extract_all(seq, '[^~]+') AS syms
+         |          FROM v${i - 1})
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT w, freq,
+         |  replace(seq,
+         |    '~' || (SELECT l FROM b$i) || '~~' || (SELECT r FROM b$i) || '~',
+         |    '~' || (SELECT l || r FROM b$i) || '~') AS seq
+         |  FROM v${i - 1})""".stripMargin
+    }
+    (v0 +: steps).mkString(",\n")
+  }
 
   /** Replays [[graft.operators.VectorOps.trainPca]] as unrolled CTEs (the
     * k-means twin's trick): nano-quantized mean, then per iteration the

@@ -516,4 +516,122 @@ object RetrievalOps {
       .where(col("cosine") >= minSim)
       .orderBy(col("a"), col("b"))
   }
+
+  // ---- full BPE induction (the driver loop bpePairCounts documents) ----
+
+  private val bpeCache = new graft.SessionCache[
+    (Seq[(Int, String, String, String, Long)], DataFrame)](
+    maxEntries = 8, onEvict = v => graft.SessionCache.release(v._2))
+
+  /** Learn `rounds` BPE merges on the corpus VOCABULARY (the Sennrich
+    * form: pair counts weighted by word frequency — vocabulary-sized
+    * state, never the token stream) and return (merge list, final
+    * segmented vocab). Each round is one Spark job that collects exactly
+    * ONE row (the argmax pair — model-sized driver state, the
+    * trainKmeans contract) and applies the merge as a pure column
+    * transformation.
+    *
+    * Symbol sequences are strings with `~~` separators (also at both
+    * ends); a merge (l, r) is `replace(seq, "~l~~r~", "~lr~")` — the
+    * pattern consumes the RIGHT half of the left separator and the LEFT
+    * half of the right one, so chained occurrences (`a b a b`, `a a a`)
+    * each retain the boundary the next leftmost match needs (greedy BPE
+    * semantics), while symbol-interior text can never match (a symbol
+    * edge inside the pattern is always flanked by `~`). Plain
+    * non-overlapping leftmost `replace` has identical semantics on both
+    * engines, which is what makes the whole induction oracle-replayable
+    * as unrolled SQL.
+    */
+  private def bpeLearn(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    bpeCache.getOrElseUpdate(s, s"$d#bpe#$rounds") { (ss, _) =>
+      bpeLearnOf(Tables.documents(ss, d), rounds)
+    }
+
+  /** [[bpeLearn]] over an arbitrary `(text)` frame (uncached). */
+  def bpeLearnOf(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+      var cur = graft.SessionCache.cut(
+        docs
+          .select(explode(toks).as("w"))
+          .where(col("w").rlike("^[a-z]+$"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .select(col("w"), col("freq"),
+            concat(lit("~~"), regexp_replace(col("w"), "(.)", "$1~~"))
+              .as("seq")))
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val syms = regexp_extract_all(col("seq"), lit("[^~]+"), lit(0))
+        val best = cur
+          .select(col("freq"), syms.as("sy"))
+          .where(size(col("sy")) >= 2)
+          .select(col("freq"), explode(
+            expr("transform(sequence(0, size(sy) - 2)," +
+              " i -> struct(sy[i] AS l, sy[i + 1] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val (l, rr, n) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          merges += ((r, l, rr, l + rr, n))
+          cur = cur.select(col("w"), col("freq"),
+            call_function("replace", col("seq"),
+              lit(s"~$l~~$rr~"), lit(s"~$l$rr~")).as("seq"))
+        }
+      }
+      (merges.result(), graft.SessionCache.cut(cur))
+  }
+
+  /** The learned merge table: one row per round — the tokenizer model
+    * artifact (rank-ordered merges ARE a BPE tokenizer).
+    */
+  def bpeMerges(s: SparkSession, d: String, rounds: Int = 6): DataFrame = {
+    import s.implicits._
+    bpeLearn(s, d, rounds)._1
+      .toDF("round", "left_sym", "right_sym", "merged", "n")
+  }
+
+  /** Per-source encoding statistics under the learned merges: fertility
+    * (BPE tokens per word) and compression (chars per BPE token) — the
+    * numbers that decide whether a tokenizer fits a corpus. The
+    * vocabulary (with per-word segment counts) broadcasts to the
+    * corpus-word join; the token stream's only shuffle is the per-source
+    * rollup.
+    */
+  def bpeFertility(s: SparkSession, d: String, rounds: Int = 6): DataFrame =
+    fertilityFrom(Tables.documents(s, d), bpeLearn(s, d, rounds)._2)
+
+  /** [[bpeFertility]] over an arbitrary `(source?, text)` frame
+    * (uncached; a missing `source` column is filled with a constant).
+    */
+  def bpeFertilityOf(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val withSrc =
+      if (docs.columns.contains("source")) docs
+      else docs.withColumn("source", lit("all"))
+    fertilityFrom(withSrc, bpeLearnOf(withSrc, rounds)._2)
+  }
+
+  private def fertilityFrom(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val enc = vocab
+      .select(col("w"),
+        size(regexp_extract_all(col("seq"), lit("[^~]+"), lit(0)))
+          .as("n_syms"))
+    docs
+      .select(col("source"), explode(toks).as("w"))
+      .join(broadcast(enc), Seq("w"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_syms").cast("long")).as("n_bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        col("n_chars"),
+        (Num.halfUpDiv(col("n_bpe_tokens") * 1000000L, col("n_words"))
+          .cast("double") / 1e6).as("fertility"),
+        (Num.halfUpDiv(col("n_chars") * 1000000L, col("n_bpe_tokens"))
+          .cast("double") / 1e6).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
 }

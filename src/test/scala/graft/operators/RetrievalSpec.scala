@@ -181,4 +181,63 @@ class RetrievalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bigrams")).toMap
     assert(pruned === Map(0L -> 2L, 1L -> 1L)) // only (a,b) survives
   }
+
+  /** Plain-Scala reference BPE (Sennrich on the weighted vocab; greedy
+    * left-to-right merge application).
+    */
+  private def refBpe(words: Seq[String], rounds: Int)
+      : (Seq[(String, String, Long)], Map[String, List[String]]) = {
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var segs: Map[String, List[String]] =
+      freq.keys.map(w => w -> w.map(_.toString).toList).toMap
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (w, sy) =>
+        sy.zip(sy.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + freq(w))
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.toSeq
+          .sortBy { case ((l, r), n) => (-n, l, r) }.head
+        merges += ((l, r, n))
+        segs = segs.view.mapValues { sy =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < sy.length) {
+            if (i + 1 < sy.length && sy(i) == l && sy(i + 1) == r) {
+              out += l + r; i += 2 // greedy left-to-right, non-overlapping
+            } else { out += sy(i); i += 1 }
+          }
+          out.toList
+        }.toMap
+      }
+    }
+    (merges.result(), segs)
+  }
+
+  test("BPE induction agrees with a plain-Scala reference, chains included") {
+    // 'abab' and 'aaa' pin the greedy-merge boundary semantics: after
+    // merge (a,b), 'abab' must be [ab, ab] (not [ab, a, b]) and after
+    // (a,a) 'aaa' must be [aa, a]
+    val words = Seq(
+      "abab", "abab", "abab", "abab", "abab",
+      "aaa", "aaa", "aaa",
+      "banana", "banana", "bandana", "cabana")
+    val corpus = docs(words.zipWithIndex.map {
+      case (w, i) => (i.toLong, w) }: _*)
+    val rounds = 5
+    val (refMerges, refSegs) = refBpe(words, rounds)
+    val (gotMerges, vocab) = RetrievalOps.bpeLearnOf(corpus, rounds)
+    assert(gotMerges.map(m => (m._2, m._3, m._5)) === refMerges)
+    val gotSegs = vocab.collect().map { r =>
+      r.getAs[String]("w") ->
+        "[^~]+".r.findAllIn(r.getAs[String]("seq")).toList
+    }.toMap
+    assert(gotSegs === refSegs)
+    // fertility reconciles with the reference segmentation
+    val fert = RetrievalOps.bpeFertilityOf(corpus, rounds).collect()
+    val expTokens = words.map(w => refSegs(w).length.toLong).sum
+    assert(fert.map(_.getAs[Long]("n_bpe_tokens")).sum === expTokens)
+  }
 }
