@@ -2562,10 +2562,11 @@ object SparkEntry {
         |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
         |  (SELECT count(*) FROM pairs) AS n_edges,
-        |  (SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT) FROM deg)
-        |    AS n_wedges,
+        |  (SELECT CAST(coalesce(sum(degree * (degree - 1) // 2), 0) AS BIGINT)
+        |   FROM deg) AS n_wedges,
         |  n_triangles,
-        |  CASE WHEN (SELECT sum(degree * (degree - 1) // 2) FROM deg) = 0
+        |  CASE WHEN (SELECT coalesce(sum(degree * (degree - 1) // 2), 0)
+        |             FROM deg) = 0
         |    THEN 0.0
         |    ELSE ((2 * (n_triangles * 3000000) +
         |           (SELECT sum(degree * (degree - 1) // 2) FROM deg))

@@ -1452,9 +1452,12 @@ object DedupOps {
         .groupBy(col("v")).agg(count(lit(1)).as("deg")))
     val base = deg.agg(
       count(lit(1)).as("n_nodes"),
-      call_function("div", sum(col("deg")), lit(2L)).as("n_edges"),
-      sum(call_function("div", col("deg") * (col("deg") - 1), lit(2L)))
-        .as("n_wedges"))
+      // coalesce: sum over an EMPTY graph is null, and the census of an
+      // empty graph is all zeros, not all nulls (oracle spells the same)
+      coalesce(call_function("div", sum(col("deg")), lit(2L)), lit(0L))
+        .as("n_edges"),
+      coalesce(sum(call_function("div", col("deg") * (col("deg") - 1),
+        lit(2L))), lit(0L)).as("n_wedges"))
     // orient each edge toward the higher-(degree, id) endpoint; the edge
     // table feeds the wedge self-join plus the closing semi-join, so cut
     // it too (edge-sized, ids + one degree column only)

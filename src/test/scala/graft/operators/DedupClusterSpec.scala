@@ -307,6 +307,12 @@ class DedupClusterSpec extends SparkSpec {
       r.getAs[Double]("transitivity"))
   }
 
+  test("triangle census: empty graph is all zeros, not nulls") {
+    import spark.implicits._
+    assert(DedupOps.trianglesOfEdges(Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().head.toSeq === Seq(0L, 0L, 0L, 0L, 0.0))
+  }
+
   test("triangle census: chain, triangle, K4, triangle+pendant") {
     // chain 1-2-3-4: 2 wedges, no triangle
     assert(censusOf(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
