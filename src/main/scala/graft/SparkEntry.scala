@@ -1445,6 +1445,12 @@ object SparkEntry {
     "q_dedup_degree_dist" -> ((s, d) => DedupOps.neardupDegreeDist(s, d)),
     "q_dedup_triangles" -> ((s, d) => DedupOps.neardupTriangles(s, d)),
     "q_dedup_hybrid" -> ((s, d) => DedupOps.hybridNearDup(s, d)),
+    // deterministic arrival batch: every 25th document re-submitted under
+    // a shifted id (the verbatim-resubmission shape of real log/crawl
+    // ingest); statuses exercise joined/new, the spec plants merged
+    "q_dedup_incr_clusters" -> ((s, d) => DedupOps.incrementalClusters(s, d,
+      graft.Tables.documents(s, d).where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))),
     "q_text_burstiness" -> ((s, d) => TextOps.termBurstiness(s, d)),
     "q_text_bpe_merges" -> ((s, d) => RetrievalOps.bpeMerges(s, d)),
     "q_text_bpe_fertility" -> ((s, d) => RetrievalOps.bpeFertility(s, d)),
@@ -2573,6 +2579,95 @@ object SparkEntry {
         |          // (2 * (SELECT sum(degree * (degree - 1) // 2) FROM deg)))
         |         ::DOUBLE / 1000000.0 END AS transitivity
         |FROM tri""".stripMargin,
+    // incremental attach replayed end-to-end: the corpus closure (the
+    // q_dedup_clusters twin) gives the snapshot labels, batch edges join
+    // the SNAPSHOT capped index, corpus endpoints contract to their
+    // label, and a SECOND recursive closure runs on the contracted graph
+    "q_dedup_incr_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jac
+        |    FROM (
+        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |             count(*) AS inter
+        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2, 3, 4))
+        |  WHERE jac >= 0.2),
+        |edges AS (SELECT a AS x, b AS y FROM pairs
+        |          UNION SELECT b AS x, a AS y FROM pairs),
+        |reach AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        |  WHERE e.y <> r.x),
+        |lab AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+        |        FROM reach GROUP BY x),
+        |bt AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |       WHERE doc_id % 25 = 0),
+        |btt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM bt),
+        |bshs AS (SELECT doc_id,
+        |           list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                          for i in range(1, len(toks) - 1)]) AS shl
+        |         FROM btt WHERE len(toks) >= 3),
+        |bsh0 AS (SELECT doc_id, unnest(shl) AS sh FROM bshs),
+        |bcapped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+        |    FROM bsh0)
+        |  WHERE df <= 1000),
+        |bsh AS (SELECT doc_id, sh,
+        |          count(*) OVER (PARTITION BY doc_id) AS n_sh FROM bcapped),
+        |bce AS (
+        |  SELECT b, c FROM (
+        |    SELECT x.doc_id AS b, y.doc_id AS c, x.n_sh AS nb, y.n_sh AS nc,
+        |           count(*) AS inter
+        |    FROM bsh x JOIN sh y ON x.sh = y.sh
+        |    GROUP BY 1, 2, 3, 4)
+        |  WHERE round(inter::DOUBLE / (nb + nc - inter), 6) >= 0.2),
+        |bbe AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |           count(*) AS inter
+        |    FROM bsh x JOIN bsh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |    GROUP BY 1, 2, 3, 4)
+        |  WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.2),
+        |cont AS (SELECT bce.b AS a, coalesce(l.cluster_id, bce.c) AS b
+        |         FROM bce LEFT JOIN lab l ON l.doc_id = bce.c),
+        |allnew AS (SELECT a, b FROM cont UNION SELECT a, b FROM bbe),
+        |e2 AS (SELECT a AS x, b AS y FROM allnew
+        |       UNION SELECT b AS x, a AS y FROM allnew),
+        |reach2 AS (
+        |  SELECT x, y FROM e2
+        |  UNION
+        |  SELECT r.x, e.y FROM reach2 r JOIN e2 e ON r.y = e.x
+        |  WHERE e.y <> r.x),
+        |comp AS (SELECT x AS node, least(x, min(y)) AS cluster_id
+        |         FROM reach2 GROUP BY x),
+        |sup AS (SELECT DISTINCT b AS node FROM allnew
+        |        WHERE b NOT IN (SELECT doc_id FROM bt)),
+        |cstat AS (SELECT c.cluster_id, count(*) AS n_corpus
+        |          FROM comp c JOIN sup ON sup.node = c.node GROUP BY 1)
+        |SELECT bt.doc_id,
+        |  coalesce(comp.cluster_id, bt.doc_id) AS cluster,
+        |  coalesce(cstat.n_corpus, 0) AS n_corpus_clusters,
+        |  CASE WHEN coalesce(cstat.n_corpus, 0) = 0 THEN 'new'
+        |       WHEN cstat.n_corpus = 1 THEN 'joined'
+        |       ELSE 'merged' END AS status
+        |FROM bt
+        |LEFT JOIN comp ON comp.node = bt.doc_id
+        |LEFT JOIN cstat ON cstat.cluster_id = comp.cluster_id
+        |ORDER BY doc_id""".stripMargin,
     // lexical candidates (same pair CTE, carrying jaccard) verified by
     // embedding cosine where both endpoints are embedded; the CASE keeps
     // NULL-coverage pairs 'unverified' before the threshold comparison

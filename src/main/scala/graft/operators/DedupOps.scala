@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1524,6 +1524,96 @@ object DedupOps {
       graft.SessionCache.cut(ss.read.parquet(s"$indexDir/clusters"))
     }
     ()
+  }
+
+  /** Incremental near-dup CLUSTER maintenance — [[incrementalDedup]]'s
+    * connected-components sibling, and the operation that makes the
+    * snapshot artifacts ([[writeDedupIndex]]) a pipeline rather than a
+    * one-shot: a new document batch attaches to the standing cluster
+    * assignment WITHOUT re-running the corpus-wide pair stage or the
+    * full label propagation.
+    *
+    * Semantics (the oracle replays them exactly): batch docs pair
+    * against the SNAPSHOT's df-capped shingle index (the cap was decided
+    * at snapshot time — incremental systems join against the index they
+    * have) and among themselves (batch-internal df cap); existing
+    * clusters are CONTRACTED to one supernode each (their label — the
+    * min member id, so component minima over the contracted graph equal
+    * full-graph minima); label propagation runs on the contracted graph,
+    * whose size is batch + touched clusters, NOT the corpus. Each batch
+    * doc reports its final cluster and a status: `new` (no corpus
+    * contact), `joined` (one corpus supernode), `merged` (the batch doc
+    * bridges ≥ 2 previously-separate corpus clusters/singletons — the
+    * case a frozen-assignment attach gets wrong and this operator
+    * surfaces explicitly).
+    *
+    * Scale plan: the corpus index is touched only via a left-semi join
+    * against the (broadcast, batch-sized) batch shingle vocabulary —
+    * corpus postings read ∝ batch vocabulary, the incremental contract.
+    * Batch ids must be disjoint from corpus doc ids (caller contract,
+    * as in [[incrementalDedup]]).
+    */
+  def incrementalClusters(s: SparkSession, d: String, batch: DataFrame,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    val corpusIdx = cappedIndex(s, d, maxDf)
+    val labels = duplicateClusters(s, d, minSim, maxDf)
+    val bIdx = graft.SessionCache.cut(capByDf(
+      batch
+        .select(col("doc_id"),
+          wordShingles(split(col("text"), " "), 3).as("shs"))
+        .where(size(col("shs")) > 0)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh_h")), maxDf))
+    val bSizes = bIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // corpus postings touched ∝ batch vocabulary (broadcast semi-prune);
+    // sizes still count EVERY shingle of a candidate doc, so they come
+    // from the unpruned index
+    val touched = corpusIdx
+      .join(broadcast(bIdx.select(col("sh_h")).distinct()),
+        Seq("sh_h"), "left_semi")
+    val cSizes = corpusIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val jacOk = (inter: Column, n1: Column, n2: Column) =>
+      round(inter.cast("double") / (n1 + n2 - inter), 6) >= minSim
+    val bc = bIdx.select(col("doc_id").as("b"), col("sh_h"))
+      .join(touched.select(col("doc_id").as("c"), col("sh_h")), Seq("sh_h"))
+      .groupBy(col("b"), col("c")).agg(count(lit(1)).as("inter"))
+      .join(bSizes.select(col("doc_id").as("b"), col("n_sh").as("nb")),
+        Seq("b"))
+      .join(cSizes.select(col("doc_id").as("c"), col("n_sh").as("nc")),
+        Seq("c"))
+      .where(jacOk(col("inter"), col("nb"), col("nc")))
+      .select(col("b"), col("c"))
+    val bb = pairStats(bIdx, bSizes)
+      .where(jacOk(col("inter"), col("na"), col("nb")))
+      .select(col("a"), col("b"))
+    // contract: corpus endpoint → its snapshot label (singletons are
+    // their own supernode)
+    val bcC = bc
+      .join(labels.select(col("doc_id").as("c"), col("cluster_id")),
+        Seq("c"), "left")
+      .select(col("b").as("a"),
+        coalesce(col("cluster_id"), col("c")).as("b"))
+    val contracted = graft.SessionCache.cut(bcC.union(bb))
+    val comp = clusters(contracted) // (doc_id = node, cluster_id)
+    // corpus supernodes = distinct contracted `b` endpoints minus batch
+    // ids (bb edges also land in `b`); read off the CUT union so the bc
+    // subtree isn't recomputed for this side-count
+    val supStats = comp
+      .join(contracted.select(col("b").as("doc_id")).distinct()
+        .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_corpus_clusters"))
+    batch.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(supStats, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster"),
+        coalesce(col("n_corpus_clusters"), lit(0L)).as("n_corpus_clusters"))
+      .withColumn("status",
+        when(col("n_corpus_clusters") === 0L, lit("new"))
+          .when(col("n_corpus_clusters") === 1L, lit("joined"))
+          .otherwise(lit("merged")))
+      .orderBy(col("doc_id"))
   }
 
   /** Hybrid near-dup verification: lexical candidates (the memoized

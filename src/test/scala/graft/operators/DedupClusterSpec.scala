@@ -346,6 +346,55 @@ class DedupClusterSpec extends SparkSpec {
     assert(out((2L, 4L)) == ((None, "unverified")))
   }
 
+  test("incrementalClusters: new/joined/merged attach, recompute-equivalent") {
+    import spark.implicits._
+    val ta = "a b c d e f g h"
+    val tb = "p q r s t u v w"
+    val tc = "m n o x y z k j"
+    val corpus = Seq(
+      (1L, ta), (2L, ta), // cluster A (label 1)
+      (3L, tb), (4L, tb), // cluster B (label 3)
+      (5L, tc)) // singleton
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = Seq(
+      (101L, ta), // verbatim resubmission → A
+      (102L, "zz yy xx ww vv uu tt"), // unseen → new singleton
+      (103L, "a b c d p q r s"), // bridges A and B (jac exactly 0.2 each)
+      (104L, "m n o x y z k q"), // near-dup of the singleton 5
+      (105L, "fresh pair text one two three"), // new cluster with 106
+      (106L, "fresh pair text one two three"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.incrementalClusters(spark, dir, batch)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("n_corpus_clusters"),
+          r.getAs[String]("status"))).toMap
+    // status is a COMPONENT property: 103 bridges clusters A and B, so
+    // everything in that component (101 included) reports the merge
+    assert(out(101L) == ((1L, 2L, "merged")))
+    assert(out(103L) == ((1L, 2L, "merged")))
+    assert(out(102L) == ((102L, 0L, "new")))
+    assert(out(104L) == ((5L, 1L, "joined")))
+    assert(out(105L) == ((105L, 0L, "new")))
+    assert(out(106L) == ((105L, 0L, "new")))
+
+    // no df cap is active at this size, so the incremental attach must
+    // equal a FULL recompute over corpus ∪ batch
+    val unionDir = java.nio.file.Files.createTempDirectory("graft-incr-u")
+      .toString
+    corpus.union(batch.select(col("doc_id"), col("text"), lit("en"),
+        lit("src"), length(col("text")).cast("long")))
+      .write.mode("overwrite").parquet(s"$unionDir/documents.parquet")
+    val full = DedupOps.duplicateClusters(spark, unionDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, (cluster, _, _)) =>
+      assert(full.getOrElse(id, id) === cluster,
+        s"batch doc $id: incremental $cluster vs recompute ${full.get(id)}")
+    }
+  }
+
   test("fixture triangle count agrees with an in-memory brute force") {
     val pairs = DedupOps.ngramJaccardPairs(spark, sf0001, minSim = 0.2)
       .select(col("a"), col("b"))
