@@ -165,6 +165,20 @@ object VectorOps {
       .withColumn("cell", cell(col("embedding"), bits))
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
 
+  /** Incrementally add a vector batch to a materialized IVF layout —
+    * [[writeIvfIndex]]'s update path (the vector-side sibling of
+    * `DedupOps.incrementalClusters`): new vectors are assigned their
+    * cell by the SAME coarse quantizer and appended as new files under
+    * their cell partitions. Nothing existing is rewritten, untouched
+    * cells gain no files, and partition pruning on probes is unchanged —
+    * the append cost is batch-sized at any index size.
+    */
+  def appendIvfIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame, bits: Int = 4): Unit =
+    batch
+      .withColumn("cell", cell(col("embedding"), bits))
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+
   /** Probe the materialized index: rank the query's cell by cosine. The
     * cell predicate is a partition filter — check the scan's
     * PartitionFilters in explain. */

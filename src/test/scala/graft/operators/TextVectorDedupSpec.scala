@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -169,6 +171,23 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
       s"expected cell partition filter in:\n$plan")
     val got = probe.collect().map(_.getAs[Long]("vec_id"))
     assert(got.contains(1L)) // the exact copy is in the probed cell
+
+    // incremental append: a new vector lands in the probed cell without
+    // rewriting anything, and pruning still holds
+    import spark.implicits._
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+    val newVec = (0 until 64).map(j => if (j == 0) 0.9f else 0f).toArray
+    VectorOps.appendIvfIndex(spark, idx,
+      Seq((100L, newVec)).toDF("vec_id", "embedding"))
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+    assert(before.subsetOf(after), "append must not rewrite existing files")
+    val probe2 = VectorOps.ivfProbe(spark, idx, qv, k = 5)
+    val plan2 = probe2.queryExecution.executedPlan.toString
+    assert(plan2.contains("PartitionFilters") && plan2.contains("cell"))
+    val got2 = probe2.collect().map(_.getAs[Long]("vec_id"))
+    assert(got2.contains(100L) && got2.contains(1L))
   }
 
   test("frameSample expands each video payload into n deterministic frames") {
