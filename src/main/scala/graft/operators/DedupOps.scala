@@ -1507,6 +1507,10 @@ object DedupOps {
       .parquet(s"$indexDir/pair_stats")
     duplicateClusters(s, d, minSim, maxDf).write.mode("overwrite")
       .parquet(s"$indexDir/clusters")
+    // the capped (doc_id, sh_h) postings — what [[incrementalClusters]]
+    // joins new batches against; ids + 8-byte hashes, never text
+    cappedIndex(s, d, maxDf).write.mode("overwrite")
+      .parquet(s"$indexDir/capped_index")
   }
 
   /** Prime this session's dedup memos for corpus `d` from a
@@ -1522,6 +1526,9 @@ object DedupOps {
     }
     clusterCache.getOrElseUpdate(s, s"$d#$minSim#$maxDf") { (ss, _) =>
       graft.SessionCache.cut(ss.read.parquet(s"$indexDir/clusters"))
+    }
+    cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
+      graft.SessionCache.cut(ss.read.parquet(s"$indexDir/capped_index"))
     }
     ()
   }

@@ -95,5 +95,17 @@ class CorpusExportSpec extends SparkSpec {
       === triDirect)
     assert(DedupOps.duplicateClusters(spark, ghost).collect().toSeq
       === cluDirect)
+
+    // the UPDATE path runs off the artifact too: attaching a batch to
+    // the ghost corpus (capped index + labels primed from disk) equals
+    // attaching to the real one
+    import spark.implicits._
+    val batch = Tables.documents(spark, sf0001)
+      .where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+    val attachDirect =
+      DedupOps.incrementalClusters(spark, sf0001, batch).collect().toSeq
+    assert(DedupOps.incrementalClusters(spark, ghost, batch).collect().toSeq
+      === attachDirect)
   }
 }
