@@ -10,7 +10,7 @@ import graft.SparkSpec
   * the end-to-end fixture run agreeing with a transitive closure of the
   * pair set computed independently in-memory.
   */
-class DedupClusterSpec extends SparkSpec {
+class DedupClusterSpec extends SparkSpec with graft.PropSpec {
 
   private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
@@ -392,6 +392,28 @@ class DedupClusterSpec extends SparkSpec {
     out.foreach { case (id, (cluster, _, _)) =>
       assert(full.getOrElse(id, id) === cluster,
         s"batch doc $id: incremental $cluster vs recompute ${full.get(id)}")
+    }
+  }
+
+  test("triangle census property: random graphs agree with brute force") {
+    // 10 nodes → 45 possible edges → one random 45-bit mask per case;
+    // covers degree-tie orientation cases the hand-picked graphs miss
+    val pairs10 = (for (i <- 1L to 10L; j <- (i + 1) to 10L)
+      yield (i, j)).toIndexedSeq
+    forSamples(org.scalacheck.Gen.choose(0L, (1L << 45) - 1), n = 12) { mask =>
+      val edges = pairs10.zipWithIndex.collect {
+        case (e, i) if ((mask >> i) & 1L) == 1L => e
+      }
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      val expTri = edges.map { case (a, b) =>
+        (adj(a) & adj(b)).count(_ > b)
+      }.sum.toLong
+      val expWedges = adj.values
+        .map(n => n.size.toLong * (n.size - 1) / 2).sum
+      val got = censusOf(edges)
+      assert(got == ((adj.size.toLong, edges.length.toLong, expWedges,
+        expTri, got._5)), s"mask=$mask edges=$edges")
     }
   }
 
