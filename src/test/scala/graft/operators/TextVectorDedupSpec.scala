@@ -590,6 +590,35 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     assert(math.abs(r2.getAs[Double]("redundancy_frac") - 15.0 / 18.0) < 1e-6)
   }
 
+  test("termBurstiness property: random corpora agree with an integer reference") {
+    def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+    val docGen = org.scalacheck.Gen.listOfN(8,
+      org.scalacheck.Gen.choose(0, 3).map("abcd".charAt(_).toString))
+    val corpusGen = org.scalacheck.Gen.listOfN(6, docGen)
+    forSamples(corpusGen, n = 10) { corpus =>
+      import spark.implicits._
+      val docs = corpus.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextOps.termBurstinessOf(docs).collect()
+        .map(r => r.getAs[String]("term") ->
+          (r.getAs[Long]("df"), r.getAs[Long]("total_tf"),
+            r.getAs[Double]("mean_tf"), r.getAs[Double]("vmr"))).toMap
+      val tf = corpus.zipWithIndex.flatMap { case (ws, i) =>
+        ws.groupBy(identity).map { case (w, os) => (w, i, os.size.toLong) }
+      }
+      val exp = tf.groupBy(_._1).map { case (w, rows) =>
+        val df = rows.size.toLong
+        val tot = rows.map(_._3).sum
+        val sq = rows.map(x => x._3 * x._3).sum
+        w -> ((df, tot,
+          halfUp(tot * 1000000L, df) / 1e6,
+          halfUp((df * sq - tot * tot) * 1000000L, df * tot) / 1e6))
+      }
+      assert(got == exp, s"corpus=$corpus")
+    }
+  }
+
   test("termBurstiness: hand-computed VMR, df ordering, top-N cut") {
     import spark.implicits._
     val docs = Seq(
