@@ -167,4 +167,33 @@ object DocStreamOps {
           }
       }
   }
+
+  /** Continuous incremental cluster attach: the foreachBatch loop that
+    * turns [[graft.operators.DedupOps.incrementalClusters]] into an
+    * ingest-time verdict stream. Every micro-batch attaches against the
+    * SAME corpus snapshot (the session memos — primeable from a durable
+    * [[graft.operators.DedupOps.loadDedupIndex]] artifact, so a verdict
+    * job needs the index, not the corpus) and appends its
+    * new/joined/merged verdicts to `outDir`.
+    *
+    * Contract: verdicts are SNAPSHOT-relative — batches do not see each
+    * other (cross-arrival duplicate discovery belongs to the next
+    * snapshot rebuild; [[nearDupTags]] is the online cross-arrival
+    * detector). Delivery is at-least-once per micro-batch: a retried
+    * batch re-appends under the same `batch_id`, so exactly-once readers
+    * dedup on (batch_id, doc_id) — or route the write through
+    * `LogIngest.commitBatch`'s manifest protocol where atomicity
+    * matters.
+    */
+  def attachStream(docs: Dataset[Doc], corpusDir: String, outDir: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Doc] = {
+    val fn: (Dataset[Doc], Long) => Unit = { (df, batchId) =>
+      DedupOps.incrementalClusters(df.sparkSession, corpusDir,
+          df.select(col("doc_id"), col("text")), minSim, maxDf)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(outDir)
+    }
+    docs.writeStream.outputMode(OutputMode.Update()).foreachBatch(fn)
+  }
 }

@@ -137,4 +137,45 @@ class DocStreamOpsSpec extends SparkSpec {
       assert(spark.table("dup_tags_short").count() == 0)
     } finally q.stop()
   }
+
+  test("attachStream: per-batch verdicts equal the batch operator, batches independent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-attach")
+      .toString + "/verdicts"
+    val corpusDocs = graft.Tables.documents(spark, sf0001)
+    val b1 = corpusDocs.where(col("doc_id") < 3)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+    val b2 = corpusDocs.where(col("doc_id") >= 3 && col("doc_id") < 5)
+      .select((col("doc_id") + 8000000L).as("doc_id"), col("text"))
+    val mk = (df: org.apache.spark.sql.DataFrame) =>
+      df.as[(Long, String)].collect()
+        .map { case (id, t) => Doc(ts(0), id, t) }
+    val in = MemoryStream[Doc]
+    val q = DocStreamOps.attachStream(in.toDS(), sf0001, out)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      in.addData(mk(b1).toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(mk(b2).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    // two micro-batches, verdicts appended under distinct batch ids
+    assert(got.select(col("batch_id")).distinct().count() == 2)
+    // each batch's verdicts equal a direct incrementalClusters attach
+    // (snapshot-relative: batch 2 is NOT affected by batch 1's docs)
+    Seq(b1, b2).foreach { b =>
+      val direct = graft.operators.DedupOps
+        .incrementalClusters(spark, sf0001, b)
+        .collect().map(_.toSeq).toSet
+      val streamed = got
+        .join(b.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("cluster"), col("n_corpus_clusters"),
+          col("status"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === direct)
+    }
+  }
 }
