@@ -179,6 +179,66 @@ object VectorOps {
       .withColumn("cell", cell(col("embedding"), bits))
       .write.mode("append").partitionBy("cell").parquet(indexDir)
 
+  /** Materialized LEARNED-quantizer IVF layout ([[writeIvfIndex]]'s
+    * k-means sibling): embeddings partitioned by their trained cell,
+    * with the centroid model persisted alongside (`model/`, k rows) so
+    * [[appendIvfKmeansIndex]] and [[ivfKmeansProbe]] assign and prune
+    * with the SAME quantizer the layout was built with — the property
+    * that makes a materialized ANN index updatable at all (re-deriving
+    * the model from a grown corpus would silently reshuffle cells).
+    */
+  def writeIvfKmeansIndex(s: SparkSession, d: String, indexDir: String,
+      k: Int = 16, iters: Int = 5): Unit = {
+    val cents = trainKmeans(s, d, k, iters)
+    import s.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/model")
+    Tables.embeddings(s, d)
+      .withColumn("cell", nearestCentroid(col("embedding"), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/data")
+  }
+
+  private def loadKmeansModel(s: SparkSession,
+      indexDir: String): Array[Array[Double]] =
+    s.read.parquet(s"$indexDir/model").orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray) // k rows — model-sized
+
+  /** Batch-sized update of the learned-quantizer layout: assign with the
+    * PERSISTED model, append new files under touched cells only.
+    */
+  def appendIvfKmeansIndex(s: SparkSession, indexDir: String,
+      batch: DataFrame): Unit = {
+    val cents = loadKmeansModel(s, indexDir)
+    batch
+      .withColumn("cell", nearestCentroid(col("embedding"), cents))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/data")
+  }
+
+  /** Probe the learned-quantizer layout: nProbe nearest cells by the
+    * persisted model (driver-side k×dim arithmetic), partition-pruned
+    * scan, exact cosine re-rank.
+    */
+  def ivfKmeansProbe(s: SparkSession, indexDir: String,
+      queryVec: Array[Float], topK: Int = 10, nProbe: Int = 2): DataFrame = {
+    val cents = loadKmeansModel(s, indexDir)
+    val qv = queryVec.map(_.toDouble)
+    def d2(c: Array[Double]): Double = {
+      var dist = 0.0; var i = 0
+      val n = math.min(c.length, qv.length)
+      while (i < n) { val x = c(i) - qv(i); dist += x * x; i += 1 }
+      dist
+    }
+    val probeCells = cents.zipWithIndex
+      .sortBy { case (c, i) => (d2(c), i) }.take(nProbe).map(_._2)
+    s.read.parquet(s"$indexDir/data")
+      .where(col("cell").isin(probeCells.map(c => c: Any): _*))
+      .select(col("vec_id"), col("cell"),
+        round(cosine(col("embedding"), lit(queryVec)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+
   /** Probe the materialized index: rank the query's cell by cosine. The
     * cell predicate is a partition filter — check the scan's
     * PartitionFilters in explain. */

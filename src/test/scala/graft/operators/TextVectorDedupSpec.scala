@@ -190,6 +190,39 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     assert(got2.contains(100L) && got2.contains(1L))
   }
 
+  test("learned-quantizer IVF index: probe prunes, append reuses the persisted model") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-kivf").toString + "/index"
+    VectorOps.writeIvfKmeansIndex(spark, dir, idx, k = 3, iters = 2)
+    val qv = (0 until 64).map(j => if (j == 0) 1f else 0f).toArray
+    val probe = VectorOps.ivfKmeansProbe(spark, idx, qv, topK = 5, nProbe = 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition filter in:\n$plan")
+    assert(probe.collect().map(_.getAs[Long]("vec_id")).contains(0L))
+
+    // append assigns with the PERSISTED model: the new vector's cell
+    // equals a fresh driver-side nearest-centroid of the stored model
+    // (an exact copy of qv, so its cell IS the nProbe=1 probe cell)
+    VectorOps.appendIvfKmeansIndex(spark, idx,
+      Seq((200L, qv)).toDF("vec_id", "embedding"))
+    val data = spark.read.parquet(s"$idx/data")
+    val cents = spark.read.parquet(s"$idx/model")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    def nearest(v: Array[Float]): Int = cents.zipWithIndex.minBy { case (c, i) =>
+      (c.zip(v.map(_.toDouble)).map { case (a, b) =>
+        (a - b) * (a - b) }.sum, i)
+    }._2
+    val gotCell = data.where(col("vec_id") === 200L)
+      .select(col("cell")).head().getInt(0)
+    assert(gotCell === nearest(qv))
+    // and the appended vector is reachable through the pruned probe
+    val got2 = VectorOps.ivfKmeansProbe(spark, idx, qv, topK = 6, nProbe = 1)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(got2.contains(200L))
+  }
+
   test("frameSample expands each video payload into n deterministic frames") {
     val frames = MultimodalOps.frameSample(spark, dir, nFrames = 3).collect()
     // video modality = doc_id % 3 == 2 → only doc 2
