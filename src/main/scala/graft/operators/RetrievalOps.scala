@@ -217,29 +217,32 @@ object RetrievalOps {
     val dfs = docs.select(explode(array_distinct(col("t"))).as("term"))
       .join(broadcast(fbCounts), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df_fb"))
-    val expTerms = fbCounts.join(dfs, Seq("term"))
+    // The expansion is ≤ fbTerms rows — model-sized driver state (the
+    // trainKmeans contract) — so COLLECT it instead of broadcasting a
+    // live subtree: the term grid becomes a LocalRelation and the prune
+    // array a literal, which deletes two broadcast-materialization jobs
+    // from an 8-job cascade whose cost IS its job count (measured: the
+    // per-stage data here is trivial at every SF).
+    val expanded = fbCounts.join(dfs, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("term"),
         (col("tf_fb") *
           round(log(col("n_docs") / col("df_fb")) * 1e6, 0).cast("long"))
           .as("wq"))
       .orderBy(col("wq").desc, col("term")).limit(fbTerms)
-      .select(col("term"), lit(0.5).as("w"))
-    val qterms = broadcast(
-      QueryTerms.map((_, 1.0)).toDF("term", "w").union(expTerms))
-    // Per-(doc, term) tf via the broadcast term grid + in-row array
-    // filter (the bm25TopKOf stance): ≤|qterms| narrow rows per doc, NO
-    // token explode and NO (doc, term) shuffle — scoring is a pure scan.
-    // The expanded term set is data-dependent, so the one-traversal
-    // prune array (bm25TopKOf's `tq` trick) rides a 1-row broadcast:
-    // each doc walks its full token array ONCE against the collected
-    // term list; the |qterms| per-term tf filters then run on the tiny
-    // pruned array. tq is referenced by every grid row, outside lambda
-    // bodies, so codegen CSE evaluates it once per row.
-    val qarr = broadcast(qterms.agg(collect_list(col("term")).as("qt")))
-    val pruned = docs.crossJoin(qarr)
+      .collect().map(_.getString(0)).toSeq
+    val allTerms = QueryTerms.map((_, 1.0)) ++ expanded.map((_, 0.5))
+    val qterms = allTerms.toDF("term", "w") // LocalRelation — no job
+    // Per-(doc, term) tf via the local term grid + in-row array filter
+    // (the bm25TopKOf stance): ≤|qterms| narrow rows per doc, NO token
+    // explode and NO (doc, term) shuffle — scoring is a pure scan. Each
+    // doc walks its full token array ONCE against the literal term
+    // array; the |qterms| per-term tf filters then run on the tiny
+    // pruned array.
+    val tqArr = lit(allTerms.map(_._1).toArray)
+    val pruned = docs
       .select(col("doc_id"), size(col("t")).as("dl"),
-        filter(col("t"), x => array_contains(col("qt"), x)).as("tq"))
+        filter(col("t"), x => array_contains(tqArr, x)).as("tq"))
     val matched = pruned
       .crossJoin(qterms)
       .select(col("doc_id"), col("dl"), col("term"),
