@@ -1561,7 +1561,8 @@ object DedupOps {
     * as in [[incrementalDedup]]).
     */
   def incrementalClusters(s: SparkSession, d: String, batch: DataFrame,
-      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+      minSim: Double = 0.2, maxDf: Long = 1000L,
+      smallGraphEdges: Long = 1L << 20): DataFrame = {
     val corpusIdx = cappedIndex(s, d, maxDf)
     val labels = duplicateClusters(s, d, minSim, maxDf)
     val bIdx = graft.SessionCache.cut(capByDf(
@@ -1601,7 +1602,16 @@ object DedupOps {
       .select(col("b").as("a"),
         coalesce(col("cluster_id"), col("c")).as("b"))
     val contracted = graft.SessionCache.cut(bcC.union(bb))
-    val comp = clusters(contracted) // (doc_id = node, cluster_id)
+    // hybrid execution: the contracted graph is batch-sized BY DESIGN, and
+    // below `smallGraphEdges` a driver union-find (bounded collect — the
+    // count gates it, ≤16 MB at the default bound) converges in
+    // microseconds where the iterative propagation pays 2 jobs per
+    // generation. Larger graphs take the distributed path unchanged
+    // (spec compares the two paths on the same input).
+    val comp =
+      if (contracted.count() <= smallGraphEdges)
+        unionFindLocal(s, contracted)
+      else clusters(contracted) // (doc_id = node, cluster_id)
     // corpus supernodes = distinct contracted `b` endpoints minus batch
     // ids (bb edges also land in `b`); read off the CUT union so the bc
     // subtree isn't recomputed for this side-count
@@ -1621,6 +1631,34 @@ object DedupOps {
           .when(col("n_corpus_clusters") === 1L, lit("joined"))
           .otherwise(lit("merged")))
       .orderBy(col("doc_id"))
+  }
+
+  /** Driver union-find over a (bounded, pre-counted) edge frame — the
+    * small-graph fast path of [[incrementalClusters]]. Union by MIN root
+    * + path compression, so the final root of every node is the minimum
+    * member of its component: bit-identical to [[clusters]]' min-label
+    * propagation contract (DedupClusterSpec compares the two paths).
+    */
+  private def unionFindLocal(s: SparkSession, edges: DataFrame): DataFrame = {
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    val nodes = scala.collection.mutable.SortedSet.empty[Long]
+    es.foreach { case (a, b) =>
+      nodes += a; nodes += b
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    import s.implicits._
+    nodes.toSeq.map(x => (x, find(x))).toDF("doc_id", "cluster_id")
   }
 
   /** Hybrid near-dup verification: lexical candidates (the memoized

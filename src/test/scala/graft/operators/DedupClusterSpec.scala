@@ -380,6 +380,14 @@ class DedupClusterSpec extends SparkSpec with graft.PropSpec {
     assert(out(105L) == ((105L, 0L, "new")))
     assert(out(106L) == ((105L, 0L, "new")))
 
+    // the driver union-find fast path and the distributed propagation
+    // path must be row-identical on the same input
+    val distributed = DedupOps
+      .incrementalClusters(spark, dir, batch, smallGraphEdges = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(distributed === DedupOps.incrementalClusters(spark, dir, batch)
+      .collect().map(_.toSeq).toSeq)
+
     // no df cap is active at this size, so the incremental attach must
     // equal a FULL recompute over corpus ∪ batch
     val unionDir = java.nio.file.Files.createTempDirectory("graft-incr-u")
