@@ -30,4 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in 8g (measured 4–7× slowdown across the whole bench); the 128 GiB host
   // has room and a real cluster would give executors this much anyway.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+  // ad-hoc diagnostics hook (e.g. -Xlog:gc, -D flags) for perf bisection
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

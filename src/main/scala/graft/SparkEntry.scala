@@ -81,7 +81,36 @@ object SparkEntry {
         .orderBy(col("event_id"))),
     "q_log_templates" -> ((s, d) =>
       LogOps.templates(ev(s, d), "user_id", "event_id", "ts_nano",
-        concat_ws(" ", col("event_type"), col("props")))))
+        concat_ws(" ", col("event_type"), col("props")))),
+    // Partial-line reassembly proven as a ROUND TRIP on real data: chunk
+    // every document's text into 256-char Docker-style fragments (multi-
+    // chunk docs get partial metadata, single-chunk docs take the
+    // passthrough path), reassemble, and the digest must equal md5 of the
+    // original text — which is exactly what the twin computes without ever
+    // seeing a fragment.
+    "q_log_partials" -> ((s, d) => {
+      val chunk = 256
+      val exploded = Tables.documents(s, d).select(
+        col("doc_id"),
+        expr(s"posexplode(transform(sequence(0, int((greatest(length(text), 1) - 1) div $chunk)), i -> substring(text, i * $chunk + 1, $chunk)))")
+          .as(Seq("ord", "frag")),
+        expr(s"int((greatest(length(text), 1) - 1) div $chunk)").as("max_ord"))
+      val logShaped = exploded.select(
+        lit("c0").as("container_id"),
+        (col("doc_id") * 100000L + col("ord")).as("seq"),
+        (col("doc_id") * 100000L + col("ord")).as("ts_nano"),
+        col("frag").as("message"),
+        (col("max_ord") > 0).as("partial"),
+        when(col("max_ord") > 0, col("doc_id").cast("string")).as("partial_id"),
+        when(col("max_ord") > 0, col("ord") === col("max_ord")).as("partial_last"),
+        when(col("max_ord") > 0, col("ord").cast("int")).as("partial_ordinal"))
+      LogOps.reassemblePartials(logShaped, "container_id", "seq", "ts_nano", "message")
+        .select(expr("CAST(seq div 100000 AS BIGINT)").as("doc_id"),
+          col("n_frags"), col("complete"),
+          length(col("logical_line")).cast("long").as("n_chars"),
+          md5(col("logical_line")).as("digest"))
+        .orderBy(col("doc_id"))
+    }))
 
   private val logOracles: Map[String, String] = Map(
     "q_log_range" ->
@@ -136,7 +165,15 @@ object SparkEntry {
         |       min(event_id) AS example_seq
         |FROM events
         |GROUP BY template
-        |ORDER BY n DESC, template""".stripMargin)
+        |ORDER BY n DESC, template""".stripMargin,
+    "q_log_partials" ->
+      """SELECT doc_id,
+        |  CAST((greatest(length(text), 1) + 255) // 256 AS INTEGER)
+        |    AS n_frags,
+        |  true AS complete,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   // ---- relational pack (SURVEY §2.3 star schema) -------------------------
 
@@ -1048,15 +1085,15 @@ object SparkEntry {
         |  FROM dense),
         |r AS (SELECT h, tot, err,
         |  CAST((2 * 1000000000000 * err + greatest(tot, 1) * 10000)
-        |       // (2 * greatest(tot, 1) * 10000) AS DOUBLE) / 1e6
-        |    AS burn_short,
+        |       // (2 * greatest(tot, 1) * 10000) AS BIGINT)
+        |    AS burn_short_ppm,
         |  CAST((2 * 1000000000000 * errl + greatest(totl, 1) * 10000)
-        |       // (2 * greatest(totl, 1) * 10000) AS DOUBLE) / 1e6
-        |    AS burn_long
+        |       // (2 * greatest(totl, 1) * 10000) AS BIGINT)
+        |    AS burn_long_ppm
         |  FROM wl)
         |SELECT epoch_ms(h) AS bucket_ms, tot AS n_events, err AS n_errors,
-        |  burn_short, burn_long,
-        |  (burn_short >= 2.0 AND burn_long >= 2.0) AS is_alert
+        |  burn_short_ppm, burn_long_ppm,
+        |  (burn_short_ppm >= 2000000 AND burn_long_ppm >= 2000000) AS is_alert
         |FROM r ORDER BY bucket_ms""".stripMargin,
     "q_ts_autocorr" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
@@ -1580,8 +1617,8 @@ object SparkEntry {
         |  FROM pd)
         |SELECT CAST(ttr_ppm // 100000 AS INTEGER) AS decile,
         |  count(*) AS n_docs,
-        |  CAST((2 * sum(ttr_ppm) + count(*)) // (2 * count(*)) AS DOUBLE)
-        |    / 1e6 AS mean_ttr,
+        |  CAST((2 * sum(ttr_ppm) + count(*)) // (2 * count(*)) AS BIGINT)
+        |    AS mean_ttr_ppm,
         |  (2 * sum(n_tok) + count(*)) // (2 * count(*)) AS mean_tokens
         |FROM q GROUP BY 1 ORDER BY decile""".stripMargin,
     "q_text_term_freq" ->

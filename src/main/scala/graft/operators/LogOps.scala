@@ -275,6 +275,60 @@ object LogOps {
         countDistinct(col("path")).as("n_paths"))
       .orderBy(col("method"), col("status"))
 
+  /** Partial-line reassembly: stitch Docker's split log fragments back into
+    * logical lines — the read-side complement of what the reference stores
+    * but never performs (`src/entry.proto:13-17` defines
+    * `PartialLogEntryMetadata {last, id, ordinal}`; the reference persists
+    * it verbatim). Docker log drivers split any line over 16 KB into
+    * fragments sharing a `partial_id` with an increasing `ordinal` and
+    * `last` set on the final fragment; a log reader wants the LOGICAL line.
+    *
+    * Semantics: fragments with the same (container, partial_id) concatenate
+    * in ordinal order into one logical line carrying the FIRST fragment's
+    * seq and ts (where the line started); `complete` records whether the
+    * closing `last` fragment was seen — a crashed container can orphan a
+    * group, which is emitted best-effort and flagged rather than dropped.
+    * Non-partial rows pass through as complete single-fragment lines.
+    *
+    * Plan: the passthrough branch is a narrow filter, zero shuffle; only
+    * FRAGMENT rows — the small fraction of traffic coming from >16 KB
+    * lines — shuffle, keyed by (container, partial_id), into a
+    * collect_list + array_sort + concat aggregate. Each group is exactly
+    * one logical line, so per-group state is bounded by that line's size,
+    * never by the corpus — the partition strategy holds at any scale.
+    * Expects the ingest layout's partial columns
+    * ([[graft.streaming.LogIngest]]: `partial`, `partial_id`,
+    * `partial_last`, `partial_ordinal`).
+    */
+  def reassemblePartials(
+      logs: DataFrame,
+      containerCol: String,
+      seqCol: String,
+      tsNanoCol: String,
+      lineCol: String): DataFrame = {
+    val isFrag = col("partial") && col("partial_id").isNotNull
+    val whole = logs.where(!isFrag).select(
+      col(containerCol), col(seqCol), col(tsNanoCol),
+      col(lineCol).as("logical_line"),
+      lit(1).as("n_frags"), lit(true).as("complete"))
+    val stitched = logs.where(isFrag)
+      .groupBy(col(containerCol), col("partial_id"))
+      .agg(
+        min(col(seqCol)).as(seqCol),
+        min(col(tsNanoCol)).as(tsNanoCol),
+        // struct sort orders by the leading field — the ordinal — so the
+        // concat is fragment order regardless of arrival order
+        concat_ws("", transform(
+          array_sort(collect_list(struct(
+            col("partial_ordinal").as("o"), col(lineCol).as("l")))),
+          f => f.getField("l"))).as("logical_line"),
+        count(lit(1)).cast("int").as("n_frags"),
+        coalesce(max(col("partial_last")), lit(false)).as("complete"))
+      .select(col(containerCol), col(seqCol), col(tsNanoCol),
+        col("logical_line"), col("n_frags"), col("complete"))
+    whole.unionByName(stitched)
+  }
+
   /** Rows that SURVIVE `cleanup(age_cutoff, max_lines)` — the complement of
     * the reference's `DELETE FROM logs WHERE ts < ?1 OR ROWID < ?2`
     * (`src/cleaner.rs:82-102`): keep rows that are fresh enough AND within

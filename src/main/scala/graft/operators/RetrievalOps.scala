@@ -199,46 +199,76 @@ object RetrievalOps {
   def prfTopK(s: SparkSession, d: String, k: Int = 10, fbDocs: Int = 3,
       fbTerms: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
+    // FOUR sequential actions (was 8): the r9 plan audit showed this
+    // query's cost IS its job-count floor — every intermediate here
+    // (stats row, fbDocs ids, fbTerms expansion) is model-sized driver
+    // state under the trainKmeans contract, so each is COLLECTED into
+    // literals instead of living as a broadcast subtree that must be
+    // re-materialized (and whose lineage re-runs the corpus scan) in
+    // every consumer. At 100 TB the passes themselves are the floor:
+    // 4 corpus scans, each pruned to (doc_id, text), no corpus-sized
+    // shuffle anywhere — see per-stage notes below.
     val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
-    // one corpus-stats aggregate for the whole chain: bm25's stats row
-    // already carries n_docs/avgdl — reuse it instead of a second scan
-    val (fbTopK, bmStats) =
-      bm25TopKAndStats(Tables.documents(s, d), QueryTerms, k = fbDocs)
-    val fb = broadcast(fbTopK.select(col("doc_id")))
-    val stats = broadcast(bmStats.select(col("n_docs"), col("avgdl")))
-    val fbCounts = docs.join(fb, Seq("doc_id"))
+    val qArr = array(QueryTerms.map(lit): _*)
+    val base = docs.select(col("doc_id"), size(col("t")).as("dl0"),
+      filter(col("t"), x => array_contains(qArr, x)).as("tq"))
+    // action 1 — corpus stats: ONE row (n_docs, avgdl, df per query term)
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") ::
+        avg(col("dl0")).as("avgdl") ::
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("tq"), t), 1d).otherwise(0d)).as(s"df$i")
+        }.toList
+    val st = base.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
+    // action 2 — feedback doc ids: round-1 BM25 scored with the stats as
+    // LITERALS (no broadcast exchange, no stats-subtree re-run); top
+    // fbDocs ids via TakeOrderedAndProject
+    def bm25Score(dl: Column, tq: Column): Column =
+      QueryTerms.zipWithIndex.map { case (t, i) =>
+        val tf = size(filter(tq, x => x === t)).cast("double")
+        val df = st.getDouble(2 + i)
+        val idf = math.log(1d + (nDocs - df + 0.5d) / (df + 0.5d))
+        lit(idf) * tf * lit(k1 + 1d) /
+          (tf + lit(k1) * (lit(1d - b) + lit(b) * dl / lit(avgdl)))
+      }.reduce(_ + _)
+    val fbIds = base
+      .select(col("doc_id"),
+        round(bm25Score(col("dl0").cast("double"), col("tq")), 6).as("bm25"))
+      .where(col("bm25") > 0d)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(fbDocs)
+      .collect().map(_.getLong(0)).toSeq
+    // action 3 — expansion terms: feedback-tf (from the fbDocs docs) ×
+    // idf over the corpus dfs of exactly those candidate terms. The
+    // candidate list is bounded by the feedback docs' vocabulary, so it
+    // broadcasts into the df pass (pre-shuffle semi prune — the exploded
+    // corpus stream drops non-candidates in the scan stage); both
+    // subtrees materialize under this one action. array_distinct BEFORE
+    // the explode keeps the (doc, term) distinct in-row — no corpus-wide
+    // distinct shuffle.
+    val fbCounts = docs.where(col("doc_id").isInCollection(fbIds))
       .select(explode(col("t")).as("term"))
       .where(!col("term").isInCollection(QueryTerms))
       .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
-    // df needs each (doc, term) once: array_distinct BEFORE the explode
-    // makes the exploded stream per-doc-unique in-row, so the corpus-wide
-    // (doc, term) distinct shuffle the first draft paid disappears — the
-    // semi-pruned stream partial-counts straight into the term rollup.
     val dfs = docs.select(explode(array_distinct(col("t"))).as("term"))
       .join(broadcast(fbCounts), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df_fb"))
-    // The expansion is ≤ fbTerms rows — model-sized driver state (the
-    // trainKmeans contract) — so COLLECT it instead of broadcasting a
-    // live subtree: the term grid becomes a LocalRelation and the prune
-    // array a literal, which deletes two broadcast-materialization jobs
-    // from an 8-job cascade whose cost IS its job count (measured: the
-    // per-stage data here is trivial at every SF).
-    val expanded = fbCounts.join(dfs, Seq("term"))
-      .crossJoin(broadcast(stats))
+    val expanded = broadcast(fbCounts).join(dfs, Seq("term"))
       .select(col("term"),
         (col("tf_fb") *
-          round(log(col("n_docs") / col("df_fb")) * 1e6, 0).cast("long"))
+          round(log(lit(nDocs) / col("df_fb")) * 1e6, 0).cast("long"))
           .as("wq"))
       .orderBy(col("wq").desc, col("term")).limit(fbTerms)
       .collect().map(_.getString(0)).toSeq
     val allTerms = QueryTerms.map((_, 1.0)) ++ expanded.map((_, 0.5))
     val qterms = allTerms.toDF("term", "w") // LocalRelation — no job
-    // Per-(doc, term) tf via the local term grid + in-row array filter
-    // (the bm25TopKOf stance): ≤|qterms| narrow rows per doc, NO token
-    // explode and NO (doc, term) shuffle — scoring is a pure scan. Each
-    // doc walks its full token array ONCE against the literal term
-    // array; the |qterms| per-term tf filters then run on the tiny
-    // pruned array.
+    // action 4 — rescore: per-(doc, term) tf via the local term grid +
+    // in-row array filter (the bm25TopKOf stance): ≤|qterms| narrow rows
+    // per doc, NO token explode. Round-2 dfs come from a count window
+    // over the matched rows' term partitions — the matched stream is
+    // computed ONCE (the old dfq broadcast re-ran it), and the shuffle
+    // key space is |qterms| ≤ 8 terms × matched docs, never the corpus
+    // vocabulary.
     val tqArr = lit(allTerms.map(_._1).toArray)
     val pruned = docs
       .select(col("doc_id"), size(col("t")).as("dl"),
@@ -248,16 +278,15 @@ object RetrievalOps {
       .select(col("doc_id"), col("dl"), col("term"),
         col("w"), size(filter(col("tq"), x => x === col("term"))).as("tf"))
       .where(col("tf") > 0)
-      .select(col("doc_id"), col("term"), col("tf").as("tf"), col("dl"),
-        col("w"))
-    val dfq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = matched.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))))
     val tfD = col("tf").cast("double")
     val contrib = col("w") *
-      log(lit(1d) + (col("n_docs") - col("df") + 0.5d) / (col("df") + 0.5d)) *
+      log(lit(1d) + (lit(nDocs) - col("df") + 0.5d) / (col("df") + 0.5d)) *
       tfD * lit(k1 + 1d) /
-      (tfD + lit(k1) * (lit(1d - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    matched.join(broadcast(dfq), Seq("term"))
-      .crossJoin(broadcast(stats))
+      (tfD + lit(k1) * (lit(1d - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    withDf
       .select(col("doc_id"),
         round(contrib * 1e6, 0).cast("long").as("cq"))
       .groupBy(col("doc_id")).agg(sum(col("cq")).as("sq"))

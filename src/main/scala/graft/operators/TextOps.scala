@@ -913,7 +913,9 @@ object TextOps {
     * screen at the WORD level, complementing [[charDiversity]] (chars)
     * and `repetitionStats` (Gopher bigram mass): templated/spun text
     * sits in the low deciles, natural prose high. TTR is rational in two
-    * integer counts, so the audit is exact long arithmetic end to end;
+    * integer counts, so the audit is exact long arithmetic end to end —
+    * and the emitted mean stays a quantized long (`mean_ttr_ppm`) so the
+    * hashed oracle comparison never touches float formatting;
     * decile 10 is the all-distinct (TTR = 1.0) bucket, populated by
     * short docs — which is WHY the mean doc length rides along (TTR's
     * length sensitivity is the caveat every corpus-stats writeup flags).
@@ -931,8 +933,8 @@ object TextOps {
         .cast("int").as("decile"))
       .agg(
         count(lit(1)).as("n_docs"),
-        (graft.operators.Num.halfUpDiv(sum(col("ttr_ppm")), count(lit(1)))
-          .cast("double") / 1e6).as("mean_ttr"),
+        graft.operators.Num.halfUpDiv(sum(col("ttr_ppm")), count(lit(1)))
+          .as("mean_ttr_ppm"),
         graft.operators.Num.halfUpDiv(sum(col("n_tok")), count(lit(1)))
           .as("mean_tokens"))
       .orderBy(col("decile"))

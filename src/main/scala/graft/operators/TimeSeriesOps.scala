@@ -428,9 +428,14 @@ object TimeSeriesOps {
     * matters for the trailing window: quiet hours are part of the
     * 6-hour span, not skipped.
     *
-    * Determinism: burn ratios are ppm longs —
+    * Determinism: burn ratios are ppm longs end to end —
     * burn_ppm = ⌊1e12·err ÷ (tot·budget)⌉ half-up in long arithmetic
     * ([[graft.operators.Num.halfUpDiv]]); a zero-traffic window burns 0.
+    * The EMITTED columns stay quantized longs (`burn_short_ppm`,
+    * `burn_long_ppm`; 1 000 000 = exactly on budget) and the alert bit
+    * compares the longs — no double ever reaches the hashed output, so
+    * the oracle twin is portable across SQL engines and float-formatting
+    * conventions.
     *
     * Plan: one (hour)-key corpus rollup computing total + error counts
     * in the same pass (conditional agg, no second scan), the dense grid
@@ -466,11 +471,11 @@ object TimeSeriesOps {
       .withColumn("totL", sum(col("tot")).over(wl))
       .select(tsMs(col("h")).as("bucket_ms"),
         col("tot").as("n_events"), col("err").as("n_errors"),
-        (burn(col("err"), col("tot")).cast("double") / 1e6).as("burn_short"),
-        (burn(col("errL"), col("totL")).cast("double") / 1e6).as("burn_long"))
+        burn(col("err"), col("tot")).as("burn_short_ppm"),
+        burn(col("errL"), col("totL")).as("burn_long_ppm"))
       .withColumn("is_alert",
-        col("burn_short") >= alertMult.toDouble &&
-          col("burn_long") >= alertMult.toDouble)
+        col("burn_short_ppm") >= alertMult * 1000000L &&
+          col("burn_long_ppm") >= alertMult * 1000000L)
       .orderBy(col("bucket_ms"))
   }
 

@@ -32,10 +32,13 @@ object BurnRateStream {
 
   final case class ServiceEvent(service: String, ts_ms: Long, is_error: Boolean)
 
-  /** A closed, scored hourly bucket. */
+  /** A closed, scored hourly bucket. Burn ratios are quantized ppm longs
+    * (1 000 000 = exactly on budget) — the batch operator's contract, so
+    * the two surfaces stay bit-comparable with no float formatting.
+    */
   final case class BurnBucket(
       service: String, bucket_ms: Long, n_events: Long, n_errors: Long,
-      burn_short: Double, burn_long: Double, is_alert: Boolean)
+      burn_short_ppm: Long, burn_long_ppm: Long, is_alert: Boolean)
 
   private final case class HistBucket(err: Long, tot: Long)
   private final case class BurnState(
@@ -70,8 +73,7 @@ object BurnRateStream {
       val bl = burnMicro(window.map(_.err).sum, window.map(_.tot).sum)
       val alertMicro = alertMult * 1000000L
       val bucket = BurnBucket(key, s.openHour, s.openTot, s.openErr,
-        bs.toDouble / 1e6, bl.toDouble / 1e6,
-        bs >= alertMicro && bl >= alertMicro)
+        bs, bl, bs >= alertMicro && bl >= alertMicro)
       (bucket, BurnState(s.openHour + HourMs, 0L, 0L,
         window.takeRight(longWin - 1)))
     }

@@ -245,4 +245,35 @@ class LogOpsSpec extends SparkSpec {
     assert(got(1).getAs[String]("template") === "connection lost")
     assert(got(1).getAs[Long]("n") === 1L)
   }
+
+  test("partial-line reassembly: ordinal order, interleaved groups, orphan, passthrough") {
+    import spark.implicits._
+    // container 0: group "a" arrives OUT of ordinal order, interleaved with
+    // group "b" (which never sees its `last` → orphan) and two whole lines;
+    // container 1 reuses partial_id "a" — ids are only unique per container.
+    val rows = Seq(
+      // (c, seq, line, partial, pid, plast, pord)
+      (0L, 1L, "he", true, Some("a"), Some(false), Some(0)),
+      (0L, 2L, "wor", true, Some("b"), Some(false), Some(0)),
+      (0L, 3L, "lo", true, Some("a"), Some(true), Some(2)),
+      (0L, 4L, "l", true, Some("a"), Some(false), Some(1)),
+      (0L, 5L, "plain", false, None, None, None),
+      (0L, 6L, "ld", true, Some("b"), Some(false), Some(1)),
+      (1L, 7L, "other", true, Some("a"), Some(true), Some(1)),
+      (1L, 8L, "an", true, Some("a"), Some(false), Some(0)))
+      .map { case (c, seq, line, p, pid, pl, po) =>
+        (c, seq, seq * 1000L, line, p, pid, pl, po)
+      }
+      .toDF("c", "seq", "ts_nano", "line",
+        "partial", "partial_id", "partial_last", "partial_ordinal")
+    val got = reassemblePartials(rows, "c", "seq", "ts_nano", "line")
+      .orderBy(col("seq")).collect()
+    val lines = got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3), r.getInt(4), r.getBoolean(5)))
+    assert(lines === Array(
+      (0L, 1L, 1000L, "hello", 3, true),   // a: ordinals 0,2,1 → sorted
+      (0L, 2L, 2000L, "world", 2, false),  // b: orphan, flagged incomplete
+      (0L, 5L, 5000L, "plain", 1, true),   // passthrough
+      (1L, 7L, 7000L, "another", 2, true))) // per-container id namespace
+  }
 }

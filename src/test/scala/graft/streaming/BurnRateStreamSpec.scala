@@ -51,7 +51,7 @@ class BurnRateStreamSpec extends SparkSpec {
             when(col("is_error"), "error").otherwise("click").as("event_type")))
         .collect()
         .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
-          r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+          r.getLong(3), r.getLong(4), r.getBoolean(5))))
         .toMap
 
       assert(got.map(_.bucket_ms).toSeq ===
@@ -60,15 +60,15 @@ class BurnRateStreamSpec extends SparkSpec {
         val (tot, err, bs, bl, alert) = batch(b.bucket_ms)
         assert(b.n_events === tot, s"tot @${b.bucket_ms}")
         assert(b.n_errors === err, s"err @${b.bucket_ms}")
-        assert(b.burn_short === bs, s"burn_short @${b.bucket_ms}")
-        assert(b.burn_long === bl, s"burn_long @${b.bucket_ms}")
+        assert(b.burn_short_ppm === bs, s"burn_short_ppm @${b.bucket_ms}")
+        assert(b.burn_long_ppm === bl, s"burn_long_ppm @${b.bucket_ms}")
         assert(b.is_alert === alert, s"alert @${b.bucket_ms}")
       }
       // semantics spot-checks: hour 0 burns 10x (alert), empty hours burn 0,
       // hour 4's long window spans the gap
-      assert(got(0).burn_short === 10.0 && got(0).is_alert)
-      assert(got(2).n_events === 0L && got(2).burn_short === 0.0)
-      assert(got(4).burn_short === 50.0 && got(4).is_alert)
+      assert(got(0).burn_short_ppm === 10000000L && got(0).is_alert)
+      assert(got(2).n_events === 0L && got(2).burn_short_ppm === 0L)
+      assert(got(4).burn_short_ppm === 50000000L && got(4).is_alert)
     } finally {
       q.stop()
       prevProvider match {

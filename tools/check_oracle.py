@@ -19,10 +19,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(v):
+    # Full double precision (round-trip exact): the driver's comparator is
+    # at least this strict, so 9-sig-fig canonicalization here would pass
+    # queries locally that fail the driver hash (the r9 q_text_ttr /
+    # q_ts_slo_burn incident). Any float that must be hashed should be a
+    # quantized long on both engines instead.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return f"{v:.17g}"
     return repr(v)
 
 
