@@ -245,6 +245,32 @@ object Sketch {
     best
   }
 
+  /** L2 distance from a vector to the centroid of its label — the bound
+    * `labels`/`cents` pair is a driver-collected model (labels ≪ corpus by
+    * contract). Element order ascending, f64 accumulation, sqrt at the end:
+    * the exact arithmetic of the unrolled 64-term column expression this
+    * kernel replaced (one codegen node instead of a ~400-node tree whose
+    * per-action analysis cost dominated the whole query — PERF_r10 §3).
+    */
+  def distToLabelCentroid(v: ArrayData, label: Int, labels: Array[Int],
+      cents: Array[Array[Double]], isFloat: Boolean): Double = {
+    var li = 0
+    while (li < labels.length && labels(li) != label) li += 1
+    if (li == labels.length)
+      throw new IllegalArgumentException(
+        s"label $label has no centroid (model has ${labels.length} labels)")
+    val cent = cents(li)
+    val n = math.min(v.numElements(), cent.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val x = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - cent(i)
+      d += x * x
+      i += 1
+    }
+    math.sqrt(d)
+  }
+
   /** Cosine similarity of two numeric arrays, accumulated in f64 in element
     * order (matches the DuckDB oracle's list_sum(list_transform(...)) form
     * bit-for-bit at the rounding precision used).
@@ -548,6 +574,43 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** `dist_to_label_centroid(vec, label)`: L2 distance from a vector to its
+  * label's centroid. The (labels, centroid-matrix) model is carried by the
+  * expression (driver-collected, |labels|×dim doubles), so the distance is
+  * one codegen'd map-side node — no broadcast join and no wide per-dim
+  * column tree (see [[Sketch.distToLabelCentroid]]).
+  */
+case class DistToLabelCentroid(left: Expression, right: Expression,
+    labels: Array[Int], centroids: Array[Array[Double]])
+    extends BinaryExpression {
+  require(labels.nonEmpty && labels.length == centroids.length,
+    s"label/centroid model mismatch: ${labels.length} vs ${centroids.length}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dist_to_label_centroid"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, int), got ${l.sql}, ${r.sql}")
+  }
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(v: Any, label: Any): Any =
+    Sketch.distToLabelCentroid(v.asInstanceOf[ArrayData],
+      label.asInstanceOf[Int], labels, centroids, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val labRef = ctx.addReferenceObj("labels", labels, "int[]")
+    val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, (v, l) =>
+      s"graft.functions.Sketch.distToLabelCentroid($v, $l, $labRef, $centRef, $isFloat)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DistToLabelCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `cosine_sim(a, b)`: cosine similarity of two float/double arrays. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -635,5 +698,8 @@ object sketch {
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(v), centroids))
+  def distToLabelCentroid(v: Column, label: Column, labels: Array[Int],
+      centroids: Array[Array[Double]]): Column =
+    column(DistToLabelCentroid(expression(v), expression(label), labels, centroids))
   def sortedIdPairs(ids: Column): Column = column(SortedIdPairs(expression(ids)))
 }

@@ -1194,17 +1194,23 @@ object RelationalOps {
     *
     * Plan: the reference query is a double EXISTS/NOT-EXISTS self-join on
     * lineitem; here lateness only needs each (order, supplier) pair's MAX
-    * shipdate, so lineitem rolls up ALONE first (one shrinking-key
-    * exchange, no o_orderdate through the fact-fact join) and orders
-    * joins the ¼-sized pair table. The per-order verdict (≥2 suppliers,
-    * exactly 1 late) is a window over the pair table partitioned on
-    * orderkey — a HIGH-cardinality key, so the sort distributes — which
-    * reads the pair subtree ONCE; the rollup+join-back spelling computed
-    * it twice (ReusedExchange=0, measured 4.0 s vs 2.1 s warm at sf1 —
-    * `graft.tools.Q21AB`). Supplier names broadcast onto the top-k.
+    * shipdate. ONE explicit orderkey exchange up front co-partitions the
+    * whole chain: the (orderkey, suppkey) pair rollup, the orders join,
+    * and the per-order verdict rollup all run exchange-free on top of it
+    * (orderkey hash-partitioning satisfies every downstream clustering,
+    * and a TPC-H order has ≤7 lines so pre-shuffle partial aggregation
+    * had nothing to collapse anyway). The verdict itself needs no window:
+    * an order with exactly ONE late supplier identifies that supplier
+    * uniquely, so `max(when(was_late, suppkey))` captures it in the same
+    * hash rollup that counts suppliers — the r9 sort-window spelling
+    * (1.17 s at sf0.1, 4.1× twin at sf1) paid a second orderkey exchange
+    * plus a per-partition sort for what a hash aggregate computes in one
+    * pass. Supplier names broadcast onto the ≤|suppliers| rollup.
     */
   def soleLateSuppliers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val pair = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate")).as("max_ship"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
@@ -1213,15 +1219,16 @@ object RelationalOps {
         (col("max_ship") >
           col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int")
           .as("was_late"))
-    val w = Window.partitionBy(col("l_orderkey"))
     pair
-      .withColumn("n_supp", count(lit(1)).over(w))
-      .withColumn("n_late", sum(col("was_late")).over(w))
-      .where(col("n_supp") >= 2 && col("n_late") === 1 && col("was_late") === 1)
-      .groupBy(col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("was_late")).as("n_late"),
+        max(when(col("was_late") === 1, col("l_suppkey"))).as("late_supp"))
+      .where(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
       .agg(count(lit(1)).as("n_waiting_orders"))
       .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
-        col("l_suppkey") === col("s_suppkey"))
+        col("late_supp") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_waiting_orders"))
       .orderBy(col("n_waiting_orders").desc, col("s_suppkey"))
       .limit(k)

@@ -622,32 +622,43 @@ object VectorOps {
     * property that lets an iterative-float statistic hash-match across
     * engines.
     *
-    * Plan: one per-label aggregate (64 avgs — partial-agg shaped, the
-    * shuffle carries one 512-byte buffer per label per partition), the
-    * label-keyed centroid model broadcasts back (labels ≪ corpus by
-    * contract, same stance as the k-means model), and the distance is one
-    * codegen'd expression per row feeding two-phase partial-agg top-k
+    * Plan: a NARROW (label, dim) rollup — posexplode ahead of partial
+    * aggregation, so the shuffle carries ≤ |labels|·dim partial rows per
+    * task — is COLLECTED as the centroid model (labels ≪ corpus by
+    * contract, the k-means model stance) and bound into ONE codegen'd
+    * distance kernel ([[graft.functions.DistToLabelCentroid]]); the
+    * scoring pass is a pure map feeding two-phase partial-agg top-k
     * ([[graft.functions.TopKAgg]]) — NOT a per-label rank window, which
     * would sort each label's entire corpus slice on one reducer
     * (VERDICT r5 "What's wrong #3": ~10 labels over 100 TB = 10 TB
     * through one task; this was the 10.8×-vs-twin symptom at sf0.1).
-    * Descending distance rides as an ascending −dist key; the distance
-    * itself rides the payload slot, so winners need no join-back.
+    * The r9 spelling built the model as 64 per-dim avg COLUMNS and
+    * broadcast-joined it back: per-action analysis of the ~400-node tree
+    * plus the broadcast job cost ~0.6 s of the query's 1.1 s at sf0.1 —
+    * plan-tree width is a driver cost the kernel form doesn't pay
+    * (PERF_r10 §3). Descending distance rides as an ascending −dist key;
+    * the distance itself rides the payload slot, so winners need no
+    * join-back.
     */
   def labelOutliers(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val dim = 64
     val emb = Tables.embeddings(s, d)
-    val cents = emb.groupBy(col("label")).agg(
-      round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("c0"),
-      (1 until dim).map(i =>
-        round(avg(element_at(col("embedding"), i + 1).cast("double")), 6)
-          .as(s"c$i")): _*)
-    val dist2 = (0 until dim).map { i =>
-      val diff = element_at(col("embedding"), i + 1).cast("double") - col(s"c$i")
-      diff * diff
-    }.reduce(_ + _)
-    emb.join(broadcast(cents), Seq("label"))
-      .select(col("label"), col("vec_id"), round(sqrt(dist2), 6).as("dist"))
+    val centRows = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .collect()
+    val byLabel = centRows.groupBy(_.getInt(0))
+    val labels = byLabel.keys.toArray.sorted
+    val cents = labels.map { l =>
+      val rows = byLabel(l)
+      val arr = new Array[Double](rows.map(_.getInt(1)).max + 1)
+      rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      arr
+    }
+    emb
+      .select(col("label"), col("vec_id"),
+        round(graft.functions.sketch.distToLabelCentroid(
+          col("embedding"), col("label"), labels, cents), 6).as("dist"))
       .groupBy(col("label"))
       .agg(graft.functions.TopKAgg
         .topK(lit(""), -col("dist"), col("vec_id"), col("dist"), k).as("top"))
@@ -1173,38 +1184,44 @@ object VectorOps {
     * much recall" decision every serving deployment actually makes.
     *
     * Plan: one corpus scan computes every (query, vector) similarity;
-    * the probe ORDER comes from a |cells|×|queries| ranked grid (bounded:
-    * 2^bits cells) that broadcasts onto the scan; every probe budget is
-    * evaluated from the SAME rows via bounded [[graft.functions.TopKAgg]]
-    * aggregations with out-of-budget rows pushed below any real
-    * candidate by a sentinel key — no per-budget rescan, no rank window
-    * over the corpus. Hamming distance is spelled as per-bit integer
-    * arithmetic (shift/mask/abs), exactly replayable in the oracle.
+    * the probe ORDER is a |cells|×|queries| ranked grid (bounded: 2^bits
+    * cells) over the cells PRESENT in the corpus. Queries (nQueries
+    * vectors) and present cells (≤ 2^bits codes) are both model-sized, so
+    * they are COLLECTED and the grid's Hamming ranking runs in plain
+    * driver Scala — popcount over the low `bits` of the xor, ties by
+    * cell id, identical to the oracle's per-bit shift/mask/abs spelling —
+    * then rejoins the scan as LocalRelations (broadcast hash join with
+    * no corpus-scanning broadcast-subtree jobs: the r9 spelling paid two
+    * such jobs plus a rank window per action, ~0.5 s of its 1.0 s at
+    * sf0.1). Every probe budget is evaluated from the SAME rows via
+    * bounded [[graft.functions.TopKAgg]] aggregations with out-of-budget
+    * rows pushed below any real candidate by a sentinel key — no
+    * per-budget rescan, no rank window over the corpus.
     */
   def ivfProbeCurve(s: SparkSession, d: String, nQueries: Int = 8,
       k: Int = 10, bits: Int = 4,
       probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def ham(a: Column, b: Column): Column =
-      (0 until bits).map { j =>
-        abs(shiftright(a, j).bitwiseAND(lit(1L)) -
-          shiftright(b, j).bitwiseAND(lit(1L)))
-      }.reduce(_ + _)
+    import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         cell(col("embedding"), bits).as("cell"))
-    val q = broadcast(emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("cell").as("qcell")))
-    val ranked = broadcast(
-      q.select(col("q_id"), col("qcell"))
-        .crossJoin(emb.select(col("cell")).distinct())
-        .select(col("q_id"), col("cell"),
-          row_number().over(Window.partitionBy(col("q_id"))
-            .orderBy(ham(col("cell"), col("qcell")), col("cell")))
-            .as("crank")))
-    val sims = emb.crossJoin(q).where(col("vec_id") =!= col("q_id"))
-      .join(ranked, Seq("q_id", "cell"))
+    val qRows = emb.where(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+      .sortBy(_._1)
+    val present = emb.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val mask = (1L << bits) - 1
+    val rankedRows = qRows.flatMap { case (qid, _, qcell) =>
+      present
+        .sortBy(c => (java.lang.Long.bitCount((c ^ qcell) & mask), c))
+        .zipWithIndex
+        .map { case (c, i) => (qid, c, i + 1) }
+    }.toSeq
+    val q = qRows.toSeq.toDF("q_id", "qv", "qcell")
+      .select(col("q_id"), col("qv").cast("array<float>").as("qv"))
+    val ranked = rankedRows.toDF("q_id", "cell", "crank")
+    val sims = emb.crossJoin(broadcast(q)).where(col("vec_id") =!= col("q_id"))
+      .join(broadcast(ranked), Seq("q_id", "cell"))
       .select(col("q_id"), col("vec_id"), col("crank"),
         round(cosine(col("embedding"), col("qv")), 6).as("sim"))
     val aggs = graft.functions.TopKAgg
