@@ -61,8 +61,8 @@ object RelationalOps {
     val c  = Tables.customer(s, d)
     val n  = broadcast(Tables.nation(s, d))
     val r  = broadcast(Tables.region(s, d).where(col("r_name") === "ASIA"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
+    li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
@@ -554,6 +554,7 @@ object RelationalOps {
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
     cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .hint("shuffle_hash")
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
@@ -915,7 +916,7 @@ object RelationalOps {
       .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
         col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
       .select(col("o_orderkey"), col("o_custkey"))
-    ord.join(ret, col("o_orderkey") === col("l_orderkey"))
+    ord.hint("shuffle_hash").join(ret, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("rev")), 2).as("ret_revenue"), count(lit(1)).as("n_items"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1021,8 +1022,13 @@ object RelationalOps {
     * the lineitem scan as a broadcast int→bool map. Numerator and
     * denominator come out of the SAME per-year rollup (CASE inside SUM),
     * so the fact table is read once and crosses one orderkey shuffle +
-    * one |years|-key rollup. Share derives from the two rounded sums —
-    * deterministic across engines ([[promoRevenueShare]] stance).
+    * one |years|-key rollup; the fact-fact join hash-builds on the
+    * region-pruned orders side (`shuffle_hash` — sorting 60 M lineitem
+    * rows for an SMJ was 43% of the query at sf10, PERF_r10 §4; SHJ
+    * falls back to SMJ when a build partition outgrows memory, so the
+    * hint is a preference, not a scale hazard). Share derives from the
+    * two rounded sums — deterministic across engines
+    * ([[promoRevenueShare]] stance).
     */
   def nationMarketShare(s: SparkSession, d: String,
       region: String = "AMERICA", nation: String = "NATION_3"): DataFrame = {
@@ -1043,7 +1049,7 @@ object RelationalOps {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       .join(broadcast(supFlag), col("l_suppkey") === col("s_suppkey"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("yr"))
       .agg(
         r2(sum(when(col("is_target"), col("rev")).otherwise(lit(0.0))))
@@ -1176,13 +1182,22 @@ object RelationalOps {
     * |priorities|.
     */
   def latePriorityOrders(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    // EXISTS(l_shipdate > o_orderdate + 90d) ⟺ max(l_shipdate) per order
+    // clears the bound, so the lineitem side rolls up to ONE (orderkey,
+    // max_ship) row before any join — the shuffle carries |orders| narrow
+    // pairs (4:1 partial-agg collapse map-side) instead of every lineitem
+    // row through a non-equi semi join. The r9 semi-join spelling was the
+    // one relational ratio that did NOT shrink sf1→sf10 (9.4×→10.9×);
+    // this is the q21 pair-rollup stance applied to Q4.
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
     Tables.orders(s, d)
       .where(col("o_orderdate") >= ts("1996-01-01") &&
         col("o_orderdate") < ts("1996-07-01"))
-      .join(li, col("o_orderkey") === col("l_orderkey") &&
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
-        "left_semi")
+      .join(perOrder.hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"))
+      .where(col("max_ship") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))

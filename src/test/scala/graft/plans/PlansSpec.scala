@@ -448,12 +448,18 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
   }
 
-  test("q4 latePriorityOrders: EXISTS compiles to one LEFT SEMI, no dedup agg") {
+  test("q4 latePriorityOrders: lineitem max-rollup before the join, no semi") {
+    // r10 rewrite: EXISTS(l_shipdate > bound) ⟺ per-order max(l_shipdate)
+    // clears the bound — the fact side must be AGGREGATED before any join
+    // (the one relational ratio that did not shrink sf1→sf10 under the
+    // semi-join spelling, PERF_r10 §4)
     val plan = executedPlan(
       graft.operators.RelationalOps.latePriorityOrders(spark, sf0001))
-    assert(plan.contains("LeftSemi"),
-      s"late-line EXISTS must be a semi join:\n$plan")
-    // one rollup on o_orderpriority; a distinct/dedup aggregate would add more
+    assert(!plan.contains("LeftSemi") && !plan.contains("CartesianProduct"),
+      s"expected pre-aggregated inner join, not a semi/cartesian:\n$plan")
+    assert(plan.contains("max(l_shipdate"),
+      s"lineitem must roll up to per-order max(l_shipdate) pre-join:\n$plan")
+    // partial+final max rollup, partial+final priority rollup = 4 aggregates
     assert("HashAggregate".r.findAllIn(plan).size <= 4,
       s"unexpected extra aggregates (post-join dedup?):\n$plan")
   }
@@ -611,5 +617,62 @@ class PlansSpec extends SparkSpec {
     val plan = executedPlan(df)
     assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
     assert(df.count() === 1L)
+  }
+
+  // --- sf1 clique-tail watch list (VERDICT r9 #8) -------------------------
+  //
+  // The four dedup queries dominating the sf1 bench tail are explained as a
+  // FIXTURE property (gen_sf1's verbatim replication puts every doc in a
+  // 10-clique, inflating pair mass superlinearly) — the constant-density
+  // weak-scaling corpora show the same operators sublinear at ×100. These
+  // locks pin the plan shapes that make that explanation valid, so a future
+  // fixture regeneration that removes the clique stress cannot silently
+  // mask a real plan regression (cartesian, text-keyed join, unbanded
+  // candidate generation) behind the "fixture property" story.
+
+  test("simhashPairs: chunk-banded candidate join, no cartesian, no text keys") {
+    val plan = executedPlan(
+      graft.operators.DedupOps.simhashPairs(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // candidate generation must key on the (chunk, ck) band columns — a
+    // text/cks attribute in a join key means signatures or corpus text
+    // ride the shuffle unbanded
+    assert(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[chunk".r
+        .findFirstIn(plan).isDefined,
+      s"candidate join must be banded on (chunk, ck):\n$plan")
+    assert(!"Join \\[text".r.findFirstIn(plan).isDefined &&
+      !plan.contains("SortMergeJoin [text"),
+      s"text must never be a join key:\n$plan")
+  }
+
+  test("lshTuningCurve: ONE tagged band self-join covers all geometries") {
+    val plan = executedPlan(
+      graft.operators.DedupOps.lshTuningCurve(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    // the three band geometries ride one (r, band, bucket)-keyed self-join;
+    // three join branches (the r8 spelling) tripled the candidate shuffle.
+    // Keyed-on-band identifies the candidate join (the curve's final
+    // left join also keys on r alone — that one is |geometries|-sized)
+    val bandJoins =
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]\\n]*band".r
+        .findAllIn(plan).size
+    assert(bandJoins === 1,
+      s"expected exactly 1 (r, band, bucket)-keyed join, got $bandJoins:\n$plan")
+  }
+
+  test("sketchCalibration: pair-table join on 8-byte ids, no cartesian, no text") {
+    val plan = executedPlan(
+      graft.operators.DedupOps.sketchCalibration(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
+    assert(!plan.contains("SortMergeJoin [text") &&
+      !"Join \\[text".r.findFirstIn(plan).isDefined,
+      s"text must never be a join key:\n$plan")
+    // est-vs-exact comparison joins the two PAIR tables on (a, b) — the
+    // corpus itself must not appear on either side of that join
+    assert(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[a#".r
+        .findFirstIn(plan).isDefined,
+      s"calibration join must key on the (a, b) pair ids:\n$plan")
   }
 }
