@@ -160,28 +160,23 @@ object MultimodalOps {
     */
   def resizeStub(s: SparkSession, d: String, stride: Int = 4, maxBytes: Int = 64): DataFrame = {
     require(stride >= 1 && maxBytes >= 1, s"need stride/maxBytes >= 1, got $stride/$maxBytes")
-    // Staged projections (the TextOps.repeatSpansOf lambda landmine): the
-    // one-val spelling put hex(payload) INSIDE the byte-selection lambda —
-    // the full payload re-hexed once per output byte — and spliced the
-    // resized tree twice (hex + md5). Each pass now runs once per row;
-    // hx/resized stay referenced 2x in their consuming projection so
-    // CollapseProject can't re-inline them.
+    // Byte selection is one codegen'd kernel over the RAW binary
+    // ([[graft.functions.StrideBytes]]): reads ≤ maxBytes·stride input
+    // bytes per row. The previous hex-view spelling walked the full hex
+    // string once per OUTPUT byte (substr on UTF8String is a scan) —
+    // O(payload·maxBytes) per row, ~0.9 s of this query's time at sf0.1.
+    // The emitted columns are unchanged: resized stays the HEX STRING view
+    // and the fingerprint hashes that string, so the DuckDB twin replays
+    // byte-identically.
+    val resizedBytes =
+      graft.functions.sketch.strideBytes(col("payload"), stride, maxBytes)
     mediaTable(s, d)
       .select(col("media_id"), col("modality"),
-        length(col("payload")).as("n_bytes"), hex(col("payload")).as("hx"))
-      .select(col("media_id"), col("modality"), col("n_bytes"), col("hx"),
-        least(lit(maxBytes),
-          ceil(col("n_bytes").cast("double") / stride).cast("int")).as("n_out"))
-      .select(col("media_id"), col("modality"), col("n_bytes"), col("n_out"),
-        col("hx"),
-        array_join(
-          transform(sequence(lit(0), col("n_out") - 1),
-            i => col("hx").substr(i * (2 * stride) + 1, lit(2))), "")
-          .as("resized"))
+        length(col("payload")).as("n_bytes"), hex(resizedBytes).as("resized"))
       .select(
         col("media_id"), col("modality"),
         col("n_bytes"),
-        col("n_out").as("n_resized_bytes"),
+        (length(col("resized")) / 2).cast("int").as("n_resized_bytes"),
         col("resized").as("resized_hex"),
         md5(col("resized")).as("resized_fp"))
       .orderBy(col("media_id"))

@@ -767,12 +767,23 @@ object TextOps {
   }
 
   def languageId(s: SparkSession, d: String): DataFrame = {
+    // tokenize ONCE in a staged projection: the per-language score closure
+    // over the raw text re-derived split(lower(text)) per language (plus
+    // once per size()) — ~10 splits of every document per row; `tk` is
+    // referenced |langs|·2 times below, so CollapseProject keeps the stage
+    // (the repeatSpansOf landmine rules)
+    def scoreOf(tk: Column, profile: Seq[String]): Column = {
+      val hits = size(filter(tk, t => profile.map(w => t === w).reduce(_ || _)))
+      hits.cast("double") / greatest(size(tk), lit(1))
+    }
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
-      struct(round(langIdScore(col("text"), prof), 6).as("score"),
+      struct(round(scoreOf(col("tk"), prof), 6).as("score"),
              lit(lang).as("lang"))
     }
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("lang_actual"),
+        tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), col("lang_actual"),
         greatest(scored: _*).as("best"))
       .select(
         col("doc_id"), col("lang_actual"),

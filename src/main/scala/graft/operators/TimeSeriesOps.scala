@@ -599,32 +599,36 @@ object TimeSeriesOps {
     * (hours with zero events have no row on either side — the comparison
     * is over hours that occurred, which both engines define identically).
     *
-    * Plan: two corpus rollups (train hours, test hours — both keyed by
-    * (type, hour)), a 168·|types|-cell model rollup of the first, and a
-    * broadcast of the model onto the test hours. Errors quantize to
-    * integer 10⁻⁴-units before the final |types|-key rollup, so MAE/bias
-    * are exact long ratios on both engines. The split point derives from
-    * max(ts) as a 1-row broadcast — no driver round-trip.
+    * Plan: ONE corpus rollup to (type, hour) cells; the 168·|types|-cell
+    * weekday-hour model is a conditional-avg WINDOW over that aggregated
+    * grid (grid-sized rows, never raw events), so train and test branches
+    * share the single rollup instead of re-running the corpus scan under
+    * a model-broadcast job (the r9 spelling paid 3 corpus passes across 3
+    * actions — memory: ReusedExchange does not fire across a broadcast
+    * boundary). Errors quantize to integer 10⁻⁴-units before the final
+    * |types|-key rollup, so MAE/bias are exact long ratios on both
+    * engines. The split point is a 1-row collect inlined as a literal
+    * (model-sized driver state; a "no driver round-trip" broadcast still
+    * costs the same corpus aggregate plus an exchange).
     */
   def forecastBacktest(s: SparkSession, d: String,
       horizonDays: Int = 7): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"), col("ts"),
       (weekday(col("ts")) + lit(1)).as("iso_dow"), hour(col("ts")).as("hr"),
       date_trunc("hour", col("ts")).as("hour_ts"))
-    val split = ev.agg(max(col("ts")).as("mx"))
-      .select((date_trunc("day", col("mx")) -
+    val splitTs = ev
+      .agg((date_trunc("day", max(col("ts"))) -
         expr(s"INTERVAL $horizonDays DAYS")).as("split_ts"))
-    val hourly = ev.join(broadcast(split))
-      .groupBy(col("event_type"), col("hour_ts"), col("iso_dow"), col("hr"),
-        (col("hour_ts") >= col("split_ts")).as("is_test"))
+      .collect()(0).get(0)
+    val hourly = ev
+      .groupBy(col("event_type"), col("hour_ts"), col("iso_dow"), col("hr"))
       .agg(count(lit(1)).as("n"))
-    val model = hourly.where(!col("is_test"))
-      .groupBy(col("event_type").as("m_type"), col("iso_dow").as("m_dow"),
-        col("hr").as("m_hr"))
-      .agg(round(avg(col("n")), 4).as("pred"))
-    hourly.where(col("is_test"))
-      .join(broadcast(model), col("event_type") === col("m_type") &&
-        col("iso_dow") === col("m_dow") && col("hr") === col("m_hr"))
+      .withColumn("is_test", col("hour_ts") >= lit(splitTs))
+    val w = Window.partitionBy(col("event_type"), col("iso_dow"), col("hr"))
+    hourly
+      .withColumn("pred",
+        round(avg(when(!col("is_test"), col("n"))).over(w), 4))
+      .where(col("is_test") && col("pred").isNotNull)
       .select(col("event_type"),
         round(abs(col("n") - col("pred")) * 1e4, 0).cast("long").as("ae_q"),
         round((col("n") - col("pred")) * 1e4, 0).cast("long").as("e_q"))
