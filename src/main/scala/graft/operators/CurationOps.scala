@@ -99,9 +99,11 @@ object CurationOps {
       qualityCol.as("quality"), nTokensCol.as("n_tokens"))
     val flagged = sig.withColumn("is_dup",
       count(lit(1)).over(Window.partitionBy(col("fp"))) > 1)
-    val qs = (1 to 9).map(i =>
-      round(expr(s"percentile(quality, 0.$i)"), 4).as(s"q$i"))
-    val bounds = sig.agg(qs.head, qs.tail: _*)
+    val bounds = sig
+      .agg(graft.functions.QuantilesAgg
+        .quantiles(col("quality"), (1 to 9).map(_ / 10.0)).as("bqs"))
+      .select((1 to 9).map(i =>
+        round(element_at(col("bqs"), i), 4).as(s"q$i")): _*)
     val decile = (1 to 9)
       .map(i => (col("quality") > col(s"q$i")).cast("int"))
       .reduce(_ + _) + lit(1)

@@ -174,9 +174,13 @@ object EventAnalyticsOps {
       .agg(
         count(lit(1)).as("n_converted"),
         min(col("dur_ms")).as("min_ms"),
-        round(expr("percentile(dur_ms, 0.5)"), 2).as("p50_ms"),
-        round(expr("percentile(dur_ms, 0.9)"), 2).as("p90_ms"),
+        graft.functions.QuantilesAgg
+          .quantiles(col("dur_ms").cast("double"), Seq(0.5, 0.9)).as("dqs"),
         max(col("dur_ms")).as("max_ms"))
+      .select(col("n_converted"), col("min_ms"),
+        round(element_at(col("dqs"), 1), 2).as("p50_ms"),
+        round(element_at(col("dqs"), 2), 2).as("p90_ms"),
+        col("max_ms"))
   }
 
   /** Top event-type trigram paths: the most frequent length-3 consecutive
@@ -229,7 +233,8 @@ object EventAnalyticsOps {
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_gaps"),
-        expr("percentile(gap_ms, 0.5)").as("p50"),
+        element_at(graft.functions.QuantilesAgg
+          .quantiles(col("gap_ms").cast("double"), Seq(0.5)), 1).as("p50"),
         max(col("gap_ms")).as("max_gap"))
       .groupBy((length(bin(col("n_gaps"))) - 1).cast("int").as("gap_band"))
       .agg(

@@ -151,9 +151,14 @@ object RelationalOps {
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(
-        r2(expr("percentile(o_totalprice, 0.5)")).as("p50"),
-        r2(expr("percentile(o_totalprice, 0.95)")).as("p95"),
+        graft.functions.QuantilesAgg
+          .quantiles(col("o_totalprice").cast("double"), Seq(0.5, 0.95))
+          .as("qs"),
         count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        r2(element_at(col("qs"), 1)).as("p50"),
+        r2(element_at(col("qs"), 2)).as("p95"),
+        col("n"))
       .orderBy(col("o_orderpriority"))
 
   /** Ranking window: top-3 orders per customer by value. Partitioned by
@@ -425,10 +430,15 @@ object RelationalOps {
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(
-        r2(expr("percentile(o_totalprice, 0.5)")).as("p50"),
-        r2(expr("percentile(o_totalprice, 0.95)")).as("p95"),
+        graft.functions.QuantilesAgg
+          .quantiles(col("o_totalprice").cast("double"), Seq(0.5, 0.95))
+          .as("eqs"),
         expr("approx_percentile(o_totalprice, 0.5, 1000)").as("pa"),
         expr("approx_percentile(o_totalprice, 0.95, 1000)").as("sa"))
+      .select(col("o_orderpriority"),
+        r2(element_at(col("eqs"), 1)).as("p50"),
+        r2(element_at(col("eqs"), 2)).as("p95"),
+        col("pa"), col("sa"))
       .select(
         col("o_orderpriority"), col("p50"), col("p95"),
         (abs(col("pa") - col("p50")) <= col("p50") * 0.01).as("p50_ok"),
@@ -603,9 +613,11 @@ object RelationalOps {
   def outlierAudit(s: SparkSession, d: String): DataFrame = {
     val q = Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
-      .agg(
-        expr("percentile(o_totalprice, 0.25)").as("q1"),
-        expr("percentile(o_totalprice, 0.75)").as("q3"))
+      .agg(graft.functions.QuantilesAgg
+        .quantiles(col("o_totalprice").cast("double"), Seq(0.25, 0.75))
+        .as("qq"))
+      .select(col("o_orderpriority"),
+        element_at(col("qq"), 1).as("q1"), element_at(col("qq"), 2).as("q3"))
       .select(col("o_orderpriority"), col("q1"), col("q3"),
         (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo_fence"),
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi_fence"))
@@ -701,11 +713,16 @@ object RelationalOps {
         col("o_custkey").as("c_custkey"),
         expr("(ref_ms - last_ms) div 86400000").cast("int").as("recency_days"),
         col("n_orders"), col("monetary"))
-    def qs(metric: String, tag: String): Seq[Column] =
-      Seq(20, 40, 60, 80).map(p =>
-        round(expr(s"percentile($metric, 0.$p)"), 4).as(s"$tag$p"))
-    val allQs = qs("recency_days", "r") ++ qs("n_orders", "f") ++ qs("monetary", "m")
-    val bounds = rc.agg(allQs.head, allQs.tail: _*)
+    val fences = Seq(0.2, 0.4, 0.6, 0.8)
+    def qs(metric: String, tag: String): Column =
+      graft.functions.QuantilesAgg
+        .quantiles(col(metric).cast("double"), fences).as(s"${tag}qs")
+    def unpack(tag: String): Seq[Column] =
+      Seq(20, 40, 60, 80).zipWithIndex.map { case (p, i) =>
+        round(element_at(col(s"${tag}qs"), i + 1), 4).as(s"$tag$p") }
+    val bounds = rc
+      .agg(qs("recency_days", "r"), qs("n_orders", "f"), qs("monetary", "m"))
+      .select(unpack("r") ++ unpack("f") ++ unpack("m"): _*)
     def scoreUp(v: Column, tag: String): Column =
       lit(1) + Seq(20, 40, 60, 80)
         .map(p => (v > col(s"$tag$p")).cast("int")).reduce(_ + _)

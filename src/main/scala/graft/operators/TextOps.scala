@@ -514,12 +514,16 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         min(col("n_chars")).as("min_chars"),
-        round(expr("percentile(n_chars, 0.25)"), 2).as("p25"),
-        round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
-        round(expr("percentile(n_chars, 0.75)"), 2).as("p75"),
-        round(expr("percentile(n_chars, 0.95)"), 2).as("p95"),
+        graft.functions.QuantilesAgg.quantiles(
+          col("n_chars").cast("double"), Seq(0.25, 0.5, 0.75, 0.95)).as("qs"),
         max(col("n_chars")).as("max_chars"),
         round(avg(col("n_chars")), 4).as("avg_chars"))
+      .select(col("source"), col("n_docs"), col("min_chars"),
+        round(element_at(col("qs"), 1), 2).as("p25"),
+        round(element_at(col("qs"), 2), 2).as("p50"),
+        round(element_at(col("qs"), 3), 2).as("p75"),
+        round(element_at(col("qs"), 4), 2).as("p95"),
+        col("max_chars"), col("avg_chars"))
       .orderBy(col("source"))
 
   /** Per-language corpus stats. */
@@ -951,22 +955,33 @@ object TextOps {
       .orderBy(col("decile"))
   }
 
+  private val keyphraseCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
+
   def keyphrases(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val tf = Tables.documents(s, d)
-      .select(col("source"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val sourceDf = tf.groupBy(col("term")).agg(count(lit(1)).as("n_src"))
-    val nSources = tf.select(col("source")).distinct()
-      .agg(count(lit(1)).as("n_sources"))
-    val scored = tf
-      .join(sourceDf, Seq("term"))
-      .join(broadcast(nSources))
-      .select(col("source"), col("term"), col("tf"), col("n_src"),
-        (col("tf") *
-          round((log((col("n_sources") + 1).cast("double") / (col("n_src") + 1))
-            + lit(1.0)) * 1e6, 0).cast("long")).as("score_q"),
-        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("tid"))
+    // The scored (source, term) table is k-independent and is consumed by
+    // BOTH the top-k rollup and the final term join-back — without the
+    // memo the corpus explode→rollup subtree re-runs on each side of the
+    // broadcast boundary (ReusedExchange never crosses it). Memoized per
+    // (session, dir) as a checkpointed leaf (the winnowPositions stance);
+    // vocabulary×|sources|-sized, never corpus-sized.
+    val scored = keyphraseCache.getOrElseUpdate(s, s"$d#keyphrases") { (ss, _) =>
+      val tf = Tables.documents(ss, d)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val sourceDf = tf.groupBy(col("term")).agg(count(lit(1)).as("n_src"))
+      val nSources = tf.select(col("source")).distinct()
+        .agg(count(lit(1)).as("n_sources"))
+      graft.SessionCache.cut(tf
+        .join(sourceDf, Seq("term"))
+        .join(broadcast(nSources))
+        .select(col("source"), col("term"), col("tf"), col("n_src"),
+          (col("tf") *
+            round((log((col("n_sources") + 1).cast("double") / (col("n_src") + 1))
+              + lit(1.0)) * 1e6, 0).cast("long")).as("score_q"),
+          conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("tid")))
+    }
     val winners = scored
       .groupBy(col("source"))
       .agg(graft.functions.TopKAgg.topK(
@@ -1009,8 +1024,10 @@ object TextOps {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
     val docs = Tables.documents(s, d)
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
-    val fences = docs.agg(array(
-      qs.map(q => round(expr(s"percentile(doc_id, $q)"), 6)): _*).as("fs"))
+    val fences = docs.agg(
+      transform(graft.functions.QuantilesAgg
+          .quantiles(col("doc_id").cast("double"), qs),
+        f => round(f, 6)).as("fs"))
     def decileOf(id: Column): Column =
       size(filter(col("fs"), f => f < id.cast("double"))) + 1
     val grid = docs

@@ -712,9 +712,11 @@ object TrainPrepOps {
       .select(col("doc_id"), col("source"),
         CurationOps.qualityCol.as("quality"))
     val fences = scored.groupBy(col("source"))
-      .agg(
-        round(expr("percentile(quality, 0.05)"), 6).as("p05"),
-        round(expr("percentile(quality, 0.95)"), 6).as("p95"))
+      .agg(graft.functions.QuantilesAgg
+        .quantiles(col("quality"), Seq(0.05, 0.95)).as("fqs"))
+      .select(col("source"),
+        round(element_at(col("fqs"), 1), 6).as("p05"),
+        round(element_at(col("fqs"), 2), 6).as("p95"))
     val clamped = least(greatest(col("quality"), col("p05")), col("p95"))
     val norm = when(col("p95") > col("p05"),
       (clamped - col("p05")) / (col("p95") - col("p05"))).otherwise(lit(0.0))
