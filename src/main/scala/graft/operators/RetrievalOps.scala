@@ -54,6 +54,10 @@ object RetrievalOps {
     // spelling paid 5 array_contains + 5 filter() full walks per row —
     // 2× the whole suite's per-pass scan cost at sf1. tq/dl sit outside
     // lambda bodies, so codegen CSE evaluates them once per row.
+    // The corpus-stats row is ONE row — collected and inlined as
+    // LITERALS (prfTopK's contract): a broadcast stats subtree re-runs
+    // its corpus aggregate under every consumer's action, which billed
+    // each bm25-derived query (hybrid, RBO, PRF) one extra corpus pass.
     val qArr = array(QueryTerms.map(lit): _*)
     val docs = docsIn.select(col("doc_id"), size(toks).as("dl0"),
       filter(toks, x => array_contains(qArr, x)).as("tq"))
@@ -63,19 +67,27 @@ object RetrievalOps {
         QueryTerms.zipWithIndex.map { case (t, i) =>
           sum(when(array_contains(col("tq"), t), 1d).otherwise(0d)).as(s"df$i")
         }.toList
-    val stats = broadcast(docs.agg(statCols.head, statCols.tail: _*))
+    val st = docs.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
     val dl = col("dl0").cast("double")
     val score = QueryTerms.zipWithIndex.map { case (t, i) =>
       val tf = size(filter(col("tq"), x => x === t)).cast("double")
-      val idf = log(lit(1d) + (col("n_docs") - col(s"df$i") + 0.5d) / (col(s"df$i") + 0.5d))
-      idf * tf * lit(k1 + 1d) / (tf + lit(k1) * (lit(1d - b) + lit(b) * dl / col("avgdl")))
+      val df = st.getDouble(2 + i)
+      val idf = math.log(1d + (nDocs - df + 0.5d) / (df + 0.5d))
+      lit(idf) * tf * lit(k1 + 1d) /
+        (tf + lit(k1) * (lit(1d - b) + lit(b) * dl / lit(avgdl)))
     }.reduce(_ + _)
-    val topk = docs.crossJoin(broadcast(stats)) // 1-row corpus stats
+    val topk = docs
       .select(col("doc_id"), round(score, 6).as("bm25"))
       .where(col("bm25") > 0d)
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
-    (topk, stats)
+    val statsDf = {
+      val ss = docsIn.sparkSession
+      import ss.implicits._
+      Seq((nDocs, avgdl)).toDF("n_docs", "avgdl")
+    }
+    (topk, statsDf)
   }
 
   /** Inverted-index build: term → document frequency, total term

@@ -266,14 +266,14 @@ class PlansSpec extends SparkSpec {
       s"expected one source rollup shuffle, got $hashExchanges:\n$plan")
   }
 
-  test("bm25TopK: stats ride a broadcast, scoring scan has zero hash exchanges") {
+  test("bm25TopK: stats inlined as literals, scoring scan is join- and shuffle-free") {
     val plan = executedPlan(graft.operators.RetrievalOps.bm25TopK(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be TakeOrderedAndProject:\n$plan")
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      s"1-row stats must broadcast:\n$plan")
-    // the only exchange allowed is the SinglePartition reduce of the 1-row
-    // stats aggregate — the corpus-side scoring scan must not shuffle
+    // r10: the 1-row stats aggregate is collected and inlined as literals
+    // (the prfTopK contract) — the scoring plan must carry NO join at all
+    // (the old broadcast form re-ran the stats corpus pass per consumer)
+    assert(!plan.contains("Join"), s"stats must be literals, not a join:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"scoring scan must not hash-shuffle:\n$plan")
     assert(!plan.contains("Generate"), s"tf must not explode tokens:\n$plan")
