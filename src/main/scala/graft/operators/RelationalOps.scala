@@ -61,8 +61,8 @@ object RelationalOps {
     val c  = Tables.customer(s, d)
     val n  = broadcast(Tables.nation(s, d))
     val r  = broadcast(Tables.region(s, d).where(col("r_name") === "ASIA"))
-    li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-      .join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+    li.join(hashBuildIfBig(o), col("l_orderkey") === col("o_orderkey"))
+      .join(hashBuildIfBig(c), col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
@@ -563,8 +563,8 @@ object RelationalOps {
       .where(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-    cust.join(ord, col("c_custkey") === col("o_custkey"))
-      .hint("shuffle_hash")
+    hashBuildIfBig(cust.join(ord, col("c_custkey") === col("o_custkey")),
+        sizer = Tables.orders(s, d))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
@@ -933,7 +933,7 @@ object RelationalOps {
       .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
         col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
       .select(col("o_orderkey"), col("o_custkey"))
-    ord.hint("shuffle_hash").join(ret, col("o_orderkey") === col("l_orderkey"))
+    hashBuildIfBig(ord).join(ret, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("rev")), 2).as("ret_revenue"), count(lit(1)).as("n_items"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -945,6 +945,25 @@ object RelationalOps {
   }
 
   private def ts(day: String) = lit(java.sql.Timestamp.valueOf(s"$day 00:00:00"))
+
+  /** Prefer a shuffled-hash build on `df` ONLY when it is too big to
+    * broadcast: an unconditional `hint("shuffle_hash")` outranks the
+    * planner's size-based broadcast selection, so at small scale it
+    * replaced a broadcast join with a full shuffle (measured: the r10
+    * hinted queries regressed ~2× at sf0.1 while winning 30–40% at sf10).
+    * Under the threshold the frame is left unhinted — AQE broadcasts it;
+    * over it, SHJ skips the 60 M-row sort an SMJ would pay, falling back
+    * to SMJ itself if a build partition outgrows memory. The estimate is
+    * the optimizer's own file-size stat — driver-side, no job.
+    */
+  private def hashBuildIfBig(df: DataFrame, sizer: DataFrame = null): DataFrame = {
+    // `sizer` overrides the measured frame when `df` is a join (join-stats
+    // multiply out to garbage); pass the dominating base table instead
+    val basis = if (sizer == null) df else sizer
+    val bytes = basis.queryExecution.optimizedPlan.stats.sizeInBytes
+    val thresh = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thresh > 0 && bytes <= BigInt(thresh)) df else df.hint("shuffle_hash")
+  }
 
   /** TPC-H Q5 shape: revenue that stayed inside one region — customer and
     * supplier share a nation, the nation sits in the target region, orders
@@ -1066,7 +1085,8 @@ object RelationalOps {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       .join(broadcast(supFlag), col("l_suppkey") === col("s_suppkey"))
-      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(hashBuildIfBig(ord, sizer = Tables.orders(s, d)),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("yr"))
       .agg(
         r2(sum(when(col("is_target"), col("rev")).otherwise(lit(0.0))))
@@ -1212,7 +1232,7 @@ object RelationalOps {
     Tables.orders(s, d)
       .where(col("o_orderdate") >= ts("1996-01-01") &&
         col("o_orderdate") < ts("1996-07-01"))
-      .join(perOrder.hint("shuffle_hash"),
+      .join(hashBuildIfBig(perOrder),
         col("o_orderkey") === col("l_orderkey"))
       .where(col("max_ship") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .groupBy(col("o_orderpriority"))
