@@ -701,17 +701,23 @@ object RelationalOps {
     * quantiles can't flip a bucket at the last ulp.
     */
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
-    val perCust = Tables.orders(s, d)
+    // The per-customer rollup is cut ONCE: the reference-date row and the
+    // 12-fence quantile row are both model-sized driver state (trainKmeans
+    // contract), and as broadcast subtrees each re-ran the orders scan +
+    // custkey shuffle under the single consumer action — three corpus
+    // passes for one query. Now: one rollup job, two tiny collects over
+    // the cut leaf, literals in the scoring pass.
+    val perCust = graft.SessionCache.cut(Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(
         max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_ms"),
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("monetary"))
-    val ref = perCust.agg(max(col("last_ms")).as("ref_ms"))
-    val rc = perCust.crossJoin(broadcast(ref))
+        round(sum(col("o_totalprice")), 2).as("monetary")))
+    val refMs = perCust.agg(max(col("last_ms"))).collect()(0).getLong(0)
+    val rc = perCust
       .select(
         col("o_custkey").as("c_custkey"),
-        expr("(ref_ms - last_ms) div 86400000").cast("int").as("recency_days"),
+        expr(s"(${refMs}L - last_ms) div 86400000").cast("int").as("recency_days"),
         col("n_orders"), col("monetary"))
     val fences = Seq(0.2, 0.4, 0.6, 0.8)
     def qs(metric: String, tag: String): Column =
@@ -723,13 +729,16 @@ object RelationalOps {
     val bounds = rc
       .agg(qs("recency_days", "r"), qs("n_orders", "f"), qs("monetary", "m"))
       .select(unpack("r") ++ unpack("f") ++ unpack("m"): _*)
+      .collect()(0)
+    def fence(tag: String, p: Int): Column =
+      lit(bounds.getDouble(bounds.fieldIndex(s"$tag$p")))
     def scoreUp(v: Column, tag: String): Column =
       lit(1) + Seq(20, 40, 60, 80)
-        .map(p => (v > col(s"$tag$p")).cast("int")).reduce(_ + _)
+        .map(p => (v > fence(tag, p)).cast("int")).reduce(_ + _)
     def scoreDown(v: Column, tag: String): Column =
       lit(1) + Seq(80, 60, 40, 20)
-        .map(p => (v < col(s"$tag$p")).cast("int")).reduce(_ + _)
-    rc.crossJoin(broadcast(bounds))
+        .map(p => (v < fence(tag, p)).cast("int")).reduce(_ + _)
+    rc
       .select(
         col("c_custkey"), col("recency_days"), col("n_orders"), col("monetary"),
         scoreDown(col("recency_days"), "r").as("r"),
@@ -1362,16 +1371,20 @@ object RelationalOps {
       .join(broadcast(fam), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("q_pair"))
-    val partQty = pairQty.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(col("q_pair")).as("q_total"))
-    pairQty.join(partQty, col("l_partkey") === col("pk"))
-      .select(col("l_partkey"),
-        struct(
-          round(col("q_pair") / col("q_total") * 1e6, 0).cast("long").as("sq"),
-          (-col("l_suppkey")).as("negkey")).as("cand"))
+    // argmax and the denominator FUSE into one per-part rollup: the share
+    // ranking is monotone in q_pair (same per-part denominator), so
+    // max(struct(q_pair, negkey)) picks the same leader the share-struct
+    // did, and sum(q_pair) rides the same agg — the old spelling computed
+    // the pair rollup TWICE (total + join probe) and shuffled a self-join
+    // to divide by the total
+    pairQty
       .groupBy(col("l_partkey"))
-      .agg(max(col("cand")).as("m"))
-      .select((-col("m.negkey")).as("lead_suppkey"), col("m.sq").as("sq"))
+      .agg(
+        max(struct(col("q_pair").as("qp"),
+          (-col("l_suppkey")).as("negkey"))).as("m"),
+        sum(col("q_pair")).as("q_total"))
+      .select((-col("m.negkey")).as("lead_suppkey"),
+        round(col("m.qp") / col("q_total") * 1e6, 0).cast("long").as("sq"))
       .groupBy(col("lead_suppkey"))
       .agg(count(lit(1)).as("n_led_parts"),
         // exact half-up in longs — round(sum/n/1e6, 6) crosses engines'

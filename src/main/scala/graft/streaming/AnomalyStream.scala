@@ -30,7 +30,7 @@ object AnomalyStream {
       event_type: String, bucket_ms: Long, n: Long,
       mean_n: Double, z: Option[Double], is_anomaly: Boolean)
 
-  private final case class RingState(curHour: Long, curCount: Long, history: Seq[Long])
+  final case class RingState(curHour: Long, curCount: Long, history: Seq[Long])
 
   private val HourMs = 3600000L
 

@@ -40,8 +40,11 @@ object BurnRateStream {
       service: String, bucket_ms: Long, n_events: Long, n_errors: Long,
       burn_short_ppm: Long, burn_long_ppm: Long, is_alert: Boolean)
 
-  private final case class HistBucket(err: Long, tot: Long)
-  private final case class BurnState(
+  // state classes stay public: Encoders.product codegen emits Java that
+  // calls the accessors directly, and a private nested case class forces
+  // the interpreted-serde fallback on every state read/write
+  final case class HistBucket(err: Long, tot: Long)
+  final case class BurnState(
       openHour: Long, openErr: Long, openTot: Long, hist: Seq[HistBucket])
 
   private val HourMs = 3600000L

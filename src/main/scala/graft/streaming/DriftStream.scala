@@ -37,7 +37,7 @@ object DriftStream {
       source: String, n_early: Long, n_late: Long,
       tvd: Double, top_shift_bucket: Int, top_shift: Double)
 
-  private final case class DriftState(early: Seq[Long], late: Seq[Long])
+  final case class DriftState(early: Seq[Long], late: Seq[Long])
 
   private def halfUp(num: Long, den: Long): Long =
     if (num >= 0) (2 * num + den) / (2 * den) else -((-2 * num + den) / (2 * den))

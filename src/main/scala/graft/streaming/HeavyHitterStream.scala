@@ -37,7 +37,7 @@ object HeavyHitterStream {
   final case class Promotion(
       shard: String, term: String, est_count: Long, err: Long, n_total: Long)
 
-  private final case class SketchState(
+  final case class SketchState(
       terms: Seq[String], counts: Seq[Long], errs: Seq[Long], total: Long)
 
   private class HHProcessor(m: Int, denom: Int, ttl: TTLConfig)

@@ -367,13 +367,17 @@ class PlansSpec extends SparkSpec {
       s"profiler must scan orders exactly twice (stats + distinct):\n$plan")
   }
 
-  test("rfmSegments: boundaries broadcast; no global one-partition sort") {
+  test("rfmSegments: boundaries are literals over the cut rollup; no window, no join") {
     val plan = executedPlan(graft.operators.RelationalOps.rfmSegments(spark, sf0001))
     // the ntile formulation would put every customer in one partition via
     // Exchange SinglePartition + Window; the boundary form must not
     assert(!plan.contains("Window"), s"no ntile window allowed:\n$plan")
-    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
-      s"boundary rows must ride broadcasts:\n$plan")
+    // r10: ref date + 12 quantile fences are COLLECTED into literals (the
+    // broadcast form re-ran the orders rollup subtree per broadcast); the
+    // scoring pass is a join-free scan of the checkpointed rollup
+    assert(!plan.contains("Join"), s"fences must be literals, not joins:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"scoring must read the cut per-customer rollup leaf:\n$plan")
   }
 
   test("largeVolumeCustomers: fact rolls up before any join; top-k not a sort") {
