@@ -30,6 +30,17 @@ object RelationalOps {
   private def r2(c: Column): Column = round(c, 2)
   private def r4(c: Column): Column = round(c, 4)
 
+  // bounded memos for cut intermediates: a bare SessionCache.cut strands
+  // its checkpoint RDD blocks when the frame goes out of scope (no
+  // unpersist path until ContextCleaner GC); the LRU's onEvict=release
+  // closes that window
+  private val rfmRollupCache =
+    new graft.SessionCache[org.apache.spark.sql.DataFrame](
+      maxEntries = 4, onEvict = graft.SessionCache.release)
+  private val distinctPairsCache =
+    new graft.SessionCache[org.apache.spark.sql.DataFrame](
+      maxEntries = 4, onEvict = graft.SessionCache.release)
+
   /** TPC-H Q1-shaped scan-heavy aggregate on lineitem: 2-col group key,
     * 8 aggregates, one shuffle after partial aggregation.
     */
@@ -402,8 +413,10 @@ object RelationalOps {
     * union stage aggregates 3 sketch objects.
     */
   def distinctMergeAudit(s: SparkSession, d: String): DataFrame = {
-    val dd = graft.SessionCache.cut(Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_partkey")).distinct())
+    val dd = distinctPairsCache.getOrElseUpdate(s, d) { (ss, dir) =>
+      graft.SessionCache.cut(Tables.lineitem(ss, dir)
+        .select(col("l_returnflag"), col("l_partkey")).distinct())
+    }
     val per = dd.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_exact"),
         expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
@@ -706,14 +719,27 @@ object RelationalOps {
     // contract), and as broadcast subtrees each re-ran the orders scan +
     // custkey shuffle under the single consumer action — three corpus
     // passes for one query. Now: one rollup job, two tiny collects over
-    // the cut leaf, literals in the scoring pass.
-    val perCust = graft.SessionCache.cut(Tables.orders(s, d)
-      .groupBy(col("o_custkey"))
-      .agg(
-        max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_ms"),
-        count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("monetary")))
-    val refMs = perCust.agg(max(col("last_ms"))).collect()(0).getLong(0)
+    // the cut leaf, literals in the scoring pass. The cut routes through
+    // the bounded memo (not a bare SessionCache.cut) so the checkpoint
+    // blocks have a release path instead of stranding per invocation.
+    val perCust = rfmRollupCache.getOrElseUpdate(s, d) { (ss, dir) =>
+      graft.SessionCache.cut(Tables.orders(ss, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_ms"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("monetary")))
+    }
+    val refRow = perCust.agg(max(col("last_ms"))).collect()(0)
+    if (refRow.isNullAt(0)) {
+      // no orders at all: contract-shaped empty result (the quantile
+      // fences below would be null and every getDouble would NPE)
+      return perCust.select(
+        col("o_custkey").as("c_custkey"), lit(0).as("recency_days"),
+        col("n_orders"), col("monetary"), lit(0).as("r"), lit(0).as("f"),
+        lit(0).as("m"), lit(0).as("segment")).where(lit(false))
+    }
+    val refMs = refRow.getLong(0)
     val rc = perCust
       .select(
         col("o_custkey").as("c_custkey"),

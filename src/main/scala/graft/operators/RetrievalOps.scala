@@ -40,9 +40,10 @@ object RetrievalOps {
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25TopKAndStats(docsIn, terms, k, k1, b)._1
 
-  /** [[bm25TopKOf]] plus its corpus-stats row (n_docs, avgdl, df0..n) —
-    * composition hook so PRF reuses the aggregate instead of scanning
-    * the corpus for a second identical stats pass.
+  /** [[bm25TopKOf]] plus its corpus-stats row (n_docs, avgdl) — the
+    * per-term dfs are consumed as literals inside the scoring expression
+    * and are not re-exported. Composition hook so stats-consuming callers
+    * reuse the aggregate instead of scanning the corpus again.
     */
   private[operators] def bm25TopKAndStats(
       docsIn: DataFrame, terms: Seq[String], k: Int = 15,
@@ -103,6 +104,16 @@ object RetrievalOps {
           sum(when(array_contains(col("tq"), t), 1d).otherwise(0d)).as(s"df$i")
         }.toList
     val st = docs.agg(statCols.head, statCols.tail: _*).collect()(0)
+    if (st.isNullAt(1)) {
+      // empty corpus: avgdl is null and the literal-inlined score would
+      // NPE at construction; return the contract-shaped empty result the
+      // pre-literal (broadcast) spelling produced
+      val ss = docs.sparkSession
+      import ss.implicits._
+      return (docs.select(col("doc_id"), lit(0d).as("bm25"))
+        .where(lit(false)),
+        Seq.empty[(Double, Double)].toDF("n_docs", "avgdl"))
+    }
     val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
     val dl = col("dl0").cast("double")
     val score = QueryTerms.zipWithIndex.map { case (t, i) =>
@@ -229,12 +240,14 @@ object RetrievalOps {
     * longs BEFORE the per-doc sum — a float sum over rows would depend
     * on partial-aggregation order; long addition doesn't.
     *
-    * Plan: feedback docs and the ≤ |q|+`fbTerms` expanded-term table are
-    * broadcasts; round 2 explodes the corpus but joins the broadcast
-    * term list IN the same stage, so only rows matching a query term
-    * reach the (doc, term) rollup. Per-term dfs come from that same
-    * matched set (a term's matched set IS its posting set). No driver
-    * collect anywhere — the expanded query stays a DataFrame.
+    * Plan: four sequential actions. The stats row, the feedback ids, and
+    * the expanded-term table are each model-sized driver state (the
+    * trainKmeans contract) and are COLLECTED into literals — a broadcast
+    * subtree re-runs its corpus lineage under every consumer action.
+    * Round 2 scores the pruned corpus against the ≤ |q|+`fbTerms` local
+    * term grid in-row; per-term dfs come from that same matched set (a
+    * term's matched set IS its posting set) via a ≤|qterms|-row rollup
+    * broadcast back onto it.
     */
   // (Measured dead end: memoizing an exploded (doc_id, dl, term) postings
   // view per (session, dir) for PRF's two corpus-wide stages made the
@@ -269,6 +282,11 @@ object RetrievalOps {
           sum(when(array_contains(col("tq"), t), 1d).otherwise(0d)).as(s"df$i")
         }.toList
     val st = base.agg(statCols.head, statCols.tail: _*).collect()(0)
+    if (st.isNullAt(1)) {
+      // empty corpus (see bm25Scored): contract-shaped empty result
+      return docs.select(col("doc_id"), lit(0d).as("prf_score"))
+        .where(lit(false))
+    }
     val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
     // action 2 — feedback doc ids: round-1 BM25 scored with the stats as
     // LITERALS (no broadcast exchange, no stats-subtree re-run); top
@@ -313,11 +331,8 @@ object RetrievalOps {
     val qterms = allTerms.toDF("term", "w") // LocalRelation — no job
     // action 4 — rescore: per-(doc, term) tf via the local term grid +
     // in-row array filter (the bm25TopKOf stance): ≤|qterms| narrow rows
-    // per doc, NO token explode. Round-2 dfs come from a count window
-    // over the matched rows' term partitions — the matched stream is
-    // computed ONCE (the old dfq broadcast re-ran it), and the shuffle
-    // key space is |qterms| ≤ 8 terms × matched docs, never the corpus
-    // vocabulary.
+    // per doc, NO token explode. Round-2 dfs roll up to ≤|qterms| rows
+    // and broadcast back onto the matched stream — see dfByTerm below.
     val tqArr = lit(allTerms.map(_._1).toArray)
     val pruned = docs
       .select(col("doc_id"), size(col("t")).as("dl"),
@@ -327,9 +342,15 @@ object RetrievalOps {
       .select(col("doc_id"), col("dl"), col("term"),
         col("w"), size(filter(col("tq"), x => x === col("term"))).as("tf"))
       .where(col("tf") > 0)
-    val withDf = matched.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("term"))))
+    // per-term df: a ≤|qterms|-row partial-agg rollup broadcast back onto
+    // the matched stream. NOT a count() window partitioned by term — with
+    // ≤ 11 distinct keys WindowExec funnels the entire corpus-sized
+    // matched stream through ≤ 11 reducer tasks (the single-reducer
+    // pathology labelOutliers documents); the rollup collapses map-side
+    // to ≤|qterms| rows per task, and the broadcast join re-runs only the
+    // pruned scan lineage — linear, parallel work at any corpus size.
+    val dfByTerm = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = matched.join(broadcast(dfByTerm), Seq("term"))
     val tfD = col("tf").cast("double")
     val contrib = col("w") *
       log(lit(1d) + (lit(nDocs) - col("df") + 0.5d) / (col("df") + 0.5d)) *
@@ -632,7 +653,7 @@ object RetrievalOps {
   /** [[bpeLearn]] over an arbitrary `(text)` frame (uncached). */
   def bpeLearnOf(docs: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-      var cur = graft.SessionCache.cut(
+      val cur0 = graft.SessionCache.cut(
         docs
           .select(explode(toks).as("w"))
           .where(col("w").rlike("^[a-z]+$"))
@@ -640,6 +661,7 @@ object RetrievalOps {
           .select(col("w"), col("freq"),
             concat(lit("~~"), regexp_replace(col("w"), "(.)", "$1~~"))
               .as("seq")))
+      var cur = cur0
       val merges = Seq.newBuilder[(Int, String, String, String, Long)]
       for (r <- 1 to rounds) {
         val syms = regexp_extract_all(col("seq"), lit("[^~]+"), lit(0))
@@ -662,7 +684,11 @@ object RetrievalOps {
               lit(s"~$l~~$rr~"), lit(s"~$l$rr~")).as("seq"))
         }
       }
-      (merges.result(), graft.SessionCache.cut(cur))
+      val fin = graft.SessionCache.cut(cur)
+      // the pre-loop checkpoint is superseded by `fin`; without an
+      // explicit release its blocks strand until ContextCleaner GC
+      if (fin ne cur0) graft.SessionCache.release(cur0)
+      (merges.result(), fin)
   }
 
   /** The learned merge table: one row per round — the tokenizer model

@@ -648,6 +648,12 @@ object VectorOps {
       .agg(round(avg(col("x").cast("double")), 6).as("c"))
       .collect()
     val byLabel = centRows.groupBy(_.getInt(0))
+    if (byLabel.isEmpty) {
+      // empty embeddings dir: distToLabelCentroid requires ≥1 bound
+      // centroid; return the contract-shaped empty result instead
+      return emb.select(col("label"), col("vec_id"), lit(0d).as("dist"),
+        lit(0).as("outlier_rank")).where(lit(false))
+    }
     val labels = byLabel.keys.toArray.sorted
     val cents = labels.map { l =>
       val rows = byLabel(l)

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit coverage for [[QuantilesAgg]] — equality against Spark's builtin
+  * `percentile` (after the call sites' rounding) and the distinct-bounded
+  * buffer contract the r10 rework introduced.
+  */
+class QuantilesAggSpec extends SparkSpec {
+
+  private def quantileOf(vals: Seq[Double], ps: Seq[Double]): Seq[Double] = {
+    import spark.implicits._
+    val df = vals.toDF("v").repartition(4)
+    df.agg(QuantilesAgg.quantiles(col("v"), ps).as("qs"))
+      .collect()(0).getSeq[Double](0)
+  }
+
+  private def builtinOf(vals: Seq[Double], ps: Seq[Double]): Seq[Double] = {
+    import spark.implicits._
+    val df = vals.toDF("v").repartition(4)
+    val aggs = ps.map(p => expr(s"percentile(v, $p)"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    ps.indices.map(row.getDouble)
+  }
+
+  private val fences = Seq(0.0, 0.2, 0.25, 0.5, 0.75, 0.9, 1.0)
+
+  test("matches builtin percentile on distinct values (4 dp)") {
+    val vals = (1 to 153).map(i => i * 1.25 - 7)
+    val (got, want) = (quantileOf(vals, fences), builtinOf(vals, fences))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 5e-5, s"got $g want $w") }
+  }
+
+  test("heavily tied input: counts weight ranks, buffer stays distinct-sized") {
+    // 10_000 rows, 7 distinct values — the shape that must NOT buffer
+    // per row (funnel durations, integer lengths)
+    val vals = Seq.fill(4000)(5.0) ++ Seq.fill(3000)(1.0) ++
+      Seq.fill(1500)(9.0) ++ Seq.fill(1000)(2.5) ++ Seq.fill(400)(7.0) ++
+      Seq.fill(99)(0.5) ++ Seq.fill(1)(100.0)
+    val (got, want) = (quantileOf(vals, fences), builtinOf(vals, fences))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 5e-5, s"got $g want $w") }
+  }
+
+  test("single value, empty-ish groups, and -0.0/0.0 adjacency") {
+    assert(quantileOf(Seq(42.0), fences).forall(_ == 42.0))
+    // -0.0 and 0.0 are distinct map keys but interpolate identically
+    val got = quantileOf(Seq(-0.0, 0.0, -0.0, 0.0), Seq(0.5))
+    assert(got.head == 0.0)
+  }
+
+  test("state map grows past its initial capacity and survives merges") {
+    // >16 distinct values per partition forces grow(); repartition(4)
+    // forces partial-buffer merges
+    val vals = (1 to 1000).map(_.toDouble)
+    val got = quantileOf(vals, Seq(0.5, 0.99))
+    assert(math.abs(got(0) - 500.5) < 1e-9)
+    assert(math.abs(got(1) - 990.01) < 1e-6)
+  }
+}

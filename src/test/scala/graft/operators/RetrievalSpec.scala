@@ -30,6 +30,13 @@ class RetrievalSpec extends SparkSpec {
     assert(got(0).getAs[Double]("bm25") > got(1).getAs[Double]("bm25"))
   }
 
+  test("bm25 on an empty corpus returns the contract-shaped empty frame") {
+    // the literal-inlined stats path must not NPE on a null avgdl
+    val got = RetrievalOps.bm25TopKOf(docs().limit(0), Seq("spark"), k = 5)
+    assert(got.columns.toSeq === Seq("doc_id", "bm25"))
+    assert(got.count() === 0L)
+  }
+
   test("bm25 length normalization prefers the shorter doc at equal tf") {
     val corpus = docs(
       (0L, "spark pad1 pad2 pad3"),
