@@ -321,36 +321,37 @@ object RetrievalOps {
       .join(broadcast(fbCounts), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df_fb"))
     val expanded = broadcast(fbCounts).join(dfs, Seq("term"))
-      .select(col("term"),
+      .select(col("term"), col("df_fb"),
         (col("tf_fb") *
           round(log(lit(nDocs) / col("df_fb")) * 1e6, 0).cast("long"))
           .as("wq"))
       .orderBy(col("wq").desc, col("term")).limit(fbTerms)
-      .collect().map(_.getString(0)).toSeq
-    val allTerms = QueryTerms.map((_, 1.0)) ++ expanded.map((_, 0.5))
-    val qterms = allTerms.toDF("term", "w") // LocalRelation — no job
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // every round-2 per-term df is ALREADY driver state by now — the
+    // original terms' dfs came back in the action-1 stats row and each
+    // expansion term's corpus df rode the action-3 collect — so the term
+    // grid carries (term, w, df) and round 2 needs no df recomputation at
+    // all: no per-term count window (a ≤11-key WindowExec funnels the
+    // corpus-sized matched stream through ≤11 reducers), no rollup +
+    // broadcast join (a second corpus pass). A term's matched set IS its
+    // posting set, so grid df == round-2 df by construction.
+    val allTerms = QueryTerms.zipWithIndex.map { case (t, i) =>
+      (t, 1.0, st.getDouble(2 + i)) } ++
+      expanded.map { case (t, dfv) => (t, 0.5, dfv.toDouble) }
+    val qterms = allTerms.toDF("term", "w", "df") // LocalRelation — no job
     // action 4 — rescore: per-(doc, term) tf via the local term grid +
     // in-row array filter (the bm25TopKOf stance): ≤|qterms| narrow rows
-    // per doc, NO token explode. Round-2 dfs roll up to ≤|qterms| rows
-    // and broadcast back onto the matched stream — see dfByTerm below.
+    // per doc, NO token explode; df rides the grid (see allTerms above),
+    // so round 2 is ONE pruned corpus pass straight into the doc rollup.
     val tqArr = lit(allTerms.map(_._1).toArray)
     val pruned = docs
       .select(col("doc_id"), size(col("t")).as("dl"),
         filter(col("t"), x => array_contains(tqArr, x)).as("tq"))
-    val matched = pruned
+    val withDf = pruned
       .crossJoin(qterms)
-      .select(col("doc_id"), col("dl"), col("term"),
-        col("w"), size(filter(col("tq"), x => x === col("term"))).as("tf"))
+      .select(col("doc_id"), col("dl"), col("term"), col("w"), col("df"),
+        size(filter(col("tq"), x => x === col("term"))).as("tf"))
       .where(col("tf") > 0)
-    // per-term df: a ≤|qterms|-row partial-agg rollup broadcast back onto
-    // the matched stream. NOT a count() window partitioned by term — with
-    // ≤ 11 distinct keys WindowExec funnels the entire corpus-sized
-    // matched stream through ≤ 11 reducer tasks (the single-reducer
-    // pathology labelOutliers documents); the rollup collapses map-side
-    // to ≤|qterms| rows per task, and the broadcast join re-runs only the
-    // pruned scan lineage — linear, parallel work at any corpus size.
-    val dfByTerm = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val withDf = matched.join(broadcast(dfByTerm), Seq("term"))
     val tfD = col("tf").cast("double")
     val contrib = col("w") *
       log(lit(1d) + (lit(nDocs) - col("df") + 0.5d) / (col("df") + 0.5d)) *

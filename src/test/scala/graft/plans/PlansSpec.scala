@@ -279,6 +279,19 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"tf must not explode tokens:\n$plan")
   }
 
+  test("prfTopK round 2: df rides the literal term grid — no window, one doc rollup") {
+    val plan = executedPlan(graft.operators.RetrievalOps.prfTopK(spark, sf0001))
+    // a per-term count() window would funnel the matched stream through
+    // ≤|qterms| reducers; a df rollup + join would re-run the corpus pass
+    assert(!plan.contains("Window"), s"no per-term window allowed:\n$plan")
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1,
+      s"round 2 must shuffle only the per-doc rollup, got $hashExchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$plan")
+  }
+
   test("funnel: one user_id shuffle; the walk adds no join") {
     val plan = executedPlan(graft.operators.EventAnalyticsOps.funnel(spark, sf0001))
     assert(!plan.contains("Join"), s"greedy walk must not join:\n$plan")
