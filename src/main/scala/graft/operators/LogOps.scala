@@ -348,11 +348,29 @@ object LogOps {
     // taken before the age filter, and both survivor conditions AND'ed.
     var out = logs
     maxLines.foreach { k =>
-      val w = Window.partitionBy(col(containerCol)).orderBy(col(seqCol).desc)
-      out = out
-        .withColumn("__rank_from_newest", row_number().over(w))
-        .where(col("__rank_from_newest") <= k)
-        .drop("__rank_from_newest")
+      // "newest k per container" as a THRESHOLD, not a rank window: a
+      // row_number over partitionBy(container) routes each container's
+      // entire history through one reducer task — one chatty container
+      // serializes the sweep at scale. Sequence numbers are unique per
+      // container (the reference's ROWID contract), so `rank ≤ k` ⟺
+      // `seq ≥ k-th largest seq`; the k-bounded heap aggregate partials
+      // map-side and the container→threshold row set broadcasts back as
+      // a plain filter. Quotas beyond the heap cap (k longs per group in
+      // the agg buffer) fall back to the rank window.
+      if (k <= 1000000L) {
+        val thr = out.groupBy(col(containerCol))
+          .agg(graft.functions.KthLargestAgg
+            .kthLargest(col(seqCol).cast("long"), k.toInt).as("__thr"))
+        out = out.join(broadcast(thr), Seq(containerCol))
+          .where(col(seqCol) >= col("__thr"))
+          .drop("__thr")
+      } else {
+        val w = Window.partitionBy(col(containerCol)).orderBy(col(seqCol).desc)
+        out = out
+          .withColumn("__rank_from_newest", row_number().over(w))
+          .where(col("__rank_from_newest") <= k)
+          .drop("__rank_from_newest")
+      }
     }
     ageCutoff.foreach(c => out = out.where(tsNanoGeq(logs, tsNanoCol, nanos(c))))
     out

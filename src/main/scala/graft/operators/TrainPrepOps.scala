@@ -490,22 +490,44 @@ object TrainPrepOps {
     * zero padding inside the stream, every sequence full except the shard's
     * last.
     *
-    * Plan: one running sum per source shard (window partitioned on
-    * `source` — the shard key IS the unit of sequential packing, so the
-    * per-shard scan is inherent to the semantics, and shards pack in
-    * parallel). Everything after the window is per-row integer
-    * arithmetic. A global (unsharded) packing order would serialize the
-    * corpus through one partition at 100 TB — that formulation is wrong at
-    * scale, which is why the shard key is part of this operator's
-    * contract.
+    * Plan: a two-phase distributed prefix sum (see inline note). The
+    * shard key is the unit of SEQUENTIAL SEMANTICS — offsets restart per
+    * source — but not the unit of parallelism: per-bucket token totals
+    * roll up grid-sized, bucket base offsets come from a grid window,
+    * and the corpus-wide running sum runs inside (source, bucket) cells.
+    * Everything after the window is per-row integer arithmetic.
     */
   def packSequences(s: SparkSession, d: String, ctx: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    // Two-phase distributed prefix sum: a window partitioned by the bare
+    // shard key streams each shard's ENTIRE corpus slice through one
+    // reducer task (5 sources = 5 tasks however many executors). Phase 1
+    // rolls token totals up to (source, doc_id-range bucket) — grid-sized
+    // — and turns them into per-bucket base offsets with a grid-window;
+    // phase 2 runs the cumulative sum INSIDE each bucket and adds the
+    // broadcast base. Offsets are identical to the single-window form
+    // (exact long arithmetic, same (source, doc_id) order), but the wide
+    // shuffle is keyed by (source, bucket) — parallelism tracks the data,
+    // not the shard-key cardinality.
+    val bucket = lit(4096L)
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), size(toks).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bk", floor(col("doc_id") / bucket).cast("long"))
+    val bases = docs.groupBy(col("source"), col("bk"))
+      .agg(sum(col("n_tokens")).as("bk_tokens"))
+      .withColumn("base",
+        coalesce(
+          sum(col("bk_tokens")).over(
+            Window.partitionBy(col("source")).orderBy(col("bk"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("source"), col("bk"), col("base"))
+    val wIn = Window.partitionBy(col("source"), col("bk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(broadcast(bases), Seq("source", "bk"))
+      .withColumn("cum_tokens", col("base") + sum(col("n_tokens")).over(wIn))
       .select(
         col("doc_id"), col("source"), col("n_tokens"),
         (col("cum_tokens") - col("n_tokens")).as("cb"))

@@ -177,13 +177,19 @@ class PlansSpec extends SparkSpec {
       s"explode must consume hourly partials, not raw events:\n$plan")
   }
 
-  test("packSequences: one shard-key shuffle (the window), nothing else") {
+  test("packSequences: prefix sum runs per (source, bucket), bases broadcast") {
     val plan = executedPlan(
       graft.operators.TrainPrepOps.packSequences(spark, sf0001))
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashExchanges === 1,
-      s"packing is ONE source-window shuffle, got $hashExchanges:\n$plan")
-    assert(!plan.contains("Join"), s"packing reads one table:\n$plan")
+    // r10: the bare-source window streamed each shard through ONE reducer
+    // (5 sources = 5 tasks at any cluster size); the two-phase form keys
+    // the corpus-wide shuffles by (source, bk) and broadcasts the
+    // grid-sized bucket bases back
+    assert("hashpartitioning\\(source[^)]*, bk".r.findFirstIn(plan).nonEmpty,
+      s"corpus shuffles must be keyed by (source, bk):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket bases must ride a broadcast:\n$plan")
+    // the only bare-source window left is the grid-sized base rollup —
+    // its input is the (source, bk) aggregate, never the corpus
   }
 
   test("pqEncode: pure per-row arithmetic — zero hash exchanges, no join") {
