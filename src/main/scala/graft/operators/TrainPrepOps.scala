@@ -490,44 +490,67 @@ object TrainPrepOps {
     * zero padding inside the stream, every sequence full except the shard's
     * last.
     *
-    * Plan: a two-phase distributed prefix sum (see inline note). The
-    * shard key is the unit of SEQUENTIAL SEMANTICS — offsets restart per
-    * source — but not the unit of parallelism: per-bucket token totals
-    * roll up grid-sized, bucket base offsets come from a grid window,
-    * and the corpus-wide running sum runs inside (source, bucket) cells.
-    * Everything after the window is per-row integer arithmetic.
+    * Plan: a running per-source token sum, size-gated between a bare
+    * shard-key window (small inputs) and a two-phase distributed prefix
+    * sum (see inline note). The shard key is the unit of SEQUENTIAL
+    * SEMANTICS — offsets restart per source — but at scale not the unit
+    * of parallelism: per-bucket token totals roll up grid-sized, bucket
+    * base offsets come from a grid window, and the corpus-wide running
+    * sum runs inside (source, bucket) cells. Everything after the window
+    * is per-row integer arithmetic.
     */
-  def packSequences(s: SparkSession, d: String, ctx: Int = 512): DataFrame = {
+  def packSequences(s: SparkSession, d: String, ctx: Int = 512,
+      twoPhaseMinBytes: Long = 256L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Two-phase distributed prefix sum: a window partitioned by the bare
-    // shard key streams each shard's ENTIRE corpus slice through one
-    // reducer task (5 sources = 5 tasks however many executors). Phase 1
-    // rolls token totals up to (source, doc_id-range bucket) — grid-sized
-    // — and turns them into per-bucket base offsets with a grid-window;
-    // phase 2 runs the cumulative sum INSIDE each bucket and adds the
-    // broadcast base. Offsets are identical to the single-window form
-    // (exact long arithmetic, same (source, doc_id) order), but the wide
-    // shuffle is keyed by (source, bucket) — parallelism tracks the data,
-    // not the shard-key cardinality.
-    val bucket = lit(4096L)
-    val docs = Tables.documents(s, d)
+    // Two forms, size-gated on the scan's optimizer stats (the
+    // hashBuildIfBig stance — an unconditional scale shape is a local
+    // regression, an unconditional local shape is a scale funnel):
+    //
+    //  - SMALL input: one window partitioned by the bare shard key. A
+    //    (doc_id, source, n_tokens) projection of a sub-256 MB corpus
+    //    sorts in a handful of tasks faster than any two-phase plan
+    //    (measured: 1.32 s vs 2.17 s at docs×100, min-of-3).
+    //  - BIG input: that same window streams each shard's ENTIRE slice
+    //    through one reducer task (5 sources = 5 tasks however many
+    //    executors). Two-phase distributed prefix sum instead: phase 1
+    //    rolls token totals up to (source, doc_id-range bucket) —
+    //    grid-sized — and turns them into per-bucket base offsets with a
+    //    grid window; phase 2 runs the cumulative sum INSIDE each bucket
+    //    and adds the broadcast base. The wide shuffle is keyed by
+    //    (source, bucket) — parallelism tracks the data, not the
+    //    shard-key cardinality.
+    //
+    // Offsets are identical in both forms (exact long arithmetic, same
+    // (source, doc_id) order), so the gate can never change results.
+    val base0 = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), size(toks).as("n_tokens"))
-      .withColumn("bk", floor(col("doc_id") / bucket).cast("long"))
-    val bases = docs.groupBy(col("source"), col("bk"))
-      .agg(sum(col("n_tokens")).as("bk_tokens"))
-      .withColumn("base",
-        coalesce(
-          sum(col("bk_tokens")).over(
-            Window.partitionBy(col("source")).orderBy(col("bk"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("source"), col("bk"), col("base"))
-    val wIn = Window.partitionBy(col("source"), col("bk"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .join(broadcast(bases), Seq("source", "bk"))
-      .withColumn("cum_tokens", col("base") + sum(col("n_tokens")).over(wIn))
+    val big =
+      base0.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(twoPhaseMinBytes)
+    val cum = if (!big) {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base0.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    } else {
+      val bucket = lit(4096L)
+      val docs = base0.withColumn("bk", floor(col("doc_id") / bucket).cast("long"))
+      val bases = docs.groupBy(col("source"), col("bk"))
+        .agg(sum(col("n_tokens")).as("bk_tokens"))
+        .withColumn("base",
+          coalesce(
+            sum(col("bk_tokens")).over(
+              Window.partitionBy(col("source")).orderBy(col("bk"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("source"), col("bk"), col("base"))
+      val wIn = Window.partitionBy(col("source"), col("bk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .join(broadcast(bases), Seq("source", "bk"))
+        .withColumn("cum_tokens", col("base") + sum(col("n_tokens")).over(wIn))
+    }
+    cum
       .select(
         col("doc_id"), col("source"), col("n_tokens"),
         (col("cum_tokens") - col("n_tokens")).as("cb"))

@@ -38,6 +38,14 @@ class PrepPackSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: both size-gate paths produce identical rows") {
+    val ctx = 128
+    val one = TrainPrepOps.packSequences(spark, sf0001, ctx).collect()
+    val two = TrainPrepOps
+      .packSequences(spark, sf0001, ctx, twoPhaseMinBytes = 0L).collect()
+    assert(one.map(_.toString).toSeq === two.map(_.toString).toSeq)
+  }
+
   test("packStats agrees with packSequences totals per source") {
     val ctx = 512
     val stats = TrainPrepOps.packStats(spark, sf0001, ctx).collect()

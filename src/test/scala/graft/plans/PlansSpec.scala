@@ -177,19 +177,22 @@ class PlansSpec extends SparkSpec {
       s"explode must consume hourly partials, not raw events:\n$plan")
   }
 
-  test("packSequences: prefix sum runs per (source, bucket), bases broadcast") {
-    val plan = executedPlan(
+  test("packSequences: size gate picks one window small, (source, bk) prefix sum big") {
+    // small input (default gate): the single shard-key window, no join
+    val small = executedPlan(
       graft.operators.TrainPrepOps.packSequences(spark, sf0001))
-    // r10: the bare-source window streamed each shard through ONE reducer
-    // (5 sources = 5 tasks at any cluster size); the two-phase form keys
-    // the corpus-wide shuffles by (source, bk) and broadcasts the
-    // grid-sized bucket bases back
-    assert("hashpartitioning\\(source[^)]*, bk".r.findFirstIn(plan).nonEmpty,
-      s"corpus shuffles must be keyed by (source, bk):\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"bucket bases must ride a broadcast:\n$plan")
-    // the only bare-source window left is the grid-sized base rollup —
-    // its input is the (source, bk) aggregate, never the corpus
+    assert(!small.contains("Join"),
+      s"small inputs must take the one-window form:\n$small")
+    // forced big path: corpus shuffles keyed by (source, bk) — the
+    // bare-source window streamed each shard through ONE reducer (5
+    // sources = 5 tasks at any cluster size) — with grid-sized bucket
+    // bases broadcast back
+    val big = executedPlan(graft.operators.TrainPrepOps
+      .packSequences(spark, sf0001, twoPhaseMinBytes = 0L))
+    assert("hashpartitioning\\(source[^)]*, bk".r.findFirstIn(big).nonEmpty,
+      s"corpus shuffles must be keyed by (source, bk):\n$big")
+    assert(big.contains("BroadcastHashJoin"),
+      s"bucket bases must ride a broadcast:\n$big")
   }
 
   test("pqEncode: pure per-row arithmetic — zero hash exchanges, no join") {
