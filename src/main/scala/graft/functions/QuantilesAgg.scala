@@ -28,6 +28,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * the CALLER (the untyped-udaf boundary would coerce them to 0.0; the
   * built-in skips them) — every graft call site aggregates non-null
   * fixture columns, and the oracle hash-verifies that.
+  *
+  * Serialized-state note: Encoders.product ships the full-capacity
+  * arrays, so on an ALL-DISTINCT column the partial-agg exchange carries
+  * ~32–64 B per value vs the old append-array's 8–16 B. Measured, the
+  * map still wins there — sf10 q_rel_quantiles (o_totalprice,
+  * distinct-heavy) went 2.72 → 1.12 s, because the old merge
+  * concatenated a fresh full array per partial merge (O(n) each,
+  * compounding) while the map merges per-entry — and on tied columns
+  * the state is orders of magnitude smaller. If a future profile shows
+  * the exchange bytes mattering, the fix is a TypedImperativeAggregate
+  * whose serialize() writes only occupied slots.
   */
 object QuantilesAgg {
 

@@ -357,13 +357,27 @@ object LogOps {
       // map-side and the container→threshold row set broadcasts back as
       // a plain filter. Quotas beyond the heap cap (k longs per group in
       // the agg buffer) fall back to the rank window.
-      if (k <= 1000000L) {
+      if (k <= 0L) {
+        // quota "keep 0 newest" deletes everything (rank <= 0 semantics)
+        out = out.where(lit(false))
+      } else if (k <= 1000000L) {
         val thr = out.groupBy(col(containerCol))
           .agg(graft.functions.KthLargestAgg
             .kthLargest(col(seqCol).cast("long"), k.toInt).as("__thr"))
-        out = out.join(broadcast(thr), Seq(containerCol))
+          .withColumnRenamed(containerCol, "__thr_c")
+        // null-safe key match: the rank window treated a null container as
+        // its own group, an equi-join would silently drop those rows.
+        // The threshold side is container-cardinality-sized — forced
+        // broadcast only below the same stats gate packSequences uses;
+        // past it, AQE picks the join (and its skew split handles a
+        // chatty-container key far better than the old per-key window).
+        val thrB =
+          if (out.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(256L << 20)) broadcast(thr)
+          else thr
+        out = out.join(thrB, col(containerCol) <=> col("__thr_c"))
           .where(col(seqCol) >= col("__thr"))
-          .drop("__thr")
+          .drop("__thr_c", "__thr")
       } else {
         val w = Window.partitionBy(col(containerCol)).orderBy(col(seqCol).desc)
         out = out

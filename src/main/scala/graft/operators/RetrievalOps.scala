@@ -685,11 +685,14 @@ object RetrievalOps {
               lit(s"~$l~~$rr~"), lit(s"~$l$rr~")).as("seq"))
         }
       }
-      val fin = graft.SessionCache.cut(cur)
-      // the pre-loop checkpoint is superseded by `fin`; without an
-      // explicit release its blocks strand until ContextCleaner GC
-      if (fin ne cur0) graft.SessionCache.release(cur0)
-      (merges.result(), fin)
+      if (cur eq cur0) (merges.result(), cur0) // zero merges: already a leaf
+      else {
+        val fin = graft.SessionCache.cut(cur)
+        // the pre-loop checkpoint is superseded by `fin`; without an
+        // explicit release its blocks strand until ContextCleaner GC
+        graft.SessionCache.release(cur0)
+        (merges.result(), fin)
+      }
   }
 
   /** The learned merge table: one row per round — the tokenizer model

@@ -74,6 +74,18 @@ class LogOpsSpec extends SparkSpec {
     assert(tiny.count() === 4) // k > n keeps everything
   }
 
+  test("retention edge quotas: 0 deletes everything; null container is its own group") {
+    assert(retentionSurvivors(logs, "c", "seq", "ts_nano", None, Some(0L)).count() === 0L)
+    // null-key rows must form their own quota group (the rank window's
+    // semantics) — an equi-join on the container key would drop them
+    val withNull = logs.select(
+      when(col("seq") <= 3, lit(null)).otherwise(col("c")).as("c"),
+      col("seq"), col("ts_nano"))
+    val out = retentionSurvivors(withNull, "c", "seq", "ts_nano", None, Some(2L))
+    val nulls = out.where(col("c").isNull).collect().map(_.getLong(1)).sorted
+    assert(nulls.toSeq === Seq(2L, 3L))
+  }
+
   test("combined age+lines retention: survivors must satisfy BOTH (cleaner.rs:97 OR-delete)") {
     // delete if (ts < cutoff) OR (rank > k)  ⇔  keep if fresh AND within k
     val cutoff = Instant.parse("2024-01-01T01:00:00Z") // keeps seq >= 60
