@@ -597,20 +597,34 @@ object VectorOps {
     * deterministic and engine-portable.
     */
   def hardNegatives(s: SparkSession, d: String, nAnchors: Int = 4, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
     val anchors = broadcast(
       emb.where(col("vec_id") < nAnchors).select(
         col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
         col("embedding").as("av")))
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    emb.join(anchors, col("label") =!= col("anchor_label"))
-      .select(
-        col("anchor_id"), col("anchor_label"), col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("av")), 6).as("cos_sim"))
-      .withColumn("neg_rank", row_number().over(w))
-      .where(col("neg_rank") <= k)
+    // per-anchor top-k via the bounded two-phase aggregate, NOT a rank
+    // window: nAnchors is a handful, so partitionBy(anchor_id) would sort
+    // each anchor's corpus-sized candidate slice on one reducer (the
+    // labelOutliers stance). Winners are nAnchors×k rows; their labels
+    // come back from a broadcast join against the pruned id→label
+    // projection rather than riding the shuffle.
+    val winners = emb.join(anchors, col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"),
+        round(cosine(col("embedding"), col("av")), 6).as("cs"),
+        col("vec_id"))
+      .groupBy(col("anchor_id"))
+      .agg(graft.functions.TopKAgg
+        .topK(lit(""), -col("cs"), col("vec_id"), col("cs"), k).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("anchor_id"), col("e.id").as("vec_id"),
+        col("e.p").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("neg_rank"))
+    emb.select(col("vec_id"), col("label"))
+      .join(broadcast(winners), Seq("vec_id"))
+      .join(broadcast(anchors.select(col("anchor_id"), col("anchor_label"))),
+        Seq("anchor_id"))
+      .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
+        col("label"), col("cos_sim"), col("neg_rank"))
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
@@ -730,30 +744,31 @@ object VectorOps {
     * candidates are corpus rows sharing each query's coarse cell (the same
     * IVF pruning as [[ivfTopK]] — with the table partitioned by cell the
     * scan touches only the batch's cell set); ranking is a per-query
-    * window over candidates (|Q| partitions). The corpus is scanned once
-    * for the whole batch, and nothing but candidate (query, id, sim) rows
-    * shuffles.
+    * BOUNDED top-k aggregate ([[graft.functions.TopKAgg]], map-side
+    * partials) — a rank window partitioned by the |Q| query ids would
+    * sort each query's whole cell population on one reducer. The corpus
+    * is scanned once for the whole batch, and nothing but ≤ k×partitions
+    * candidate entries per query shuffles.
     */
   def batchTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
       bits: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), cell(col("embedding"), bits).as("cell"))
     val queries = broadcast(
       emb.where(col("vec_id") < nQueries).select(
         col("vec_id").as("query_id"), col("cell").as("qcell"),
         col("embedding").as("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
     emb.join(queries, col("cell") === col("qcell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("rk").cast("int").as("rk"),
-        col("vec_id"), col("cos_sim"))
+        round(cosine(col("embedding"), col("qv")), 6).as("cs"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg
+        .topK(lit(""), -col("cs"), col("vec_id"), col("cs"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("e.id").as("vec_id"), col("e.p").as("cos_sim"))
       .orderBy(col("query_id"), col("rk"))
   }
 
