@@ -3302,8 +3302,10 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY term, doc_id)
         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
-        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
-        |    AS postings_fp
+        |  CAST(sum(doc_id % 1000000007) % 1000000007 AS BIGINT)
+        |    AS postings_sig1,
+        |  CAST(sum((doc_id % 1000000007) * (doc_id % 1000000007)
+        |           % 1000000007) % 1000000007 AS BIGINT) AS postings_sig2
         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "q_text_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -137,21 +137,31 @@ object RetrievalOps {
   }
 
   /** Inverted-index build: term → document frequency, total term
-    * frequency, and a fingerprint of the sorted postings list. The
-    * fingerprint stands in for the postings payload so the result (and
+    * frequency, and an order-independent signature of the postings SET.
+    * The signature stands in for the postings payload so the result (and
     * its oracle hash) stays vocabulary-sized however large the corpus —
     * the same ship-fingerprints-not-payload stance as the dedup rewrite.
     *
+    * The signature is the first two moments of the id multiset mod a
+    * prime (Σid and Σid² in Z_p, p = 1e9+7) — a MERGEABLE summary, so
+    * the per-term aggregate buffer is two numbers however many documents
+    * a term touches. The previous md5-of-sorted-id-list materialized the
+    * full postings array inside one agg buffer: for a stopword term at
+    * corpus scale that is a corpus-sized Vector on one reducer — the
+    * collect_list analog of the rank-window funnel. (Moment sums ride
+    * DECIMAL(38) so a 1e10-posting term cannot overflow before the final
+    * mod; both engines spell the arithmetic identically.)
+    *
     * Plan: explode → (term, doc_id) partial-agg rollup → per-term rollup;
-    * both shuffles carry (term, id, count) — never text. Postings are
-    * sorted within the term group, so the fingerprint is
-    * aggregation-order independent.
+    * both shuffles carry (term, id, count) — never text.
     */
   def invertedIndex(s: SparkSession, d: String): DataFrame =
     invertedIndexOf(Tables.documents(s, d))
 
   /** [[invertedIndex]] over an arbitrary `(doc_id, text)` frame. */
-  def invertedIndexOf(docs: DataFrame): DataFrame =
+  def invertedIndexOf(docs: DataFrame): DataFrame = {
+    val p = 1000000007L
+    val idp = col("doc_id") % p
     docs
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("term"), col("doc_id"))
@@ -160,10 +170,11 @@ object RetrievalOps {
       .agg(
         count(lit(1)).as("df"),
         sum(col("tf")).as("total_tf"),
-        md5(concat_ws(",",
-          transform(array_sort(collect_list(col("doc_id"))),
-            x => x.cast("string")))).as("postings_fp"))
+        (sum(idp.cast("decimal(38,0)")) % p).cast("long").as("postings_sig1"),
+        (sum((idp * idp % p).cast("decimal(38,0)")) % p).cast("long")
+          .as("postings_sig2"))
       .orderBy(col("term"))
+  }
 
   /** Corpus unigram-LM score: each document's mean log-probability of its
     * tokens under the corpus unigram distribution — the cheap

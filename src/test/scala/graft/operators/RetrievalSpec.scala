@@ -120,7 +120,7 @@ class RetrievalSpec extends SparkSpec {
       rRev.getAs[Double]("rbo") < rSame.getAs[Double]("rbo"))
   }
 
-  test("inverted index: df, total_tf, and order-independent postings fingerprint") {
+  test("inverted index: df, total_tf, and order-independent postings signature") {
     val corpus = docs(
       (2L, "a b a"),
       (0L, "a c"),
@@ -128,10 +128,12 @@ class RetrievalSpec extends SparkSpec {
     val got = RetrievalOps.invertedIndexOf(corpus).collect()
       .map(r => r.getAs[String]("term") ->
         (r.getAs[Long]("df"), r.getAs[Long]("total_tf"),
-          r.getAs[String]("postings_fp"))).toMap
-    assert(got("a") === ((3L, 4L, md5hex("0,1,2"))))
-    assert(got("b") === ((2L, 2L, md5hex("1,2"))))
-    assert(got("c") === ((1L, 1L, md5hex("0"))))
+          r.getAs[Long]("postings_sig1"), r.getAs[Long]("postings_sig2")))
+      .toMap
+    // sig1 = Σ id mod p, sig2 = Σ id² mod p — set-valued, order-free
+    assert(got("a") === ((3L, 4L, 3L, 5L)))   // ids {0,1,2}
+    assert(got("b") === ((2L, 2L, 3L, 5L)))   // ids {1,2}
+    assert(got("c") === ((1L, 1L, 0L, 0L)))   // ids {0}
   }
 
   test("bpe pair counts match hand-counted adjacent character pairs") {
