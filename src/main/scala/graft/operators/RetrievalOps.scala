@@ -270,53 +270,72 @@ object RetrievalOps {
   def prfTopK(s: SparkSession, d: String, k: Int = 10, fbDocs: Int = 3,
       fbTerms: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import s.implicits._
-    // FOUR sequential actions (was 8): the r9 plan audit showed this
-    // query's cost IS its job-count floor — every intermediate here
-    // (stats row, fbDocs ids, fbTerms expansion) is model-sized driver
-    // state under the trainKmeans contract, so each is COLLECTED into
-    // literals instead of living as a broadcast subtree that must be
-    // re-materialized (and whose lineage re-runs the corpus scan) in
-    // every consumer. At 100 TB the passes themselves are the floor:
-    // 4 corpus scans, each pruned to (doc_id, text), no corpus-sized
-    // shuffle anywhere — see per-stage notes below.
+    // THREE sequential actions (r9: 8, early r10: 4): every intermediate
+    // here (stats row, fbDocs ids, fbTerms expansion) is model-sized
+    // driver state under the trainKmeans contract, COLLECTED into
+    // literals rather than living as a broadcast subtree re-materialized
+    // (and whose lineage re-runs the corpus scan) in every consumer.
+    // At 100 TB the passes themselves are the floor: 4 pruned corpus
+    // scans, no corpus-sized shuffle anywhere — see per-stage notes.
     val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
-    // round-1 state (stats + feedback ids) runs over the memoized pruned
-    // projection shared with bm25TopK/hybrid/RBO — same (dir, terms) key,
-    // so in a session that already ran any lexical sibling these two
-    // actions never touch the raw text again
+    // round-1 state runs over the memoized pruned projection shared with
+    // bm25TopK/hybrid/RBO — same (dir, terms) key, so in a session that
+    // already ran any lexical sibling action 1 never touches the raw text
     val base = prunedDocs(s, d, QueryTerms)
-    // action 1 — corpus stats: ONE row (n_docs, avgdl, df per query term)
     val statCols =
       count(lit(1)).cast("double").as("n_docs") ::
         avg(col("dl0")).as("avgdl") ::
         QueryTerms.zipWithIndex.map { case (t, i) =>
           sum(when(array_contains(col("tq"), t), 1d).otherwise(0d)).as(s"df$i")
         }.toList
-    val st = base.agg(statCols.head, statCols.tail: _*).collect()(0)
-    if (st.isNullAt(1)) {
-      // empty corpus (see bm25Scored): contract-shaped empty result
-      return docs.select(col("doc_id"), lit(0d).as("prf_score"))
-        .where(lit(false))
-    }
-    val (nDocs, avgdl) = (st.getDouble(0), st.getDouble(1))
-    // action 2 — feedback doc ids: round-1 BM25 scored with the stats as
-    // LITERALS (no broadcast exchange, no stats-subtree re-run); top
-    // fbDocs ids via TakeOrderedAndProject
-    def bm25Score(dl: Column, tq: Column): Column =
+    val statsRow = base.agg(statCols.head, statCols.tail: _*)
+    // action 1 — feedback docs WITH the stats attached: round-1 BM25
+    // scores against the 1-row stats broadcast (both subtrees
+    // materialize under this single action — the fused form of the old
+    // stats-collect + scoring-collect pair), and each returned feedback
+    // row carries (n_docs, avgdl, df0..n), so ONE collect yields the
+    // stats literals AND the feedback ids. The arithmetic tree matches
+    // the literal form op-for-op (Catalyst's log IS Math.log), so scores
+    // are bit-identical to the two-action spelling.
+    def bm25ScoreCols(dl: Column, tq: Column): Column =
       QueryTerms.zipWithIndex.map { case (t, i) =>
         val tf = size(filter(tq, x => x === t)).cast("double")
-        val df = st.getDouble(2 + i)
-        val idf = math.log(1d + (nDocs - df + 0.5d) / (df + 0.5d))
-        lit(idf) * tf * lit(k1 + 1d) /
-          (tf + lit(k1) * (lit(1d - b) + lit(b) * dl / lit(avgdl)))
+        val dfc = col(s"df$i")
+        val idf = log(lit(1d) + (col("n_docs") - dfc + 0.5d) / (dfc + 0.5d))
+        idf * tf * lit(k1 + 1d) /
+          (tf + lit(k1) * (lit(1d - b) + lit(b) * dl / col("avgdl")))
       }.reduce(_ + _)
-    val fbIds = base
-      .select(col("doc_id"),
-        round(bm25Score(col("dl0").cast("double"), col("tq")), 6).as("bm25"))
+    val fb = base.crossJoin(broadcast(statsRow))
+      .select(col("doc_id") +:
+        round(bm25ScoreCols(col("dl0").cast("double"), col("tq")), 6)
+          .as("bm25") +:
+        col("n_docs") +: col("avgdl") +:
+        QueryTerms.indices.map(i => col(s"df$i")): _*)
       .where(col("bm25") > 0d)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(fbDocs)
-      .collect().map(_.getLong(0)).toSeq
-    // action 3 — expansion terms: feedback-tf (from the fbDocs docs) ×
+      .collect()
+    val (nDocs, avgdl, qDfs, fbIds) =
+      if (fb.nonEmpty) {
+        val r = fb(0)
+        (r.getDouble(r.fieldIndex("n_docs")),
+          r.getDouble(r.fieldIndex("avgdl")),
+          QueryTerms.indices.map(i => r.getDouble(r.fieldIndex(s"df$i"))),
+          fb.map(_.getLong(0)).toSeq)
+      } else {
+        // no positive round-1 score (or an empty corpus): the fused
+        // action returned no stats carrier — collect the 1-row stats
+        // separately for round 2 (rare path; the extra job is one
+        // aggregate over the memoized projection)
+        val st = statsRow.collect()(0)
+        if (st.isNullAt(1)) {
+          // empty corpus (see bm25Scored): contract-shaped empty result
+          return docs.select(col("doc_id"), lit(0d).as("prf_score"))
+            .where(lit(false))
+        }
+        (st.getDouble(0), st.getDouble(1),
+          QueryTerms.indices.map(i => st.getDouble(2 + i)), Seq.empty[Long])
+      }
+    // action 2 — expansion terms: feedback-tf (from the fbDocs docs) ×
     // idf over the corpus dfs of exactly those candidate terms. The
     // candidate list is bounded by the feedback docs' vocabulary, so it
     // broadcasts into the df pass (pre-shuffle semi prune — the exploded
@@ -347,10 +366,10 @@ object RetrievalOps {
     // broadcast join (a second corpus pass). A term's matched set IS its
     // posting set, so grid df == round-2 df by construction.
     val allTerms = QueryTerms.zipWithIndex.map { case (t, i) =>
-      (t, 1.0, st.getDouble(2 + i)) } ++
+      (t, 1.0, qDfs(i)) } ++
       expanded.map { case (t, dfv) => (t, 0.5, dfv.toDouble) }
     val qterms = allTerms.toDF("term", "w", "df") // LocalRelation — no job
-    // action 4 — rescore: per-(doc, term) tf via the local term grid +
+    // action 3 — rescore: per-(doc, term) tf via the local term grid +
     // in-row array filter (the bm25TopKOf stance): ≤|qterms| narrow rows
     // per doc, NO token explode; df rides the grid (see allTerms above),
     // so round 2 is ONE pruned corpus pass straight into the doc rollup.
