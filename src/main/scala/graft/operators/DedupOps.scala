@@ -905,9 +905,15 @@ object DedupOps {
     val pairs = idx.select(col("doc_id").as("doc_a"), col("fp"))
       .join(idx.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      // packed-pair rollup (ngramJaccardPairs measured win #5): the
+      // C(df,2) candidate stream shuffles one 8-byte key, not two
+      .select(shiftleft(col("doc_a"), 32).bitwiseOR(col("doc_b")).as("pair"))
+      .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_shared_fp"))
       .where(col("n_shared_fp") >= minShared)
+      .select(shiftright(col("pair"), 32).as("doc_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        col("n_shared_fp"))
     pairs
       .join(nFp.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")),
         Seq("doc_a"))
