@@ -3302,11 +3302,14 @@ object SparkEntry {
         |        FROM documents)
         |  GROUP BY term, doc_id)
         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
-        |  CAST(sum(doc_id % 1000000007) % 1000000007 AS BIGINT)
-        |    AS postings_sig1,
-        |  CAST(sum((doc_id % 1000000007) * (doc_id % 1000000007)
-        |           % 1000000007) % 1000000007 AS BIGINT) AS postings_sig2
-        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+        |  CAST(sum(idh) % 1000000007 AS BIGINT) AS postings_sig1,
+        |  CAST(sum(idh * idh % 1000000007) % 1000000007 AS BIGINT)
+        |    AS postings_sig2
+        |FROM (SELECT *,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          % 2147483647 AS idh
+        |      FROM tf)
+        |GROUP BY term ORDER BY term""".stripMargin,
     "q_text_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |             FROM documents),

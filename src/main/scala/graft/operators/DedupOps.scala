@@ -166,11 +166,15 @@ object DedupOps {
     val b = capped.select(col("doc_id").as("b"), col("sh_h"))
     a.join(b, Seq("sh_h"))
       .where(col("a") < col("b"))
+      // pair packing assumes 32-bit doc ids (every packed site unpacks
+      // with shiftrightUNSIGNED, so the full 0..2³²−1 range is safe even
+      // when a<<32 lands in the sign bit); corpora minting wider ids must
+      // renumber first — the dedup index contract (TESTDATA ids are dense)
       .select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("inter"))
       .select(
-        shiftright(col("pair"), 32).as("a"),
+        shiftrightunsigned(col("pair"), 32).as("a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
         col("inter"))
       .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
@@ -579,7 +583,7 @@ object DedupOps {
       .where(col("est_jaccard") >= minEst)
       .distinct()
       .select(
-        shiftright(col("pair"), 32).as("a"),
+        shiftrightunsigned(col("pair"), 32).as("a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
         col("est_jaccard"))
       .orderBy(col("a"), col("b"))
@@ -911,7 +915,7 @@ object DedupOps {
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_shared_fp"))
       .where(col("n_shared_fp") >= minShared)
-      .select(shiftright(col("pair"), 32).as("doc_a"),
+      .select(shiftrightunsigned(col("pair"), 32).as("doc_a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
         col("n_shared_fp"))
     pairs
@@ -1012,7 +1016,7 @@ object DedupOps {
       .select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
       .distinct()
       .select(
-        shiftright(col("pair"), 32).as("a"),
+        shiftrightunsigned(col("pair"), 32).as("a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
     val ham = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),

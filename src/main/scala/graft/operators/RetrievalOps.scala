@@ -142,15 +142,21 @@ object RetrievalOps {
     * its oracle hash) stays vocabulary-sized however large the corpus —
     * the same ship-fingerprints-not-payload stance as the dedup rewrite.
     *
-    * The signature is the first two moments of the id multiset mod a
-    * prime (Σid and Σid² in Z_p, p = 1e9+7) — a MERGEABLE summary, so
-    * the per-term aggregate buffer is two numbers however many documents
-    * a term touches. The previous md5-of-sorted-id-list materialized the
-    * full postings array inside one agg buffer: for a stopword term at
-    * corpus scale that is a corpus-sized Vector on one reducer — the
-    * collect_list analog of the rank-window funnel. (Moment sums ride
-    * DECIMAL(38) so a 1e10-posting term cannot overflow before the final
-    * mod; both engines spell the arithmetic identically.)
+    * The signature is the first two moments of the HASHED id multiset
+    * mod a prime (Σh and Σh² in Z_p, p = 1e9+7, h = the portable
+    * md5Base31 hash of the id — `SketchExpressions` kernel contract,
+    * replayable in DuckDB as `('0x'||substr(md5(id),1,15))::BIGINT %
+    * 2147483647`) — a MERGEABLE summary, so the per-term aggregate
+    * buffer is two numbers however many documents a term touches.
+    * Hashing first makes the moments collision-resistant (raw-id moments
+    * collide on constructed sets — {0,1,2} vs {1,2} share Σ and Σ²); two
+    * independent 31-bit-pseudorandom moments collide at ~p⁻². The
+    * previous md5-of-sorted-id-list materialized the full postings array
+    * inside one agg buffer: for a stopword term at corpus scale that is
+    * a corpus-sized Vector on one reducer — the collect_list analog of
+    * the rank-window funnel. (Moment sums ride DECIMAL(38) so a
+    * 1e10-posting term cannot overflow before the final mod; both
+    * engines spell the arithmetic identically.)
     *
     * Plan: explode → (term, doc_id) partial-agg rollup → per-term rollup;
     * both shuffles carry (term, id, count) — never text.
@@ -161,7 +167,10 @@ object RetrievalOps {
   /** [[invertedIndex]] over an arbitrary `(doc_id, text)` frame. */
   def invertedIndexOf(docs: DataFrame): DataFrame = {
     val p = 1000000007L
-    val idp = col("doc_id") % p
+    // md5Base31 of the id rendered as a string — identical spelling to
+    // the SketchExpressions kernel contract, exact in both engines
+    val idh = (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 2147483647L)
     docs
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("term"), col("doc_id"))
@@ -170,8 +179,8 @@ object RetrievalOps {
       .agg(
         count(lit(1)).as("df"),
         sum(col("tf")).as("total_tf"),
-        (sum(idp.cast("decimal(38,0)")) % p).cast("long").as("postings_sig1"),
-        (sum((idp * idp % p).cast("decimal(38,0)")) % p).cast("long")
+        (sum(idh.cast("decimal(38,0)")) % p).cast("long").as("postings_sig1"),
+        (sum((idh * idh % p).cast("decimal(38,0)")) % p).cast("long")
           .as("postings_sig2"))
       .orderBy(col("term"))
   }
@@ -251,10 +260,13 @@ object RetrievalOps {
     * longs BEFORE the per-doc sum — a float sum over rows would depend
     * on partial-aggregation order; long addition doesn't.
     *
-    * Plan: four sequential actions. The stats row, the feedback ids, and
-    * the expanded-term table are each model-sized driver state (the
-    * trainKmeans contract) and are COLLECTED into literals — a broadcast
-    * subtree re-runs its corpus lineage under every consumer action.
+    * Plan: three sequential actions. The feedback-docs collect carries
+    * the corpus-stats row on each returned row (stats ride a 1-row
+    * broadcast INSIDE that single action); the expanded-term table is
+    * the second collect; the rescore is the third. Every intermediate is
+    * model-sized driver state (the trainKmeans contract), COLLECTED into
+    * literals — a broadcast subtree re-runs its corpus lineage under
+    * every consumer action.
     * Round 2 scores the pruned corpus against the ≤ |q|+`fbTerms` local
     * term grid in-row; per-term dfs come from that same matched set (a
     * term's matched set IS its posting set) via a ≤|qterms|-row rollup
@@ -358,8 +370,8 @@ object RetrievalOps {
       .orderBy(col("wq").desc, col("term")).limit(fbTerms)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     // every round-2 per-term df is ALREADY driver state by now — the
-    // original terms' dfs came back in the action-1 stats row and each
-    // expansion term's corpus df rode the action-3 collect — so the term
+    // original terms' dfs came back on the action-1 feedback rows and
+    // each expansion term's corpus df rode the action-2 collect — so the term
     // grid carries (term, w, df) and round 2 needs no df recomputation at
     // all: no per-term count window (a ≤11-key WindowExec funnels the
     // corpus-sized matched stream through ≤11 reducers), no rollup +
@@ -637,7 +649,7 @@ object RetrievalOps {
       .groupBy(col("pair"))
       .agg(sum(col("p")).as("dot"))
       .select(
-        shiftright(col("pair"), 32).as("a"),
+        shiftrightunsigned(col("pair"), 32).as("a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
         col("dot"))
       .join(norms.select(col("doc_id").as("a"), col("nq").as("na")), Seq("a"))

@@ -608,21 +608,22 @@ object VectorOps {
     // labelOutliers stance). Winners are nAnchors×k rows; their labels
     // come back from a broadcast join against the pruned id→label
     // projection rather than riding the shuffle.
+    // anchor_label is functionally dependent on anchor_id, so grouping on
+    // the pair carries it through the aggregate for free — no rejoin
     val winners = emb.join(anchors, col("label") =!= col("anchor_label"))
-      .select(col("anchor_id"),
+      .select(col("anchor_id"), col("anchor_label"),
         round(cosine(col("embedding"), col("av")), 6).as("cs"),
         col("vec_id"))
-      .groupBy(col("anchor_id"))
+      .groupBy(col("anchor_id"), col("anchor_label"))
       .agg(graft.functions.TopKAgg
         .topK(lit(""), -col("cs"), col("vec_id"), col("cs"), k).as("top"))
-      .select(col("anchor_id"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("anchor_id"), col("e.id").as("vec_id"),
-        col("e.p").as("cos_sim"),
+      .select(col("anchor_id"), col("anchor_label"),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("e.id").as("vec_id"), col("e.p").as("cos_sim"),
         (col("pos") + 1).cast("int").as("neg_rank"))
     emb.select(col("vec_id"), col("label"))
       .join(broadcast(winners), Seq("vec_id"))
-      .join(broadcast(anchors.select(col("anchor_id"), col("anchor_label"))),
-        Seq("anchor_id"))
       .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
         col("label"), col("cos_sim"), col("neg_rank"))
       .orderBy(col("anchor_id"), col("neg_rank"))

@@ -130,10 +130,19 @@ class RetrievalSpec extends SparkSpec {
         (r.getAs[Long]("df"), r.getAs[Long]("total_tf"),
           r.getAs[Long]("postings_sig1"), r.getAs[Long]("postings_sig2")))
       .toMap
-    // sig1 = Σ id mod p, sig2 = Σ id² mod p — set-valued, order-free
-    assert(got("a") === ((3L, 4L, 3L, 5L)))   // ids {0,1,2}
-    assert(got("b") === ((2L, 2L, 3L, 5L)))   // ids {1,2}
-    assert(got("c") === ((1L, 1L, 0L, 0L)))   // ids {0}
+    // sig = (Σh, Σh²) mod 1e9+7 over h = md5Base31(id) — hashed moments,
+    // so id sets with equal raw sums ({0,1,2} vs {1,2}) do NOT collide
+    val p = 1000000007L
+    def h(id: Long): Long =
+      BigInt(md5hex(id.toString).take(15), 16).toLong % 2147483647L
+    def sigs(ids: Seq[Long]): (Long, Long) = (
+      ids.map(h).sum % p,
+      ids.map(i => h(i) * h(i) % p).sum % p)
+    assert(got("a") === ((3L, 4L) match {
+      case (df, tf) => (df, tf, sigs(Seq(0L, 1L, 2L))._1, sigs(Seq(0L, 1L, 2L))._2) }))
+    assert(got("b") === ((2L, 2L, sigs(Seq(1L, 2L))._1, sigs(Seq(1L, 2L))._2)))
+    assert(got("c") === ((1L, 1L, sigs(Seq(0L))._1, sigs(Seq(0L))._2)))
+    assert(sigs(Seq(0L, 1L, 2L)) !== sigs(Seq(1L, 2L)))
   }
 
   test("bpe pair counts match hand-counted adjacent character pairs") {
