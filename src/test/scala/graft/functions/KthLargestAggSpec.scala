@@ -8,7 +8,7 @@ import graft.SparkSpec
   * k-bounded heap: exact k-th largest per group, Long.MinValue on
   * under-quota groups, correctness across partial-buffer merges.
   */
-class KthLargestAggSpec extends SparkSpec {
+class KthLargestAggSpec extends SparkSpec with graft.PropSpec {
 
   private def kth(vals: Seq[(String, Long)], k: Int): Map[String, Long] = {
     import spark.implicits._
@@ -45,5 +45,22 @@ class KthLargestAggSpec extends SparkSpec {
     val byC = survivors.collect().groupBy(_.getString(0))
     assert(byC.forall(_._2.length === 5))
     assert(byC("c1").map(_.getLong(1)).sorted.toSeq === (33L to 37L))
+  }
+
+  test("property: threshold equals sorted-desc k-th on arbitrary distinct sets") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      k <- Gen.choose(1, 20)
+      vs <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L)).map(_.distinct)
+    } yield (vs, k)
+    forSamples(gen, n = 30) { case (vs, k) =>
+      if (vs.nonEmpty) {
+        val got = kth(vs.map(("g", _)), k)("g")
+        val want =
+          if (vs.size < k) Long.MinValue else vs.sorted(Ordering[Long].reverse)(k - 1)
+        assert(got === want, s"k=$k vs=$vs")
+      }
+    }
   }
 }

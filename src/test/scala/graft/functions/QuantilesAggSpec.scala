@@ -8,7 +8,7 @@ import graft.SparkSpec
   * `percentile` (after the call sites' rounding) and the distinct-bounded
   * buffer contract the r10 rework introduced.
   */
-class QuantilesAggSpec extends SparkSpec {
+class QuantilesAggSpec extends SparkSpec with graft.PropSpec {
 
   private def quantileOf(vals: Seq[Double], ps: Seq[Double]): Seq[Double] = {
     import spark.implicits._
@@ -59,5 +59,20 @@ class QuantilesAggSpec extends SparkSpec {
     val got = quantileOf(vals, Seq(0.5, 0.99))
     assert(math.abs(got(0) - 500.5) < 1e-9)
     assert(math.abs(got(1) - 990.01) < 1e-6)
+  }
+
+  test("property: arbitrary tied multisets match the builtin at 4 dp") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-50, 50).map(_.toDouble),      // heavy ties
+        Gen.choose(-1e6, 1e6)))                   // distinct-ish
+    } yield vs
+    forSamples(gen, n = 30) { vs =>
+      val (got, want) = (quantileOf(vs, fences), builtinOf(vs, fences))
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 5e-5, s"got $g want $w for $vs") }
+    }
   }
 }
