@@ -1458,6 +1458,7 @@ object SparkEntry {
     "q_dedup_block_rewrite" -> ((s, d) => DedupOps.blockDedupRewrite(s, d)),
     "q_dedup_incremental" -> ((s, d) => DedupOps.incrementalDedup(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, minSim = 0.2, maxDf = 1000L)),
+    "q_dedup_canon_pairs" -> ((s, d) => DedupOps.canonNearDupPairs(s, d, minSim = 0.2, maxDf = 1000L)),
     "q_dedup_containment" -> ((s, d) => DedupOps.containmentPairs(s, d, minCont = 0.6, maxDf = 1000L)),
     "q_dedup_novelty" -> (DedupOps.contentNovelty _),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(s, d)),
@@ -1878,6 +1879,34 @@ object SparkEntry {
         |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
         |    GROUP BY 1, 2, 3, 4))
         |WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin,
+    "q_dedup_canon_pairs" ->
+      """WITH grp AS (SELECT min(doc_id) AS doc_id, count(*) AS w
+        |             FROM documents GROUP BY md5(text)),
+        |t AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+        |      FROM documents d JOIN grp g USING (doc_id)),
+        |shs AS (SELECT doc_id,
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks) - 1)]) AS shl
+        |        FROM t WHERE len(toks) >= 3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+        |capped AS (SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+        |  WHERE df <= 1000),
+        |sh AS (SELECT doc_id, sh,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+        |pairs AS (
+        |  SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+        |  FROM (
+        |    SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+        |           count(*) AS inter
+        |    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |    GROUP BY 1, 2, 3, 4))
+        |SELECT p.a, p.b, p.jaccard, ga.w AS wa, gb.w AS wb,
+        |  CAST(ga.w * gb.w AS BIGINT) AS raw_pairs
+        |FROM pairs p
+        |JOIN grp ga ON p.a = ga.doc_id
+        |JOIN grp gb ON p.b = gb.doc_id
+        |WHERE p.jaccard >= 0.2 ORDER BY p.a, p.b""".stripMargin,
     "q_dedup_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |gl AS (SELECT doc_id, len(toks) AS dl,

@@ -181,6 +181,67 @@ object DedupOps {
       .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
   }
 
+  private val canonIndexCache =
+    new graft.SessionCache[(DataFrame, DataFrame)](maxEntries = 4,
+      onEvict = v => {
+        graft.SessionCache.release(v._1); graft.SessionCache.release(v._2)
+      })
+
+  /** Near-duplicate pairs AFTER exact-duplicate contraction — the
+    * production ORDERING of a dedup pipeline: exact dedup first (each
+    * byte-identical group contracts to its min-id canonical carrying
+    * weight |group|), then the C(df,2) near-dup pair join runs over
+    * CANONICALS only. On corpora with heavy exact replication the pair
+    * mass collapses quadratically in replica count — the sf1 clique
+    * fixture's cold pair build is ~150 s raw (PERF_r10 §4e, ≥95% of it
+    * the pair self-join) and the contraction removes exactly that mass —
+    * while losing nothing: within-group pairs are exact duplicates by
+    * construction (Jaccard 1; enumerated in aggregate by [[dedupImpact]]),
+    * and each surviving pair row carries `raw_pairs` = wa·wb, the number
+    * of raw-document pairs it stands for.
+    *
+    * Plan: one md5(text) rollup (the hash is the group key — text never
+    * crosses an exchange), a doc_id semi join back to canonical rows,
+    * then the standard capped shingle index + packed-pair machinery over
+    * the contracted corpus; weights join on the a/b endpoints of the
+    * (already pair-level) result. The aggregated PAIR-STATS table is the
+    * memoized artifact (the cachedPairStats stance — every threshold
+    * filters after it), alongside the weight table, per (session, dir,
+    * cap) like every other dedup snapshot artifact.
+    */
+  def canonNearDupPairs(s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    val (stats, canon) = canonIndexCache.getOrElseUpdate(s, s"$d#$maxDf") {
+      (ss, _) =>
+        val docs = Tables.documents(ss, d)
+        val groups = docs
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("w"))
+          .select(col("doc_id"), col("w"))
+        val cIdx = capByDf(
+          docs.join(groups.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .select(col("doc_id"),
+              wordShingles(split(col("text"), " "), 3).as("shs"))
+            .where(size(col("shs")) > 0)
+            .select(col("doc_id"), explode(col("shs")).as("sh"))
+            .select(col("doc_id"), xxhash64(col("sh")).as("sh_h")),
+          maxDf)
+        val sizes = cIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        (graft.SessionCache.cut(pairStats(cIdx, sizes)),
+          graft.SessionCache.cut(groups))
+    }
+    stats
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= minSim)
+      .join(canon.select(col("doc_id").as("a"), col("w").as("wa")), Seq("a"))
+      .join(canon.select(col("doc_id").as("b"), col("w").as("wb")), Seq("b"))
+      .select(col("a"), col("b"), col("jaccard"), col("wa"), col("wb"),
+        (col("wa") * col("wb")).as("raw_pairs"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Asymmetric containment near-dup pairs: C(A, B) = |A∩B| / min(|A|,|B|)
     * over the same df-capped shingle sets as [[ngramJaccardPairs]] — the
     * doc-INSIDE-doc detector. A 50-shingle document fully embedded in a

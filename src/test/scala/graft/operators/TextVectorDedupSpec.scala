@@ -90,6 +90,20 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("canonNearDupPairs: exact group contracts; weights carry raw multiplicity") {
+    val pairs = DedupOps.canonNearDupPairs(spark, dir, minSim = 0.1, maxDf = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // the 0≡1 exact pair is contracted away; 0's canonical meets 2 once,
+    // standing for the two raw pairs (0,2) and (1,2)
+    assert(!pairs.contains((0L, 1L)))
+    val (j, wa, wb, rp) = pairs((0L, 2L))
+    val raw = DedupOps.ngramJaccardPairs(spark, dir, minSim = 0.1, maxDf = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j === raw((0L, 2L)))
+    assert(wa === 2L && wb === 1L && rp === 2L)
+  }
+
   test("ngramJaccard df-cap removes pairs that only share boilerplate") {
     // cap at df<=2: shingles shared by all of 0,1,2 (df=3) are dropped;
     // 0-1 remain dups via their full overlap; 0-2 lose their only common
