@@ -214,21 +214,30 @@ object DedupOps {
     val (stats, canon) = canonIndexCache.getOrElseUpdate(s, s"$d#$maxDf") {
       (ss, _) =>
         val docs = Tables.documents(ss, d)
-        val groups = docs
+        // cut ORDER matters on the cold path: the weight table is
+        // checkpointed FIRST so the semi join under the index build reads
+        // the leaf instead of re-running the full-corpus md5 rollup, and
+        // the capped index is checkpointed before pairStats so the sizes
+        // branch and both self-join sides read one materialized leaf
+        // (the cachedPairStats stance) rather than re-tokenizing; the
+        // intermediate index checkpoint is released once the pair-stats
+        // artifact exists.
+        val canonDf = graft.SessionCache.cut(docs
           .groupBy(md5(col("text")).as("fp"))
           .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("w"))
-          .select(col("doc_id"), col("w"))
-        val cIdx = capByDf(
-          docs.join(groups.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("w")))
+        val cIdx = graft.SessionCache.cut(capByDf(
+          docs.join(canonDf.select(col("doc_id")), Seq("doc_id"), "left_semi")
             .select(col("doc_id"),
               wordShingles(split(col("text"), " "), 3).as("shs"))
             .where(size(col("shs")) > 0)
             .select(col("doc_id"), explode(col("shs")).as("sh"))
             .select(col("doc_id"), xxhash64(col("sh")).as("sh_h")),
-          maxDf)
+          maxDf))
         val sizes = cIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        (graft.SessionCache.cut(pairStats(cIdx, sizes)),
-          graft.SessionCache.cut(groups))
+        val statsCut = graft.SessionCache.cut(pairStats(cIdx, sizes))
+        graft.SessionCache.release(cIdx)
+        (statsCut, canonDf)
     }
     stats
       .select(col("a"), col("b"),
