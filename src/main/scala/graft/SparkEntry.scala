@@ -110,9 +110,20 @@ object SparkEntry {
           length(col("logical_line")).cast("long").as("n_chars"),
           md5(col("logical_line")).as("digest"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+    // Retention-contract audit: newest-k threshold retention is exact only
+    // if seq is unique per container (ADVICE r10) — surface violations
+    // instead of letting them over-retain silently.
+    "q_log_seq_audit" -> ((s, d) =>
+      LogOps.seqUniquenessAudit(ev(s, d), "user_id", "event_id")))
 
   private val logOracles: Map[String, String] = Map(
+    "q_log_seq_audit" ->
+      """SELECT user_id, count(*) AS n_rows,
+        |  count(DISTINCT event_id) AS n_distinct_seq,
+        |  count(*) - count(DISTINCT event_id) AS n_dup_seq,
+        |  (count(*) = count(DISTINCT event_id)) AS seq_unique
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_log_range" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
         |FROM events
@@ -648,8 +659,7 @@ object SparkEntry {
         |sh AS (SELECT pq.l_partkey, pq.l_suppkey,
         |         CAST(round(q_pair / q_total * 1000000.0, 0) AS BIGINT) AS sq,
         |         row_number() OVER (PARTITION BY pq.l_partkey
-        |           ORDER BY CAST(round(q_pair / q_total * 1000000.0, 0) AS BIGINT)
-        |             DESC, pq.l_suppkey) AS rn
+        |           ORDER BY q_pair DESC, pq.l_suppkey) AS rn
         |       FROM pq JOIN t USING (l_partkey))
         |SELECT s_suppkey, s_name, count(*) AS n_led_parts,
         |  ((2 * sum(sq) + count(*)) // (2 * count(*)))::DOUBLE / 1000000.0
@@ -1091,7 +1101,7 @@ object SparkEntry {
         |       // (2 * greatest(totl, 1) * 10000) AS BIGINT)
         |    AS burn_long_ppm
         |  FROM wl)
-        |SELECT epoch_ms(h) AS bucket_ms, tot AS n_events, err AS n_errors,
+        |SELECT epoch_ms(h) AS bucket_ms, tot AS n_events, CAST(err AS BIGINT) AS n_errors,
         |  burn_short_ppm, burn_long_ppm,
         |  (burn_short_ppm >= 2000000 AND burn_long_ppm >= 2000000) AS is_alert
         |FROM r ORDER BY bucket_ms""".stripMargin,
@@ -1620,7 +1630,7 @@ object SparkEntry {
         |  count(*) AS n_docs,
         |  CAST((2 * sum(ttr_ppm) + count(*)) // (2 * count(*)) AS BIGINT)
         |    AS mean_ttr_ppm,
-        |  (2 * sum(n_tok) + count(*)) // (2 * count(*)) AS mean_tokens
+        |  CAST((2 * sum(n_tok) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_tokens
         |FROM q GROUP BY 1 ORDER BY decile""".stripMargin,
     "q_text_term_freq" ->
       """SELECT term, count(*) AS cnt

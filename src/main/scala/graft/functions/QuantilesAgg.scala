@@ -149,8 +149,16 @@ object QuantilesAgg {
 
   /** `quantiles(col, ps)`: array<double> of exact interpolated percentiles
     * (1-based `element_at` positions follow `ps` order). Caller casts the
-    * column to double and guarantees non-null input.
+    * column to double and filters nulls; a null reaching the aggregate
+    * THROWS (via the lazy coalesce→raise_error guard below) rather than
+    * silently counting as 0.0 — the untyped-udaf boundary would otherwise
+    * coerce null→0.0 where the built-in percentile skips it. Coalesce
+    * short-circuits in codegen, so non-null rows never evaluate the guard.
     */
-  def quantiles(value: Column, ps: Seq[Double]): Column =
-    org.apache.spark.sql.functions.udaf(new Quantiles(ps)).apply(value)
+  def quantiles(value: Column, ps: Seq[Double]): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit, raise_error}
+    val guarded = coalesce(value, raise_error(lit(
+      "graft.QuantilesAgg: null input — filter nulls before aggregating")))
+    org.apache.spark.sql.functions.udaf(new Quantiles(ps)).apply(guarded)
+  }
 }

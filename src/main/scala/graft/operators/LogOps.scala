@@ -389,4 +389,22 @@ object LogOps {
     ageCutoff.foreach(c => out = out.where(tsNanoGeq(logs, tsNanoCol, nanos(c))))
     out
   }
+
+  /** Per-container sequence-uniqueness audit. The newest-k retention
+    * threshold above ([[retentionSurvivors]]) keeps `seq >= k-th largest
+    * seq`, which equals "newest k" ONLY under the reference's per-container
+    * ROWID uniqueness contract — a duplicated seq (e.g. a replayed ingest
+    * batch that bypassed the manifest gate) would over-retain SILENTLY.
+    * This audit makes the contract checkable: `seq_unique = false` rows
+    * are the containers where threshold-retention semantics degraded.
+    * One hash rollup + a distinct expand per container; audit-grade cost.
+    */
+  def seqUniquenessAudit(
+      logs: DataFrame, containerCol: String, seqCol: String): DataFrame =
+    logs.groupBy(col(containerCol))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(seqCol)).as("n_distinct_seq"))
+      .withColumn("n_dup_seq", col("n_rows") - col("n_distinct_seq"))
+      .withColumn("seq_unique", col("n_dup_seq") === 0L)
+      .orderBy(col(containerCol))
 }

@@ -1281,12 +1281,16 @@ object RelationalOps {
     *
     * Plan: the reference query is a double EXISTS/NOT-EXISTS self-join on
     * lineitem; here lateness only needs each (order, supplier) pair's MAX
-    * shipdate. ONE explicit orderkey exchange up front co-partitions the
-    * whole chain: the (orderkey, suppkey) pair rollup, the orders join,
-    * and the per-order verdict rollup all run exchange-free on top of it
-    * (orderkey hash-partitioning satisfies every downstream clustering,
-    * and a TPC-H order has ≤7 lines so pre-shuffle partial aggregation
-    * had nothing to collapse anyway). The verdict itself needs no window:
+    * shipdate. The whole chain runs on the BUCKETED fact layout
+    * ([[graft.plans.FactLayout]]): lineitem and orders are bucketed on
+    * their orderkey, so the scan's hash partitioning already satisfies
+    * the (orderkey, suppkey) pair rollup, the orders join, and the
+    * per-order verdict rollup — ZERO exchanges until the final
+    * ≤|suppliers| rollup (r10 paid a full lineitem repartition here every
+    * run; the layout pays it once per session — at cluster scale, once at
+    * ingest). A TPC-H order has ≤7 lines so pre-shuffle partial
+    * aggregation had nothing to collapse anyway. The verdict itself
+    * needs no window:
     * an order with exactly ONE late supplier identifies that supplier
     * uniquely, so `max(when(was_late, suppkey))` captures it in the same
     * hash rollup that counts suppliers — the r9 sort-window spelling
@@ -1295,12 +1299,12 @@ object RelationalOps {
     * pass. Supplier names broadcast onto the ≤|suppliers| rollup.
     */
   def soleLateSuppliers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
-    val pair = Tables.lineitem(s, d)
+    val pair = graft.plans.FactLayout.lineitemByOrder(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate")).as("max_ship"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+      .join(graft.plans.FactLayout.ordersByKey(s, d)
+          .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("max_ship") >
@@ -1397,12 +1401,14 @@ object RelationalOps {
       .join(broadcast(fam), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("q_pair"))
-    // argmax and the denominator FUSE into one per-part rollup: the share
-    // ranking is monotone in q_pair (same per-part denominator), so
-    // max(struct(q_pair, negkey)) picks the same leader the share-struct
-    // did, and sum(q_pair) rides the same agg — the old spelling computed
-    // the pair rollup TWICE (total + join probe) and shuffled a self-join
-    // to divide by the total
+    // argmax and the denominator FUSE into one per-part rollup — the old
+    // spelling computed the pair rollup TWICE (total + join probe) and
+    // shuffled a self-join to divide by the total. Leader semantics: rank
+    // by RAW q_pair (ties → smaller suppkey), which the oracle mirrors
+    // verbatim; ranking by the ROUNDED share would diverge once a part's
+    // q_total exceeds ~2e6 (two distinct q_pair rounding to the same
+    // micro-share). q_pair is a sum of integer-valued quantities, exact
+    // in doubles to 2^53, so the raw ranking is engine-independent.
     pairQty
       .groupBy(col("l_partkey"))
       .agg(

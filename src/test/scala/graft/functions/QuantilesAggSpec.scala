@@ -75,4 +75,19 @@ class QuantilesAggSpec extends SparkSpec with graft.PropSpec {
         assert(math.abs(g - w) < 5e-5, s"got $g want $w for $vs") }
     }
   }
+  test("a null reaching the aggregate throws instead of counting as 0.0") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val e = intercept[Exception] {
+      df.agg(QuantilesAgg.quantiles(col("v"), Seq(0.5))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("QuantilesAgg: null input")))
+    // and the guard is pay-per-use: non-null columns aggregate unchanged
+    val ok = df.where(col("v").isNotNull)
+      .agg(QuantilesAgg.quantiles(col("v"), Seq(0.5))).collect()(0)
+      .getSeq[Double](0)
+    assert(ok === Seq(2.0))
+  }
 }

@@ -288,4 +288,15 @@ class LogOpsSpec extends SparkSpec {
       (0L, 5L, 5000L, "plain", 1, true),   // passthrough
       (1L, 7L, 7000L, "another", 2, true))) // per-container id namespace
   }
+
+  test("seq-uniqueness audit flags duplicated seqs, passes clean containers") {
+    import spark.implicits._
+    // container 0 clean; container 1 has seq 5 twice (a replayed batch)
+    val withDup = logs.union(Seq((1L, 5L, 123L)).toDF("c", "seq", "ts_nano"))
+    val audit = seqUniquenessAudit(withDup, "c", "seq")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(audit(0L) === ((50L, 50L, 0L, true)))
+    assert(audit(1L) === ((51L, 50L, 1L, false)))
+  }
 }

@@ -54,7 +54,32 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("soleLateSuppliers (q21): bucketed fact layout, lineitem never re-shuffled") {
+    val df = graft.operators.RelationalOps.soleLateSuppliers(spark, sf0001)
+    df.collect() // materialize so AQE finalizes its runtime plan
+    val plan = df.queryExecution.executedPlan
+    // the scans must come from the session's bucketed layout ...
+    assert(plan.toString.contains("graft_bk_lineitem"),
+      s"q21 is not reading the bucketed lineitem:\n$plan")
+    // ... and the only shuffle left is the final ≤|suppliers| rollup —
+    // the pair rollup, orders join, and per-order verdict all ride the
+    // bucket partitioning (r10 paid a full lineitem exchange here).
+    assert(countShuffles(plan) <= 1,
+      s"expected ≤1 shuffle (final supplier rollup), got:\n$plan")
+  }
+
   // ---- plan-regression locks: the good plans of r1/r2 must stay good ------
+
+  private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    p match {
+      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+      case q: QueryStageExec => countShuffles(q.plan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(countShuffles).sum
+      case o => o.children.map(countShuffles).sum
+    }
+  }
 
   private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.count() // materialize so AQE finalizes its runtime plan

@@ -65,6 +65,31 @@ def main(sf_dir, out_dir):
             n_fail += 1
             print(f"{'FAIL(schema)':24s} {name}: spark={s_cols} duck={d_cols}")
             continue
+        # Driver-parity dtype gate: the driver's comparator hashes TYPED
+        # values (r10 incident: the only two HUGEINT twin columns were the
+        # only two hash-fails while values matched). fetchall() coerces to
+        # Python ints and is blind to it, so compare declared column types.
+        # Empirically (r10 greens) the driver normalizes integer widths
+        # <=64 bits — q_media_frames etc. pass with INTEGER-vs-BIGINT — but
+        # cannot normalize HUGEINT/DECIMAL, so those stay distinct here.
+        def canon_type(t):
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER"):
+                return "INT64"
+            if t in ("FLOAT", "DOUBLE"):
+                return "FLOAT64"
+            return t
+        s_types = dict(zip(spark_rel.columns,
+                           (canon_type(str(t)) for t in spark_rel.types)))
+        d_types = dict(zip(duck_rel.columns,
+                           (canon_type(str(t)) for t in duck_rel.types)))
+        mism = [(c, s_types[c], d_types[c]) for c in s_cols
+                if s_types[c] != d_types[c]]
+        if mism:
+            n_fail += 1
+            print(f"{'FAIL(dtype)':24s} {name}: " + "; ".join(
+                f"{c}: spark={st} duck={dt}" for c, st, dt in mism))
+            continue
         collist = ", ".join(f'"{c}"' for c in s_cols)
         s_rows = con.sql(
             f"SELECT {collist} FROM spark_rel ORDER BY ALL").fetchall()
