@@ -56,15 +56,29 @@ object BenchFormat {
   private def errObj(errors: Seq[(String, String)]): String =
     errors.map { case (n, m) => jstrFull(n) + ":" + jstr(m) }.mkString("{", ",", "}")
 
+  /** `"floor":{...},` fragment (or "" when not measured) — the per-query
+    * fixed cost measured INSIDE the same bench window (VERDICT r10 #7):
+    * `bare` = stage-launch + noop-sink floor, `scan` = the same plus a
+    * minimal parquet scan. Future rounds separate floor drift from real
+    * per-query regressions by subtracting these instead of re-litigating
+    * host noise across windows.
+    */
+  private def floorFrag(floor: Map[String, Double]): String =
+    if (floor.isEmpty) ""
+    else floor.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstrFull(k) + ":" + sec(v) }
+      .mkString("\"floor\":{", ",", "},")
+
   /** The sidecar body: complete per-query map, complete errors. */
   def fullLine(
       best: Map[String, Double],
       errors: Map[String, String],
       sfDir: String,
-      runs: Int): String = {
+      runs: Int,
+      floor: Map[String, Double] = Map.empty): String = {
     val ok = best.keys.toSeq.sorted
     val fullQs = ok.map(n => jstrFull(n) + ":" + sec(best(n))).mkString("{", ",", "}")
-    s"""{"metric":"total","value":${sec(ok.map(best).sum)},"unit":"sec","queries":$fullQs,"errors":${errObj(errors.toSeq.sortBy(_._1))},"sf":${jstrFull(sfDir)},"runs":$runs}"""
+    s"""{"metric":"total","value":${sec(ok.map(best).sum)},"unit":"sec","queries":$fullQs,"errors":${errObj(errors.toSeq.sortBy(_._1))},${floorFrag(floor)}"sf":${jstrFull(sfDir)},"runs":$runs}"""
   }
 
   /** Packs rollup capped to `PackBudget` chars: heaviest packs inline, the
@@ -99,7 +113,8 @@ object BenchFormat {
       errors: Map[String, String],
       sfDir: String,
       runs: Int,
-      fullField: String): String = {
+      fullField: String,
+      floor: Map[String, Double] = Map.empty): String = {
     val ok = best.keys.toSeq.sorted
     val total = ok.map(best).sum
     val errSorted = errors.toSeq.sortBy(_._1)
@@ -107,7 +122,7 @@ object BenchFormat {
 
     def prefix(errCount: Int): String = {
       val errTruncated = errSorted.size - errCount
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":${jstrFull(sfDir)},"runs":$runs,"n_queries":${ok.size},"full":$fullField,"packs":$packs,"errors":${errObj(errSorted.take(errCount))},"errors_truncated":$errTruncated,"queries":{"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":${jstrFull(sfDir)},"runs":$runs,"n_queries":${ok.size},"full":$fullField,${floorFrag(floor)}"packs":$packs,"errors":${errObj(errSorted.take(errCount))},"errors_truncated":$errTruncated,"queries":{"""
     }
 
     // Whole-line budget: shed inline errors (sidecar keeps them all) until

@@ -350,7 +350,29 @@ object LogIngest {
       emit: DataFrame => Unit,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       idleGiveUp: Option[java.time.Duration] = Some(java.time.Duration.ofHours(1))): StreamingQuery = {
-    var df = spark.readStream.schema(logSchema).parquet(tableDir)
+    // A follow on a table with no committed partitions yet must fail
+    // LOUDLY: the streaming source fixes its partition layout at start, so
+    // an empty dir means container_id/date would never be partition-parsed
+    // and every emitted column silently mislabels (caught by
+    // FollowLatencyBench, r11). The reference has the same contract — a
+    // ReadLogs for a container whose SQLite db was never created is an
+    // error, not an empty stream (StartLogging creates the db first).
+    require(FsUtil.listDirs(spark, tableDir, "container_id=").nonEmpty,
+      s"follow($tableDir): no committed partitions yet — ingest at least " +
+        "one batch before attaching a follower")
+    // STREAMING file sources bind the user schema to (file columns ++
+    // partition columns) POSITIONALLY, unlike the batch reader's by-name
+    // reconciliation — a schema listing a partition column anywhere but
+    // LAST silently mislabels every column (container_id is first in
+    // logSchema; the follow path emitted `ts_nano` carrying the file's
+    // `source` strings — caught by FollowLatencyBench, r11). Feed the
+    // source partition-cols-last, then restore the public column order.
+    val partCols = Seq("container_id", "date")
+    val sourceSchema = org.apache.spark.sql.types.StructType(
+      logSchema.filterNot(f => partCols.contains(f.name)) ++
+        partCols.map(logSchema(_)))
+    var df = spark.readStream.schema(sourceSchema).parquet(tableDir)
+      .select(logSchema.fieldNames.map(col).toSeq: _*)
     containerId.foreach(id => df = df.where(col("container_id") === id))
     sinceNano.foreach(s => df = df.where(col("ts_nano") >= s))
     untilNano.foreach(u => df = df.where(col("ts_nano") <= u))

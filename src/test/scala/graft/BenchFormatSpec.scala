@@ -84,6 +84,22 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("errors").size + node.get("errors_truncated").asInt == 40)
   }
 
+  test("floor probe rides both lines when measured, is absent when not") {
+    val best = mkBest(148)
+    val floor = Map("bare" -> 0.081, "scan" -> 0.124)
+    val line = BenchFormat.compactLine(best, Map.empty, "/sf", 3,
+      "\"BENCH_local.json\"", floor)
+    assert(line.length <= BenchFormat.Budget, s"line is ${line.length} chars")
+    val node = om.readTree(line)
+    assert(math.abs(node.get("floor").get("bare").asDouble - 0.081) < 1e-9)
+    assert(math.abs(node.get("floor").get("scan").asDouble - 0.124) < 1e-9)
+    val full = om.readTree(BenchFormat.fullLine(best, Map.empty, "/sf", 3, floor))
+    assert(full.get("floor").get("scan").asDouble > 0)
+    // absent floor → no field (old artifacts keep their shape)
+    assert(!om.readTree(BenchFormat.compactLine(best, Map.empty, "/sf", 3, "null"))
+      .has("floor"))
+  }
+
   test("totals and pack rollups are consistent with the per-query map") {
     val best = Map("q_rel_a" -> 1.0, "q_rel_b" -> 2.0, "q_ts_c" -> 0.5)
     val node = om.readTree(BenchFormat.compactLine(best, Map.empty, "/sf", 1, "null"))

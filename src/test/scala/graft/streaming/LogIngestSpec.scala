@@ -91,6 +91,19 @@ class LogIngestSpec extends SparkSpec {
     } finally fq.stop()
   }
 
+  test("follow on a never-ingested table fails loudly, not with mislabeled columns") {
+    // streaming file sources fix the partition layout at start: attaching
+    // to an empty dir would bind the schema positionally and silently
+    // mislabel every column (the FollowLatencyBench r11 finding) — the
+    // contract is reference-shaped instead: the db must exist first.
+    val empty = tmp() + "/logs"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))
+    val e = intercept[IllegalArgumentException] {
+      LogIngest.follow(spark, empty, None, None, None, _ => ())
+    }
+    assert(e.getMessage.contains("no committed partitions"))
+  }
+
   test("retention sweep rewrites partitions atomically; survivors match the pure query") {
     val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
     writeBurst(staging, "c1", "b0", (0 until 40).map(entry(_, "c1")))
