@@ -323,6 +323,30 @@ object DedupOps {
   private val pairStatsCache =
     new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
+  // Exact-duplicate contraction artifacts per (session, dir):
+  // members = (doc_id, canon), weights = (canon, w). Shared by the
+  // contraction-first pair-stats build below (and reusable by any other
+  // consumer of the exact-group structure).
+  private val contractionCache =
+    new graft.SessionCache[(DataFrame, DataFrame)](maxEntries = 4,
+      onEvict = v => {
+        graft.SessionCache.release(v._1); graft.SessionCache.release(v._2)
+      })
+
+  private def contraction(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    contractionCache.getOrElseUpdate(s, d) { (ss, dir) =>
+      val fps = Tables.documents(ss, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val groups = fps.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canon"), count(lit(1)).as("w"))
+      val weights = graft.SessionCache.cut(
+        groups.select(col("canon"), col("w")))
+      val members = graft.SessionCache.cut(
+        fps.join(groups.select(col("fp"), col("canon")), Seq("fp"))
+          .select(col("doc_id"), col("canon")))
+      (members, weights)
+    }
+
   /** The aggregated pair-statistics table (a, b, inter, na, nb) over the
     * df-capped index — memoized per (session, dir, cap) like the index
     * itself. Five dir-level operators consume it (Jaccard pairs,
@@ -333,12 +357,77 @@ object DedupOps {
     * once per corpus snapshot and runs every verdict off that artifact.
     * Thresholds (minSim/minCont) filter AFTER this table, so one cache
     * entry serves every threshold, including the calibration's minSim=0.
+    *
+    * CONTRACTION-FIRST build (VERDICT r10 #4), output-identical: exact
+    * duplicates share one text ⇒ one (distinct) shingle set ⇒ identical
+    * df-capped sets, so the raw pair table FACTORS through the contracted
+    * corpus — run the C(f,2) self-join over canonicals only (weighted df
+    * cap: raw df = Σ group weights per shingle), then expand back to raw
+    * ids: a canonical pair (A,B) stands for every (x∈A, y∈B) with the
+    * same (inter, na, nb); a group of weight w adds C(w,2) within-group
+    * pairs at inter=na=nb=|capped set|. On replica-heavy corpora the
+    * pair-join mass collapses quadratically in replica count (the sf1
+    * ×10-clique fixture's raw build was ~150 s of shingle-collision rows
+    * that this path never materializes) while every raw pair row — ids,
+    * ordering, statistics — is reproduced exactly (dedup twins unchanged,
+    * all hash-checked). Corpora with no exact duplicates skip the
+    * expansion entirely: canonical ids ARE the doc ids, so the canonical
+    * stats table is returned as-is and the only overhead is one md5
+    * rollup per (session, dir).
     */
   private def cachedPairStats(s: SparkSession, d: String, maxDf: Long): DataFrame =
     pairStatsCache.getOrElseUpdate(s, s"$d#$maxDf#pairs") { (ss, _) =>
-      val capped = cappedIndex(ss, d, maxDf)
-      val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      graft.SessionCache.cut(pairStats(capped, sizes))
+      val (members, weights) = contraction(ss, d)
+      val nDocs = members.count()
+      val nCanon = weights.count()
+      if (nCanon == nDocs) {
+        // no exact duplicates — the contracted corpus IS the corpus
+        val capped = cappedIndex(ss, d, maxDf)
+        val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        graft.SessionCache.cut(pairStats(capped, sizes))
+      } else {
+        // canonical index from canonical texts only (1/replication of
+        // the raw explode), df-capped by the WEIGHTED document
+        // frequency — exactly the raw corpus's df
+        val cIdxRaw = Tables.documents(ss, d)
+          .join(weights.withColumnRenamed("canon", "doc_id"), Seq("doc_id"))
+          .select(col("doc_id"), col("w"),
+            explode(wordShingles(split(col("text"), " "), 3)).as("sh"))
+          .select(col("doc_id"), col("w"), xxhash64(col("sh")).as("sh_h"))
+        val capped = graft.SessionCache.cut(
+          if (maxDf <= 0) cIdxRaw.select(col("doc_id"), col("sh_h"))
+          else {
+            val kept = cIdxRaw.groupBy(col("sh_h"))
+              .agg(sum(col("w")).as("__df"))
+              .where(col("__df") <= maxDf)
+              .select(col("sh_h"))
+            cIdxRaw.join(kept, Seq("sh_h"), "left_semi")
+              .select(col("doc_id"), col("sh_h"))
+          })
+        // sizes is cut too: the within-group expansion reads it AFTER the
+        // capped leaf is released (a lazy deriv of a released checkpoint
+        // cannot be recomputed — truncated lineage)
+        val sizes = graft.SessionCache.cut(
+          capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
+        val canonStats = graft.SessionCache.cut(pairStats(capped, sizes))
+        graft.SessionCache.release(capped)
+        val cross = canonStats
+          .join(members.select(col("canon").as("a"), col("doc_id").as("x")), Seq("a"))
+          .join(members.select(col("canon").as("b"), col("doc_id").as("y")), Seq("b"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"),
+            col("inter"), col("na"), col("nb"))
+        val within = members.select(col("canon"), col("doc_id").as("x"))
+          .join(members.select(col("canon"), col("doc_id").as("y")), Seq("canon"))
+          .where(col("x") < col("y"))
+          .join(sizes.withColumnRenamed("doc_id", "canon"), Seq("canon"))
+          .select(col("x").as("a"), col("y").as("b"),
+            col("n_sh").as("inter"), col("n_sh").as("na"), col("n_sh").as("nb"))
+        val statsCut = graft.SessionCache.cut(cross.unionByName(within))
+        graft.SessionCache.release(canonStats)
+        graft.SessionCache.release(sizes)
+        statsCut
+      }
     }
 
   /** Drop shingle hashes with document frequency above `maxDf` (the skew

@@ -104,6 +104,39 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     assert(wa === 2L && wb === 1L && rp === 2L)
   }
 
+  test("property: contraction-first pair stats ≡ raw machinery on replicated corpora") {
+    import spark.implicits._
+    // random bases, each replicated 1–3× under fresh ids — the dir-level
+    // path contracts exact groups and expands back; containmentPairsOf
+    // computes the same pairs through the RAW uncached machinery
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val gen = for {
+      nBase <- org.scalacheck.Gen.choose(3, 7)
+      texts <- org.scalacheck.Gen.listOfN(nBase,
+        org.scalacheck.Gen.listOfN(8, org.scalacheck.Gen.oneOf(words))
+          .map(_.mkString(" ")))
+      reps <- org.scalacheck.Gen.listOfN(nBase, org.scalacheck.Gen.choose(1, 3))
+    } yield texts.zip(reps)
+    forSamples(gen, n = 8) { spec =>
+      val rows = spec.zipWithIndex.flatMap { case ((t, k), i) =>
+        (0 until k).map(r => (i * 10L + r, t)) // distinct raw ids per replica
+      }
+      val d = Files.createTempDirectory("graft-contr").toString
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      for (cap <- Seq(0L, 3L)) {
+        val got = DedupOps.ngramJaccardPairs(spark, d, minSim = 0.0, maxDf = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val want = DedupOps.containmentPairsOf(
+            rows.toDF("doc_id", "text"), minCont = 0.0, maxDf = cap)
+          .select(col("a"), col("b"), col("jaccard"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got === want, s"cap=$cap corpus=$rows")
+      }
+    }
+  }
+
   test("ngramJaccard df-cap removes pairs that only share boilerplate") {
     // cap at df<=2: shingles shared by all of 0,1,2 (df=3) are dropped;
     // 0-1 remain dups via their full overlap; 0-2 lose their only common
