@@ -115,9 +115,35 @@ object SparkEntry {
     // if seq is unique per container (ADVICE r10) — surface violations
     // instead of letting them over-retain silently.
     "q_log_seq_audit" -> ((s, d) =>
-      LogOps.seqUniquenessAudit(ev(s, d), "user_id", "event_id")))
+      LogOps.seqUniquenessAudit(ev(s, d), "user_id", "event_id")),
+    // The reference's on-disk artifact, reproduced: one SQLite db per
+    // container (logs(ts, message) + idx_ts, rowid = ingest order) written
+    // by graft's own format writer; the summary's (n_rows, xor-of-ts)
+    // write receipt is what the twin checks, and SqliteExportSpec
+    // validates the bytes with a real SQLite (PRAGMA integrity_check).
+    // Scoped to 200 containers — the face is the format, not bulk volume.
+    "q_log_sqlite_export" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_sqlite_q").toString
+      graft.sources.SqliteLogExport.export(
+        ev(s, d).where(col("user_id") < 200)
+          .select(col("user_id").as("container_id"),
+            col("event_id").as("seq"), col("ts_nano"),
+            concat_ws(" ", col("event_type"), col("props"))
+              .cast("binary").as("message")),
+        out)
+        .toDF()
+        .select(col("container_id").cast("long").as("container_id"),
+          col("n_rows"), col("ts_xor"))
+        .orderBy(col("container_id"))
+    }))
 
   private val logOracles: Map[String, String] = Map(
+    "q_log_sqlite_export" ->
+      """SELECT user_id AS container_id, count(*) AS n_rows,
+        |  bit_xor(epoch_ns(ts)) AS ts_xor
+        |FROM events WHERE user_id < 200
+        |GROUP BY user_id ORDER BY container_id""".stripMargin,
     "q_log_seq_audit" ->
       """SELECT user_id, count(*) AS n_rows,
         |  count(DISTINCT event_id) AS n_distinct_seq,

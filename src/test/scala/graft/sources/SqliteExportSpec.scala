@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.file.Files
+import scala.sys.process._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The SQLite export validated by a REAL SQLite (python stdlib sqlite3 via
+  * tools/check_sqlite.py): integrity_check walks every b-tree page, cell,
+  * overflow chain and cross-checks idx_ts against the table, so a single
+  * byte wrong in the hand-written format fails loudly here.
+  */
+class SqliteExportSpec extends SparkSpec {
+
+  private def haveSqlite: Boolean =
+    try Process(Seq("python3", "-c", "import sqlite3")).! == 0
+    catch { case _: Throwable => false }
+
+  /** md5 over "<rowid>,<ts>," + message bytes in rowid order — mirrors
+    * tools/check_sqlite.py.
+    */
+  private def digest(rows: Seq[(Long, Array[Byte])]): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+    rows.zipWithIndex.foreach { case ((ts, msg), i) =>
+      h.update(s"${i + 1},$ts,".getBytes("UTF-8"))
+      h.update(msg)
+    }
+    h.digest().map("%02x".format(_)).mkString
+  }
+
+  private def check(db: String, rows: Seq[(Long, Array[Byte])]): Unit = {
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "tools/check_sqlite.py", db,
+      rows.length.toString, digest(rows))).!(ProcessLogger(out ++= _))
+    assert(rc == 0 && out.toString.contains("OK"), s"check_sqlite: $out")
+  }
+
+  test("writeDb round-trips through a real SQLite at varied shapes") {
+    assume(haveSqlite, "python3+sqlite3 unavailable")
+    val dir = Files.createTempDirectory("graft-sqlite").toString
+    val rnd = new scala.util.Random(42)
+    // shapes: empty, single row, leaf boundary-ish counts, multi-level
+    // trees, huge blobs (> page local max → overflow chains), duplicate
+    // ts keys, negative + zero + huge ts values
+    val shapes = Seq(0, 1, 2, 17, 450, 451, 452, 1201, 5000)
+    shapes.foreach { n =>
+      val rows = (1 to n).map { i =>
+        val ts =
+          if (i % 7 == 0) 0L // the reference's zero-time sentinel rows
+          else if (i % 11 == 0) -62135596800000000L
+          else if (i % 13 == 0) 1700000000000000000L + (i % 5) // dup keys
+          else rnd.between(-1000000L, 1000000L)
+        val msg =
+          if (i % 97 == 0) Array.fill[Byte](rnd.between(5000, 20000))(
+            (i % 251).toByte) // spills into overflow pages
+          else s"line $i ${"x" * rnd.between(0, 120)}".getBytes("UTF-8")
+        (ts, msg)
+      }
+      val db = s"$dir/db_$n"
+      val (got, xor, pages) = SqliteLogExport.writeDb(db, rows.iterator)
+      assert(got === n.toLong && pages > 0)
+      assert(xor === rows.map(_._1).foldLeft(0L)(_ ^ _))
+      check(db, rows)
+    }
+  }
+
+  test("export writes one valid db per container with ingest-order rowids") {
+    assume(haveSqlite, "python3+sqlite3 unavailable")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sqlite-exp").toString
+    // two containers, deliberately interleaved and unsorted in the input;
+    // seq defines ingest order (= ROWID)
+    val rows = ((1 to 300).map(i => ("c/alpha", i.toLong, i * 1000L,
+        s"alpha $i".getBytes("UTF-8"))) ++
+      (1 to 7).map(i => ("c2", i.toLong, 7000L - i, s"beta $i".getBytes("UTF-8"))))
+    val df = new scala.util.Random(7).shuffle(rows)
+      .toDF("container_id", "seq", "ts_nano", "message")
+    val summary = SqliteLogExport.export(df, dir)
+      .collect().map(s => s.container_id -> s).toMap
+    assert(summary.keySet === Set("c/alpha", "c2"))
+    assert(summary("c/alpha").n_rows === 300L)
+    assert(summary("c2").n_rows === 7L)
+    // path is sanitized for the filesystem
+    assert(summary("c/alpha").path.endsWith("/c_alpha"))
+    check(summary("c/alpha").path,
+      (1 to 300).map(i => (i * 1000L, s"alpha $i".getBytes("UTF-8"))))
+    check(summary("c2").path,
+      (1 to 7).map(i => (7000L - i, s"beta $i".getBytes("UTF-8"))))
+  }
+}
