@@ -136,6 +136,29 @@ object SparkEntry {
         .select(col("container_id").cast("long").as("container_id"),
           col("n_rows"), col("ts_xor"))
         .orderBy(col("container_id"))
+    }),
+    // Writer→reader ROUND TRIP at the query layer: export a container
+    // subset to SQLite files, walk them back with the pure-Scala b-tree
+    // reader (the logsqlite MIGRATION path), and hash the recovered
+    // content — the twin computes the same receipts from the source rows,
+    // so any byte lost or reordered across the two format codecs fails
+    // the driver gate.
+    "q_log_sqlite_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_sqlite_rt").toString
+      val logsIn = ev(s, d).where(col("user_id") < 50)
+        .select(col("user_id").as("container_id"),
+          col("event_id").as("seq"), col("ts_nano"),
+          concat_ws(" ", col("event_type"), col("props"))
+            .cast("binary").as("message"))
+      graft.sources.SqliteLogExport.export(logsIn, out).collect()
+      graft.sources.SqliteLogImport.read(s, out)
+        .groupBy(col("container_id").cast("long").as("container_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(ts_nano)").as("ts_xor"),
+          expr("bit_xor(cast(conv(substring(md5(message), 1, 15), 16, 10) as bigint))")
+            .as("msg_xor"))
+        .orderBy(col("container_id"))
     }))
 
   private val logOracles: Map[String, String] = Map(
@@ -143,6 +166,13 @@ object SparkEntry {
       """SELECT user_id AS container_id, count(*) AS n_rows,
         |  bit_xor(epoch_ns(ts)) AS ts_xor
         |FROM events WHERE user_id < 200
+        |GROUP BY user_id ORDER BY container_id""".stripMargin,
+    "q_log_sqlite_roundtrip" ->
+      """SELECT user_id AS container_id, count(*) AS n_rows,
+        |  bit_xor(epoch_ns(ts)) AS ts_xor,
+        |  bit_xor(CAST(('0x' || substr(md5(event_type || ' ' || props), 1, 15))
+        |    AS BIGINT)) AS msg_xor
+        |FROM events WHERE user_id < 50
         |GROUP BY user_id ORDER BY container_id""".stripMargin,
     "q_log_seq_audit" ->
       """SELECT user_id, count(*) AS n_rows,

@@ -66,6 +66,51 @@ class SqliteExportSpec extends SparkSpec {
     }
   }
 
+  test("reader recovers exactly what a REAL SQLite wrote (migration path)") {
+    assume(haveSqlite, "python3+sqlite3 unavailable")
+    val dir = Files.createTempDirectory("graft-sqlite-in").toString
+    val db = s"$dir/c_real"
+    // deterministic rows generated identically here and in python:
+    // ts = (i*2654435761) % 1000000007 - 500000000 (negatives included),
+    // message = ("m<i>." * k) bytes with one overflow-sized blob at i=500
+    val script =
+      s"""import sqlite3
+         |con = sqlite3.connect("$db")
+         |con.execute("CREATE TABLE logs (ts NUMBER, message BLOB)")
+         |con.execute("CREATE INDEX idx_ts ON logs(ts)")
+         |for i in range(1, 1201):
+         |    ts = (i * 2654435761) % 1000000007 - 500000000
+         |    k = 1000 if i == 500 else (i % 7) + 1
+         |    msg = ("m%d." % i) * k
+         |    con.execute("INSERT INTO logs VALUES (?, ?)", (ts, msg.encode()))
+         |con.commit(); con.close()
+         |""".stripMargin
+    val rc = Process(Seq("python3", "-c", script)).!
+    assert(rc == 0, "python writer failed")
+    val got = SqliteLogImport.readDb(db)
+    assert(got.length === 1200)
+    got.zipWithIndex.foreach { case (r, j) =>
+      val i = j + 1
+      assert(r.rowid === i.toLong)
+      assert(r.ts === (i.toLong * 2654435761L) % 1000000007L - 500000000L)
+      val k = if (i == 500) 1000 else (i % 7) + 1
+      assert(new String(r.message, "UTF-8") === s"m$i." * k, s"row $i")
+    }
+  }
+
+  test("writer→reader round trip without any real SQLite in the loop") {
+    val dir = Files.createTempDirectory("graft-sqlite-rt").toString
+    val rows = (1 to 777).map(i =>
+      (i * 31L % 997L - 500L, s"payload $i ${"y" * (i % 90)}".getBytes("UTF-8")))
+    SqliteLogExport.writeDb(s"$dir/db", rows.iterator)
+    val back = SqliteLogImport.readDb(s"$dir/db")
+    assert(back.length === 777)
+    back.zipWithIndex.foreach { case (r, j) =>
+      assert(r.rowid === j + 1L && r.ts === rows(j)._1)
+      assert(java.util.Arrays.equals(r.message, rows(j)._2))
+    }
+  }
+
   test("export writes one valid db per container with ingest-order rowids") {
     assume(haveSqlite, "python3+sqlite3 unavailable")
     import spark.implicits._
