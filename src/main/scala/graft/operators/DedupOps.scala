@@ -375,16 +375,63 @@ object DedupOps {
     * stats table is returned as-is and the only overhead is one md5
     * rollup per (session, dir).
     */
-  private def cachedPairStats(s: SparkSession, d: String, maxDf: Long): DataFrame =
-    pairStatsCache.getOrElseUpdate(s, s"$d#$maxDf#pairs") { (ss, _) =>
+  private def cachedPairStats(s: SparkSession, d: String, maxDf: Long): DataFrame = {
+    val art = canonPairArtifacts(s, d, maxDf)
+    if (!art.contracted) art.stats // canonical ids ARE the doc ids
+    else pairStatsCache.getOrElseUpdate(s, s"$d#$maxDf#pairs") { (ss, _) =>
+      val (members, _) = contraction(ss, d)
+      val cross = art.stats
+        .join(members.select(col("canon").as("a"), col("doc_id").as("x")), Seq("a"))
+        .join(members.select(col("canon").as("b"), col("doc_id").as("y")), Seq("b"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"),
+          col("inter"), col("na"), col("nb"))
+      val within = members.select(col("canon"), col("doc_id").as("x"))
+        .join(members.select(col("canon"), col("doc_id").as("y")), Seq("canon"))
+        .where(col("x") < col("y"))
+        .join(art.sizes.withColumnRenamed("doc_id", "canon"), Seq("canon"))
+        .select(col("x").as("a"), col("y").as("b"),
+          col("n_sh").as("inter"), col("n_sh").as("na"), col("n_sh").as("nb"))
+      graft.SessionCache.cut(cross.unionByName(within))
+    }
+  }
+
+  /** Pair statistics over the exact-dup CONTRACTED corpus, plus the
+    * tables that let consumers reason about the raw graph without ever
+    * expanding it: `stats` (a, b, inter, na, nb over canonical ids),
+    * `sizes` (canonical → capped set size — membership here IS the
+    * "participates in pairs at all" predicate), `weights` (canonical →
+    * group size w). With no exact duplicates `contracted=false` and
+    * `stats` is simply the raw pair table (shared `cappedIndex` memo).
+    * Structure-only consumers ([[neardupDegreeDist]], [[thresholdCurve]],
+    * [[neardupTriangles]]) compose these closed-form — the raw answers
+    * are exact functions of (canon structure, weights): a group of
+    * weight w is an internal K_w clique at Jaccard 1, a canon edge (A,B)
+    * stands for w_A·w_B raw edges of the same statistics.
+    */
+  final case class CanonPairArtifacts(
+      stats: DataFrame, sizes: DataFrame, weights: DataFrame,
+      contracted: Boolean)
+
+  private val canonArtCache =
+    new graft.SessionCache[CanonPairArtifacts](maxEntries = 4,
+      onEvict = v => {
+        graft.SessionCache.release(v.stats)
+        graft.SessionCache.release(v.sizes)
+        // weights belongs to contractionCache — not released here
+      })
+
+  private def canonPairArtifacts(
+      s: SparkSession, d: String, maxDf: Long): CanonPairArtifacts =
+    canonArtCache.getOrElseUpdate(s, s"$d#$maxDf#canonArt") { (ss, _) =>
       val (members, weights) = contraction(ss, d)
-      val nDocs = members.count()
-      val nCanon = weights.count()
-      if (nCanon == nDocs) {
+      if (weights.count() == members.count()) {
         // no exact duplicates — the contracted corpus IS the corpus
         val capped = cappedIndex(ss, d, maxDf)
-        val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        graft.SessionCache.cut(pairStats(capped, sizes))
+        val sizes = graft.SessionCache.cut(
+          capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
+        val stats = graft.SessionCache.cut(pairStats(capped, sizes))
+        CanonPairArtifacts(stats, sizes, weights, contracted = false)
       } else {
         // canonical index from canonical texts only (1/replication of
         // the raw explode), df-capped by the WEIGHTED document
@@ -404,29 +451,14 @@ object DedupOps {
             cIdxRaw.join(kept, Seq("sh_h"), "left_semi")
               .select(col("doc_id"), col("sh_h"))
           })
-        // sizes is cut too: the within-group expansion reads it AFTER the
-        // capped leaf is released (a lazy deriv of a released checkpoint
-        // cannot be recomputed — truncated lineage)
+        // sizes is cut too: consumers read it AFTER the capped leaf is
+        // released (a lazy deriv of a released checkpoint cannot be
+        // recomputed — truncated lineage)
         val sizes = graft.SessionCache.cut(
           capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
-        val canonStats = graft.SessionCache.cut(pairStats(capped, sizes))
+        val stats = graft.SessionCache.cut(pairStats(capped, sizes))
         graft.SessionCache.release(capped)
-        val cross = canonStats
-          .join(members.select(col("canon").as("a"), col("doc_id").as("x")), Seq("a"))
-          .join(members.select(col("canon").as("b"), col("doc_id").as("y")), Seq("b"))
-          .select(least(col("x"), col("y")).as("a"),
-            greatest(col("x"), col("y")).as("b"),
-            col("inter"), col("na"), col("nb"))
-        val within = members.select(col("canon"), col("doc_id").as("x"))
-          .join(members.select(col("canon"), col("doc_id").as("y")), Seq("canon"))
-          .where(col("x") < col("y"))
-          .join(sizes.withColumnRenamed("doc_id", "canon"), Seq("canon"))
-          .select(col("x").as("a"), col("y").as("b"),
-            col("n_sh").as("inter"), col("n_sh").as("na"), col("n_sh").as("nb"))
-        val statsCut = graft.SessionCache.cut(cross.unionByName(within))
-        graft.SessionCache.release(canonStats)
-        graft.SessionCache.release(sizes)
-        statsCut
+        CanonPairArtifacts(stats, sizes, weights, contracted = true)
       }
     }
 
@@ -1127,19 +1159,36 @@ object DedupOps {
     */
   def neardupDegreeDist(
       s: SparkSession, d: String,
-      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
-    // consume the cached stats directly, NOT ngramJaccardPairs: its
-    // presentation orderBy survives under the union+aggregate here and
-    // re-sorts the full pair table (measured 10.1 s → 1.7 s at sf1);
-    // exploding array(a, b) also reads the persisted stats once instead
-    // of once per union branch
-    cachedPairStats(s, d, maxDf)
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    // CLOSED FORM on the contracted graph (r11): every member of a group
+    // G shares one raw degree, deg_G = Σ_{H: J(G,H) ≥ t} w_H + (w_G − 1)
+    // — cross neighbors are whole groups, co-members are an implicit
+    // K_w clique at Jaccard 1 — so the histogram is a rollup of the
+    // CANONICAL pair table (plus the no-neighbor w ≥ 2 groups), never of
+    // the raw expansion. With no exact duplicates w ≡ 1 and this reduces
+    // verbatim to the old raw computation. (The r10 form consumed the
+    // expanded stats: correct, but priced the clique mass on every run —
+    // 4.97 s at sf1 vs the canonical table's ~1.3 M rows.)
+    val art = canonPairArtifacts(s, d, maxDf)
+    val ends = art.stats
       .where(round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6) >= minSim)
-      .select(explode(array(col("a"), col("b"))).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .select(explode(array(
+        struct(col("a").as("g"), col("b").as("h")),
+        struct(col("b").as("g"), col("a").as("h")))).as("e"))
+      .select(col("e.g").as("g"), col("e.h").as("h"))
+    val crossDeg = ends
+      .join(art.weights.select(col("canon").as("h"), col("w").as("wh")), Seq("h"))
+      .groupBy(col("g")).agg(sum(col("wh")).as("dcross"))
+    art.sizes.select(col("doc_id").as("g"))
+      .join(art.weights.select(col("canon").as("g"), col("w")), Seq("g"))
+      .join(crossDeg, Seq("g"), "left")
+      .select(col("w"),
+        (coalesce(col("dcross"), lit(0L)) + col("w") - 1L).as("degree"))
+      .where(col("degree") >= 1L)
+      .groupBy(col("degree")).agg(sum(col("w")).as("n_docs"))
       .orderBy(col("degree"))
+  }
 
   /** Portable 64-bit SimHash as 4×16-bit chunk values: token hashes are
     * md5 hex digests read nibble-by-nibble, the per-bit majority vote is
@@ -1295,20 +1344,43 @@ object DedupOps {
     // pairs below the lowest threshold can never appear in the curve —
     // pull the pair table at minSim = thrs.head (the 6-dp-rounded
     // jaccard >= t filter is bit-equivalent to jq >= round(t·1e6): both
-    // compare the same discrete k/1e6 doubles). On the sf1 clique-stress
-    // fixture this cut the two downstream passes 19.5 s → the survivor
-    // set only; minSim = 0.0 dragged every any-shingle candidate through
-    // both rollups.
-    val pairs = ngramJaccardPairs(s, d, minSim = thrs.head, maxDf = maxDf)
+    // compare the same discrete k/1e6 doubles). CLOSED FORM on the
+    // contracted graph (r11): a canon pair (A,B) stands for w_A·w_B raw
+    // pairs at its jq; a group of weight w ≥ 2 (with a non-empty capped
+    // set) adds C(w,2) raw pairs at jq = 10⁶; a raw doc's max-jq is its
+    // GROUP's max-jq (co-members are interchangeable), so doc counts
+    // roll up group weights. w ≡ 1 reduces verbatim to the raw math.
+    val art = canonPairArtifacts(s, d, maxDf)
+    val wA = art.weights.select(col("canon").as("a"), col("w").as("wa"))
+    val wB = art.weights.select(col("canon").as("b"), col("w").as("wb"))
+    val cross = art.stats
       .select(col("a"), col("b"),
-        round(col("jaccard") * 1e6, 0).cast("long").as("jq"))
-    val pairBuckets = pairs.groupBy(bucketOf(col("jq")).as("bk"))
-      .agg(count(lit(1)).as("cnt"), sum(col("jq")).as("sj"))
-    val docBuckets = pairs
-      .select(explode(array(col("a"), col("b"))).as("doc_id"), col("jq"))
-      .groupBy(col("doc_id")).agg(max(col("jq")).as("mjq"))
+        round(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6) * 1e6, 0)
+          .cast("long").as("jq"))
+      .where(col("jq") >= cuts.head)
+      .join(wA, Seq("a")).join(wB, Seq("b"))
+    val within = art.sizes.select(col("doc_id").as("a"))
+      .join(art.weights.select(col("canon").as("a"), col("w")), Seq("a"))
+      .where(col("w") >= 2L)
+      .select(col("a"), lit(1000000L).as("jq"),
+        // C(w,2); shiftright keeps it integer — `/` on longs is DOUBLE
+        // division in Spark and would decimal-taint the multiplicities
+        shiftright(col("w") * (col("w") - 1L), 1).as("mult"))
+    val pairMult = cross
+      .select(col("a"), col("jq"), (col("wa") * col("wb")).as("mult"))
+      .unionByName(within)
+    val pairBuckets = pairMult.groupBy(bucketOf(col("jq")).as("bk"))
+      .agg(sum(col("mult")).as("cnt"), sum(col("jq") * col("mult")).as("sj"))
+    val groupMax = cross
+      .select(explode(array(col("a"), col("b"))).as("g"), col("jq"))
+      .unionByName(within.where(col("jq") >= cuts.head)
+        .select(col("a").as("g"), col("jq")))
+      .groupBy(col("g")).agg(max(col("jq")).as("mjq"))
+    val docBuckets = groupMax
+      .join(art.weights.select(col("canon").as("g"), col("w")), Seq("g"))
       .groupBy(bucketOf(col("mjq")).as("bk"))
-      .agg(count(lit(1)).as("dcnt"))
+      .agg(sum(col("w")).as("dcnt"))
     // suffix sums over the tiny bucket grid (≤ |thrs|+1 rows — the same
     // grid-window stance as the histogram/SLO operators)
     val wSuf = Window.orderBy(col("bk").desc)
@@ -1601,12 +1673,103 @@ object DedupOps {
     * arithmetic (half-up micro-units).
     */
   def neardupTriangles(s: SparkSession, d: String,
-      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
-    trianglesOfEdges(
-      cachedPairStats(s, d, maxDf)
-        .where(round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6) >= minSim)
-        .select(col("a"), col("b")))
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    val art = canonPairArtifacts(s, d, maxDf)
+    val edges = art.stats
+      .where(round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6) >= minSim)
+      .select(col("a"), col("b"))
+    if (!art.contracted) trianglesOfEdges(edges)
+    else weightedTriangleCensus(edges, art)
+  }
+
+  /** Triangle census of the RAW near-dup graph computed entirely on the
+    * CONTRACTED one (r11). The raw graph is the canon graph with every
+    * group G blown up to an internal K_{w_G} clique and every canon edge
+    * (A,B) to a complete bipartite K_{w_A,w_B}, so each census term has
+    * an exact closed form:
+    *
+    *   nodes      = Σ_{deg_G ≥ 1} w_G      (deg_G = Σ_{nbr H} w_H + w_G − 1)
+    *   edges      = Σ_{(A,B)} w_A·w_B  +  Σ_{w ≥ 2} C(w,2)
+    *   wedges     = Σ_G w_G · C(deg_G, 2)
+    *   triangles  = Σ_{w ≥ 3} C(w,3)
+    *              + Σ_{(A,B)} [C(w_A,2)·w_B + w_A·C(w_B,2)]
+    *              + Σ_{canon triangles (A,B,C)} w_A·w_B·w_C
+    *
+    * Only the last term enumerates anything — and it runs the same
+    * degree-ordered compact-forward wedge join as [[trianglesOfEdges]]
+    * on the CONTRACTED edge set (the sf1 ×10-clique fixture's raw pair
+    * graph is 100× the canonical one). Groups only appear via `sizes`
+    * (non-empty capped set — empty-set groups have no pairs at all).
+    */
+  private def weightedTriangleCensus(
+      edges: DataFrame, art: CanonPairArtifacts): DataFrame = {
+    def c2(x: org.apache.spark.sql.Column) = shiftright(x * (x - 1L), 1)
+    val ew = graft.SessionCache.cut(edges
+      .join(art.weights.select(col("canon").as("a"), col("w").as("wa")), Seq("a"))
+      .join(art.weights.select(col("canon").as("b"), col("w").as("wb")), Seq("b")))
+    val crossDeg = ew
+      .select(explode(array(
+        struct(col("a").as("g"), col("wb").as("wn")),
+        struct(col("b").as("g"), col("wa").as("wn")))).as("e"))
+      .select(col("e.g").as("g"), col("e.wn").as("wn"))
+      .groupBy(col("g")).agg(sum(col("wn")).as("dcross"))
+    val groups = art.sizes.select(col("doc_id").as("g"))
+      .join(art.weights.select(col("canon").as("g"), col("w")), Seq("g"))
+      .join(crossDeg, Seq("g"), "left")
+      .select(col("w"),
+        (coalesce(col("dcross"), lit(0L)) + col("w") - 1L).as("deg"))
+    val gAgg = groups.agg(
+      coalesce(sum(when(col("deg") >= 1L, col("w")).otherwise(0L)), lit(0L))
+        .as("n_nodes"),
+      coalesce(sum(c2(col("w"))), lit(0L)).as("e_within"),
+      coalesce(sum(col("w") * c2(col("deg"))), lit(0L)).as("n_wedges"),
+      coalesce(sum(call_function("div",
+        col("w") * (col("w") - 1L) * (col("w") - 2L), lit(6L))), lit(0L))
+        .as("t_within"))
+    val eAgg = ew.agg(
+      coalesce(sum(col("wa") * col("wb")), lit(0L)).as("e_cross"),
+      coalesce(sum(c2(col("wa")) * col("wb") + col("wa") * c2(col("wb"))),
+        lit(0L)).as("t_mixed"))
+    // weighted canon-triangle sum: the compact-forward orientation of
+    // trianglesOfEdges, with the closing count replaced by Σ w_u·w_v·w_x
+    val deg = graft.SessionCache.cut(ew
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg")))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir = graft.SessionCache.cut(ew.select(col("a"), col("b"))
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("ddst")))
+    val wOf = (n: String) =>
+      art.weights.select(col("canon").as(n), col("w").as(s"w_$n"))
+    val tCross = dir.select(col("src"), col("dst").as("v1"), col("ddst").as("o1"))
+      .join(dir.select(col("src"), col("dst").as("v2"), col("ddst").as("o2")),
+        Seq("src"))
+      .where(col("o1") < col("o2") ||
+        (col("o1") === col("o2") && col("v1") < col("v2")))
+      .join(dir.select(col("src").as("v1"), col("dst").as("v2")),
+        Seq("v1", "v2"), "left_semi")
+      .join(wOf("src"), Seq("src"))
+      .join(wOf("v1"), Seq("v1"))
+      .join(wOf("v2"), Seq("v2"))
+      .agg(coalesce(sum(col("w_src") * col("w_v1") * col("w_v2")), lit(0L))
+        .as("t_cross"))
+    gAgg.crossJoin(broadcast(eAgg)).crossJoin(broadcast(tCross))
+      .select(col("n_nodes"),
+        (col("e_cross") + col("e_within")).as("n_edges"),
+        col("n_wedges"),
+        (col("t_within") + col("t_mixed") + col("t_cross")).as("n_triangles"))
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(0.0)).otherwise(
+          Num.halfUpDiv(col("n_triangles") * 3000000L, col("n_wedges"))
+            .cast("double") / 1e6).as("transitivity"))
+  }
 
   /** [[neardupTriangles]] over an arbitrary undirected edge frame
     * `(a, b)` with `a < b` and no duplicate edges. Output is one row:
@@ -1680,6 +1843,21 @@ object DedupOps {
     // joins new batches against; ids + 8-byte hashes, never text
     cappedIndex(s, d, maxDf).write.mode("overwrite")
       .parquet(s"$indexDir/capped_index")
+    // the contracted-graph artifacts the closed-form structure consumers
+    // compose (r11): canonical pair stats + capped-set sizes + group
+    // weights — all id/count-sized, never text
+    val art = canonPairArtifacts(s, d, maxDf)
+    art.stats.write.mode("overwrite").parquet(s"$indexDir/canon_stats")
+    art.sizes.write.mode("overwrite").parquet(s"$indexDir/canon_sizes")
+    art.weights.write.mode("overwrite").parquet(s"$indexDir/canon_weights")
+    writeCanonMeta(s, indexDir, art.contracted)
+  }
+
+  private def writeCanonMeta(s: SparkSession, indexDir: String,
+      contracted: Boolean): Unit = {
+    import s.implicits._
+    Seq(contracted).toDF("contracted")
+      .write.mode("overwrite").parquet(s"$indexDir/canon_meta")
   }
 
   /** Prime this session's dedup memos for corpus `d` from a
@@ -1698,6 +1876,15 @@ object DedupOps {
     }
     cappedIndexCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
       graft.SessionCache.cut(ss.read.parquet(s"$indexDir/capped_index"))
+    }
+    canonArtCache.getOrElseUpdate(s, s"$d#$maxDf#canonArt") { (ss, _) =>
+      val contracted = ss.read.parquet(s"$indexDir/canon_meta")
+        .collect()(0).getBoolean(0)
+      CanonPairArtifacts(
+        graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_stats")),
+        graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_sizes")),
+        graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_weights")),
+        contracted)
     }
     ()
   }

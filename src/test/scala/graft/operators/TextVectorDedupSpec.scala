@@ -133,6 +133,45 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
           .select(col("a"), col("b"), col("jaccard"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
         assert(got === want, s"cap=$cap corpus=$rows")
+
+        // the closed-form structure consumers (degree dist / triangle
+        // census / threshold curve) must equal brute force over the RAW
+        // pair set — the contracted-graph math is exact, not approximate
+        val t = 0.3
+        val raw = want.filter(_._3 >= t)
+        val degs = raw.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val wantDegHist = degs.values.groupBy(identity)
+          .map { case (deg, g) => deg -> g.size.toLong }
+        val gotDegHist = DedupOps.neardupDegreeDist(spark, d, minSim = t, maxDf = cap)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotDegHist === wantDegHist, s"degree cap=$cap corpus=$rows")
+
+        import spark.implicits._
+        val rawEdges = raw.toSeq.map(p => (p._1, p._2)).toDF("a", "b")
+        val wantTri = DedupOps.trianglesOfEdges(rawEdges)
+          .collect()(0).toSeq
+        val gotTri = DedupOps.neardupTriangles(spark, d, minSim = t, maxDf = cap)
+          .collect()(0).toSeq
+        assert(gotTri === wantTri, s"triangles cap=$cap corpus=$rows")
+
+        val thrs = Seq(0.2, 0.5, 0.8)
+        val gotCurve = DedupOps.thresholdCurve(spark, d, thrs, maxDf = cap)
+          .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+        val jqOf = (j: Double) => math.round(j * 1e6)
+        val wantCurve = thrs.flatMap { th =>
+          val surv = want.filter(p => jqOf(p._3) >= math.round(th * 1e6))
+          if (surv.isEmpty) None
+          else {
+            val sj = surv.toSeq.map(p => jqOf(p._3)).sum
+            val n = surv.size.toLong
+            val nd = surv.flatMap(p => Seq(p._1, p._2)).size.toLong
+            val mean = ((2L * sj + n) / (2L * n)).toDouble / 1e6
+            Some((th, n, nd, mean))
+          }
+        }
+        assert(gotCurve === wantCurve, s"curve cap=$cap corpus=$rows")
       }
     }
   }
