@@ -1299,17 +1299,23 @@ object RelationalOps {
     * pass. Supplier names broadcast onto the ≤|suppliers| rollup.
     */
   def soleLateSuppliers(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    // join BEFORE the pair rollup, as a merge join: both bucketed scans
+    // arrive hash-distributed AND sorted on orderkey, so the SMJ is a
+    // pure zero-exchange zero-sort streaming merge — no per-run broadcast
+    // hashed-relation build (the r11 isolated-vs-suite probe showed that
+    // build as the plan's GC-sensitive part). Lateness commutes with the
+    // reorder: max(ship) > cutoff  ⟺  any line's ship > cutoff, so the
+    // per-pair verdict is max of per-LINE verdicts.
     val pair = graft.plans.FactLayout.lineitemByOrder(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max(col("l_shipdate")).as("max_ship"))
       .join(graft.plans.FactLayout.ordersByKey(s, d)
-          .select(col("o_orderkey"), col("o_orderdate")),
+          .select(col("o_orderkey"), col("o_orderdate")).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        (col("max_ship") >
-          col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int")
-          .as("was_late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int"))
+        .as("was_late"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("was_late"))
     pair
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_supp"),
