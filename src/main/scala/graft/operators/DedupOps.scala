@@ -392,7 +392,16 @@ object DedupOps {
         .join(art.sizes.withColumnRenamed("doc_id", "canon"), Seq("canon"))
         .select(col("x").as("a"), col("y").as("b"),
           col("n_sh").as("inter"), col("n_sh").as("na"), col("n_sh").as("nb"))
-      graft.SessionCache.cut(cross.unionByName(within))
+      // the expansion multiplies rows ~replication² AFTER the last
+      // exchange, so AQE sizes the final stage for the small canonical
+      // INPUTS — without this the 100×-bigger leaf checkpoints into a
+      // handful of partitions and every downstream consumer runs
+      // single-digit-parallel (measured: the whole audit-face family ~2×
+      // slower at sf1). Hash on `a` so the leaf is also usefully
+      // clustered for the per-doc rollups that read it.
+      val parts = s.sessionState.conf.numShufflePartitions
+      graft.SessionCache.cut(
+        cross.unionByName(within).repartition(parts, col("a")))
     }
   }
 
