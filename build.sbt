@@ -30,5 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // in 8g (measured 4–7× slowdown across the whole bench); the 128 GiB host
   // has room and a real cluster would give executors this much anyway.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // The JVM's default 240 MB reserved code cache FILLS under a session
+  // that whole-stage-codegens hundreds of distinct queries; once full the
+  // JIT is disabled/flushing and generated stages run interpreted —
+  // measured as UNIFORM 10–20× stage slowdowns striking at random
+  // (q_dedup_nearest same-JVM warm runs: 0.6 s vs 8–12 s with every task
+  // equally slow, zero GC pauses; stable 0.6–0.9 s at 1g). Real clusters
+  // hit the same wall on long-lived executors running many queries.
+  "-XX:ReservedCodeCacheSize=1g",
   // ad-hoc diagnostics hook (e.g. -Xlog:gc, -D flags) for perf bisection
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

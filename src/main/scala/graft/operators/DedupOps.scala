@@ -132,14 +132,28 @@ object DedupOps {
     // Same verdict at scale: the pair-stage volume dominates and the SMJ
     // processes it with tighter memory behavior. (Pair-key packing and
     // the sizes-join placement: see pairStats.)
+    jaccardPairsUnsorted(s, d, minSim, maxDf).orderBy(col("a"), col("b"))
+  }
+
+  /** [[ngramJaccardPairs]] WITHOUT the presentation sort — the form every
+    * aggregating consumer (clusters, nearest-neighbor argmax, calibration
+    * joins, transitivity/leakage rollups) should read: inheriting the
+    * public face's global `orderBy(a, b)` range-partitions and sorts the
+    * full pair table only to immediately re-shuffle it on a different key
+    * (measured on `q_dedup_nearest` at sf0.1: the inherited sort was the
+    * plan's largest stage AND its variance source — range-partition
+    * sampling over the 1.3 M-row pair table ran 1.1–10 s across warm
+    * same-JVM runs; unsorted, the consumer is stable).
+    */
+  private[operators] def jaccardPairsUnsorted(
+      s: SparkSession, d: String,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
     cachedPairStats(s, d, maxDf)
       .select(
         col("a"), col("b"),
         round(col("inter").cast("double") /
               (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= minSim)
-      .orderBy(col("a"), col("b"))
-  }
 
   /** Shared pair stage of the shingle-overlap family: candidate pairs from
     * a self-join on the 8-byte shingle hash, packed-long pair counting,
@@ -882,7 +896,7 @@ object DedupOps {
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
     clusterCache.getOrElseUpdate(s, s"$d#$minSim#$maxDf") { (ss, _) =>
       // clusters() already checkpoints its result — store the leaf as-is
-      clusters(ngramJaccardPairs(ss, d, minSim, maxDf)
+      clusters(jaccardPairsUnsorted(ss, d, minSim, maxDf)
         .select(col("a"), col("b")))
     }.orderBy(col("doc_id"))
 
@@ -930,7 +944,7 @@ object DedupOps {
   def clusterTransitivity(s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
     val labels = duplicateClusters(s, d, minSim, maxDf)
-    val direct = ngramJaccardPairs(s, d, minSim, maxDf)
+    val direct = jaccardPairsUnsorted(s, d, minSim, maxDf)
       .join(labels.select(col("doc_id").as("a"), col("cluster_id")), Seq("a"))
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_direct"))
     val perCluster = labels.groupBy(col("cluster_id"))
@@ -999,7 +1013,7 @@ object DedupOps {
       s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    ngramJaccardPairs(s, d, minSim, maxDf)
+    jaccardPairsUnsorted(s, d, minSim, maxDf)
       .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
       .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
       .select(
@@ -1199,6 +1213,79 @@ object DedupOps {
       .orderBy(col("degree"))
   }
 
+  /** Bounded k-core peel of the near-duplicate graph: repeatedly drop
+    * documents with fewer than `kCore` surviving neighbors (`rounds`
+    * iterations), reporting the raw graph's size after each peel — the
+    * standard "dense redundancy core vs sparse halo" decomposition a
+    * dedup review consults before choosing what to delete: the k-core
+    * is boilerplate/template mass (every member redundant many times
+    * over), the first-peel shell is one-off near-dups a gentler policy
+    * might keep.
+    *
+    * CLOSED FORM on the exact-dup contracted graph ([[thresholdCurve]] /
+    * [[neardupDegreeDist]] stance): members of a group share one raw
+    * neighborhood — `deg_G = (w_G − 1) + Σ_{H ∈ N(G) alive} w_H` — so
+    * groups peel ATOMICALLY and every round is one join + rollup over
+    * the CANONICAL edge set, never the raw expansion; raw doc/edge
+    * counts roll up group weights (`w_A·w_B` per canon edge, `C(w,2)`
+    * within groups). With no exact duplicates (w ≡ 1) this is verbatim
+    * the raw peel. Each round's survivor set is locally checkpointed —
+    * the iterative-graph contract at 100 TB: per-round state is the
+    * contracted node set, lineage stays one round deep, and the `rounds`
+    * bound makes cost explicit (a full decomposition loops until the
+    * fixed point; the curve through round `rounds` is the review
+    * artifact). The DuckDB twin replays the RAW peel — the agreement of
+    * the two formulations is exactly what the oracle checks.
+    */
+  def kcorePeel(s: SparkSession, d: String, kCore: Int = 2, rounds: Int = 3,
+      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+    require(kCore >= 1 && rounds >= 0, s"bad peel: k=$kCore rounds=$rounds")
+    val art = canonPairArtifacts(s, d, maxDf)
+    val edges = art.stats
+      .where(round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6) >= minSim)
+      .select(col("a"), col("b"))
+    val nodes = art.sizes.select(col("doc_id").as("g"))
+      .join(art.weights.select(col("canon").as("g"), col("w")), Seq("g"))
+    val endpoints = edges.select(explode(array(col("a"), col("b"))).as("g"))
+      .distinct()
+    val alive0 = nodes.join(endpoints, Seq("g"), "left_semi")
+      .unionByName(nodes.where(col("w") >= 2L))
+      .distinct()
+    var alive = alive0.localCheckpoint(true)
+    val summaries = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def summarize(r: Int, al: DataFrame): DataFrame = {
+      val aw = al.select(col("g").as("a"), col("w").as("wa"))
+      val bw = al.select(col("g").as("b"), col("w").as("wb"))
+      val crossE = edges.join(aw, Seq("a")).join(bw, Seq("b"))
+        .agg(coalesce(sum(col("wa") * col("wb")), lit(0L)).as("ec"))
+      val withinE = al.where(col("w") >= 2L)
+        .agg(coalesce(sum(shiftright(col("w") * (col("w") - 1L), 1)), lit(0L))
+          .as("ew"))
+      val docs = al.agg(coalesce(sum(col("w")), lit(0L)).as("n_docs"))
+      docs.crossJoin(crossE).crossJoin(withinE)
+        .select(lit(r).as("round"), col("n_docs"),
+          (col("ec") + col("ew")).as("n_edges"))
+    }
+    summaries += summarize(0, alive)
+    for (r <- 1 to rounds) {
+      val aw = alive.select(col("g").as("a"), col("w").as("wa"))
+      val bw = alive.select(col("g").as("b"), col("w").as("wb"))
+      val degCross = edges.join(aw, Seq("a")).join(bw, Seq("b"))
+        .select(explode(array(
+          struct(col("a").as("g"), col("wb").as("wn")),
+          struct(col("b").as("g"), col("wa").as("wn")))).as("e"))
+        .select(col("e.g").as("g"), col("e.wn").as("wn"))
+        .groupBy(col("g")).agg(sum(col("wn")).as("dc"))
+      alive = alive.join(degCross, Seq("g"), "left")
+        .where(coalesce(col("dc"), lit(0L)) + col("w") - 1L >= kCore)
+        .select(col("g"), col("w"))
+        .localCheckpoint(true)
+      summaries += summarize(r, alive)
+    }
+    summaries.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** Portable 64-bit SimHash as 4×16-bit chunk values: token hashes are
     * md5 hex digests read nibble-by-nibble, the per-bit majority vote is
     * `2·ones > n`, and each chunk packs 16 votes MSB-first (the pqCodes
@@ -1265,7 +1352,7 @@ object DedupOps {
     */
   def sketchCalibration(s: SparkSession, d: String): DataFrame = {
     val est = minhashLshPairs(s, d)
-    val exact = ngramJaccardPairs(s, d, minSim = 0.0, maxDf = 1000L)
+    val exact = jaccardPairsUnsorted(s, d, minSim = 0.0, maxDf = 1000L)
       .select(col("a"), col("b"), col("jaccard"))
     est.join(exact, Seq("a", "b"), "left")
       .select(
@@ -1303,7 +1390,7 @@ object DedupOps {
     */
   def nearestNeighbors(s: SparkSession, d: String,
       maxDf: Long = 1000L): DataFrame = {
-    val p = ngramJaccardPairs(s, d, minSim = 0.0, maxDf = maxDf)
+    val p = jaccardPairsUnsorted(s, d, minSim = 0.0, maxDf = maxDf)
       .select(col("a"), col("b"),
         round(col("jaccard") * 1e6, 0).cast("long").as("jq"))
     p.select(explode(array(
@@ -1441,7 +1528,7 @@ object DedupOps {
       minSim: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
     val sig = portableSigs(s, d, k)
     // cheap projection of the memoized pair-stats table — no extra persist
-    val truePairs = ngramJaccardPairs(s, d, minSim = 0.0, maxDf = maxDf)
+    val truePairs = jaccardPairsUnsorted(s, d, minSim = 0.0, maxDf = maxDf)
       .where(col("jaccard") >= minSim)
       .select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
     val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
