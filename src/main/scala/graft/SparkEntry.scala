@@ -1547,6 +1547,7 @@ object SparkEntry {
     "q_dedup_cluster_reps" -> ((s, d) => DedupOps.clusterReps(s, d)),
     "q_dedup_cross_source" -> ((s, d) => DedupOps.crossSourceLeakage(s, d)),
     "q_dedup_degree_dist" -> ((s, d) => DedupOps.neardupDegreeDist(s, d)),
+    "q_dedup_kcore" -> ((s, d) => DedupOps.kcorePeel(s, d)),
     "q_dedup_triangles" -> ((s, d) => DedupOps.neardupTriangles(s, d)),
     "q_dedup_hybrid" -> ((s, d) => DedupOps.hybridNearDup(s, d)),
     // deterministic arrival batch: every 25th document re-submitted under
@@ -2641,6 +2642,7 @@ object SparkEntry {
         |    AS capped_postings
         |FROM df GROUP BY 1 ORDER BY df_bucket""".stripMargin,
     // q_dedup_ngram_jaccard's pair CTE + two shrinking degree rollups
+    "q_dedup_kcore" -> kcoreTwin(k = 2, rounds = 3),
     "q_dedup_degree_dist" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |shs AS (SELECT doc_id,
@@ -4047,6 +4049,7 @@ object SparkEntry {
     "q_vec_ivf_recall" -> ((s, d) => VectorOps.ivfRecallAudit(s, d)),
     "q_vec_quant_recall" -> ((s, d) => VectorOps.quantRecallAudit(s, d)),
     "q_vec_sim_pagerank" -> ((s, d) => VectorOps.simGraphPageRank(s, d)),
+    "q_vec_mmr" -> ((s, d) => VectorOps.mmrTopK(s, d)),
     "q_vec_pq_recall" -> ((s, d) => VectorOps.pqRecallAudit(s, d)),
     "q_vec_centroid_drift" -> (VectorOps.centroidDrift _),
     "q_vec_knn_eval" -> ((s, d) => VectorOps.knnEval(s, d)),
@@ -4059,6 +4062,109 @@ object SparkEntry {
     "q_media_resize" -> ((s, d) => MultimodalOps.resizeStub(s, d)))
 
   private def duckCos(v1: String, v2: String): String = duckCosN(v1, v2, 64)
+
+  /** Replays [[graft.operators.DedupOps.kcorePeel]] as the RAW
+    * bounded peel, unrolled one CTE trio (deg/nodes/edges) per round —
+    * the engine runs the closed-form peel on the exact-dup contracted
+    * graph; the twin's raw formulation agreeing is the check.
+    */
+  private def kcoreTwin(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""d$r AS (SELECT doc_id, count(*) AS deg FROM (
+         |    SELECT a AS doc_id FROM e$p UNION ALL SELECT b AS doc_id FROM e$p)
+         |  GROUP BY 1),
+         |n$r AS (SELECT doc_id FROM d$r WHERE deg >= $k),
+         |e$r AS (SELECT e.a, e.b FROM e$p e
+         |        JOIN n$r x ON e.a = x.doc_id
+         |        JOIN n$r y ON e.b = y.doc_id),
+         |s$r AS (SELECT $r AS round,
+         |          (SELECT count(*) FROM n$r) AS n_docs,
+         |          (SELECT count(*) FROM e$r) AS n_edges)""".stripMargin
+    }.mkString(",\n")
+    val outs = (0 to rounds).map(r => s"SELECT * FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shs AS (SELECT doc_id,
+       |          list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                         for i in range(1, len(toks) - 1)]) AS shl
+       |        FROM t WHERE len(toks) >= 3),
+       |sh0 AS (SELECT doc_id, unnest(shl) AS sh FROM shs),
+       |capped AS (SELECT doc_id, sh FROM (
+       |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+       |  WHERE df <= 1000),
+       |sh AS (SELECT doc_id, sh,
+       |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
+       |e0 AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jac FROM (
+       |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+       |             count(*) AS inter
+       |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |      GROUP BY 1, 2, 3, 4))
+       |  WHERE jac >= 0.2),
+       |n0 AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT a AS doc_id FROM e0 UNION ALL SELECT b AS doc_id FROM e0)),
+       |s0 AS (SELECT 0 AS round,
+       |         (SELECT count(*) FROM n0) AS n_docs,
+       |         (SELECT count(*) FROM e0) AS n_edges),
+       |$peels
+       |$outs
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Replays [[graft.operators.VectorOps.mmrTopK]]'s greedy selection as
+    * `k` unrolled argmax CTEs (the Lloyd's/BPE twin trick): pool and
+    * pool×pool similarities micro-quantize exactly like the engine, each
+    * step's pick maximizes the SAME integer objective
+    * `λnum·relq − (λden−λnum)·msq` with ties to the smaller vec_id.
+    */
+  private def mmrTwin(queryId: Long, k: Int, pool: Int,
+      lambdaNum: Long, lambdaDen: Long): String = {
+    val mu = lambdaDen - lambdaNum
+    val steps = (2 to k).map { i =>
+      val prev = i - 1
+      s"""cand$i AS (
+         |  SELECT r.vec_id, r.label, r.relq, max(s.sq) AS msq
+         |  FROM relm r JOIN sims s ON s.va = r.vec_id
+         |    AND s.vb IN (SELECT vec_id FROM sel$prev)
+         |  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel$prev)
+         |  GROUP BY r.vec_id, r.label, r.relq),
+         |pick$i AS (
+         |  SELECT vec_id, label, relq, msq, $lambdaNum*relq - $mu*msq AS num
+         |  FROM cand$i ORDER BY num DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM sel$prev
+         |          UNION ALL SELECT vec_id FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to k).map { i =>
+      s"""SELECT $i AS rank, vec_id, label, relq/1e6 AS rel,
+         |  ${if (i == 1) "CAST(0 AS DOUBLE)" else "msq/1e6"} AS max_sim_prior,
+         |  CAST(num AS DOUBLE)/${lambdaDen}e6 AS mmr_score FROM pick$i"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+       |           WHERE vec_id = $queryId),
+       |pool AS (
+       |  SELECT vec_id, label,
+       |    round(${duckCos("embedding", "qv")}, 6) AS rel, embedding
+       |  FROM embeddings, q WHERE vec_id <> $queryId
+       |  ORDER BY rel DESC, vec_id LIMIT $pool),
+       |relm AS (SELECT vec_id, label,
+       |           CAST(round(rel*1e6, 0) AS BIGINT) AS relq FROM pool),
+       |sims AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    CAST(round(round(${duckCos("a.embedding", "b.embedding")}, 6)
+       |               *1e6, 0) AS BIGINT) AS sq
+       |  FROM pool a, pool b WHERE a.vec_id <> b.vec_id),
+       |pick1 AS (
+       |  SELECT vec_id, label, relq, CAST(0 AS BIGINT) AS msq,
+       |    $lambdaNum*relq AS num
+       |  FROM relm ORDER BY num DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM pick1),
+       |$steps
+       |$outs
+       |ORDER BY rank""".stripMargin
+  }
 
   /** Replays [[graft.operators.RetrievalOps.bpeLearn]] as unrolled CTEs
     * (the k-means/PCA twin trick): per round, frequency-weighted adjacent
@@ -4446,6 +4552,8 @@ object SparkEntry {
          |  round(${duckCos("embedding", "qv")}, 6) AS cos_sim
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vec_mmr" ->
+      mmrTwin(queryId = 0L, k = 5, pool = 20, lambdaNum = 7L, lambdaDen = 10L),
     "q_vec_ivf_topk" ->
       s"""WITH cells AS (
          |  SELECT vec_id, embedding,

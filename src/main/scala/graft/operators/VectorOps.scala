@@ -1572,4 +1572,80 @@ object VectorOps {
         round(cosine(col("c"), col("g")), 6).as("sep_global"))
       .orderBy(col("label"))
   }
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily pick `k` results from the `poolSize` most-relevant
+    * candidates, each step maximizing
+    * `λ·rel(c, q) − (1−λ)·max_{s∈selected} sim(c, s)` — the standard
+    * redundancy-suppressing re-rank between a retriever and a consumer
+    * (RAG context windows, dedup'd search pages, eval-set selection).
+    * The plain top-k faces ([[cosineTopK]] etc.) return near-duplicate
+    * neighbors as separate hits; this returns one representative per
+    * redundancy cluster plus the diversity tail.
+    *
+    * Plan: ONE distributed action — the candidate pool (a TakeOrdered
+    * subtree, `poolSize` rows) cross-joins itself so a single collect
+    * returns every candidate with its relevance AND the full pool×pool
+    * similarity matrix, all micro-quantized via the native [[cosine]]
+    * kernel. The greedy selection then runs on driver state of
+    * `poolSize²` longs (model-sized — the trainKmeans contract) in EXACT
+    * integer arithmetic: λ = `lambdaNum`/`lambdaDen` rationalizes the
+    * MMR objective to `lambdaNum·relq − (lambdaDen−lambdaNum)·msq`
+    * micro-units, ties to the smaller vec_id, so the selection is
+    * engine-independent and the DuckDB twin (k unrolled argmax CTEs)
+    * hash-matches. At 100 TB the corpus-sized work is exactly the two
+    * pool scans inside the one action; everything after is O(pool²)
+    * driver arithmetic.
+    */
+  def mmrTopK(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 5,
+      poolSize: Int = 20, lambdaNum: Long = 7L, lambdaDen: Long = 10L)
+      : DataFrame = {
+    require(k >= 1 && poolSize >= k && lambdaNum >= 0 && lambdaDen > lambdaNum,
+      s"bad MMR parameters: k=$k pool=$poolSize λ=$lambdaNum/$lambdaDen")
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val q = broadcast(emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv")))
+    val pool = emb.crossJoin(q).where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("qv")), 6).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(poolSize)
+    // diagonal rows kept so singleton pools still surface candidates;
+    // the greedy loop skips va == vb when reading the sim matrix
+    val rows = pool.select(col("vec_id").as("va"), col("label").as("la"),
+        round(col("rel") * 1e6, 0).cast("long").as("relq"),
+        col("embedding").as("ea"))
+      .crossJoin(pool.select(col("vec_id").as("vb"), col("embedding").as("eb")))
+      .select(col("va"), col("la"), col("relq"), col("vb"),
+        round(round(cosine(col("ea"), col("eb")), 6) * 1e6, 0)
+          .cast("long").as("sq"))
+      .collect()
+    final case class Cand(id: Long, label: Int, relq: Long)
+    val cands = rows.map(r => Cand(r.getLong(0), r.getInt(1), r.getLong(2)))
+      .distinct.sortBy(_.id)
+    val sim = rows.iterator
+      .map(r => ((r.getLong(0), r.getLong(3)), r.getLong(4))).toMap
+    val muNum = (lambdaDen - lambdaNum)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, Long, Int, Long, Long, Long)] // rank, id, label, relq, msq, num
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (picked.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val msq =
+          if (picked.isEmpty) 0L
+          else picked.map(p => sim((c.id, p._2))).max
+        (c, msq, lambdaNum * c.relq - (if (picked.isEmpty) 0L else muNum * msq))
+      }
+      val best = scored.minBy { case (c, _, num) => (-num, c.id) }
+      picked += ((picked.size + 1, best._1.id, best._1.label, best._1.relq,
+        best._2, best._3))
+      remaining -= best._1
+    }
+    val denom = 1e6 * lambdaDen
+    picked.toSeq.map { case (rank, id, label, relq, msq, num) =>
+      (rank, id, label, relq.toDouble / 1e6,
+        if (rank == 1) 0.0 else msq.toDouble / 1e6, num.toDouble / denom)
+    }.toDF("rank", "vec_id", "label", "rel", "max_sim_prior", "mmr_score")
+  }
 }

@@ -172,6 +172,25 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
           }
         }
         assert(gotCurve === wantCurve, s"curve cap=$cap corpus=$rows")
+
+        // bounded k-core peel: the contracted group-atomic peel must
+        // equal the raw peel over the brute-force pair set, round by round
+        val kc = 2
+        var eCur = raw.map(p => (p._1, p._2))
+        var nCur = eCur.flatMap(p => Seq(p._1, p._2))
+        val wantPeel = scala.collection.mutable.ArrayBuffer(
+          (0, nCur.size.toLong, eCur.size.toLong))
+        for (r <- 1 to 2) {
+          val deg = eCur.toSeq.flatMap(p => Seq(p._1, p._2))
+            .groupBy(identity).map { case (n, v) => n -> v.size }
+          nCur = nCur.filter(n => deg.getOrElse(n, 0) >= kc)
+          eCur = eCur.filter(p => nCur(p._1) && nCur(p._2))
+          wantPeel += ((r, nCur.size.toLong, eCur.size.toLong))
+        }
+        val gotPeel = DedupOps.kcorePeel(spark, d, kCore = kc, rounds = 2,
+            minSim = t, maxDf = cap)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(gotPeel === wantPeel.toSeq, s"kcore cap=$cap corpus=$rows")
       }
     }
   }
@@ -589,6 +608,59 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
       assert(ov <= r.getAs[Long]("n_cell_cands"))
       assert(math.abs(r.getAs[Double]("recall_at_k") - ov / 5.0) < 1e-9)
     }
+  }
+
+  test("mmrTopK: greedy selection matches an independent brute force") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q6(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val qv = emb.find(_._1 == 0L).get._3
+    val pool = emb.filter(_._1 != 0L)
+      .map(t => (t._1, t._2, r6(cos(t._3, qv)), t._3))
+      .sortBy(t => (-t._3, t._1)).take(20)
+    val relq = pool.map(t => t._1 -> q6(t._3)).toMap
+    val sim = (for (a <- pool; b <- pool if a._1 != b._1)
+      yield ((a._1, b._1), q6(r6(cos(a._4, b._4))))).toMap
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long)] // rank, id, msq, num
+    val remaining = scala.collection.mutable.ArrayBuffer(pool.map(_._1): _*)
+    while (picked.size < 5) {
+      val scored = remaining.map { id =>
+        val ms = if (picked.isEmpty) 0L
+                 else picked.map(p => sim((id, p._2))).max
+        (id, ms, 7L * relq(id) - (if (picked.isEmpty) 0L else 3L * ms))
+      }
+      val best = scored.minBy { case (id, _, num) => (-num, id) }
+      picked += ((picked.size + 1, best._1, best._2, best._3))
+      remaining -= best._1
+    }
+    val got = VectorOps.mmrTopK(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.length === 5)
+    got.zip(picked).foreach { case (g, w) =>
+      assert(g._1 === w._1 && g._2 === w._2, s"pick mismatch: $g vs $w")
+      assert(g._4 === relq(w._2).toDouble / 1e6)
+      assert(g._5 === (if (w._1 == 1) 0.0 else w._3.toDouble / 1e6))
+      assert(g._6 === w._4.toDouble / 1e7)
+    }
+    // rank 1 is the pure-relevance argmax; ids are distinct
+    assert(got.head._2 === pool.head._1)
+    assert(got.map(_._2).distinct.length === 5)
   }
 
   test("matryoshkaAudit: full-dim prefix is a perfect overlap; counts bounded") {
