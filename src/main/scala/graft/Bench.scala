@@ -68,6 +68,20 @@ object Bench {
           if (dt < floor.getOrElse(key, Double.MaxValue)) floor(key) = dt
         } catch { case _: Throwable => () } // floor is advisory, never fatal
       }
+      // `spin` — fixed single-thread CPU work (50M LCG steps): a pure
+      // host-speed gauge. Cross-window bench totals are only comparable
+      // when spins match (this session measured the SAME suite 84 s vs
+      // 145 s across windows whose spin-equivalent differed ~1.6× — VM
+      // throttling, not regressions; PERF_r11 §10).
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < 50000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= (x >>> 33); i += 1
+      }
+      if (x == 42L) System.err.print("") // defeat dead-code elimination
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dt < floor.getOrElse("spin", Double.MaxValue)) floor("spin") = dt
     }
     for (_ <- 0 until runs; name <- "__floor__" +: names) {
       if (name == "__floor__") { probeFloor() } else {
@@ -90,6 +104,19 @@ object Bench {
       }
       }
     }
+    // JIT code-cache occupancy at end of run (MB): the 236-query suite
+    // generates enough codegen classes to exhaust the JVM's default
+    // 240 MB reserved cache, after which stages run INTERPRETED at
+    // uniform 10–20× (PERF_r11 §10 — the r10 driver-window floor
+    // suspect). build.sbt reserves 1g; this gauge proves headroom in
+    // whatever window the bench ran.
+    try {
+      import scala.jdk.CollectionConverters._
+      val used = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum
+      floor("ccache_used_mb") = math.round(used / 1e4) / 100.0
+    } catch { case _: Throwable => () }
     spark.stop()
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that window. At 148 queries the full per-query map is

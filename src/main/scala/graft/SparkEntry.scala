@@ -4071,11 +4071,11 @@ object SparkEntry {
   private def kcoreTwin(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { r =>
       val p = r - 1
-      s"""d$r AS (SELECT doc_id, count(*) AS deg FROM (
+      s"""d$r AS MATERIALIZED (SELECT doc_id, count(*) AS deg FROM (
          |    SELECT a AS doc_id FROM e$p UNION ALL SELECT b AS doc_id FROM e$p)
          |  GROUP BY 1),
-         |n$r AS (SELECT doc_id FROM d$r WHERE deg >= $k),
-         |e$r AS (SELECT e.a, e.b FROM e$p e
+         |n$r AS MATERIALIZED (SELECT doc_id FROM d$r WHERE deg >= $k),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e$p e
          |        JOIN n$r x ON e.a = x.doc_id
          |        JOIN n$r y ON e.b = y.doc_id),
          |s$r AS (SELECT $r AS round,
@@ -4093,9 +4093,9 @@ object SparkEntry {
        |capped AS (SELECT doc_id, sh FROM (
        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
        |  WHERE df <= 1000),
-       |sh AS (SELECT doc_id, sh,
+       |sh AS MATERIALIZED (SELECT doc_id, sh,
        |         count(*) OVER (PARTITION BY doc_id) AS n_sh FROM capped),
-       |e0 AS (
+       |e0 AS MATERIALIZED (
        |  SELECT a, b FROM (
        |    SELECT a, b, round(inter::DOUBLE / (na + nb - inter), 6) AS jac FROM (
        |      SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
@@ -4103,7 +4103,7 @@ object SparkEntry {
        |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
        |      GROUP BY 1, 2, 3, 4))
        |  WHERE jac >= 0.2),
-       |n0 AS (SELECT DISTINCT doc_id FROM (
+       |n0 AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
        |    SELECT a AS doc_id FROM e0 UNION ALL SELECT b AS doc_id FROM e0)),
        |s0 AS (SELECT 0 AS round,
        |         (SELECT count(*) FROM n0) AS n_docs,

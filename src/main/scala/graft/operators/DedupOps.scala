@@ -1225,21 +1225,31 @@ object DedupOps {
     * CLOSED FORM on the exact-dup contracted graph ([[thresholdCurve]] /
     * [[neardupDegreeDist]] stance): members of a group share one raw
     * neighborhood — `deg_G = (w_G − 1) + Σ_{H ∈ N(G) alive} w_H` — so
-    * groups peel ATOMICALLY and every round is one join + rollup over
-    * the CANONICAL edge set, never the raw expansion; raw doc/edge
-    * counts roll up group weights (`w_A·w_B` per canon edge, `C(w,2)`
-    * within groups). With no exact duplicates (w ≡ 1) this is verbatim
-    * the raw peel. Each round's survivor set is locally checkpointed —
-    * the iterative-graph contract at 100 TB: per-round state is the
-    * contracted node set, lineage stays one round deep, and the `rounds`
-    * bound makes cost explicit (a full decomposition loops until the
-    * fixed point; the curve through round `rounds` is the review
-    * artifact). The DuckDB twin replays the RAW peel — the agreement of
-    * the two formulations is exactly what the oracle checks.
+    * groups peel ATOMICALLY and every round needs only the CANONICAL
+    * edge set with group weights, never the raw expansion; raw doc/edge
+    * counts roll up weights (`w_A·w_B` per canon edge, `C(w,2)` within
+    * groups). With no exact duplicates (w ≡ 1) this is verbatim the raw
+    * peel.
+    *
+    * Execution is size-gated like [[incrementalClusters]]: the peel's
+    * working set is the CONTRACTED edge list — already output-sized
+    * (the memoized pair-stats artifact), orders of magnitude below the
+    * corpus — so below `smallGraphEdges` the whole iteration runs as a
+    * driver loop over collected (edge, weight) arrays (exact long
+    * arithmetic, microseconds, ONE distributed read of the checkpointed
+    * stats leaf; the per-round distributed spelling measured 2.4 s warm
+    * at sf0.1 — pure rounds × job-launch overhead). Above the gate the
+    * identical recurrence runs distributed, one join+rollup per round
+    * with each survivor set locally checkpointed (lineage one round
+    * deep — the iterative-graph contract; the spec pins both paths to
+    * the same rows). The DuckDB twin replays the RAW peel (MATERIALIZED
+    * CTEs) — the agreement of the two formulations is the check.
     */
   def kcorePeel(s: SparkSession, d: String, kCore: Int = 2, rounds: Int = 3,
-      minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
+      minSim: Double = 0.2, maxDf: Long = 1000L,
+      smallGraphEdges: Long = 1L << 20): DataFrame = {
     require(kCore >= 1 && rounds >= 0, s"bad peel: k=$kCore rounds=$rounds")
+    import s.implicits._
     val art = canonPairArtifacts(s, d, maxDf)
     val edges = art.stats
       .where(round(col("inter").cast("double") /
@@ -1247,43 +1257,76 @@ object DedupOps {
       .select(col("a"), col("b"))
     val nodes = art.sizes.select(col("doc_id").as("g"))
       .join(art.weights.select(col("canon").as("g"), col("w")), Seq("g"))
-    val endpoints = edges.select(explode(array(col("a"), col("b"))).as("g"))
-      .distinct()
-    val alive0 = nodes.join(endpoints, Seq("g"), "left_semi")
-      .unionByName(nodes.where(col("w") >= 2L))
-      .distinct()
-    var alive = alive0.localCheckpoint(true)
-    val summaries = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def summarize(r: Int, al: DataFrame): DataFrame = {
-      val aw = al.select(col("g").as("a"), col("w").as("wa"))
-      val bw = al.select(col("g").as("b"), col("w").as("wb"))
-      val crossE = edges.join(aw, Seq("a")).join(bw, Seq("b"))
-        .agg(coalesce(sum(col("wa") * col("wb")), lit(0L)).as("ec"))
-      val withinE = al.where(col("w") >= 2L)
-        .agg(coalesce(sum(shiftright(col("w") * (col("w") - 1L), 1)), lit(0L))
-          .as("ew"))
-      val docs = al.agg(coalesce(sum(col("w")), lit(0L)).as("n_docs"))
-      docs.crossJoin(crossE).crossJoin(withinE)
-        .select(lit(r).as("round"), col("n_docs"),
-          (col("ec") + col("ew")).as("n_edges"))
+    if (edges.count() <= smallGraphEdges) {
+      // ---- driver fast path: the contracted graph fits comfortably ----
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val incident = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val w = nodes.collect().iterator
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var alive = w.keySet.filter(g => incident(g) || w(g) >= 2L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      def summarize(r: Int): Unit = {
+        val nDocs = alive.iterator.map(w).sum
+        val ec = es.iterator.filter(e => alive(e._1) && alive(e._2))
+          .map(e => w(e._1) * w(e._2)).sum
+        val ew = alive.iterator.map(w).filter(_ >= 2L)
+          .map(x => x * (x - 1L) >> 1).sum
+        out += ((r, nDocs, ec + ew))
+      }
+      summarize(0)
+      for (r <- 1 to rounds) {
+        val dc = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { e =>
+          if (alive(e._1) && alive(e._2)) {
+            dc(e._1) += w(e._2); dc(e._2) += w(e._1)
+          }
+        }
+        alive = alive.filter(g => dc(g) + w(g) - 1L >= kCore)
+        summarize(r)
+      }
+      out.toSeq.toDF("round", "n_docs", "n_edges").orderBy(col("round"))
+    } else {
+      // ---- distributed path: identical recurrence, one checkpointed ----
+      // ---- survivor set per round                                   ----
+      val endpoints = edges.select(explode(array(col("a"), col("b"))).as("g"))
+        .distinct()
+      val alive0 = nodes.join(endpoints, Seq("g"), "left_semi")
+        .unionByName(nodes.where(col("w") >= 2L))
+        .distinct()
+      var alive = alive0.localCheckpoint(true)
+      val summaries = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def summarize(r: Int, al: DataFrame): DataFrame = {
+        val aw = al.select(col("g").as("a"), col("w").as("wa"))
+        val bw = al.select(col("g").as("b"), col("w").as("wb"))
+        val crossE = edges.join(aw, Seq("a")).join(bw, Seq("b"))
+          .agg(coalesce(sum(col("wa") * col("wb")), lit(0L)).as("ec"))
+        val withinE = al.where(col("w") >= 2L)
+          .agg(coalesce(sum(shiftright(col("w") * (col("w") - 1L), 1)), lit(0L))
+            .as("ew"))
+        val docs = al.agg(coalesce(sum(col("w")), lit(0L)).as("n_docs"))
+        docs.crossJoin(crossE).crossJoin(withinE)
+          .select(lit(r).as("round"), col("n_docs"),
+            (col("ec") + col("ew")).as("n_edges"))
+      }
+      summaries += summarize(0, alive)
+      for (r <- 1 to rounds) {
+        val degCross = edges
+          .join(alive.select(col("g").as("a"), col("w").as("wa")), Seq("a"))
+          .join(alive.select(col("g").as("b"), col("w").as("wb")), Seq("b"))
+          .select(explode(array(
+            struct(col("a").as("g"), col("wb").as("wn")),
+            struct(col("b").as("g"), col("wa").as("wn")))).as("e"))
+          .select(col("e.g").as("g"), col("e.wn").as("wn"))
+          .groupBy(col("g")).agg(sum(col("wn")).as("dc"))
+        alive = alive.join(degCross, Seq("g"), "left")
+          .where(coalesce(col("dc"), lit(0L)) + col("w") - 1L >= kCore)
+          .select(col("g"), col("w"))
+          .localCheckpoint(true)
+        summaries += summarize(r, alive)
+      }
+      summaries.reduce(_ unionByName _).orderBy(col("round"))
     }
-    summaries += summarize(0, alive)
-    for (r <- 1 to rounds) {
-      val aw = alive.select(col("g").as("a"), col("w").as("wa"))
-      val bw = alive.select(col("g").as("b"), col("w").as("wb"))
-      val degCross = edges.join(aw, Seq("a")).join(bw, Seq("b"))
-        .select(explode(array(
-          struct(col("a").as("g"), col("wb").as("wn")),
-          struct(col("b").as("g"), col("wa").as("wn")))).as("e"))
-        .select(col("e.g").as("g"), col("e.wn").as("wn"))
-        .groupBy(col("g")).agg(sum(col("wn")).as("dc"))
-      alive = alive.join(degCross, Seq("g"), "left")
-        .where(coalesce(col("dc"), lit(0L)) + col("w") - 1L >= kCore)
-        .select(col("g"), col("w"))
-        .localCheckpoint(true)
-      summaries += summarize(r, alive)
-    }
-    summaries.reduce(_ unionByName _).orderBy(col("round"))
   }
 
   /** Portable 64-bit SimHash as 4×16-bit chunk values: token hashes are

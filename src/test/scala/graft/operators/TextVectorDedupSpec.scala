@@ -187,10 +187,15 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
           eCur = eCur.filter(p => nCur(p._1) && nCur(p._2))
           wantPeel += ((r, nCur.size.toLong, eCur.size.toLong))
         }
-        val gotPeel = DedupOps.kcorePeel(spark, d, kCore = kc, rounds = 2,
-            minSim = t, maxDf = cap)
-          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
-        assert(gotPeel === wantPeel.toSeq, s"kcore cap=$cap corpus=$rows")
+        // both size-gate paths (driver loop / distributed checkpoint
+        // rounds) must equal the brute-force raw peel
+        for (gate <- Seq(1L << 20, 0L)) {
+          val gotPeel = DedupOps.kcorePeel(spark, d, kCore = kc, rounds = 2,
+              minSim = t, maxDf = cap, smallGraphEdges = gate)
+            .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+          assert(gotPeel === wantPeel.toSeq,
+            s"kcore cap=$cap gate=$gate corpus=$rows")
+        }
       }
     }
   }
