@@ -1383,21 +1383,56 @@ object DedupOps {
     * trusted before a corpus-wide dedup commits to it (a band whose
     * mean_abs_err rivals its width is lying to you).
     *
-    * Plan: composes the two existing pair pipelines — the banded LSH
-    * candidates ([[minhashLshPairs]]) LEFT-join the exact pair statistics
-    * ([[ngramJaccardPairs]] at threshold 0, same df-capped shingle
-    * index/cache) on the pair key; both sides are already aggregated
-    * pair-tables, so the join is pair-stage bounded and the rollup output
-    * is ≤ 10 bands at any corpus size. Estimates and exact values
-    * quantize to integer micro-units so every derived mean is an exact
-    * integer sum divided once — engine-identical. Candidates whose capped
-    * shingle sets no longer overlap score exact 0 via the left join.
+    * Plan: the banded LSH candidates ([[minhashLshPairs]]) get their
+    * exact scores via [[exactJaccardLookup]] — candidate-bounded joins
+    * against the CONTRACTED artifacts, never a probe of the raw pair
+    * expansion (r11: the raw left join cost ~28 s/warm-run at the sf1
+    * clique fixture; the lookup prices only the candidates) — and the
+    * rollup output is ≤ 10 bands at any corpus size. Estimates and exact
+    * values quantize to integer micro-units so every derived mean is an
+    * exact integer sum divided once — engine-identical. Candidates whose
+    * capped shingle sets don't overlap score exact 0 via the lookup's
+    * missing→0 coalesce.
     */
+  /** Exact-Jaccard LOOKUP for an arbitrary frame of raw candidate pairs
+    * (columns `a` < `b`, any extras) via the contracted artifacts: a raw
+    * pair's exact score is a pure function of its endpoints' exact-dup
+    * GROUPS — the canon pair's statistics for cross-group pairs, exactly
+    * 1.0 for co-members of a group with a non-empty capped set — so the
+    * lookup is |pairs|-bounded joins against canonical-sized sides, never
+    * a probe of the raw pair EXPANSION (which is ~Σ w_A·w_B rows on
+    * replicated corpora: at the sf1 clique fixture a left join against it
+    * cost [[sketchCalibration]] ~28 s/warm-run; this form prices only the
+    * candidates). Adds `jaccard` (null when the endpoints share no capped
+    * shingle — same missing semantics as the raw left join).
+    */
+  private def exactJaccardLookup(s: SparkSession, d: String,
+      pairs: DataFrame, maxDf: Long): DataFrame = {
+    val art = canonPairArtifacts(s, d, maxDf)
+    val (members, _) = contraction(s, d)
+    val canonJ = art.stats.select(
+      col("a").as("__cl"), col("b").as("__ch"),
+      round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6).as("__jx"))
+    val within = art.sizes
+      .select(col("doc_id").as("__cw"), lit(1.0).as("__jw"))
+    pairs
+      .join(members.select(col("doc_id").as("a"), col("canon").as("__ca")),
+        Seq("a"))
+      .join(members.select(col("doc_id").as("b"), col("canon").as("__cb")),
+        Seq("b"))
+      .join(canonJ,
+        least(col("__ca"), col("__cb")) === col("__cl") &&
+          greatest(col("__ca"), col("__cb")) === col("__ch"), "left")
+      .join(within,
+        col("__ca") === col("__cb") && col("__ca") === col("__cw"), "left")
+      .select(pairs.columns.map(col) :+
+        coalesce(col("__jx"), col("__jw")).as("jaccard"): _*)
+  }
+
   def sketchCalibration(s: SparkSession, d: String): DataFrame = {
     val est = minhashLshPairs(s, d)
-    val exact = jaccardPairsUnsorted(s, d, minSim = 0.0, maxDf = 1000L)
-      .select(col("a"), col("b"), col("jaccard"))
-    est.join(exact, Seq("a", "b"), "left")
+    est.transform(exactJaccardLookup(s, d, _, maxDf = 1000L))
       .select(
         floor(col("est_jaccard") * 10).cast("int").as("band10"),
         round(col("est_jaccard") * 1e6, 0).cast("long").as("eq"),
@@ -1563,18 +1598,38 @@ object DedupOps {
     * Plan: ONE signature table (the memoized [[portableMinhashSig]]
     * cache shared with [[minhashLshPairs]]) banded three ways; each
     * banding is a bucket-keyed self-join whose distinct-pair rollup
-    * shuffles packed 8-byte keys, then a broadcast-sized count join
-    * against the memoized exact pair-stats table. Nothing is all-pairs;
-    * the true set reuses the corpus's one C(f,2) materialization.
+    * shuffles packed 8-byte keys. Truth is contraction-closed-form on
+    * both sides (r11): n_true rolls up canon-pair multiplicities (the
+    * [[thresholdCurve]] math at one threshold) and per-candidate hits
+    * come from [[exactJaccardLookup]] — candidate-bounded, never a
+    * membership probe of the raw pair expansion. Nothing is all-pairs.
     */
   def lshTuningCurve(s: SparkSession, d: String, k: Int = 32,
       minSim: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
     val sig = portableSigs(s, d, k)
-    // cheap projection of the memoized pair-stats table — no extra persist
-    val truePairs = jaccardPairsUnsorted(s, d, minSim = 0.0, maxDf = maxDf)
-      .where(col("jaccard") >= minSim)
-      .select(shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
-    val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+    // truth side, contraction-closed-form (the thresholdCurve pairMult
+    // math at one threshold): a canon pair ≥ t stands for wa·wb raw
+    // pairs, a non-empty group of weight w adds C(w,2) at Jaccard 1 —
+    // the raw expansion is never counted row-by-row
+    val truthCut = math.round(minSim * 1e6)
+    val art = canonPairArtifacts(s, d, maxDf)
+    val crossMult = art.stats
+      .select(col("a"), col("b"),
+        round(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6) * 1e6, 0)
+          .cast("long").as("jq"))
+      .where(col("jq") >= truthCut)
+      .join(art.weights.select(col("canon").as("a"), col("w").as("wa")),
+        Seq("a"))
+      .join(art.weights.select(col("canon").as("b"), col("w").as("wb")),
+        Seq("b"))
+      .select((col("wa") * col("wb")).as("mult"))
+    val withinMult = art.sizes.select(col("doc_id").as("a"))
+      .join(art.weights.select(col("canon").as("a"), col("w")), Seq("a"))
+      .where(col("w") >= 2L && lit(1000000L) >= truthCut)
+      .select(shiftright(col("w") * (col("w") - 1L), 1).as("mult"))
+    val nTrue = crossMult.unionByName(withinMult)
+      .agg(coalesce(sum(col("mult")), lit(0L)).as("n_true"))
     // All three band geometries in ONE tagged self-join, not three
     // union'd join branches: each doc explodes to its 16+8+4 (r, band,
     // bucket) tuples once, the join key gains the r tag, and the
@@ -1598,11 +1653,17 @@ object DedupOps {
       .select(col("r"),
         shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
       .distinct()
+    // per-candidate truth via the canon lookup (|cand|-bounded), not a
+    // membership probe of the raw pair expansion
     val counts = cand
-      .join(truePairs.select(col("pair").as("tp")),
-        col("pair") === col("tp"), "left")
+      .select(col("r"),
+        shiftrightunsigned(col("pair"), 32).as("a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
+      .transform(exactJaccardLookup(s, d, _, maxDf))
       .groupBy(col("r"))
-      .agg(count(lit(1)).as("n_cand"), count(col("tp")).as("n_hit"))
+      .agg(count(lit(1)).as("n_cand"),
+        count(when(round(col("jaccard") * 1e6, 0).cast("long") >= truthCut,
+          1)).as("n_hit"))
     import s.implicits._
     val curves = rGrid.toDF("r")
       .join(counts, Seq("r"), "left")
