@@ -1460,26 +1460,75 @@ object DedupOps {
     * with ≥ 1 candidate pair (a doc sharing no capped shingle has no
     * meaningful neighbor).
     *
-    * Plan: both directions of the memoized pair-stats table in one
-    * explode, then an arg-max per doc_id via `max(struct(...))` — a
-    * single high-cardinality-key rollup with map-side partials, no rank
-    * window, no re-scan of texts. Ties (equal micro-quantized Jaccard)
-    * break toward the SMALLER neighbor id on both engines.
+    * CLOSED FORM on the exact-dup contracted graph (r11 — the output is
+    * per-RAW-doc, but nothing about computing it needs the raw pair
+    * EXPANSION): all members of group G share the same cross-group
+    * candidates (every member of neighbor H at the canon pair's jq, best
+    * cross tie-break = H's canon, which IS min(H)'s id), and the
+    * within-group candidates are the other co-members at exact Jaccard 1
+    * — so a member's nearest is `argmax((10⁶, co-member m1/m2), (jq_GH,
+    * canon_H))` where m1/m2 are the group's two smallest ids, and
+    * `n_candidates = (w−1) + Σ_{H∈N(G)} w_H`. Everything before the
+    * final member join is canonical-sized; the member join is
+    * output-sized (one row per doc — the floor for this query's result).
+    * The raw-expansion spelling measured 15.6 s at the sf1 clique
+    * fixture for the same rows; ties (equal micro-quantized Jaccard)
+    * break toward the SMALLER neighbor id on both engines, exactly as
+    * the raw arg-max did.
     */
   def nearestNeighbors(s: SparkSession, d: String,
       maxDf: Long = 1000L): DataFrame = {
-    val p = jaccardPairsUnsorted(s, d, minSim = 0.0, maxDf = maxDf)
-      .select(col("a"), col("b"),
-        round(col("jaccard") * 1e6, 0).cast("long").as("jq"))
-    p.select(explode(array(
-        struct(col("a").as("doc_id"), col("b").as("nbr"), col("jq")),
-        struct(col("b").as("doc_id"), col("a").as("nbr"), col("jq")))).as("e"))
-      .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"),
-        col("e.jq").as("jq"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_candidates"),
-        max(struct(col("jq").as("jq"), (-col("nbr")).as("nnbr"))).as("best"))
-      .select(col("doc_id"), (-col("best.nnbr")).as("nearest_doc"),
+    val art = canonPairArtifacts(s, d, maxDf)
+    val (members, _) = contraction(s, d)
+    val canonJq = art.stats.select(col("a"), col("b"),
+      round(round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6) * 1e6, 0)
+        .cast("long").as("jq"))
+    // per-group best cross candidate (argmax jq, ties -> smaller canon)
+    // and total cross-candidate mass
+    val cross = canonJq
+      .select(explode(array(
+        struct(col("a").as("g"), col("b").as("h"), col("jq")),
+        struct(col("b").as("g"), col("a").as("h"), col("jq")))).as("e"))
+      .select(col("e.g").as("g"), col("e.h").as("h"), col("e.jq").as("jq"))
+      .join(art.weights.select(col("canon").as("h"), col("w").as("wh")),
+        Seq("h"))
+      .groupBy(col("g"))
+      .agg(max(struct(col("jq").as("jq"), (-col("h")).as("negh"))).as("bc"),
+        sum(col("wh")).as("ncross"))
+      .select(col("g"), col("bc.jq").as("cq"), (-col("bc.negh")).as("cn"),
+        col("ncross"))
+    // the group's two smallest member ids (m2 null for singletons):
+    // within-neighbor of m1 is m2, of everyone else m1
+    val m1s = members.groupBy(col("canon")).agg(min(col("doc_id")).as("m1"))
+    val mm = m1s.join(
+      members.join(m1s, Seq("canon")).where(col("doc_id") > col("m1"))
+        .groupBy(col("canon")).agg(min(col("doc_id")).as("m2")),
+      Seq("canon"), "left")
+    val groups = art.sizes.select(col("doc_id").as("canon"))
+      .join(art.weights, Seq("canon"))
+      .join(mm, Seq("canon"))
+      .join(cross.withColumnRenamed("g", "canon"), Seq("canon"), "left")
+      .where(col("w") >= 2L || col("ncross").isNotNull)
+    val withinNbrOf = (docId: Column) =>
+      when(col("w") >= 2L,
+        when(docId === col("m1"), col("m2")).otherwise(col("m1")))
+    groups.join(members, Seq("canon"))
+      .select(col("doc_id"), col("w"), col("cq"), col("cn"),
+        col("ncross"), withinNbrOf(col("doc_id")).as("wn"))
+      .select(col("doc_id"),
+        // argmax of the (jq, -nbr) structs the raw rollup compared —
+        // within candidates sit at exactly 10^6
+        when(col("wn").isNull, struct(col("cq").as("jq"), col("cn").as("nb")))
+          .when(col("cq").isNull, struct(lit(1000000L).as("jq"), col("wn").as("nb")))
+          .when(col("cq") > 1000000L ||
+                (col("cq") === 1000000L && col("cn") < col("wn")),
+            struct(col("cq").as("jq"), col("cn").as("nb")))
+          .otherwise(struct(lit(1000000L).as("jq"), col("wn").as("nb")))
+          .as("best"),
+        (coalesce(col("ncross"), lit(0L)) + col("w") - 1L)
+          .as("n_candidates"))
+      .select(col("doc_id"), col("best.nb").as("nearest_doc"),
         round(col("best.jq").cast("double") / 1e6, 6).as("jaccard"),
         col("n_candidates"))
       .orderBy(col("doc_id"))

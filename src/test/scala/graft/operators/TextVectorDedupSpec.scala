@@ -187,6 +187,20 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
           eCur = eCur.filter(p => nCur(p._1) && nCur(p._2))
           wantPeel += ((r, nCur.size.toLong, eCur.size.toLong))
         }
+        // nearest neighbor: the closed-form (contracted) spelling must
+        // equal the raw arg-max over the brute-force pair set
+        val wantNearest = want.toSeq
+          .flatMap(p => Seq((p._1, p._2, math.round(p._3 * 1e6)),
+                            (p._2, p._1, math.round(p._3 * 1e6))))
+          .groupBy(_._1).toSeq.map { case (docId, cands) =>
+            val best = cands.maxBy(c => (c._3, -c._2))
+            (docId, best._2, best._3.toDouble / 1e6, cands.size.toLong)
+          }.sortBy(_._1)
+        val gotNearest = DedupOps.nearestNeighbors(spark, d, maxDf = cap)
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        assert(gotNearest === wantNearest, s"nearest cap=$cap corpus=$rows")
+
         // both size-gate paths (driver loop / distributed checkpoint
         // rounds) must equal the brute-force raw peel
         for (gate <- Seq(1L << 20, 0L)) {
