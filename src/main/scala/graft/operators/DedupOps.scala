@@ -895,9 +895,35 @@ object DedupOps {
       s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
     clusterCache.getOrElseUpdate(s, s"$d#$minSim#$maxDf") { (ss, _) =>
-      // clusters() already checkpoints its result — store the leaf as-is
-      clusters(jaccardPairsUnsorted(ss, d, minSim, maxDf)
-        .select(col("a"), col("b")))
+      // CLOSED FORM on the exact-dup contracted graph (r11): raw
+      // components are canon components EXPANDED — a group with a
+      // non-empty capped set is internally a Jaccard-1 clique, so its
+      // members all land in their canon's component, and the component's
+      // min raw id IS the min canon (canon = min member id). Label
+      // propagation therefore runs on the CANONICAL edge set (the
+      // organic near-dup graph) instead of the raw expansion (Σ w_A·w_B
+      // edges per canon pair on replicated corpora — at the sf1 clique
+      // fixture that is ~50× more edges per propagation round for
+      // byte-identical labels). Groups with w ≥ 2 and no cross edges
+      // form their own cluster (their within-clique edges qualify at
+      // Jaccard 1 ≥ minSim).
+      val art = canonPairArtifacts(ss, d, maxDf)
+      val (members, _) = contraction(ss, d)
+      val canonEdges = art.stats
+        .where(round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6) >= minSim)
+        .select(col("a"), col("b"))
+      val canonLabels = clusters(canonEdges)
+        .select(col("doc_id").as("canon"), col("cluster_id"))
+      val lonely = art.sizes.select(col("doc_id").as("canon"))
+        .join(art.weights, Seq("canon"))
+        .where(col("w") >= 2L && lit(minSim) <= 1.0)
+        .join(canonLabels, Seq("canon"), "left_anti")
+        .select(col("canon"), col("canon").as("cluster_id"))
+      graft.SessionCache.cut(
+        canonLabels.unionByName(lonely)
+          .join(members, Seq("canon"))
+          .select(col("doc_id"), col("cluster_id")))
     }.orderBy(col("doc_id"))
 
   /** Near-dup cluster-size histogram: log₂-bucketed distribution of
@@ -944,9 +970,33 @@ object DedupOps {
   def clusterTransitivity(s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame = {
     val labels = duplicateClusters(s, d, minSim, maxDf)
-    val direct = jaccardPairsUnsorted(s, d, minSim, maxDf)
-      .join(labels.select(col("doc_id").as("a"), col("cluster_id")), Seq("a"))
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_direct"))
+    // direct-edge counts, contraction-closed-form (r11): a canon pair
+    // ≥ t inside a cluster stands for wa·wb raw direct edges, a w ≥ 2
+    // group with a non-empty capped set adds C(w,2) at Jaccard 1 — the
+    // raw expansion is never scanned (it cost the sf1 clique fixture
+    // ~24 s/warm isolated; this is canonical-sized)
+    val art = canonPairArtifacts(s, d, maxDf)
+    val canonLabel = labels
+      .join(art.weights.select(col("canon").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id").as("canon"), col("cluster_id"))
+    val crossDirect = art.stats
+      .where(round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6) >= minSim)
+      .join(art.weights.select(col("canon").as("a"), col("w").as("wa")),
+        Seq("a"))
+      .join(art.weights.select(col("canon").as("b"), col("w").as("wb")),
+        Seq("b"))
+      .join(canonLabel.withColumnRenamed("canon", "a"), Seq("a"))
+      .select(col("cluster_id"), (col("wa") * col("wb")).as("mult"))
+    val withinDirect = art.sizes.select(col("doc_id").as("canon"))
+      .join(art.weights, Seq("canon"))
+      .where(col("w") >= 2L && lit(minSim) <= 1.0)
+      .join(canonLabel, Seq("canon"))
+      .select(col("cluster_id"),
+        shiftright(col("w") * (col("w") - 1L), 1).as("mult"))
+    val direct = crossDirect.unionByName(withinDirect)
+      .groupBy(col("cluster_id")).agg(sum(col("mult")).as("n_direct"))
     val perCluster = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("sz"))
       .join(direct, Seq("cluster_id"))

@@ -187,6 +187,24 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
           eCur = eCur.filter(p => nCur(p._1) && nCur(p._2))
           wantPeel += ((r, nCur.size.toLong, eCur.size.toLong))
         }
+        // duplicateClusters: contracted label propagation + member
+        // expansion must equal union-find over the brute-force pair set
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        raw.foreach { p =>
+          val (ra, rb) = (find(p._1), find(p._2))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val wantClusters = raw.toSeq.flatMap(p => Seq(p._1, p._2)).distinct
+          .map(x => (x, find(x))).sortBy(_._1)
+        val gotClusters = DedupOps.duplicateClusters(spark, d,
+            minSim = t, maxDf = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(gotClusters === wantClusters, s"clusters cap=$cap corpus=$rows")
+
         // nearest neighbor: the closed-form (contracted) spelling must
         // equal the raw arg-max over the brute-force pair set
         val wantNearest = want.toSeq
