@@ -1158,35 +1158,69 @@ object DedupOps {
     */
   def winnowPairs(s: SparkSession, d: String, minShared: Long = 2L,
       maxDf: Long = 1000L): DataFrame = {
-    // memoized: consumed three times below (df-cap, self-join, doc sizes)
-    // — without the persist each consumer would re-run the corpus scan +
-    // selection arithmetic
+    // CONTRACTION-FIRST (r11): identical texts select identical winnow
+    // fingerprints, so the index, the weighted df cap (Σ group weights ≡
+    // raw df), and the C(df,2) self-join all run over CANONICAL texts —
+    // on replicated corpora the raw join's fanout is replication² larger
+    // for the same information. Raw pairs come back by expansion: cross
+    // pairs carry the canon pair's counts (fp sets identical per member),
+    // within-group pairs share the group's whole capped fp set. The
+    // memoized index (consumed three times: df-cap, self-join, sizes) is
+    // canonical-only; shared winnow-position arithmetic stays on the
+    // corpus-wide TextOps memo.
+    val (members, weights) = contraction(s, d)
     val sel = winnowIndexCache.getOrElseUpdate(s, d) { (ss, dir) =>
       graft.SessionCache.cut(TextOps.winnowPositions(ss, dir)
         .where(col("fp").isNotNull)
+        .join(weights.withColumnRenamed("canon", "doc_id"),
+          Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("fp")).distinct())
     }
-    val capped = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val capped = sel
+      .join(weights.withColumnRenamed("canon", "doc_id"), Seq("doc_id"))
+      .groupBy(col("fp")).agg(sum(col("w")).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
     val idx = sel.join(capped, Seq("fp"))
     val nFp = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val pairs = idx.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(idx.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
-      .where(col("doc_a") < col("doc_b"))
+    val cCap = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val cPairs = idx.select(col("doc_id").as("ca"), col("fp"))
+      .join(idx.select(col("doc_id").as("cb"), col("fp")), Seq("fp"))
+      .where(col("ca") < col("cb"))
       // packed-pair rollup (ngramJaccardPairs measured win #5): the
       // C(df,2) candidate stream shuffles one 8-byte key, not two
-      .select(shiftleft(col("doc_a"), 32).bitwiseOR(col("doc_b")).as("pair"))
+      .select(shiftleft(col("ca"), 32).bitwiseOR(col("cb")).as("pair"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_shared_fp"))
       .where(col("n_shared_fp") >= minShared)
-      .select(shiftrightunsigned(col("pair"), 32).as("doc_a"),
-        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+      .select(shiftrightunsigned(col("pair"), 32).as("ca"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("cb"),
         col("n_shared_fp"))
-    pairs
-      .join(nFp.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")),
-        Seq("doc_a"))
-      .join(nFp.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")),
-        Seq("doc_b"))
+      .join(nFp.select(col("doc_id").as("ca"), col("n_fp").as("nfa")),
+        Seq("ca"))
+      .join(nFp.select(col("doc_id").as("cb"), col("n_fp").as("nfb")),
+        Seq("cb"))
+    val cross = cPairs
+      .join(members.select(col("canon").as("ca"), col("doc_id").as("x")),
+        Seq("ca"))
+      .join(members.select(col("canon").as("cb"), col("doc_id").as("y")),
+        Seq("cb"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"),
+        col("n_shared_fp"),
+        when(col("x") < col("y"), col("nfa")).otherwise(col("nfb"))
+          .as("n_fp_a"),
+        when(col("x") < col("y"), col("nfb")).otherwise(col("nfa"))
+          .as("n_fp_b"))
+    val within = members.select(col("canon"), col("doc_id").as("x"))
+      .join(members.select(col("canon"), col("doc_id").as("y")), Seq("canon"))
+      .where(col("x") < col("y"))
+      .join(cCap.withColumnRenamed("doc_id", "canon"), Seq("canon"))
+      .where(col("c") >= minShared)
+      .join(nFp.withColumnRenamed("doc_id", "canon"), Seq("canon"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        col("c").as("n_shared_fp"),
+        col("n_fp").as("n_fp_a"), col("n_fp").as("n_fp_b"))
+    cross.unionByName(within)
       .select(col("doc_a"), col("doc_b"), col("n_shared_fp"),
         col("n_fp_a"), col("n_fp_b"),
         (Num.halfUpDiv(col("n_shared_fp") * 1000000L,
@@ -1398,8 +1432,20 @@ object DedupOps {
     * popcounts — equal to the 64-bit Hamming distance).
     */
   def simhashPairs(s: SparkSession, d: String, maxDist: Int = 3): DataFrame = {
+    // CONTRACTION-FIRST (r11, the canonNearDupPairs ordering applied to
+    // the SimHash face): identical texts have identical chunk vectors,
+    // so the chunk-collision self-join and the Hamming check run over
+    // CANONICAL texts only (1/replication of the raw join, 10× less
+    // md5-simhash hashing at the sf1 fixture) and raw pairs come back by
+    // expansion — (x∈A, y∈B) at the canon pair's distance, C(w,2)
+    // within-group pairs at distance 0 (co-members always collide on
+    // every chunk). The expansion is output-sized, the floor for this
+    // audit face's raw-pair result.
+    val (members, weights) = contraction(s, d)
     val docs = sigCache.getOrElseUpdate(s, s"$d#simhashp") { (ss, _) =>
       graft.SessionCache.cut(Tables.documents(ss, d)
+        .join(weights.withColumnRenamed("canon", "doc_id"),
+          Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           portableSimhashChunks(split(col("text"), " ")).as("cks")))
     }
@@ -1418,12 +1464,23 @@ object DedupOps {
     val ham = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
         lit(0), (acc, x) => acc + x)
-    cand
+    val canonPairs = cand
       .join(docs.select(col("doc_id").as("a"), col("cks").as("cka")), Seq("a"))
       .join(docs.select(col("doc_id").as("b"), col("cks").as("ckb")), Seq("b"))
       .select(col("a"), col("b"), ham(col("cka"), col("ckb")).as("hamming"))
       .where(col("hamming") <= maxDist)
-      .orderBy(col("a"), col("b"))
+    val cross = canonPairs
+      .join(members.select(col("canon").as("a"), col("doc_id").as("x")),
+        Seq("a"))
+      .join(members.select(col("canon").as("b"), col("doc_id").as("y")),
+        Seq("b"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("hamming"))
+    val within = members.select(col("canon"), col("doc_id").as("a"))
+      .join(members.select(col("canon"), col("doc_id").as("b")), Seq("canon"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0).as("hamming"))
+    cross.unionByName(within).orderBy(col("a"), col("b"))
   }
 
   /** MinHash-estimate calibration audit: for every LSH candidate pair,
