@@ -148,12 +148,13 @@ object DedupOps {
   private[operators] def jaccardPairsUnsorted(
       s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): DataFrame =
-    cachedPairStats(s, d, maxDf)
+    filteredRawStats(s, d, maxDf,
+      round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 6) >= minSim)
       .select(
         col("a"), col("b"),
         round(col("inter").cast("double") /
               (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .where(col("jaccard") >= minSim)
 
   /** Shared pair stage of the shingle-overlap family: candidate pairs from
     * a self-join on the 8-byte shingle hash, packed-long pair counting,
@@ -283,7 +284,11 @@ object DedupOps {
   def containmentPairs(
       s: SparkSession, d: String,
       minCont: Double = 0.6, maxDf: Long = 1000L): DataFrame =
-    containmentFromStats(cachedPairStats(s, d, maxDf), minCont)
+    containmentFromStats(
+      filteredRawStats(s, d, maxDf,
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 6)
+          >= minCont),
+      minCont)
 
   /** [[containmentPairs]] over an arbitrary `(doc_id, text)` frame
     * (uncached index — the dir form reuses the memoized one).
@@ -334,9 +339,6 @@ object DedupOps {
       graft.SessionCache.cut(capByDf(shingleIndex(ss, d), maxDf))
     }
 
-  private val pairStatsCache =
-    new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
-
   // Exact-duplicate contraction artifacts per (session, dir):
   // members = (doc_id, canon), weights = (canon, w). Shared by the
   // contraction-first pair-stats build below (and reusable by any other
@@ -361,61 +363,66 @@ object DedupOps {
       (members, weights)
     }
 
-  /** The aggregated pair-statistics table (a, b, inter, na, nb) over the
-    * df-capped index — memoized per (session, dir, cap) like the index
-    * itself. Five dir-level operators consume it (Jaccard pairs,
-    * containment, clusters→reps→split, cross-source matrix, sketch
-    * calibration), and the C(f,2) self-join + packed-pair rollup it
-    * embodies is the single most expensive stage in the dedup pack; a
-    * 100 TB dedup pipeline materializes its candidate-pair statistics
-    * once per corpus snapshot and runs every verdict off that artifact.
-    * Thresholds (minSim/minCont) filter AFTER this table, so one cache
-    * entry serves every threshold, including the calibration's minSim=0.
+  // does this corpus have any exact-duplicate group (w >= 2)? Two counts
+  // on the memoized contraction leaves — cached because the LSH family
+  // branches on it per call and the counts, while cheap, are actions.
+  private val contractedFlagCache =
+    new graft.SessionCache[java.lang.Boolean](maxEntries = 8, onEvict = _ => ())
+
+  private def isContracted(s: SparkSession, d: String): Boolean =
+    contractedFlagCache.getOrElseUpdate(s, d) { (ss, dir) =>
+      val (members, weights) = contraction(ss, dir)
+      java.lang.Boolean.valueOf(weights.count() < members.count())
+    }.booleanValue()
+
+  /** Raw pair statistics (a, b, inter, na, nb) surviving `pred` — a
+    * row predicate over the statistic columns only (every dedup
+    * threshold is one: Jaccard, containment, overlap, dice are pure
+    * functions of (inter, na, nb)).
     *
-    * CONTRACTION-FIRST build (VERDICT r10 #4), output-identical: exact
-    * duplicates share one text ⇒ one (distinct) shingle set ⇒ identical
-    * df-capped sets, so the raw pair table FACTORS through the contracted
-    * corpus — run the C(f,2) self-join over canonicals only (weighted df
-    * cap: raw df = Σ group weights per shingle), then expand back to raw
-    * ids: a canonical pair (A,B) stands for every (x∈A, y∈B) with the
-    * same (inter, na, nb); a group of weight w adds C(w,2) within-group
-    * pairs at inter=na=nb=|capped set|. On replica-heavy corpora the
-    * pair-join mass collapses quadratically in replica count (the sf1
-    * ×10-clique fixture's raw build was ~150 s of shingle-collision rows
-    * that this path never materializes) while every raw pair row — ids,
-    * ordering, statistics — is reproduced exactly (dedup twins unchanged,
-    * all hash-checked). Corpora with no exact duplicates skip the
-    * expansion entirely: canonical ids ARE the doc ids, so the canonical
-    * stats table is returned as-is and the only overhead is one md5
-    * rollup per (session, dir).
+    * CONTRACTION-FIRST, filter-BEFORE-expansion (r11, output-identical):
+    * exact duplicates share one text ⇒ one (distinct) shingle set ⇒
+    * identical df-capped sets, so the raw pair table FACTORS through the
+    * contracted corpus — the C(f,2) self-join runs over canonicals only
+    * (weighted df cap: raw df = Σ group weights per shingle), and a
+    * canonical pair (A,B) stands for every (x∈A, y∈B) with the same
+    * (inter, na, nb) while a group of weight w adds C(w,2) within-group
+    * pairs at inter=na=nb=|capped set|. Because the statistics are
+    * CONSTANT across each expansion, `pred` commutes with it — so it is
+    * applied to the canonical-sized rows FIRST and only survivors expand
+    * back to raw ids. The expansion is therefore OUTPUT-sized and lazy;
+    * nothing replication²-sized is ever materialized or cached (an
+    * earlier spelling checkpointed the full expansion once per (dir,
+    * cap): ~130 M rows / multi-GB resident at the sf1 ×10-clique fixture,
+    * and every consumer's warm run re-scanned it — measured 4.6 s
+    * isolated but up to 38 s under same-JVM memory pressure from the
+    * leaf itself; this form prices only the surviving pairs). Corpora
+    * with no exact duplicates skip the expansion entirely: canonical ids
+    * ARE the doc ids.
     */
-  private def cachedPairStats(s: SparkSession, d: String, maxDf: Long): DataFrame = {
+  private def filteredRawStats(s: SparkSession, d: String, maxDf: Long,
+      pred: Column): DataFrame = {
     val art = canonPairArtifacts(s, d, maxDf)
-    if (!art.contracted) art.stats // canonical ids ARE the doc ids
-    else pairStatsCache.getOrElseUpdate(s, s"$d#$maxDf#pairs") { (ss, _) =>
-      val (members, _) = contraction(ss, d)
-      val cross = art.stats
+    val crossCanon = art.stats.where(pred)
+    if (!art.contracted) crossCanon // canonical ids ARE the doc ids
+    else {
+      val (members, _) = contraction(s, d)
+      val cross = crossCanon
         .join(members.select(col("canon").as("a"), col("doc_id").as("x")), Seq("a"))
         .join(members.select(col("canon").as("b"), col("doc_id").as("y")), Seq("b"))
         .select(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b"),
           col("inter"), col("na"), col("nb"))
-      val within = members.select(col("canon"), col("doc_id").as("x"))
+      val within = art.sizes
+        .select(col("doc_id").as("canon"), col("n_sh").as("inter"),
+          col("n_sh").as("na"), col("n_sh").as("nb"))
+        .where(pred)
+        .join(members.select(col("canon"), col("doc_id").as("x")), Seq("canon"))
         .join(members.select(col("canon"), col("doc_id").as("y")), Seq("canon"))
         .where(col("x") < col("y"))
-        .join(art.sizes.withColumnRenamed("doc_id", "canon"), Seq("canon"))
         .select(col("x").as("a"), col("y").as("b"),
-          col("n_sh").as("inter"), col("n_sh").as("na"), col("n_sh").as("nb"))
-      // the expansion multiplies rows ~replication² AFTER the last
-      // exchange, so AQE sizes the final stage for the small canonical
-      // INPUTS — without this the 100×-bigger leaf checkpoints into a
-      // handful of partitions and every downstream consumer runs
-      // single-digit-parallel (measured: the whole audit-face family ~2×
-      // slower at sf1). Hash on `a` so the leaf is also usefully
-      // clustered for the per-doc rollups that read it.
-      val parts = s.sessionState.conf.numShufflePartitions
-      graft.SessionCache.cut(
-        cross.unionByName(within).repartition(parts, col("a")))
+          col("inter"), col("na"), col("nb"))
+      cross.unionByName(within)
     }
   }
 
@@ -774,11 +781,35 @@ object DedupOps {
         .select(col("doc_id"), portableMinhashSig(col("shs"), k).as("sig")))
     }
 
-  def minhashLshPairs(
-      s: SparkSession, d: String,
-      k: Int = 32, bands: Int = 8, minEst: Double = 0.5): DataFrame = {
+  // Contracted-corpus portable signatures: ONE signature per exact-dup
+  // group, computed from the canonical text. Identical texts produce the
+  // identical (distinct-shingle) array and therefore the identical
+  // signature, so this IS the raw signature table factored through the
+  // contraction — the banded self-join below runs over 1/replication of
+  // the rows and its bucket collision mass shrinks ~replication².
+  private def canonPortableSigs(s: SparkSession, d: String, k: Int): DataFrame =
+    sigCache.getOrElseUpdate(s, s"$d#minhashpcanon#$k") { (ss, _) =>
+      val (_, weights) = contraction(ss, d)
+      graft.SessionCache.cut(Tables.documents(ss, d)
+        .join(weights.select(col("canon").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .select(col("doc_id"),
+          wordShingles(split(col("text"), " "), 3).as("shs"))
+        .where(size(col("shs")) > 0)
+        .select(col("doc_id"), portableMinhashSig(col("shs"), k).as("sig")))
+    }
+
+  /** LSH candidate pairs over the CONTRACTED corpus: (a, b, est_jaccard)
+    * in canonical ids, a < b. A raw pair (x, y) is a candidate iff its
+    * groups' signatures share a band bucket — a pure function of the
+    * groups — so the raw candidate set is exactly this table expanded by
+    * membership, plus every co-member pair of a group WITH a signature
+    * (identical signatures collide in every band at estimate 1.0).
+    */
+  private def canonLshCandidates(s: SparkSession, d: String,
+      k: Int, bands: Int, minEst: Double): DataFrame = {
     val rows = k / bands
-    val sig = portableSigs(s, d, k)
+    val sig = canonPortableSigs(s, d, k)
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(bandBuckets(col("sig"), bands, rows))
@@ -800,7 +831,32 @@ object DedupOps {
         shiftrightunsigned(col("pair"), 32).as("a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
         col("est_jaccard"))
-      .orderBy(col("a"), col("b"))
+  }
+
+  def minhashLshPairs(
+      s: SparkSession, d: String,
+      k: Int = 32, bands: Int = 8, minEst: Double = 0.5): DataFrame = {
+    if (!isContracted(s, d)) {
+      // no exact duplicates: canonical ids ARE the doc ids
+      canonLshCandidates(s, d, k, bands, minEst).orderBy(col("a"), col("b"))
+    } else {
+      val (members, _) = contraction(s, d)
+      val cross = canonLshCandidates(s, d, k, bands, minEst)
+        .join(members.select(col("canon").as("a"), col("doc_id").as("x")), Seq("a"))
+        .join(members.select(col("canon").as("b"), col("doc_id").as("y")), Seq("b"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"), col("est_jaccard"))
+      // co-members of a group with a signature collide in every band at
+      // estimate exactly 1.0 (identical signature components)
+      val within = canonPortableSigs(s, d, k)
+        .select(col("doc_id").as("canon"))
+        .join(members.select(col("canon"), col("doc_id").as("x")), Seq("canon"))
+        .join(members.select(col("canon"), col("doc_id").as("y")), Seq("canon"))
+        .where(col("x") < col("y") && lit(1.0) >= minEst)
+        .select(col("x").as("a"), col("y").as("b"),
+          lit(1.0).as("est_jaccard"))
+      cross.unionByName(within).orderBy(col("a"), col("b"))
+    }
   }
 
   /** Connected components over a near-duplicate pair graph: label every
@@ -1538,16 +1594,52 @@ object DedupOps {
   }
 
   def sketchCalibration(s: SparkSession, d: String): DataFrame = {
-    val est = minhashLshPairs(s, d)
-    est.transform(exactJaccardLookup(s, d, _, maxDf = 1000L))
+    val maxDf = 1000L
+    val art = canonPairArtifacts(s, d, maxDf)
+    // (est_jaccard, jaccard, mult): each row stands for `mult` raw
+    // candidate pairs sharing both scores — the band rollup below is a
+    // weighted sum, so the raw expansion never materializes. Estimates
+    // and exact values are constant across each expansion (both are pure
+    // functions of the endpoints' exact-dup groups), which is what makes
+    // the multiplicity form output-identical to the raw rollup.
+    // (with no exact duplicates this reduces to the raw rollup exactly:
+    // every weight is 1 and the w >= 2 within branch is empty)
+    val canonJ = art.stats.select(col("a"), col("b"),
+      round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6).as("jx"))
+    val cross = canonLshCandidates(s, d, 32, 8, 0.5)
+      .join(canonJ, Seq("a", "b"), "left")
+      .join(art.weights.select(col("canon").as("a"), col("w").as("wa")), Seq("a"))
+      .join(art.weights.select(col("canon").as("b"), col("w").as("wb")), Seq("b"))
+      .select(col("est_jaccard"),
+        coalesce(col("jx"), lit(0.0)).as("jaccard"),
+        (col("wa") * col("wb")).as("mult"))
+    // a group with a signature contributes C(w,2) within-group
+    // candidates at estimate 1.0; their exact Jaccard is 1.0 iff the
+    // group's df-CAPPED set is non-empty (otherwise the raw pair
+    // table misses the pair and the lookup's coalesce scores it 0)
+    val within = canonPortableSigs(s, d, 32)
+      .select(col("doc_id").as("canon"))
+      .join(art.weights, Seq("canon"))
+      .where(col("w") >= 2L)
+      .join(art.sizes.select(col("doc_id").as("canon"),
+        lit(1.0).as("jw")), Seq("canon"), "left")
+      .select(lit(1.0).as("est_jaccard"),
+        coalesce(col("jw"), lit(0.0)).as("jaccard"),
+        shiftright(col("w") * (col("w") - 1L), 1).as("mult"))
+    val graded = cross.unionByName(within)
+    graded
       .select(
         floor(col("est_jaccard") * 10).cast("int").as("band10"),
         round(col("est_jaccard") * 1e6, 0).cast("long").as("eq"),
-        round(coalesce(col("jaccard"), lit(0.0)) * 1e6, 0).cast("long").as("xq"))
+        round(col("jaccard") * 1e6, 0).cast("long").as("xq"),
+        col("mult"))
       .withColumn("errq", abs(col("eq") - col("xq")))
       .groupBy(col("band10"))
-      .agg(count(lit(1)).as("n_pairs"), sum(col("eq")).as("seq"),
-        sum(col("xq")).as("sxq"), sum(col("errq")).as("serr"),
+      .agg(sum(col("mult")).as("n_pairs"),
+        sum(col("eq") * col("mult")).as("seq"),
+        sum(col("xq") * col("mult")).as("sxq"),
+        sum(col("errq") * col("mult")).as("serr"),
         max(col("errq")).as("merr"))
       .select(
         round(col("band10") / lit(10.0), 1).as("est_band"),
@@ -1762,7 +1854,7 @@ object DedupOps {
     */
   def lshTuningCurve(s: SparkSession, d: String, k: Int = 32,
       minSim: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
-    val sig = portableSigs(s, d, k)
+    val sig = canonPortableSigs(s, d, k)
     // truth side, contraction-closed-form (the thresholdCurve pairMult
     // math at one threshold): a canon pair ≥ t stands for wa·wb raw
     // pairs, a non-empty group of weight w adds C(w,2) at Jaccard 1 —
@@ -1809,17 +1901,43 @@ object DedupOps {
       .select(col("r"),
         shiftleft(col("a"), 32).bitwiseOR(col("b")).as("pair"))
       .distinct()
-    // per-candidate truth via the canon lookup (|cand|-bounded), not a
-    // membership probe of the raw pair expansion
-    val counts = cand
+    // CANDIDATES are contraction-closed-form too (r11): the banded
+    // self-join above runs over canonical signatures (identical texts ⇒
+    // identical signatures ⇒ identical buckets in every geometry), so a
+    // canon candidate (A,B) stands for wa·wb raw candidates and a group
+    // with a signature adds C(w,2) within-group candidates to EVERY
+    // geometry. Truth per candidate comes from the canonical pair stats
+    // directly; nothing raw-pair-sized is ever joined or counted.
+    val canonJq = art.stats.select(col("a"), col("b"),
+      round(round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6) * 1e6, 0)
+        .cast("long").as("jq"))
+    val crossCounts = cand
       .select(col("r"),
         shiftrightunsigned(col("pair"), 32).as("a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
-      .transform(exactJaccardLookup(s, d, _, maxDf))
+      .join(canonJq, Seq("a", "b"), "left")
+      .join(art.weights.select(col("canon").as("a"), col("w").as("wa")), Seq("a"))
+      .join(art.weights.select(col("canon").as("b"), col("w").as("wb")), Seq("b"))
+      .select(col("r"), (col("wa") * col("wb")).as("mult"),
+        when(col("jq") >= truthCut, col("wa") * col("wb")).otherwise(0L)
+          .as("hit"))
+    // within-group candidates: C(w,2) per signed group, hits iff the
+    // group's capped set is non-empty (raw exact Jaccard 1.0 >= any cut)
+    import s.implicits._
+    val withinCand = sig.select(col("doc_id").as("canon"))
+      .join(art.weights, Seq("canon"))
+      .where(col("w") >= 2L)
+      .join(art.sizes.select(col("doc_id").as("canon"), lit(1L).as("cap1")),
+        Seq("canon"), "left")
+      .select(shiftright(col("w") * (col("w") - 1L), 1).as("mult"),
+        when(col("cap1").isNotNull && lit(1000000L) >= truthCut,
+          shiftright(col("w") * (col("w") - 1L), 1)).otherwise(0L).as("hit"))
+      .crossJoin(rGrid.toDF("r"))
+      .select(col("r"), col("mult"), col("hit"))
+    val counts = crossCounts.unionByName(withinCand)
       .groupBy(col("r"))
-      .agg(count(lit(1)).as("n_cand"),
-        count(when(round(col("jaccard") * 1e6, 0).cast("long") >= truthCut,
-          1)).as("n_hit"))
+      .agg(sum(col("mult")).as("n_cand"), sum(col("hit")).as("n_hit"))
     import s.implicits._
     val curves = rGrid.toDF("r")
       .join(counts, Seq("r"), "left")
@@ -2191,7 +2309,9 @@ object DedupOps {
     */
   def writeDedupIndex(s: SparkSession, d: String, indexDir: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): Unit = {
-    cachedPairStats(s, d, maxDf).write.mode("overwrite")
+    // full raw stats (pred = true): the expansion streams straight to
+    // parquet — durable artifact, never resident in executor memory
+    filteredRawStats(s, d, maxDf, lit(true)).write.mode("overwrite")
       .parquet(s"$indexDir/pair_stats")
     duplicateClusters(s, d, minSim, maxDf).write.mode("overwrite")
       .parquet(s"$indexDir/clusters")
@@ -2206,6 +2326,10 @@ object DedupOps {
     art.stats.write.mode("overwrite").parquet(s"$indexDir/canon_stats")
     art.sizes.write.mode("overwrite").parquet(s"$indexDir/canon_sizes")
     art.weights.write.mode("overwrite").parquet(s"$indexDir/canon_weights")
+    // the (doc_id → canon) membership map: what expands filtered canon
+    // stats back to raw ids ([[filteredRawStats]]) without the corpus
+    contraction(s, d)._1.write.mode("overwrite")
+      .parquet(s"$indexDir/members")
     writeCanonMeta(s, indexDir, art.contracted)
   }
 
@@ -2224,8 +2348,9 @@ object DedupOps {
     */
   def loadDedupIndex(s: SparkSession, d: String, indexDir: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): Unit = {
-    pairStatsCache.getOrElseUpdate(s, s"$d#$maxDf#pairs") { (ss, _) =>
-      graft.SessionCache.cut(ss.read.parquet(s"$indexDir/pair_stats"))
+    contractionCache.getOrElseUpdate(s, d) { (ss, _) =>
+      (graft.SessionCache.cut(ss.read.parquet(s"$indexDir/members")),
+        graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_weights")))
     }
     clusterCache.getOrElseUpdate(s, s"$d#$minSim#$maxDf") { (ss, _) =>
       graft.SessionCache.cut(ss.read.parquet(s"$indexDir/clusters"))
@@ -2393,12 +2518,8 @@ object DedupOps {
   def hybridNearDup(s: SparkSession, d: String,
       minSim: Double = 0.2, maxDf: Long = 1000L,
       minCos: Double = 0.0): DataFrame = {
-    val cand = cachedPairStats(s, d, maxDf)
-      .select(col("a"), col("b"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .where(col("jaccard") >= minSim)
-    hybridVerdicts(cand, Tables.embeddings(s, d), minCos)
+    hybridVerdicts(jaccardPairsUnsorted(s, d, minSim, maxDf),
+      Tables.embeddings(s, d), minCos)
   }
 
   /** The verification stage of [[hybridNearDup]] over arbitrary frames:

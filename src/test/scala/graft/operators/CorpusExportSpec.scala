@@ -89,6 +89,12 @@ class CorpusExportSpec extends SparkSpec {
     // make every pair-stats/cluster consumer serve anyway.
     val ghost = "/nonexistent/graft-ghost-corpus"
     DedupOps.loadDedupIndex(spark, ghost, idx)
+    // raw-pair consumers (the filter-then-expand path needs the primed
+    // members map, not the corpus)
+    assert(DedupOps.ngramJaccardPairs(spark, ghost).collect().toSeq
+      === DedupOps.ngramJaccardPairs(spark, sf0001).collect().toSeq)
+    assert(DedupOps.containmentPairs(spark, ghost).collect().toSeq
+      === DedupOps.containmentPairs(spark, sf0001).collect().toSeq)
     assert(DedupOps.neardupDegreeDist(spark, ghost).collect().toSeq
       === degDirect)
     assert(DedupOps.neardupTriangles(spark, ghost).collect().toSeq

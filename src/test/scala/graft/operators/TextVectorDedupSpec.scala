@@ -232,6 +232,105 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  test("property: contraction-first LSH family ≡ brute-force signatures on replicated corpora") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shinglesOf(t: String): Vector[String] = {
+      val toks = t.split(" ").toVector
+      if (toks.length < 3) Vector.empty
+      else toks.sliding(3).map(_.mkString(" ")).toVector.distinct
+    }
+    def sigOf(shs: Vector[String]): Vector[Long] = {
+      val hs = shs.map(sh =>
+        java.lang.Long.parseLong(md5hex(sh).take(15), 16) % 2147483647L)
+      (0 until 32).toVector.map(i =>
+        hs.map(h => ((i + 1) * h + i * 7919L) % 2147483647L).min)
+    }
+    def buckets(sig: Vector[Long], rows: Int): Vector[String] =
+      (0 until 32 / rows).toVector.map(b =>
+        md5hex(sig.slice(b * rows, b * rows + rows).mkString(",")))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val gen = for {
+      nBase <- org.scalacheck.Gen.choose(3, 6)
+      texts <- org.scalacheck.Gen.listOfN(nBase,
+        org.scalacheck.Gen.listOfN(8, org.scalacheck.Gen.oneOf(words))
+          .map(_.mkString(" ")))
+      reps <- org.scalacheck.Gen.listOfN(nBase, org.scalacheck.Gen.choose(1, 3))
+    } yield texts.zip(reps)
+    forSamples(gen, n = 6) { spec =>
+      val rowsIn = spec.zipWithIndex.flatMap { case ((t, k), i) =>
+        (0 until k).map(r => (i * 10L + r, t))
+      }
+      val d = Files.createTempDirectory("graft-lsh").toString
+      rowsIn.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$d/documents.parquet")
+      val sigs = rowsIn.map { case (id, t) => id -> sigOf(shinglesOf(t)) }.toMap
+      val sets = rowsIn.map { case (id, t) => id -> shinglesOf(t).toSet }.toMap
+      val ids = rowsIn.map(_._1)
+      val pairs = for { a <- ids; b <- ids if a < b } yield (a, b)
+      def estOf(a: Long, b: Long): Double =
+        r6(sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 32)
+      def candAt(rows: Int, a: Long, b: Long): Boolean =
+        buckets(sigs(a), rows).zip(buckets(sigs(b), rows))
+          .exists { case (x, y) => x == y }
+      def jacOf(a: Long, b: Long): Option[Double] = {
+        val i = (sets(a) intersect sets(b)).size
+        if (i == 0) None else Some(r6(i.toDouble / (sets(a) ++ sets(b)).size))
+      }
+      // 1. candidate pairs: raw banded self-join semantics from the
+      // contracted computation
+      val wantLsh = pairs.filter(p => candAt(4, p._1, p._2))
+        .map { case (a, b) => (a, b, estOf(a, b)) }
+        .filter(_._3 >= 0.5).sorted
+      val gotLsh = DedupOps.minhashLshPairs(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(gotLsh === wantLsh, s"lsh corpus=$rowsIn")
+      // 2. estimate-calibration rollup: weighted canon rollup vs the raw
+      // per-pair rollup
+      val graded = wantLsh.map { case (a, b, est) =>
+        val eq = math.round(est * 1e6)
+        val xq = jacOf(a, b).map(j => math.round(j * 1e6)).getOrElse(0L)
+        (math.floor(est * 10).toInt, eq, xq, math.abs(eq - xq))
+      }
+      val wantCal = graded.groupBy(_._1).toSeq.map { case (b10, g) =>
+        val n = g.size.toLong
+        (b10 / 10.0, n,
+          r6(g.map(_._2).sum.toDouble / n / 1e6),
+          r6(g.map(_._3).sum.toDouble / n / 1e6),
+          r6(g.map(_._4).sum.toDouble / n / 1e6),
+          r6(g.map(_._4).max.toDouble / 1e6))
+      }.sortBy(_._1)
+      val gotCal = DedupOps.sketchCalibration(spark, d).collect().map(r =>
+        (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+      assert(gotCal === wantCal, s"calib corpus=$rowsIn")
+      // 3. band-geometry tuning counts: weighted candidate/hit totals vs
+      // brute force per geometry
+      val cut = 500000L
+      val jqs = pairs.flatMap(p =>
+        jacOf(p._1, p._2).map(j => p -> math.round(j * 1e6))).toMap
+      val nTrue = jqs.count(_._2 >= cut).toLong
+      def hud(num: Long, den: Long): Double =
+        ((2 * num + den) / (2 * den)).toDouble / 1e6
+      val wantCurve = Seq(2, 4, 8).map { r =>
+        val cs = pairs.filter(p => candAt(r, p._1, p._2))
+        val nc = cs.size.toLong
+        val nh = cs.count(p => jqs.getOrElse(p, 0L) >= cut).toLong
+        (r, 32 / r, nc, nTrue,
+          hud(1000000L * nh, math.max(nTrue, 1L)),
+          hud(1000000L * nh, math.max(nc, 1L)))
+      }
+      val gotCurve = DedupOps.lshTuningCurve(spark, d).collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+      assert(gotCurve === wantCurve, s"curve corpus=$rowsIn")
+    }
+  }
+
   test("ngramJaccard df-cap removes pairs that only share boilerplate") {
     // cap at df<=2: shingles shared by all of 0,1,2 (df=3) are dropped;
     // 0-1 remain dups via their full overlap; 0-2 lose their only common
