@@ -3463,6 +3463,7 @@ object SparkEntry {
     "q_prep_quality_auc" -> (TrainPrepOps.qualityAuc _),
     "q_prep_sample" -> ((s, d) => TrainPrepOps.stratifiedSample(s, d)),
     "q_prep_decontam" -> ((s, d) => TrainPrepOps.decontaminate(s, d)),
+    "q_prep_bloom_decontam" -> ((s, d) => TrainPrepOps.bloomDecontaminate(s, d)),
     "q_prep_decontam_curve" -> ((s, d) => TrainPrepOps.decontamCurve(s, d)),
     "q_prep_repetition" -> ((s, d) => TrainPrepOps.repetitionStats(s, d)),
     "q_prep_pii" -> (TrainPrepOps.piiRedact _),
@@ -3773,6 +3774,27 @@ object SparkEntry {
         |  CAST(flagged_tainted AS BIGINT) AS flagged_tainted
         |FROM agg ORDER BY threshold""".stripMargin,
     "q_prep_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, substring(md5(sh), 1, 16) AS shk FROM (
+        |    SELECT doc_id,
+        |      unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                            for i in range(1, len(toks) - 1)])) AS sh
+        |    FROM t WHERE len(toks) >= 3)),
+        |ev AS (SELECT DISTINCT shk FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, shk FROM sh WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_tainted FROM tr
+        |        WHERE shk IN (SELECT shk FROM ev) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  coalesce(h.n_tainted, 0) AS n_tainted,
+        |  round(coalesce(h.n_tainted, 0)::DOUBLE / t.n_shingles, 6) AS tainted_frac,
+        |  round(coalesce(h.n_tainted, 0)::DOUBLE / t.n_shingles, 6) >= 0.05
+        |    AS is_contaminated
+        |FROM tot t LEFT JOIN hit h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Bloom prefilter + exact confirm is output-identical to the exact
+    // decontam by construction (the filter only prunes work, never
+    // changes membership) — the twin IS the exact query
+    "q_prep_bloom_decontam" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, substring(md5(sh), 1, 16) AS shk FROM (
         |    SELECT doc_id,

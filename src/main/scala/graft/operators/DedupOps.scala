@@ -441,14 +441,17 @@ object DedupOps {
     */
   final case class CanonPairArtifacts(
       stats: DataFrame, sizes: DataFrame, weights: DataFrame,
-      contracted: Boolean)
+      index: DataFrame, contracted: Boolean)
 
   private val canonArtCache =
     new graft.SessionCache[CanonPairArtifacts](maxEntries = 4,
       onEvict = v => {
         graft.SessionCache.release(v.stats)
         graft.SessionCache.release(v.sizes)
-        // weights belongs to contractionCache — not released here
+        // weights belongs to contractionCache — not released here; the
+        // index is owned here only on the contracted path (uncontracted
+        // it IS the cappedIndexCache entry)
+        if (v.contracted) graft.SessionCache.release(v.index)
       })
 
   private def canonPairArtifacts(
@@ -461,7 +464,7 @@ object DedupOps {
         val sizes = graft.SessionCache.cut(
           capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
         val stats = graft.SessionCache.cut(pairStats(capped, sizes))
-        CanonPairArtifacts(stats, sizes, weights, contracted = false)
+        CanonPairArtifacts(stats, sizes, weights, capped, contracted = false)
       } else {
         // canonical index from canonical texts only (1/replication of
         // the raw explode), df-capped by the WEIGHTED document
@@ -481,14 +484,14 @@ object DedupOps {
             cIdxRaw.join(kept, Seq("sh_h"), "left_semi")
               .select(col("doc_id"), col("sh_h"))
           })
-        // sizes is cut too: consumers read it AFTER the capped leaf is
-        // released (a lazy deriv of a released checkpoint cannot be
-        // recomputed — truncated lineage)
+        // sizes is cut too so consumers never re-aggregate the postings
         val sizes = graft.SessionCache.cut(
           capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
         val stats = graft.SessionCache.cut(pairStats(capped, sizes))
-        graft.SessionCache.release(capped)
-        CanonPairArtifacts(stats, sizes, weights, contracted = true)
+        // the canonical postings stay an artifact (no release): the
+        // incremental attach probes THEM instead of the raw index —
+        // canon-postings-sized, 1/replication of the raw explode
+        CanonPairArtifacts(stats, sizes, weights, capped, contracted = true)
       }
     }
 
@@ -2326,6 +2329,7 @@ object DedupOps {
     art.stats.write.mode("overwrite").parquet(s"$indexDir/canon_stats")
     art.sizes.write.mode("overwrite").parquet(s"$indexDir/canon_sizes")
     art.weights.write.mode("overwrite").parquet(s"$indexDir/canon_weights")
+    art.index.write.mode("overwrite").parquet(s"$indexDir/canon_index")
     // the (doc_id → canon) membership map: what expands filtered canon
     // stats back to raw ids ([[filteredRawStats]]) without the corpus
     contraction(s, d)._1.write.mode("overwrite")
@@ -2365,6 +2369,7 @@ object DedupOps {
         graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_stats")),
         graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_sizes")),
         graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_weights")),
+        graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_index")),
         contracted)
     }
     ()
@@ -2400,15 +2405,56 @@ object DedupOps {
   def incrementalClusters(s: SparkSession, d: String, batch: DataFrame,
       minSim: Double = 0.2, maxDf: Long = 1000L,
       smallGraphEdges: Long = 1L << 20): DataFrame = {
-    val corpusIdx = cappedIndex(s, d, maxDf)
+    // CORPUS side on the contracted artifacts (r11): a raw corpus doc's
+    // capped set, and therefore its Jaccard against any batch doc, is a
+    // pure function of its exact-dup group — and co-members of a group
+    // share a snapshot label (within-group pairs are Jaccard 1), so the
+    // attach edges (batch, label(c)) factor through corpus canonicals
+    // EXACTLY. The probe therefore joins the canonical postings
+    // (1/replication of the raw index; no per-run raw-index rollup for
+    // sizes — art.sizes is the memoized canonical table).
+    val art = canonPairArtifacts(s, d, maxDf)
+    val corpusIdx = art.index
     val labels = duplicateClusters(s, d, minSim, maxDf)
-    val bIdx = graft.SessionCache.cut(capByDf(
-      batch
-        .select(col("doc_id"),
-          wordShingles(split(col("text"), " "), 3).as("shs"))
-        .where(size(col("shs")) > 0)
-        .select(col("doc_id"), explode(col("shs")).as("sh"))
-        .select(col("doc_id"), xxhash64(col("sh")).as("sh_h")), maxDf))
+    // BATCH exact-dup contraction (r11): incremental batches are the
+    // replica-heavy case by construction (recrawls, retries, mirrored
+    // feeds — the sf1 clique fixture's batch is 10 copies of each base
+    // text), and every candidate edge is a pure function of the batch
+    // doc's TEXT, so the join stage runs over canonical batch texts
+    // only. Measured: the raw batch self-join was an 8–14 s SERIAL
+    // stage at sf1 (AQE coalesces the small batch exchange to one
+    // partition, then the C(f,2) explosion runs single-task); the
+    // contracted batch collapses it ~replication².
+    val bFps = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+    val bGroups = bFps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("bcanon"), count(lit(1)).as("w"))
+    val bMembers = graft.SessionCache.cut(
+      bFps.join(bGroups.select(col("fp"), col("bcanon")), Seq("fp"))
+        .select(col("doc_id"), col("bcanon")))
+    // canonical batch index; the df cap sees the RAW batch document
+    // frequency (Σ group weights per shingle) — identical capped sets
+    // to the uncontracted spelling
+    val bIdxRaw = batch
+      .join(bGroups.select(col("bcanon").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"),
+        wordShingles(split(col("text"), " "), 3).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
+      .join(bGroups.select(col("bcanon").as("doc_id"), col("w")),
+        Seq("doc_id"))
+    val bIdx = graft.SessionCache.cut {
+      if (maxDf <= 0) bIdxRaw.select(col("doc_id"), col("sh_h"))
+      else {
+        val kept = bIdxRaw.groupBy(col("sh_h"))
+          .agg(sum(col("w")).as("__df"))
+          .where(col("__df") <= maxDf)
+          .select(col("sh_h"))
+        bIdxRaw.select(col("doc_id"), col("sh_h"))
+          .join(kept, Seq("sh_h"), "left_semi")
+      }
+    }
     val bSizes = bIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // corpus postings touched ∝ batch vocabulary (broadcast semi-prune);
     // sizes still count EVERY shingle of a candidate doc, so they come
@@ -2416,7 +2462,7 @@ object DedupOps {
     val touched = corpusIdx
       .join(broadcast(bIdx.select(col("sh_h")).distinct()),
         Seq("sh_h"), "left_semi")
-    val cSizes = corpusIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val cSizes = art.sizes
     val jacOk = (inter: Column, n1: Column, n2: Column) =>
       round(inter.cast("double") / (n1 + n2 - inter), 6) >= minSim
     val bc = bIdx.select(col("doc_id").as("b"), col("sh_h"))
@@ -2431,6 +2477,17 @@ object DedupOps {
     val bb = pairStats(bIdx, bSizes)
       .where(jacOk(col("inter"), col("na"), col("nb")))
       .select(col("a"), col("b"))
+    // star edges replace the within-group C(w,2) clique: components,
+    // component minima (the group's min member IS its canonical id) and
+    // corpus attachment are identical, at linear instead of quadratic
+    // edge count. Raw within-group edges exist iff the group's capped
+    // set is non-empty (exact Jaccard 1.0 >= minSim) — the semi-join on
+    // the capped index and the 1.0-vs-minSim guard mirror that exactly.
+    val stars = bMembers
+      .where(col("doc_id") =!= col("bcanon") && lit(1.0) >= minSim)
+      .join(bSizes.select(col("doc_id").as("bcanon")), Seq("bcanon"),
+        "left_semi")
+      .select(col("doc_id").as("a"), col("bcanon").as("b"))
     // contract: corpus endpoint → its snapshot label (singletons are
     // their own supernode)
     val bcC = bc
@@ -2438,7 +2495,7 @@ object DedupOps {
         Seq("c"), "left")
       .select(col("b").as("a"),
         coalesce(col("cluster_id"), col("c")).as("b"))
-    val contracted = graft.SessionCache.cut(bcC.union(bb))
+    val contracted = graft.SessionCache.cut(bcC.union(bb).union(stars))
     // hybrid execution: the contracted graph is batch-sized BY DESIGN, and
     // below `smallGraphEdges` a driver union-find (bounded collect — the
     // count gates it, ≤16 MB at the default bound) converges in

@@ -385,6 +385,57 @@ object TrainPrepOps {
       .orderBy(col("threshold"))
   }
 
+  /** Bloom-prefiltered benchmark decontamination — OUTPUT-IDENTICAL to
+    * [[decontaminate]], different 100 TB plan: the eval shingle-key set
+    * compiles into a Bloom filter once (driver-side + broadcast — it is
+    * benchmark-sized, the same bound that lets the exact semi-join
+    * broadcast), every train shingle probes the filter MAP-SIDE, and
+    * only probe survivors (true taints plus the filter's ~fpp false
+    * positives) reach the exact semi-join that removes the false
+    * positives. The pruning happens before any join machinery, so the
+    * billion-doc train side's candidate stream shrinks by
+    * ~(1 − taint rate − fpp) at scan time; the final exact join makes
+    * the result deterministic — the Bloom filter only ever moves WORK,
+    * never the answer (a spec asserts row-identity to [[decontaminate]]
+    * even at fpp = 0.5). This is the production two-tier shape for
+    * membership pruning at corpus scale (probabilistic prefilter, exact
+    * confirm), same stance as [[graft.operators.DedupOps.hybridVerdicts]].
+    *
+    * The probe is a Scala UDF over the broadcast sketch —
+    * `DataFrameStatFunctions.bloomFilter` is the public API; Spark's
+    * codegen'd `BloomFilterMightContain` is optimizer-internal. The UDF
+    * sits on a boolean filter OUTSIDE the aggregation hot path, so the
+    * codegen break costs one virtual call per shingle, not a pipeline.
+    */
+  def bloomDecontaminate(s: SparkSession, d: String,
+      minFrac: Double = 0.05, fpp: Double = 0.01): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordShingles(toks, 3)).as("sh"))
+      .select(col("doc_id"), shingleKey(col("sh")).as("shk"))
+    val evalKeys = sh.where(col("doc_id") % 10 === 0)
+      .select(col("shk")).distinct()
+    val nEval = evalKeys.count()
+    val bloom = evalKeys.stat.bloomFilter("shk", math.max(nEval, 1L), fpp)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((k: String) => k != null && bloomBc.value.mightContainString(k))
+    val train = sh.where(col("doc_id") % 10 =!= 0)
+    val totals = train.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = train.where(mightContain(col("shk")))
+      .join(evalKeys, Seq("shk"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tainted"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_tainted"), lit(0L)).as("n_tainted"),
+        round(coalesce(col("n_tainted"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("tainted_frac"))
+      .withColumn("is_contaminated", col("tainted_frac") >= minFrac)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- repetition quality signals -----------------------------------------
 
   /** Gopher-style repetition signals per document: total vs distinct word

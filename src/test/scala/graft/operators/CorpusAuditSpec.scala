@@ -289,6 +289,18 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("bloomDecontaminate is row-identical to exact decontaminate at any fpp") {
+    val exact = TrainPrepOps.decontaminate(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    // default fpp, and a deliberately terrible filter (every other key a
+    // false positive): the exact confirm join must erase the difference
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = TrainPrepOps.bloomDecontaminate(spark, sf0001, fpp = fpp)
+        .collect().map(_.toSeq).toSeq
+      assert(got === exact, s"fpp=$fpp")
+    }
+  }
+
   test("qualityAuc equals the brute-force tie-aware Mann-Whitney statistic") {
     val row = TrainPrepOps.qualityAuc(spark, sf0001).collect().head
     val docs = Tables.documents(spark, sf0001)
