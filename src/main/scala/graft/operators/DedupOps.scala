@@ -515,6 +515,28 @@ object DedupOps {
         .select(col("doc_id"), xxhash64(col("sh")).as("sh_h")))
     }
 
+  // Canonical UNCAPPED distinct-shingle postings (doc_id = canon, sh_h),
+  // built from canonical texts only — 1/replication of the raw explode.
+  // The raw index remains a separate memo for genuinely raw consumers
+  // (per-source boilerplate needs source-split document frequencies,
+  // which do NOT factor through text-keyed groups).
+  private val canonShingleIndexCache =
+    new graft.SessionCache[DataFrame](maxEntries = 8,
+      onEvict = graft.SessionCache.release)
+
+  private def canonShingleIndex(s: SparkSession, d: String): DataFrame =
+    canonShingleIndexCache.getOrElseUpdate(s, d) { (ss, dir) =>
+      val (_, weights) = contraction(ss, dir)
+      graft.SessionCache.cut(Tables.documents(ss, dir)
+        .join(weights.select(col("canon").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .select(col("doc_id"),
+          wordShingles(split(col("text"), " "), 3).as("shs"))
+        .where(size(col("shs")) > 0)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh_h")))
+    }
+
   /** Content-novelty score: the share of each document's shingles whose
     * EARLIEST corpus occurrence (min doc_id, the ingest-order proxy) is
     * this document — "how much genuinely new content does each document
@@ -528,15 +550,30 @@ object DedupOps {
     * then the doc rollup. No text crosses the wire.
     */
   def contentNovelty(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    shingleIndex(s, d)
-      .withColumn("first_doc",
-        min(col("doc_id")).over(Window.partitionBy(col("sh_h"))))
+    // CONTRACTION-FIRST (r11, output-identical): the corpus-wide first
+    // occurrence of a shingle is min(raw doc_id containing it) = min
+    // CANONICAL id containing it (a group's min member IS its canonical),
+    // so the first-occurrence rollup runs over canonical postings only.
+    // Expansion: a canonical keeps its canonical-level novelty; a
+    // non-canonical member can never be first for ANY of its shingles
+    // (its id exceeds its own canonical's) — novelty exactly 0 at the
+    // group's shared n_shingles. The old raw window shuffled + sorted
+    // every raw posting for the same answer.
+    val (members, _) = contraction(s, d)
+    val cIdx = canonShingleIndex(s, d)
+    val firstDoc = cIdx.groupBy(col("sh_h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val canonStats = cIdx.join(firstDoc, Seq("sh_h"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
           .as("n_novel"))
+    members
+      .join(canonStats.withColumnRenamed("doc_id", "canon"), Seq("canon"))
+      .select(col("doc_id"), col("n_shingles"),
+        when(col("doc_id") === col("canon"), col("n_novel"))
+          .otherwise(0L).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), 6))
       .orderBy(col("doc_id"))
@@ -569,8 +606,44 @@ object DedupOps {
     * then the doc rollup — fingerprints and ids cross the wire, never
     * text.
     */
-  def dupShingleFrac(s: SparkSession, d: String, n: Int = 5): DataFrame =
-    dupShingleFracOf(Tables.documents(s, d), n)
+  def dupShingleFrac(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    // CONTRACTION-FIRST (r11, output-identical): positional shingle
+    // multiplicities are a pure function of the text, so the corpus-wide
+    // occurrence count factors as cnt(fp) = Σ_groups w · m_group(fp) and
+    // the per-doc dup share is the group's share. The raw spelling
+    // window-counted every raw position (replication × the postings) for
+    // the same answer; this one rolls up canonical positional counts and
+    // expands per-group results member-wise. The (doc, fp) pre-rollup is
+    // also a map-side combine the raw window form could never do.
+    val (members, weights) = contraction(s, d)
+    val m = Tables.documents(s, d)
+      .join(weights.select(col("canon").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"), col("t"))
+      .select(col("doc_id"),
+        substring(md5(array_join(slice(col("t"), col("i"), lit(n)), " ")), 1, 16)
+          .as("sfp"))
+      .groupBy(col("doc_id"), col("sfp"))
+      .agg(count(lit(1)).as("m"))
+    val cnt = m
+      .join(weights.withColumnRenamed("canon", "doc_id"), Seq("doc_id"))
+      .groupBy(col("sfp")).agg(sum(col("m") * col("w")).as("cnt"))
+    val canonStats = m.join(cnt, Seq("sfp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_shingles"),
+        sum(when(col("cnt") > 1, col("m")).otherwise(0L))
+          .as("n_dup_shingles"))
+    members
+      .join(canonStats.withColumnRenamed("doc_id", "canon"), Seq("canon"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"))
+      .withColumn("dup_frac",
+        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
 
   /** [[dupShingleFrac]] over an arbitrary `(doc_id, text)` frame. */
   def dupShingleFracOf(docs: DataFrame, n: Int = 5): DataFrame = {
@@ -1302,8 +1375,12 @@ object DedupOps {
     */
   def shingleDfProfile(s: SparkSession, d: String,
       maxDf: Long = 1000L): DataFrame =
-    shingleIndex(s, d)
-      .groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+    // weighted canonical document frequency ≡ raw df (contraction-first,
+    // r11): the profile never needs the raw postings
+    canonShingleIndex(s, d)
+      .join(contraction(s, d)._2.withColumnRenamed("canon", "doc_id"),
+        Seq("doc_id"))
+      .groupBy(col("sh_h")).agg(sum(col("w")).as("df"))
       .groupBy((length(bin(col("df"))) - 1).cast("int").as("df_bucket"))
       .agg(
         count(lit(1)).as("n_shingles"),

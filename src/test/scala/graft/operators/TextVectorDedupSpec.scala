@@ -331,6 +331,76 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  test("property: novelty / dup-shingle / df-profile contraction ≡ raw brute force") {
+    import spark.implicits._
+    def sh3(t: String): Vector[String] = {
+      val toks = t.split(" ").toVector
+      if (toks.length < 3) Vector.empty
+      else toks.sliding(3).map(_.mkString(" ")).toVector.distinct
+    }
+    def win5(t: String): Vector[String] = {
+      val toks = t.split(" ").toVector
+      if (toks.length < 5) Vector.empty
+      else toks.sliding(5).map(_.mkString(" ")).toVector // WITH multiplicity
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val gen = for {
+      nBase <- org.scalacheck.Gen.choose(3, 6)
+      texts <- org.scalacheck.Gen.listOfN(nBase,
+        org.scalacheck.Gen.listOfN(8, org.scalacheck.Gen.oneOf(words))
+          .map(_.mkString(" ")))
+      reps <- org.scalacheck.Gen.listOfN(nBase, org.scalacheck.Gen.choose(1, 3))
+    } yield texts.zip(reps)
+    forSamples(gen, n = 6) { spec =>
+      val rowsIn = spec.zipWithIndex.flatMap { case ((t, k), i) =>
+        (0 until k).map(r => (i * 10L + r, t))
+      }
+      val d = Files.createTempDirectory("graft-nvl").toString
+      rowsIn.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$d/documents.parquet")
+      // novelty over the distinct 3-shingle index
+      val first = rowsIn.flatMap { case (id, t) => sh3(t).map(_ -> id) }
+        .groupBy(_._1).map { case (sh, g) => sh -> g.map(_._2).min }
+      val wantNov = rowsIn.filter(r => sh3(r._2).nonEmpty)
+        .map { case (id, t) =>
+          val shs = sh3(t)
+          val nov = shs.count(sh => first(sh) == id).toLong
+          (id, shs.size.toLong, nov, r6(nov.toDouble / shs.size))
+        }.sortBy(_._1)
+      val gotNov = DedupOps.contentNovelty(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(gotNov === wantNov, s"novelty corpus=$rowsIn")
+      // positional 5-gram dup fraction
+      val cnt = rowsIn.flatMap { case (_, t) => win5(t) }
+        .groupBy(identity).map { case (fp, g) => fp -> g.size.toLong }
+      val wantDup = rowsIn.filter(r => win5(r._2).nonEmpty)
+        .map { case (id, t) =>
+          val ws = win5(t)
+          val dup = ws.count(fp => cnt(fp) > 1).toLong
+          (id, ws.size.toLong, dup, r6(dup.toDouble / ws.size))
+        }.sortBy(_._1)
+      val gotDup = DedupOps.dupShingleFrac(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(gotDup === wantDup, s"dupfrac corpus=$rowsIn")
+      // df histogram (bucket = floor(log2(df)))
+      val dfs = rowsIn.flatMap { case (id, t) => sh3(t).map(_ -> id) }
+        .groupBy(_._1).map { case (_, g) => g.map(_._2).size.toLong }
+      val wantDf = dfs.groupBy(df => 63 - java.lang.Long.numberOfLeadingZeros(df))
+        .toSeq.map { case (b, g) =>
+          (b, g.size.toLong, g.sum,
+            g.count(_ > 1000L).toLong, g.filter(_ > 1000L).sum)
+        }.sortBy(_._1)
+      val gotDf = DedupOps.shingleDfProfile(spark, d).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(gotDf === wantDf, s"dfprofile corpus=$rowsIn")
+    }
+  }
+
   test("ngramJaccard df-cap removes pairs that only share boilerplate") {
     // cap at df<=2: shingles shared by all of 0,1,2 (df=3) are dropped;
     // 0-1 remain dups via their full overlap; 0-2 lose their only common
