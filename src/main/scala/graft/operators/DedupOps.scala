@@ -2395,14 +2395,18 @@ object DedupOps {
       .parquet(s"$indexDir/pair_stats")
     duplicateClusters(s, d, minSim, maxDf).write.mode("overwrite")
       .parquet(s"$indexDir/clusters")
-    // the capped (doc_id, sh_h) postings — what [[incrementalClusters]]
-    // joins new batches against; ids + 8-byte hashes, never text
-    cappedIndex(s, d, maxDf).write.mode("overwrite")
-      .parquet(s"$indexDir/capped_index")
     // the contracted-graph artifacts the closed-form structure consumers
     // compose (r11): canonical pair stats + capped-set sizes + group
     // weights — all id/count-sized, never text
     val art = canonPairArtifacts(s, d, maxDf)
+    // raw capped (doc_id, sh_h) postings, for external raw-posting
+    // consumers: DERIVED by membership expansion (a raw doc's capped set
+    // IS its canonical's) — identical rows to the raw capByDf build,
+    // streamed to parquet without ever building the raw index
+    contraction(s, d)._1
+      .join(art.index.withColumnRenamed("doc_id", "canon"), Seq("canon"))
+      .select(col("doc_id"), col("sh_h"))
+      .write.mode("overwrite").parquet(s"$indexDir/capped_index")
     art.stats.write.mode("overwrite").parquet(s"$indexDir/canon_stats")
     art.sizes.write.mode("overwrite").parquet(s"$indexDir/canon_sizes")
     art.weights.write.mode("overwrite").parquet(s"$indexDir/canon_weights")
