@@ -363,6 +363,28 @@ object DedupOps {
       (members, weights)
     }
 
+  /** Run a PER-DOCUMENT pure-TEXT operator once per exact-dup group and
+    * expand the result member-wise — the production ordering (exact
+    * dedup first, signals once per distinct text). `f` must key its
+    * output by `doc_id`, emit one row per input doc it keeps, and
+    * depend on NOTHING but the text column (metadata-reading operators
+    * do not factor through text-keyed groups — see [[boilerplate]]).
+    * On corpora with no exact duplicates this degenerates to f(docs)
+    * plus an output-sized identity join.
+    */
+  private[operators] def contractPerDocText(s: SparkSession, d: String)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val (members, weights) = contraction(s, d)
+    val canonOut = f(Tables.documents(s, d)
+      .join(weights.select(col("canon").as("doc_id")), Seq("doc_id"),
+        "left_semi"))
+    val outCols = canonOut.columns.filter(_ != "doc_id").map(col)
+    members
+      .join(canonOut.withColumnRenamed("doc_id", "canon"), Seq("canon"))
+      .select(col("doc_id") +: outCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
   // does this corpus have any exact-duplicate group (w >= 2)? Two counts
   // on the memoized contraction leaves — cached because the LSH family
   // branches on it per call and the counts, while cheap, are actions.

@@ -331,7 +331,10 @@ object TextOps {
     */
   def repeatSpans(s: SparkSession, d: String, k: Int = 5, minRun: Int = 8,
       maxTf: Long = 100L): DataFrame =
-    repeatSpansOf(Tables.documents(s, d), k, minRun, maxTf)
+    // contraction-first (r11): the intra-document repeat profile is a
+    // pure text function — the position self-pairing runs once per
+    // DISTINCT text and expands member-wise
+    DedupOps.contractPerDocText(s, d)(repeatSpansOf(_, k, minRun, maxTf))
 
   /** [[repeatSpans]] over an arbitrary `(doc_id, text)` frame. */
   def repeatSpansOf(docsIn: DataFrame, k: Int = 5, minRun: Int = 8,

@@ -486,12 +486,20 @@ object TrainPrepOps {
     * embarrassingly parallel at 100 TB.
     */
   def piiRedact(s: SparkSession, d: String): DataFrame =
+    // contraction-first (r11): the redaction profile is a pure text
+    // function, so the 4 regex passes run once per DISTINCT text and
+    // expand member-wise (DedupOps.contractPerDocText) — on the ×10
+    // replica fixture that is 10× less regex for the same rows.
+    DedupOps.contractPerDocText(s, d)(piiRedactOf)
+
+  /** [[piiRedact]] over an arbitrary `(doc_id, text)` frame. */
+  def piiRedactOf(docs: DataFrame): DataFrame =
     // regexp_count, not size(regexp_extract_all): same count without
     // materializing every match; and the redacted text is computed in its
     // own projection (referenced 2x below) instead of splicing the nested
     // regexp_replace tree into both length() and md5() — the regex passes
     // per row drop from 6 to 4.
-    Tables.documents(s, d)
+    docs
       .select(
         col("doc_id"),
         regexp_count(col("text"), lit(emailRe)).as("n_emails"),

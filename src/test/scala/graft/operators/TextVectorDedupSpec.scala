@@ -398,6 +398,16 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4))).toSeq
       assert(gotDf === wantDf, s"dfprofile corpus=$rowsIn")
+      // per-doc pure-text wrappers: contracted dir form ≡ raw Of form
+      val rawDocs = rowsIn.toDF("doc_id", "text")
+      assert(TrainPrepOps.piiRedact(spark, d).collect().map(_.toSeq).toSeq
+        === TrainPrepOps.piiRedactOf(rawDocs).collect().map(_.toSeq).toSeq,
+        s"pii corpus=$rowsIn")
+      assert(TextOps.repeatSpans(spark, d, k = 2, minRun = 3)
+        .collect().map(_.toSeq).toSeq
+        === TextOps.repeatSpansOf(rawDocs, k = 2, minRun = 3)
+          .collect().map(_.toSeq).toSeq,
+        s"repeatspans corpus=$rowsIn")
     }
   }
 
