@@ -169,11 +169,22 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"no explode allowed:\n$plan")
   }
 
-  test("piiRedact: zero hash exchanges, single scan") {
+  test("piiRedact: regex passes run once per distinct text (contracted)") {
+    // r11: the dir form runs the redaction on CANONICAL texts and expands
+    // member-wise, so the (expensive) regexes must appear exactly once in
+    // the plan — under the canonical branch, not replicated per member —
+    // while the raw Of form stays the zero-shuffle map-only kernel.
     val plan = executedPlan(graft.operators.TrainPrepOps.piiRedact(spark, sf0001))
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"per-row redaction must not hash-shuffle:\n$plan")
-    assert(!plan.contains("Join"), s"redaction reads one table:\n$plan")
+    assert("regexp_replace".r.findAllIn(plan).size ===
+      "regexp_replace".r.findAllIn(
+        executedPlan(graft.operators.TrainPrepOps.piiRedactOf(
+          graft.Tables.documents(spark, sf0001)))).size,
+      s"regex work multiplied by the expansion:\n$plan")
+    val ofPlan = executedPlan(graft.operators.TrainPrepOps.piiRedactOf(
+      graft.Tables.documents(spark, sf0001)))
+    assert(!ofPlan.contains("Exchange hashpartitioning"),
+      s"per-row redaction kernel must not hash-shuffle:\n$ofPlan")
+    assert(!ofPlan.contains("Join"), s"redaction kernel reads one table:\n$ofPlan")
   }
 
   test("sessions: native session aggregation, one hash exchange, no per-event window pass") {
