@@ -805,17 +805,6 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash signatures: doc_id → array<long> of k seeded min-hashes.
-    * Memoized per (dir, k) like the shingle index — signatures are the
-    * materialized artifact of a MinHash pipeline (computed once per corpus,
-    * reused by every LSH query / band configuration over it).
-    */
-  def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame =
-    sigCache.getOrElseUpdate(s, s"$d#minhash#$k") { (ss, _) =>
-      graft.SessionCache.cut(shingles(ss, d)
-        .select(col("doc_id"), minhashSig(col("shs"), k).as("sig")))
-    }
-
   private val sigCache =
     new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
@@ -837,7 +826,7 @@ object DedupOps {
     * arithmetic both engines compute bit-identically, so the DuckDB twin
     * replays the ENTIRE pipeline (signatures, banding, candidate join,
     * estimate) and the result is hash-checked, not rows-only. The
-    * engine-hash [[minhashSignatures]] expression stays for streaming,
+    * engine-hash [[graft.functions.sketch.minhashSig]] expression stays for streaming,
     * where no oracle exists and xxhash64 is cheaper.
     */
   /** Portable k-component MinHash signature of a shingle array: base
@@ -868,16 +857,6 @@ object DedupOps {
     transform(sequence(lit(0), lit(bands - 1)),
       bnd => xxhash64(concat_ws(",",
         transform(slice(sig, bnd * rows + 1, lit(rows)), x => x.cast("string")))))
-
-  // ONE builder for the portable signature memo — minhashLshPairs and
-  // lshTuningCurve share the key, so they must share the build (a second
-  // spelling left a full-lineage persist in the cache when the tuning
-  // curve ran first, re-arming the per-action canonicalization tax).
-  private def portableSigs(s: SparkSession, d: String, k: Int): DataFrame =
-    sigCache.getOrElseUpdate(s, s"$d#minhashp#$k") { (ss, _) =>
-      graft.SessionCache.cut(shingles(ss, d)
-        .select(col("doc_id"), portableMinhashSig(col("shs"), k).as("sig")))
-    }
 
   // Contracted-corpus portable signatures: ONE signature per exact-dup
   // group, computed from the canonical text. Identical texts produce the
