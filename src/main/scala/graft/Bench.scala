@@ -117,6 +117,13 @@ object Bench {
         .map(_.getUsage.getUsed).sum
       floor("ccache_used_mb") = math.round(used / 1e4) / 100.0
     } catch { case _: Throwable => () }
+    // bucketed-layout build report (VERDICT r11 #1): which path the
+    // fact-fact family ran in THIS window — built/reused/fell-back, with
+    // build seconds — so a slow q21 is attributable from the artifact
+    // alone instead of re-litigated across rounds.
+    val layout =
+      try graft.plans.FactLayout.report(spark)
+      catch { case _: Throwable => Map.empty[String, String] }
     spark.stop()
     // The harness keeps only the last ~2000 chars of stdout and parses the
     // JSON line out of that window. At 148 queries the full per-query map is
@@ -135,7 +142,7 @@ object Bench {
       try {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outPath),
-          (BenchFormat.fullLine(bestMap, errMap, sfDir, runs, floor.toMap) + "\n")
+          (BenchFormat.fullLine(bestMap, errMap, sfDir, runs, floor.toMap, layout) + "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         BenchFormat.jstrFull(outPath)
       } catch {
@@ -144,6 +151,6 @@ object Bench {
       }
     // rc stays 0 — the driver still needs to parse the JSON line; the
     // "errors" object (non-empty = red) is the loud part
-    println(BenchFormat.compactLine(bestMap, errMap, sfDir, runs, fullField, floor.toMap))
+    println(BenchFormat.compactLine(bestMap, errMap, sfDir, runs, fullField, floor.toMap, layout))
   }
 }

@@ -69,16 +69,31 @@ object BenchFormat {
       .map { case (k, v) => jstrFull(k) + ":" + sec(v) }
       .mkString("\"floor\":{", ",", "},")
 
+  /** `"layout":{...},` fragment (or "" when no query touched the bucketed
+    * fact layout) — per-table build outcome from
+    * [[graft.plans.FactLayout.report]] (`"built:0.92"` / `"reused:0.04"` /
+    * `"fallback:<msg>"`). VERDICT r11 #1: the artifact itself must
+    * adjudicate which join plan q21 ran — a layout fallback in the
+    * driver's environment was the prime suspect for an unexplained 4.4×,
+    * and nothing in the r11 artifact could prove or refute it.
+    */
+  private def layoutFrag(layout: Map[String, String]): String =
+    if (layout.isEmpty) ""
+    else layout.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstrFull(k) + ":" + jstr(v) }
+      .mkString("\"layout\":{", ",", "},")
+
   /** The sidecar body: complete per-query map, complete errors. */
   def fullLine(
       best: Map[String, Double],
       errors: Map[String, String],
       sfDir: String,
       runs: Int,
-      floor: Map[String, Double] = Map.empty): String = {
+      floor: Map[String, Double] = Map.empty,
+      layout: Map[String, String] = Map.empty): String = {
     val ok = best.keys.toSeq.sorted
     val fullQs = ok.map(n => jstrFull(n) + ":" + sec(best(n))).mkString("{", ",", "}")
-    s"""{"metric":"total","value":${sec(ok.map(best).sum)},"unit":"sec","queries":$fullQs,"errors":${errObj(errors.toSeq.sortBy(_._1))},${floorFrag(floor)}"sf":${jstrFull(sfDir)},"runs":$runs}"""
+    s"""{"metric":"total","value":${sec(ok.map(best).sum)},"unit":"sec","queries":$fullQs,"errors":${errObj(errors.toSeq.sortBy(_._1))},${floorFrag(floor)}${layoutFrag(layout)}"sf":${jstrFull(sfDir)},"runs":$runs}"""
   }
 
   /** Packs rollup capped to `PackBudget` chars: heaviest packs inline, the
@@ -114,7 +129,8 @@ object BenchFormat {
       sfDir: String,
       runs: Int,
       fullField: String,
-      floor: Map[String, Double] = Map.empty): String = {
+      floor: Map[String, Double] = Map.empty,
+      layout: Map[String, String] = Map.empty): String = {
     val ok = best.keys.toSeq.sorted
     val total = ok.map(best).sum
     val errSorted = errors.toSeq.sortBy(_._1)
@@ -122,7 +138,7 @@ object BenchFormat {
 
     def prefix(errCount: Int): String = {
       val errTruncated = errSorted.size - errCount
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":${jstrFull(sfDir)},"runs":$runs,"n_queries":${ok.size},"full":$fullField,${floorFrag(floor)}"packs":$packs,"errors":${errObj(errSorted.take(errCount))},"errors_truncated":$errTruncated,"queries":{"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":${jstrFull(sfDir)},"runs":$runs,"n_queries":${ok.size},"full":$fullField,${floorFrag(floor)}${layoutFrag(layout)}"packs":$packs,"errors":${errObj(errSorted.take(errCount))},"errors_truncated":$errTruncated,"queries":{"""
     }
 
     // Whole-line budget: shed inline errors (sidecar keeps them all) until

@@ -65,8 +65,13 @@ object RelationalOps {
     * broadcast customer at small SF).
     */
   def revenueByNation(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    val o  = Tables.orders(s, d)
+    // lineitem⋈orders rides the session's bucketed orderkey layout when
+    // available (zero-exchange co-bucketed join; plain scans otherwise —
+    // no strategy hints, so the fallback plan is the r10 plan unchanged)
+    val li = graft.plans.FactLayout.lineitemByOrderOpt(s, d)
+      .getOrElse(Tables.lineitem(s, d))
+    val o  = graft.plans.FactLayout.ordersByKeyOpt(s, d)
+      .getOrElse(Tables.orders(s, d))
       .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
              col("o_orderdate") <  lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
     val c  = Tables.customer(s, d)
@@ -569,15 +574,23 @@ object RelationalOps {
     val cutoff = lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00"))
     val cust = Tables.customer(s, d)
       .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
-    val ord = Tables.orders(s, d)
+    // on the bucketed layout the filtered-customer join broadcasts (AQE,
+    // small key-only slice) onto the orderkey-bucketed orders scan — the
+    // streamed side keeps the bucket partitioning — so orders⋈lineitem
+    // and the per-order rollup never exchange LINEITEM; over plain
+    // parquet the r10 shuffle-hash form stands unchanged
+    val liOpt = graft.plans.FactLayout.lineitemByOrderOpt(s, d)
+    val ordOpt = graft.plans.FactLayout.ordersByKeyOpt(s, d)
+    val ord = ordOpt.getOrElse(Tables.orders(s, d))
       .where(col("o_orderdate") < cutoff)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val li = Tables.lineitem(s, d)
+    val li = liOpt.getOrElse(Tables.lineitem(s, d))
       .where(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-    hashBuildIfBig(cust.join(ord, col("c_custkey") === col("o_custkey")),
-        sizer = Tables.orders(s, d))
+    val co = cust.join(ord, col("c_custkey") === col("o_custkey"))
+    (if (liOpt.isDefined && ordOpt.isDefined) co
+     else hashBuildIfBig(co, sizer = Tables.orders(s, d)))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("o_date_ms"))
@@ -597,11 +610,16 @@ object RelationalOps {
     */
   def largeVolumeCustomers(
       s: SparkSession, d: String, minQty: Double = 200.0): DataFrame = {
-    val big = Tables.lineitem(s, d)
+    // the per-order rollup and the orders join both ride the bucketed
+    // orderkey layout when available (zero lineitem/orders exchanges);
+    // the plain scans keep the identical aggregate-before-join plan
+    val big = graft.plans.FactLayout.lineitemByOrderOpt(s, d)
+      .getOrElse(Tables.lineitem(s, d))
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("qty"))
       .where(col("qty") > minQty)
-    Tables.orders(s, d)
+    graft.plans.FactLayout.ordersByKeyOpt(s, d)
+      .getOrElse(Tables.orders(s, d))
       .join(big, col("o_orderkey") === col("l_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(
@@ -960,15 +978,22 @@ object RelationalOps {
     * a value-ordered limit (TakeOrderedAndProject), ties on custkey.
     */
   def topReturnedCustomers(s: SparkSession, d: String, k: Int = 20): DataFrame = {
-    val ret = Tables.lineitem(s, d)
+    // both fact scans ride the bucketed orderkey layout when available:
+    // the orders⋈lineitem join is co-bucketed (zero exchange), leaving
+    // the per-customer rollup as the only fact shuffle — and it carries
+    // the filtered+joined slice, not raw lineitem
+    val liOpt = graft.plans.FactLayout.lineitemByOrderOpt(s, d)
+    val ordOpt = graft.plans.FactLayout.ordersByKeyOpt(s, d)
+    val ret = liOpt.getOrElse(Tables.lineitem(s, d))
       .where(col("l_returnflag") === "R")
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-    val ord = Tables.orders(s, d)
+    val ord = ordOpt.getOrElse(Tables.orders(s, d))
       .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
         col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
       .select(col("o_orderkey"), col("o_custkey"))
-    hashBuildIfBig(ord).join(ret, col("o_orderkey") === col("l_orderkey"))
+    (if (liOpt.isDefined && ordOpt.isDefined) ord else hashBuildIfBig(ord))
+      .join(ret, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("rev")), 2).as("ret_revenue"), count(lit(1)).as("n_items"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1306,16 +1331,38 @@ object RelationalOps {
     // build as the plan's GC-sensitive part). Lateness commutes with the
     // reorder: max(ship) > cutoff  ⟺  any line's ship > cutoff, so the
     // per-pair verdict is max of per-LINE verdicts.
-    val pair = graft.plans.FactLayout.lineitemByOrder(s, d)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      .join(graft.plans.FactLayout.ordersByKey(s, d)
-          .select(col("o_orderkey"), col("o_orderdate")).hint("merge"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(max((col("l_shipdate") >
-        col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int"))
-        .as("was_late"))
-      .select(col("l_orderkey"), col("l_suppkey"), col("was_late"))
+    //
+    // The merge hint is ONLY sound on the bucketed layout: over plain
+    // parquet a forced SMJ pays full exchanges + sorts on both fact
+    // tables EVERY run — the r11 driver-window 4.9 s q21 anomaly was
+    // exactly this (layout build failed in that environment, the hint
+    // stayed). When the layout is unavailable the query routes to the
+    // r10 aggregate-before-join form, which is the best plain-parquet
+    // plan we measured.
+    val pair = (graft.plans.FactLayout.lineitemByOrderOpt(s, d),
+        graft.plans.FactLayout.ordersByKeyOpt(s, d)) match {
+      case (Some(li), Some(ord)) =>
+        li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(ord.select(col("o_orderkey"), col("o_orderdate")).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max((col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int"))
+            .as("was_late"))
+          .select(col("l_orderkey"), col("l_suppkey"), col("was_late"))
+      case _ =>
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .repartition(col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(col("l_shipdate")).as("max_ship"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("max_ship") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int")
+              .as("was_late"))
+    }
     pair
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_supp"),

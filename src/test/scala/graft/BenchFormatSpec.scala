@@ -100,6 +100,25 @@ class BenchFormatSpec extends AnyFunSuite {
       .has("floor"))
   }
 
+  test("layout report rides both lines when present, is absent when not") {
+    val best = mkBest(148)
+    val layout = Map(
+      "lineitem:l_orderkey" -> "built:0.92",
+      "orders:o_orderkey" -> ("fallback:Can't create managed table " + "x" * 80))
+    val line = BenchFormat.compactLine(best, Map.empty, "/sf", 3,
+      "\"BENCH_local.json\"", Map("bare" -> 0.08), layout)
+    assert(line.length <= BenchFormat.Budget, s"line is ${line.length} chars")
+    val node = om.readTree(line)
+    assert(node.get("layout").get("lineitem:l_orderkey").asText == "built:0.92")
+    // fallback messages truncate (jstr) but keep the outcome prefix
+    assert(node.get("layout").get("orders:o_orderkey").asText.startsWith("fallback:"))
+    val full = om.readTree(BenchFormat.fullLine(best, Map.empty, "/sf", 3,
+      Map.empty, layout))
+    assert(full.get("layout").get("lineitem:l_orderkey").asText == "built:0.92")
+    assert(!om.readTree(BenchFormat.compactLine(best, Map.empty, "/sf", 3, "null"))
+      .has("layout"))
+  }
+
   test("totals and pack rollups are consistent with the per-query map") {
     val best = Map("q_rel_a" -> 1.0, "q_rel_b" -> 2.0, "q_ts_c" -> 0.5)
     val node = om.readTree(BenchFormat.compactLine(best, Map.empty, "/sf", 1, "null"))

@@ -68,6 +68,57 @@ class PlansSpec extends SparkSpec {
       s"expected ≤1 shuffle (final supplier rollup), got:\n$plan")
   }
 
+  test("fact-fact family rides the bucketed layout: q18/q3 zero-exchange, q10/q5 fact-side") {
+    import graft.operators.RelationalOps
+    for ((name, df, maxShuffles) <- Seq(
+      // q18: per-order rollup + orders join, both on the bucket partitioning
+      ("q18", RelationalOps.largeVolumeCustomers(spark, sf0001), 0),
+      // q3: broadcast cust→orders keeps the bucket partitioning; li join +
+      // per-order rollup inherit it
+      ("q3", RelationalOps.shippingPriority(spark, sf0001), 0),
+      // q10: co-bucketed fact join; the only shuffle is the per-customer
+      // rollup of the filtered+joined slice
+      ("q10", RelationalOps.topReturnedCustomers(spark, sf0001), 1),
+      // q5 shape: co-bucketed fact join; customer join + nation rollup may
+      // each exchange the post-join slice
+      ("rbn", RelationalOps.revenueByNation(spark, sf0001), 2))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("graft_bk_lineitem"),
+        s"$name is not reading the bucketed lineitem:\n$plan")
+      assert(countShuffles(plan) <= maxShuffles,
+        s"$name expected ≤$maxShuffles shuffles:\n$plan")
+    }
+  }
+
+  test("layout fallback is plan-neutral: q21 drops the merge hint, matches bucketed rows") {
+    // a distinct dir key (symlink) isolates the cached failure from the
+    // bucketed entries other tests rely on; the bad bucket conf makes the
+    // layout build throw before touching any data
+    val link = java.nio.file.Files.createSymbolicLink(
+      Files.createTempDirectory("graft-fb").resolve("sf"),
+      java.nio.file.Paths.get(sf0001))
+    // bucketed-path truth FIRST (also pre-populates the sf0001 cache so the
+    // bad conf below can never poison it for later suites)
+    val good = graft.operators.RelationalOps.soleLateSuppliers(spark, sf0001)
+      .collect()
+    spark.conf.set("spark.graft.factBuckets", "not-a-number")
+    try {
+      val fb = graft.operators.RelationalOps.soleLateSuppliers(spark, link.toString)
+      val rows = fb.collect()
+      val plan = fb.queryExecution.executedPlan.toString
+      // r11's bug: the fallback scan kept the forced merge hint and paid
+      // full exchanges+sorts every run — the plan must not read the
+      // layout, and must match the bucketed path row-for-row
+      assert(!plan.contains("graft_bk"), s"fallback still reads the layout:\n$plan")
+      assert(rows.map(_.toSeq).toSeq === good.map(_.toSeq).toSeq)
+      // and the attempt is attributable from the report (bench sidecar)
+      val rep = FactLayout.report(spark)
+      assert(rep.get("lineitem:l_orderkey").exists(_.startsWith("fallback:")),
+        s"fallback not recorded: $rep")
+    } finally spark.conf.unset("spark.graft.factBuckets")
+  }
+
   // ---- plan-regression locks: the good plans of r1/r2 must stay good ------
 
   private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
@@ -444,10 +495,10 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-100 must be a value-ordered limit:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
-    // the one hash exchange is the lineitem rollup — the fact table is
-    // aggregated to qualifying keys before either dimension join
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
-      s"only the lineitem rollup may shuffle:\n$plan")
+    // r12: the lineitem rollup now rides the bucketed orderkey layout —
+    // ZERO hash exchanges (the rollup was the plan's one shuffle in r10)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 0,
+      s"the bucketed layout should leave no hash exchange:\n$plan")
   }
 
   test("lastTouchAttribution: the user window is the only corpus shuffle") {
