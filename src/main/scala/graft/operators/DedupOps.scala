@@ -468,12 +468,15 @@ object DedupOps {
   private val canonArtCache =
     new graft.SessionCache[CanonPairArtifacts](maxEntries = 4,
       onEvict = v => {
+        // every frame here is the artifact's OWN cut (ADVICE r11): the
+        // earlier aliasing of cappedIndexCache/contractionCache entries
+        // let those caches' independent evictions release checkpoint
+        // blocks out from under a live artifact (and the loadDedupIndex
+        // path leaked its independent cuts) — release unconditionally
         graft.SessionCache.release(v.stats)
         graft.SessionCache.release(v.sizes)
-        // weights belongs to contractionCache — not released here; the
-        // index is owned here only on the contracted path (uncontracted
-        // it IS the cappedIndexCache entry)
-        if (v.contracted) graft.SessionCache.release(v.index)
+        graft.SessionCache.release(v.weights)
+        graft.SessionCache.release(v.index)
       })
 
   private def canonPairArtifacts(
@@ -481,12 +484,16 @@ object DedupOps {
     canonArtCache.getOrElseUpdate(s, s"$d#$maxDf#canonArt") { (ss, _) =>
       val (members, weights) = contraction(ss, d)
       if (weights.count() == members.count()) {
-        // no exact duplicates — the contracted corpus IS the corpus
-        val capped = cappedIndex(ss, d, maxDf)
+        // no exact duplicates — the contracted corpus IS the corpus.
+        // the artifact takes its OWN cut of the capped index (and of
+        // weights, below): sharing the cappedIndexCache entry's blocks
+        // would couple two independently-evicting caches
+        val capped = graft.SessionCache.cut(cappedIndex(ss, d, maxDf))
         val sizes = graft.SessionCache.cut(
           capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
         val stats = graft.SessionCache.cut(pairStats(capped, sizes))
-        CanonPairArtifacts(stats, sizes, weights, capped, contracted = false)
+        CanonPairArtifacts(stats, sizes, graft.SessionCache.cut(weights),
+          capped, contracted = false)
       } else {
         // canonical index from canonical texts only (1/replication of
         // the raw explode), df-capped by the WEIGHTED document
@@ -510,10 +517,11 @@ object DedupOps {
         val sizes = graft.SessionCache.cut(
           capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")))
         val stats = graft.SessionCache.cut(pairStats(capped, sizes))
-        // the canonical postings stay an artifact (no release): the
-        // incremental attach probes THEM instead of the raw index —
+        // the canonical postings stay an artifact (released on evict):
+        // the incremental attach probes THEM instead of the raw index —
         // canon-postings-sized, 1/replication of the raw explode
-        CanonPairArtifacts(stats, sizes, weights, capped, contracted = true)
+        CanonPairArtifacts(stats, sizes, graft.SessionCache.cut(weights),
+          capped, contracted = true)
       }
     }
 
@@ -1627,53 +1635,18 @@ object DedupOps {
     * trusted before a corpus-wide dedup commits to it (a band whose
     * mean_abs_err rivals its width is lying to you).
     *
-    * Plan: the banded LSH candidates ([[minhashLshPairs]]) get their
-    * exact scores via [[exactJaccardLookup]] — candidate-bounded joins
-    * against the CONTRACTED artifacts, never a probe of the raw pair
-    * expansion (r11: the raw left join cost ~28 s/warm-run at the sf1
-    * clique fixture; the lookup prices only the candidates) — and the
-    * rollup output is ≤ 10 bands at any corpus size. Estimates and exact
-    * values quantize to integer micro-units so every derived mean is an
-    * exact integer sum divided once — engine-identical. Candidates whose
-    * capped shingle sets don't overlap score exact 0 via the lookup's
+    * Plan: the banded LSH candidates factor through the CONTRACTED
+    * artifacts as a closed-form multiplicity rollup — exact scores are
+    * pure functions of the endpoints' exact-dup groups, so each canon
+    * candidate row carries its raw-pair multiplicity and the raw pair
+    * expansion never materializes (r11: a raw left join here cost
+    * ~28 s/warm-run at the sf1 clique fixture) — and the rollup output
+    * is ≤ 10 bands at any corpus size. Estimates and exact values
+    * quantize to integer micro-units so every derived mean is an exact
+    * integer sum divided once — engine-identical. Candidates whose
+    * capped shingle sets don't overlap score exact 0 via the rollup's
     * missing→0 coalesce.
     */
-  /** Exact-Jaccard LOOKUP for an arbitrary frame of raw candidate pairs
-    * (columns `a` < `b`, any extras) via the contracted artifacts: a raw
-    * pair's exact score is a pure function of its endpoints' exact-dup
-    * GROUPS — the canon pair's statistics for cross-group pairs, exactly
-    * 1.0 for co-members of a group with a non-empty capped set — so the
-    * lookup is |pairs|-bounded joins against canonical-sized sides, never
-    * a probe of the raw pair EXPANSION (which is ~Σ w_A·w_B rows on
-    * replicated corpora: at the sf1 clique fixture a left join against it
-    * cost [[sketchCalibration]] ~28 s/warm-run; this form prices only the
-    * candidates). Adds `jaccard` (null when the endpoints share no capped
-    * shingle — same missing semantics as the raw left join).
-    */
-  private def exactJaccardLookup(s: SparkSession, d: String,
-      pairs: DataFrame, maxDf: Long): DataFrame = {
-    val art = canonPairArtifacts(s, d, maxDf)
-    val (members, _) = contraction(s, d)
-    val canonJ = art.stats.select(
-      col("a").as("__cl"), col("b").as("__ch"),
-      round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 6).as("__jx"))
-    val within = art.sizes
-      .select(col("doc_id").as("__cw"), lit(1.0).as("__jw"))
-    pairs
-      .join(members.select(col("doc_id").as("a"), col("canon").as("__ca")),
-        Seq("a"))
-      .join(members.select(col("doc_id").as("b"), col("canon").as("__cb")),
-        Seq("b"))
-      .join(canonJ,
-        least(col("__ca"), col("__cb")) === col("__cl") &&
-          greatest(col("__ca"), col("__cb")) === col("__ch"), "left")
-      .join(within,
-        col("__ca") === col("__cb") && col("__ca") === col("__cw"), "left")
-      .select(pairs.columns.map(col) :+
-        coalesce(col("__jx"), col("__jw")).as("jaccard"): _*)
-  }
-
   def sketchCalibration(s: SparkSession, d: String): DataFrame = {
     val maxDf = 1000L
     val art = canonPairArtifacts(s, d, maxDf)
@@ -1930,8 +1903,9 @@ object DedupOps {
     * shuffles packed 8-byte keys. Truth is contraction-closed-form on
     * both sides (r11): n_true rolls up canon-pair multiplicities (the
     * [[thresholdCurve]] math at one threshold) and per-candidate hits
-    * come from [[exactJaccardLookup]] — candidate-bounded, never a
-    * membership probe of the raw pair expansion. Nothing is all-pairs.
+    * roll up canon-candidate multiplicities the same closed-form way —
+    * never a membership probe of the raw pair expansion. Nothing is
+    * all-pairs.
     */
   def lshTuningCurve(s: SparkSession, d: String, k: Int = 32,
       minSim: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
@@ -2419,10 +2393,17 @@ object DedupOps {
     writeCanonMeta(s, indexDir, art.contracted)
   }
 
+  /** On-disk dedup-index layout version. 2 = r11+ (adds `members`,
+    * `canon_index`, and this version field); bump on any layout change so
+    * [[loadDedupIndex]] can fail with a rewrite instruction instead of a
+    * raw missing-path error (ADVICE r11).
+    */
+  private val IndexFormatVersion = 2
+
   private def writeCanonMeta(s: SparkSession, indexDir: String,
       contracted: Boolean): Unit = {
     import s.implicits._
-    Seq(contracted).toDF("contracted")
+    Seq((contracted, IndexFormatVersion)).toDF("contracted", "version")
       .write.mode("overwrite").parquet(s"$indexDir/canon_meta")
   }
 
@@ -2434,6 +2415,25 @@ object DedupOps {
     */
   def loadDedupIndex(s: SparkSession, d: String, indexDir: String,
       minSim: Double = 0.2, maxDf: Long = 1000L): Unit = {
+    // version gate BEFORE priming anything: a pre-r11 artifact lacks
+    // members/canon_index and carries no version field — fail with a
+    // rewrite instruction, not a missing-path stack trace (ADVICE r11)
+    val base = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val required = Seq("canon_meta", "members", "canon_index", "clusters",
+      "capped_index", "canon_stats", "canon_sizes", "canon_weights")
+    val missing = required.filterNot(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(base, p)))
+    val meta = if (missing.contains("canon_meta")) null
+      else s.read.parquet(s"$indexDir/canon_meta")
+    val version = Option(meta).filter(_.columns.contains("version"))
+      .map(_.select(col("version")).collect()(0).getInt(0)).getOrElse(0)
+    if (missing.nonEmpty || version != IndexFormatVersion)
+      throw new IllegalStateException(
+        s"dedup index at $indexDir is format v$version " +
+          s"(need v$IndexFormatVersion" +
+          (if (missing.nonEmpty) s"; missing: ${missing.mkString(", ")}" else "") +
+          ") — written by an older version; rewrite it with writeDedupIndex")
     contractionCache.getOrElseUpdate(s, d) { (ss, _) =>
       (graft.SessionCache.cut(ss.read.parquet(s"$indexDir/members")),
         graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_weights")))
@@ -2446,7 +2446,7 @@ object DedupOps {
     }
     canonArtCache.getOrElseUpdate(s, s"$d#$maxDf#canonArt") { (ss, _) =>
       val contracted = ss.read.parquet(s"$indexDir/canon_meta")
-        .collect()(0).getBoolean(0)
+        .collect()(0).getAs[Boolean]("contracted")
       CanonPairArtifacts(
         graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_stats")),
         graft.SessionCache.cut(ss.read.parquet(s"$indexDir/canon_sizes")),

@@ -407,6 +407,15 @@ object TrainPrepOps {
     * sits on a boolean filter OUTSIDE the aggregation hot path, so the
     * codegen break costs one virtual call per shingle, not a pipeline.
     */
+  // eval-set Bloom filters per (session, dir, fpp): built once, reused by
+  // repeated calls (bench passes share one), DESTROYED on eviction — the
+  // r11 form re-broadcast a fresh filter per call and never freed any,
+  // accumulating executor-resident broadcasts (ADVICE r11)
+  private val bloomCache = new graft.SessionCache[
+      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]](
+    maxEntries = 4,
+    onEvict = b => try b.destroy() catch { case _: Throwable => () })
+
   def bloomDecontaminate(s: SparkSession, d: String,
       minFrac: Double = 0.05, fpp: Double = 0.01): DataFrame = {
     val sh = Tables.documents(s, d)
@@ -414,9 +423,18 @@ object TrainPrepOps {
       .select(col("doc_id"), shingleKey(col("sh")).as("shk"))
     val evalKeys = sh.where(col("doc_id") % 10 === 0)
       .select(col("shk")).distinct()
-    val nEval = evalKeys.count()
-    val bloom = evalKeys.stat.bloomFilter("shk", math.max(nEval, 1L), fpp)
-    val bloomBc = s.sparkContext.broadcast(bloom)
+    val bloomBc = bloomCache.getOrElseUpdate(s, s"$d#$fpp") { (ss, _) =>
+      // size the filter from a cheap UPPER bound — Σ eval token counts
+      // (≥ distinct shingle count; one column-pruned scan of the eval
+      // split). The r11 exact evalKeys.count() was a full extra
+      // shingling+distinct pass that only fed this parameter; an
+      // over-sized filter costs a few bits/key, never correctness.
+      val row = Tables.documents(ss, d)
+        .where(col("doc_id") % 10 === 0)
+        .agg(sum(size(toks))).collect()(0)
+      val bound = if (row.isNullAt(0)) 1L else math.max(row.getLong(0), 1L)
+      ss.sparkContext.broadcast(evalKeys.stat.bloomFilter("shk", bound, fpp))
+    }
     val mightContain =
       udf((k: String) => k != null && bloomBc.value.mightContainString(k))
     val train = sh.where(col("doc_id") % 10 =!= 0)

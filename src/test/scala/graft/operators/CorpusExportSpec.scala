@@ -114,4 +114,26 @@ class CorpusExportSpec extends SparkSpec {
     assert(DedupOps.incrementalClusters(spark, ghost, batch).collect().toSeq
       === attachDirect)
   }
+
+  test("loading a pre-r11 dedup index fails with a versioned rewrite message") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-dedupidx-old").toString
+    DedupOps.writeDedupIndex(spark, sf0001, idx)
+    // regress the artifact to the pre-r11 shape: version-less meta, no
+    // members/canon_index dirs
+    Seq(true).toDF("contracted")
+      .write.mode("overwrite").parquet(s"$idx/canon_meta")
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.foreach(rmrf)
+      Files.deleteIfExists(p)
+    }
+    rmrf(Paths.get(idx, "members"))
+    val e = intercept[IllegalStateException] {
+      DedupOps.loadDedupIndex(spark, "/nonexistent/graft-ghost-old", idx)
+    }
+    assert(e.getMessage.contains("rewrite it with writeDedupIndex") &&
+      e.getMessage.contains("members"), e.getMessage)
+  }
 }
