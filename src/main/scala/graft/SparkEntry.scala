@@ -5180,6 +5180,25 @@ object SparkEntry {
   def queries: Map[String, Q] =
     logQueries ++ relQueries ++ tsQueries ++ textQueries ++ prepQueries ++ vecQueries
 
+  /** Oracle twins that REPLAY the engine's own algorithm as unrolled SQL
+    * (greedy/iterative operators with no independent deterministic SQL
+    * formulation — MMR's argmax chain, Lloyd's rounds, power iteration,
+    * GD epochs, BPE merges, the k-core peel). A replay twin proves
+    * engine≡twin DETERMINISM, not correctness; the correctness evidence
+    * is an independent brute-force property spec, linked to the query id
+    * by a `brute-force anchor: <id>` tag in the spec source. RegistrySpec
+    * lints the pairing at build time, so a future replay twin cannot land
+    * without its independent check (VERDICT r11 #5).
+    */
+  def replayTwins: Set[String] = Set(
+    "q_vec_mmr",
+    "q_vec_ivf_kmeans", "q_vec_kmeans_cells",
+    "q_vec_pca_component", "q_vec_pca_scores",
+    "q_vec_logreg_model", "q_vec_logreg_eval",
+    "q_vec_sim_pagerank", "q_vec_ivf_probe_curve",
+    "q_text_bpe_merges", "q_text_bpe_fertility",
+    "q_dedup_kcore")
+
   /** DuckDB twins. Keys absent here (minhash/simhash/langid/media features)
     * use engine-specific hashing or stubbed decodes → rows-only check.
     */

@@ -30,13 +30,28 @@ object SqliteLogImport {
     raf.seek(0); raf.readFully(h)
     require(new String(h, 0, 15, "ISO-8859-1") == "SQLite format 3",
       s"$path: not an SQLite database")
+    // live logsqlite dbs can be mid-write; in WAL mode (file format
+    // read/write version 2, offsets 18/19) committed rows live in the
+    // `-wal` sidecar this reader does not parse — importing the main
+    // file alone would silently DROP them. Fail loudly instead.
+    require(h(18) != 2 && h(19) != 2,
+      s"$path: database is in WAL mode — its -wal sidecar may hold " +
+        "committed rows this reader would miss; run PRAGMA wal_checkpoint " +
+        "(or stop the writer) before importing")
     val pageSize: Int = {
       val v = ((h(16) & 0xff) << 8) | (h(17) & 0xff)
       if (v == 1) 65536 else v
     }
     val usable: Int = pageSize - (h(20) & 0xff)
+    private val fileLen = raf.length()
 
     def page(no: Int): Array[Byte] = {
+      // explicit bounds → "corrupt/truncated" instead of a raw EOFException
+      // from a b-tree pointer past the end of a cut-short file
+      if (no < 1 || no.toLong * pageSize > fileLen)
+        throw new IllegalStateException(
+          s"$path: corrupt or truncated database — page $no is beyond " +
+            s"EOF ($fileLen bytes at page size $pageSize)")
       val out = new Array[Byte](pageSize)
       raf.seek((no - 1).toLong * pageSize)
       raf.readFully(out)
@@ -136,11 +151,20 @@ object SqliteLogImport {
     val hdr = if (pageNo == 1) 100 else 0
     val typ = pg(hdr) & 0xff
     val nCells = u16(pg, hdr + 3)
+    // bad cell pointers (bit rot, torn writes) must fail as "corrupt", not
+    // as an ArrayIndexOutOfBounds from deep inside varint decoding
+    def cellPtr(at: Int): Int = {
+      val p = u16(pg, at)
+      if (p < hdr + 8 || p >= pg.length)
+        throw new IllegalStateException(
+          s"page $pageNo: corrupt cell pointer $p (page size ${pg.length})")
+      p
+    }
     typ match {
       case 0x05 =>
         var i = 0
         while (i < nCells) {
-          val cellAt = u16(pg, hdr + 12 + 2 * i)
+          val cellAt = cellPtr(hdr + 12 + 2 * i)
           walkTable(db, u32(pg, cellAt).toInt)(onRow)
           i += 1
         }
@@ -148,9 +172,12 @@ object SqliteLogImport {
       case 0x0d =>
         var i = 0
         while (i < nCells) {
-          var at = u16(pg, hdr + 8 + 2 * i)
+          var at = cellPtr(hdr + 8 + 2 * i)
           val (pLen, c1) = readVarint(pg, at); at += c1
           val (rowid, c2) = readVarint(pg, at); at += c2
+          if (pLen < 0 || at + math.min(tableLocal(db, pLen.toInt), pLen) > pg.length)
+            throw new IllegalStateException(
+              s"page $pageNo: corrupt cell — payload length $pLen overruns the page")
           val local = tableLocal(db, pLen.toInt)
           onRow(rowid, payloadOf(db, pg, at, local, pLen.toInt))
           i += 1

@@ -32,4 +32,40 @@ class RegistrySpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every replay twin is anchored by a brute-force property spec") {
+    // A replay twin (an oracle that unrolls the engine's own algorithm as
+    // CTEs) proves determinism, not correctness — its correctness evidence
+    // is an independent brute-force property spec, linked by a
+    // `brute-force anchor: <query-id>` tag in the spec source. This lint
+    // fails if a future replay twin lands without that anchor, or an
+    // anchor names a query that no longer exists (VERDICT r11 #5).
+    import scala.jdk.CollectionConverters._
+    val testRoot = java.nio.file.Paths.get("src/test/scala/graft")
+    assert(java.nio.file.Files.isDirectory(testRoot),
+      "source-tree lint must run from the repo root")
+    // an anchor is a whole comment line of query ids — prose mentions of
+    // the phrase (like this one) never match
+    val anchorLine = """^\s*// brute-force anchor:((?:\s+q_[a-z0-9_]+)+)\s*$""".r
+    val anchored = java.nio.file.Files.walk(testRoot).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator
+          .flatMap {
+            case anchorLine(ids) => ids.trim.split("\\s+").toSeq
+            case _ => Nil
+          }
+      }.toSet
+    val unanchored = SparkEntry.replayTwins -- anchored
+    assert(unanchored.isEmpty,
+      s"replay twins without an independent brute-force spec anchor: ${unanchored.mkString(", ")}")
+    val ghosts = anchored -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty,
+      s"anchors naming unregistered queries: ${ghosts.mkString(", ")}")
+    val untwinned = SparkEntry.replayTwins -- SparkEntry.oracleSql.keySet
+    assert(untwinned.isEmpty,
+      s"replayTwins entries without an oracle twin: ${untwinned.mkString(", ")}")
+  }
 }

@@ -50,6 +50,7 @@ class KmeansIvfSpec extends SparkSpec {
     cents
   }
 
+  // brute-force anchor: q_vec_ivf_kmeans
   test("distributed Lloyd's matches the reference bit-for-bit") {
     val got = VectorOps.trainKmeans(spark, sf0001, k, iters)
     val want = referenceKmeans()
@@ -61,6 +62,7 @@ class KmeansIvfSpec extends SparkSpec {
     assert(maxDiff == 0.0, s"max centroid coordinate diff $maxDiff")
   }
 
+  // brute-force anchor: q_vec_kmeans_cells
   test("cell histogram covers every vector and no cell dominates") {
     val cells = VectorOps.kmeansCellStats(spark, sf0001, k, iters).collect()
     val total = cells.map(_.getLong(1)).sum

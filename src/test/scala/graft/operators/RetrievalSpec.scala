@@ -234,6 +234,7 @@ class RetrievalSpec extends SparkSpec {
     (merges.result(), segs)
   }
 
+  // brute-force anchor: q_text_bpe_merges q_text_bpe_fertility
   test("BPE induction agrees with a plain-Scala reference, chains included") {
     // 'abab' and 'aaa' pin the greedy-merge boundary semantics: after
     // merge (a,b), 'abab' must be [ab, ab] (not [ab, a, b]) and after

@@ -173,6 +173,7 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
         }
         assert(gotCurve === wantCurve, s"curve cap=$cap corpus=$rows")
 
+        // brute-force anchor: q_dedup_kcore
         // bounded k-core peel: the contracted group-atomic peel must
         // equal the raw peel over the brute-force pair set, round by round
         val kc = 2
@@ -635,6 +636,7 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     assert(g.getAs[Long]("n_low") >= 1L)
   }
 
+  // brute-force anchor: q_vec_ivf_probe_curve
   test("ivfProbeCurve: recall and candidates are monotone in probes") {
     val rows = VectorOps.ivfProbeCurve(spark, sf0001).collect()
       .sortBy(_.getAs[Int]("probes"))
@@ -688,6 +690,7 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  // brute-force anchor: q_vec_pca_component q_vec_pca_scores
   test("trainPca agrees with a plain-Scala power iteration; scores bracket") {
     val (m, v) = VectorOps.trainPca(spark, sf0001)
     // the trained direction is unit-norm
@@ -727,6 +730,7 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  // brute-force anchor: q_vec_logreg_model q_vec_logreg_eval
   test("trainLogReg agrees with a plain-Scala GD replay; eval separates") {
     val (w, b) = VectorOps.trainLogReg(spark, sf0001)
     // replay the exact quantized algorithm single-threaded
@@ -769,6 +773,7 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     assert(math.abs(model(64).getAs[Double]("weight") - b) < 1.1e-6)
   }
 
+  // brute-force anchor: q_vec_sim_pagerank
   test("simGraphPageRank agrees with a plain-Scala replay; invariants hold") {
     val got = VectorOps.simGraphPageRank(spark, sf0001).collect()
     val pairs = VectorOps.nearDupPairsLsh(spark, sf0001).collect()
@@ -826,6 +831,7 @@ class TextVectorDedupSpec extends SparkSpec with graft.PropSpec {
     }
   }
 
+  // brute-force anchor: q_vec_mmr
   test("mmrTopK: greedy selection matches an independent brute force") {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import scala.sys.process._
 
 import org.apache.spark.sql.functions._
@@ -109,6 +109,49 @@ class SqliteExportSpec extends SparkSpec {
       assert(r.rowid === j + 1L && r.ts === rows(j)._1)
       assert(java.util.Arrays.equals(r.message, rows(j)._2))
     }
+  }
+
+  test("corrupt and live-WAL databases fail loudly, never decode garbage") {
+    val dir = Files.createTempDirectory("graft-sqlite-bad").toString
+    val rows = (1 to 400).map(i =>
+      (i.toLong, s"row $i ${"z" * (i % 50)}".getBytes("UTF-8")))
+    SqliteLogExport.writeDb(s"$dir/good", rows.iterator)
+    val good = Files.readAllBytes(Paths.get(s"$dir/good"))
+
+    // truncated mid-page (a torn copy of a live file): the b-tree points
+    // past EOF — must say so, not throw a bare EOFException
+    Files.write(Paths.get(s"$dir/trunc"),
+      java.util.Arrays.copyOf(good, good.length - good.length / 3))
+    val te = intercept[IllegalStateException] {
+      SqliteLogImport.readDb(s"$dir/trunc")
+    }
+    assert(te.getMessage.contains("truncated"), te.getMessage)
+
+    // bad cell pointer on the sqlite_master page (bit rot): page 1 is a
+    // leaf, its cell pointer array starts at offset 108 — point the first
+    // cell beyond the page
+    val bad = good.clone()
+    bad(108) = 0xff.toByte; bad(109) = 0xff.toByte
+    Files.write(Paths.get(s"$dir/badptr"), bad)
+    val pe = intercept[IllegalStateException] {
+      SqliteLogImport.readDb(s"$dir/badptr")
+    }
+    assert(pe.getMessage.contains("corrupt cell pointer"), pe.getMessage)
+
+    // WAL read/write version (header bytes 18/19 = 2): a live logsqlite
+    // db mid-write — committed rows may sit in the -wal sidecar, so the
+    // import must refuse with checkpoint guidance rather than drop them
+    val wal = good.clone()
+    wal(18) = 2; wal(19) = 2
+    Files.write(Paths.get(s"$dir/wal"), wal)
+    val we = intercept[IllegalArgumentException] {
+      SqliteLogImport.readDb(s"$dir/wal")
+    }
+    assert(we.getMessage.contains("wal_checkpoint"), we.getMessage)
+
+    // the pristine twin still reads fine (the mutations above are the
+    // only difference)
+    assert(SqliteLogImport.readDb(s"$dir/good").length === 400)
   }
 
   test("export writes one valid db per container with ingest-order rowids") {

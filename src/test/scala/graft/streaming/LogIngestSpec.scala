@@ -168,6 +168,67 @@ class LogIngestSpec extends SparkSpec {
     assert(Retention.sweep(spark, table, Some(cutoff), None).total === 0)
   }
 
+  test("retention sweeps run concurrently with live ingest: exact survivors, no torn state") {
+    // the reference's cleaner task runs WHILE the logger appends, arbitrated
+    // by SQLite locking (src/cleaner.rs:134-158 ‖ src/logger.rs); the
+    // parquet analog must hold the same contract: a sweep's drop/swap never
+    // loses a concurrently-committed batch, never tears the table for the
+    // sweep's own stats read, and repeated sweeps converge to the exact
+    // survivor set (VERDICT r11 #6)
+    val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
+    val day = 86400000000000L
+    def at(ns: Long, i: Int): LogEntry =
+      LogEntry("stdout", ns, s"r$i".getBytes("UTF-8"), partial = false,
+        partialMeta = None)
+    // seed: one fully-expired day + one boundary day
+    writeBurst(staging, "c1", "seed",
+      (0 until 40).map(i => at(t0 + i * 1000000000L, i)) ++
+        (0 until 40).map(i => at(t0 + day + i * 1000000000L, 100 + i)))
+    val q = LogIngest.start(spark, staging, table, ckpt,
+      Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      q.processAllAvailable()
+      assert(LogIngest.table(spark, table).count() === 80)
+      // the cleaner thread: 10 sweeps with an ADVANCING mid-boundary
+      // cutoff, so every sweep re-rewrites the boundary partition while
+      // the logger keeps committing fresh batches
+      def cutoffAt(k: Int) = {
+        val ns = t0 + day + (20L + k) * 1000000000L
+        java.time.Instant.ofEpochSecond(ns / 1000000000L, ns % 1000000000L)
+      }
+      val sweepError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val sweeper = new Thread(() =>
+        try (0 until 10).foreach { k =>
+          Retention.sweep(spark, table, Some(cutoffAt(k)), None)
+        } catch { case e: Throwable => sweepError.set(e) })
+      sweeper.start()
+      // live appends (a NEWER day) land while the cleaner loops
+      for (k <- 1 to 6) {
+        writeBurst(staging, "c1", s"live$k", (0 until 25).map(i =>
+          at(t0 + 2 * day + (k * 100 + i) * 1000000000L, 1000 + k * 100 + i)))
+        Thread.sleep(100)
+      }
+      sweeper.join(120000)
+      assert(!sweeper.isAlive, "sweeper did not finish")
+      assert(sweepError.get() == null,
+        s"sweep threw under live ingest: ${sweepError.get()}")
+      q.processAllAvailable()
+      // converge: one more sweep at the final cutoff after quiescing
+      assert(Retention.sweep(spark, table, Some(cutoffAt(9)), None).total === 0)
+      val finalCut = t0 + day + 29L * 1000000000L
+      val rows = LogIngest.table(spark, table).collect()
+      // exact survivors: boundary rows i=29..39 (11) + all 150 live rows —
+      // nothing lost to a concurrent swap, nothing duplicated by a replay
+      assert(rows.length === 11 + 150,
+        s"expected 161 survivors, got ${rows.length}")
+      assert(rows.map(_.getAs[Long]("ts_nano")).forall(_ >= finalCut))
+      assert(rows.map(_.getAs[String]("line")).distinct.length === rows.length)
+      // the expired day's partition is gone entirely
+      assert(!Files.exists(Paths.get(table, "container_id=c1",
+        "date=" + java.time.LocalDate.ofEpochDay(Math.floorDiv(t0, day)))))
+    } finally q.stop()
+  }
+
   test("manifest commit: replays are no-ops, torn attempts are cleaned up") {
     val (staging, table, ckpt) = (tmp(), tmp() + "/logs", tmp() + "/ckpt")
     writeBurst(staging, "cr", "b0", (0 until 40).map(entry(_, "cr")))
