@@ -946,7 +946,10 @@ object RelationalOps {
     * Dimensions broadcast.
     */
   def minCostSupplier(s: SparkSession, d: String): DataFrame = {
-    val best = Tables.lineitem(s, d)
+    // the part-keyed rollup rides the PARTKEY-bucketed lineitem when
+    // available — zero fact exchange (plain scan keeps the r10 plan)
+    val best = graft.plans.FactLayout.lineitemByPartOpt(s, d)
+      .getOrElse(Tables.lineitem(s, d))
       .select(col("l_partkey"),
         struct(round(col("l_extendedprice") / col("l_quantity"), 6).as("pair_best"),
           col("l_suppkey")).as("cand"))
@@ -1089,7 +1092,8 @@ object RelationalOps {
           .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("cust_nation"))
-    Tables.lineitem(s, d)
+    graft.plans.FactLayout.lineitemByOrderOpt(s, d)
+      .getOrElse(Tables.lineitem(s, d))
       .where(col("l_shipdate") >= ts("1996-01-01") &&
         col("l_shipdate") < ts("1998-01-01"))
       .select(col("l_orderkey"), col("l_suppkey"),
@@ -1097,7 +1101,9 @@ object RelationalOps {
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e4, 0)
           .cast("long").as("rev_q"))
       .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+      .join(graft.plans.FactLayout.ordersByKeyOpt(s, d)
+          .getOrElse(Tables.orders(s, d))
+          .select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(custNation, col("o_custkey") === col("c_custkey"))
       .where(col("supp_nation") =!= col("cust_nation"))
@@ -1391,7 +1397,8 @@ object RelationalOps {
     * Part names broadcast onto the surviving slice.
     */
   def importantParts(s: SparkSession, d: String): DataFrame = {
-    val perPart = Tables.lineitem(s, d)
+    val perPart = graft.plans.FactLayout.lineitemByPartOpt(s, d)
+      .getOrElse(Tables.lineitem(s, d))
       .select(col("l_partkey"),
         round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
       .groupBy(col("l_partkey"))
@@ -1449,7 +1456,8 @@ object RelationalOps {
       family: String = "gear"): DataFrame = {
     val fam = Tables.part(s, d).where(col("p_name").contains(family))
       .select(col("p_partkey"))
-    val pairQty = Tables.lineitem(s, d)
+    val pairQty = graft.plans.FactLayout.lineitemByPartOpt(s, d)
+      .getOrElse(Tables.lineitem(s, d))
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
       .join(broadcast(fam), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))

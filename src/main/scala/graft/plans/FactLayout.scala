@@ -59,6 +59,15 @@ object FactLayout {
   def ordersByKeyOpt(s: SparkSession, d: String): Option[DataFrame] =
     bucketedOpt(s, d, "orders", "o_orderkey")
 
+  /** Second lineitem projection, bucketed on PARTKEY — the part-rollup
+    * family (q2 cheapest-supplier, q11 important-parts, q20 dominant-
+    * suppliers) groups on l_partkey and paid that exchange per run. At
+    * cluster scale this is the classic secondary sort projection
+    * maintained at ingest beside the orderkey copy.
+    */
+  def lineitemByPartOpt(s: SparkSession, d: String): Option[DataFrame] =
+    bucketedOpt(s, d, "lineitem", "l_partkey")
+
   /** The bucketed table, or the plain parquet scan when the layout is
     * unavailable — ONLY for call sites whose plan is identical either way
     * (no forced join-strategy hints riding on the bucket guarantee).

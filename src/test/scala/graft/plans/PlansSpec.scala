@@ -81,7 +81,15 @@ class PlansSpec extends SparkSpec {
       ("q10", RelationalOps.topReturnedCustomers(spark, sf0001), 1),
       // q5 shape: co-bucketed fact join; customer join + nation rollup may
       // each exchange the post-join slice
-      ("rbn", RelationalOps.revenueByNation(spark, sf0001), 2))) {
+      ("rbn", RelationalOps.revenueByNation(spark, sf0001), 2),
+      // q7: co-bucketed fact join; custkey join + nation-pair rollup remain
+      ("q7", RelationalOps.nationTradeVolume(spark, sf0001), 2),
+      // q2/q11/q20 ride the PARTKEY-bucketed lineitem: the part rollup is
+      // exchange-free; what remains is output ordering (q2) / the 1-row
+      // total broadcast + ordering (q11) / supplier rollup + ordering (q20)
+      ("q2", RelationalOps.minCostSupplier(spark, sf0001), 1),
+      ("q11", RelationalOps.importantParts(spark, sf0001), 2),
+      ("q20", RelationalOps.dominantSuppliers(spark, sf0001), 2))) {
       df.collect()
       val plan = df.queryExecution.executedPlan
       assert(plan.toString.contains("graft_bk_lineitem"),
