@@ -372,12 +372,29 @@ object DedupOps {
     * On corpora with no exact duplicates this degenerates to f(docs)
     * plus an output-sized identity join.
     */
+  /** Canonical documents (one row per distinct text), WIDTH-PINNED for
+    * CPU-heavy per-row kernels: the contraction makes the frame
+    * byte-small, so AQE coalesces the semi-join exchange to ONE
+    * partition locally and serializes regex/minhash/simhash work on a
+    * single core (StageProbe: every stage tasks=1, e.g. repeatSpans
+    * 2.5 s warm at sf0.1 → 32-way after the pin). Size-gated: at corpus
+    * scale the scan is already wide and the gate never fires — a forced
+    * exchange there would shuffle the full text payload.
+    */
+  private def canonDocsWide(s: SparkSession, d: String): DataFrame = {
+    val (_, weights) = contraction(s, d)
+    val base = Tables.documents(s, d)
+      .join(weights.select(col("canon").as("doc_id")), Seq("doc_id"),
+        "left_semi")
+    if (base.queryExecution.optimizedPlan.stats.sizeInBytes < (512L << 20))
+      base.repartition(s.sparkContext.defaultParallelism)
+    else base
+  }
+
   private[operators] def contractPerDocText(s: SparkSession, d: String)(
       f: DataFrame => DataFrame): DataFrame = {
-    val (members, weights) = contraction(s, d)
-    val canonOut = f(Tables.documents(s, d)
-      .join(weights.select(col("canon").as("doc_id")), Seq("doc_id"),
-        "left_semi"))
+    val (members, _) = contraction(s, d)
+    val canonOut = f(canonDocsWide(s, d))
     val outCols = canonOut.columns.filter(_ != "doc_id").map(col)
     members
       .join(canonOut.withColumnRenamed("doc_id", "canon"), Seq("canon"))
@@ -556,10 +573,7 @@ object DedupOps {
 
   private def canonShingleIndex(s: SparkSession, d: String): DataFrame =
     canonShingleIndexCache.getOrElseUpdate(s, d) { (ss, dir) =>
-      val (_, weights) = contraction(ss, dir)
-      graft.SessionCache.cut(Tables.documents(ss, dir)
-        .join(weights.select(col("canon").as("doc_id")), Seq("doc_id"),
-          "left_semi")
+      graft.SessionCache.cut(canonDocsWide(ss, dir)
         .select(col("doc_id"),
           wordShingles(split(col("text"), " "), 3).as("shs"))
         .where(size(col("shs")) > 0)
@@ -646,9 +660,7 @@ object DedupOps {
     // expands per-group results member-wise. The (doc, fp) pre-rollup is
     // also a map-side combine the raw window form could never do.
     val (members, weights) = contraction(s, d)
-    val m = Tables.documents(s, d)
-      .join(weights.select(col("canon").as("doc_id")), Seq("doc_id"),
-        "left_semi")
+    val m = canonDocsWide(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= n)
       .select(col("doc_id"),
@@ -874,10 +886,7 @@ object DedupOps {
   // the rows and its bucket collision mass shrinks ~replication².
   private def canonPortableSigs(s: SparkSession, d: String, k: Int): DataFrame =
     sigCache.getOrElseUpdate(s, s"$d#minhashpcanon#$k") { (ss, _) =>
-      val (_, weights) = contraction(ss, d)
-      graft.SessionCache.cut(Tables.documents(ss, d)
-        .join(weights.select(col("canon").as("doc_id")), Seq("doc_id"),
-          "left_semi")
+      graft.SessionCache.cut(canonDocsWide(ss, d)
         .select(col("doc_id"),
           wordShingles(split(col("text"), " "), 3).as("shs"))
         .where(size(col("shs")) > 0)
@@ -1588,9 +1597,7 @@ object DedupOps {
     // audit face's raw-pair result.
     val (members, weights) = contraction(s, d)
     val docs = sigCache.getOrElseUpdate(s, s"$d#simhashp") { (ss, _) =>
-      graft.SessionCache.cut(Tables.documents(ss, d)
-        .join(weights.withColumnRenamed("canon", "doc_id"),
-          Seq("doc_id"), "left_semi")
+      graft.SessionCache.cut(canonDocsWide(ss, d)
         .select(col("doc_id"),
           portableSimhashChunks(split(col("text"), " ")).as("cks")))
     }
