@@ -29,6 +29,19 @@ object Tables {
     cache.getOrElseUpdate(spark, s"$sfDir/$name.parquet")((s, p) => s.read.parquet(p))
   }
 
+  /** Width-pin a byte-small frame before a CPU-heavy per-row stage. The
+    * driver fixtures are single-row-group parquet files, so a scan is ONE
+    * split and AQE coalesces small exchanges to one partition — either
+    * way a regex/hash/signature kernel fused above it runs single-core on
+    * a 32-thread box. Size-gated: past the threshold the input is already
+    * wide (many files / row groups at corpus scale) and no exchange is
+    * forced, so nothing text-sized ever shuffles on account of this.
+    */
+  private[graft] def widenSmall(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < (512L << 20))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

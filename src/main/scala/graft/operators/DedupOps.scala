@@ -383,12 +383,9 @@ object DedupOps {
     */
   private def canonDocsWide(s: SparkSession, d: String): DataFrame = {
     val (_, weights) = contraction(s, d)
-    val base = Tables.documents(s, d)
+    graft.Tables.widenSmall(Tables.documents(s, d)
       .join(weights.select(col("canon").as("doc_id")), Seq("doc_id"),
-        "left_semi")
-    if (base.queryExecution.optimizedPlan.stats.sizeInBytes < (512L << 20))
-      base.repartition(s.sparkContext.defaultParallelism)
-    else base
+        "left_semi"))
   }
 
   private[operators] def contractPerDocText(s: SparkSession, d: String)(

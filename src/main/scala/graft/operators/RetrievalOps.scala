@@ -611,6 +611,11 @@ object RetrievalOps {
       s: SparkSession, d: String,
       minSim: Double = 0.5, dfDenom: Int = 10,
       maxDf: Long = 1000L): DataFrame =
+    // NOT width-pinned (Tables.widenSmall): `docs` feeds THREE subtrees
+    // (postings, token counts, corpus size), so a repartition here is
+    // re-read per subtree and measured 2.3× WORSE than the single-split
+    // scan at sf0.1 — the postings rollup right above the scan is where
+    // the pipeline widens instead
     tfidfSimilarPairsOf(Tables.documents(s, d), minSim, dfDenom, maxDf)
 
   /** [[tfidfSimilarPairs]] over an arbitrary `(doc_id, text)` frame. */
