@@ -3,11 +3,20 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): one JSON line of per-query seconds.
   *
-  * Each query is timed `SPARK_GRAFT_RUNS` times (default 3) and reports the
+  * Each query is timed `SPARK_GRAFT_RUNS` times (default 6) and reports the
   * MIN — the local[32] host shows 20–40s run-to-run noise on the full
-  * suite, so a single sample conflates operator cost with host jitter
-  * (VERDICT r1 asked for min-of-3). The first run of the first query also
-  * absorbs JVM/codegen warmup; the JSON carries the run count for honesty.
+  * suite, so a single sample conflates operator cost with host jitter.
+  * Passes are INTERLEAVED (suite × runs) and the default is SIX of them
+  * (VERDICT r12 #2): min-of-3 was measurably poisonable — one multi-second
+  * contention window swallowed all three samples of a query (q14 read
+  * 3.14 s min-of-3 inside one window, 0.94 s alone minutes later), and two
+  * consecutive rounds re-litigated "regressions" that were host spikes.
+  * The sidecar also carries the raw per-pass `samples` for every query and
+  * the per-pass `floor_passes` gauges, so an outlier min is adjudicable
+  * from the artifact alone: a query whose every sample landed in passes
+  * with elevated bare/spin floors is a host spike, not a regression. The
+  * first run of the first query also absorbs JVM/codegen warmup; the JSON
+  * carries the run count for honesty.
   *
   * Fail-loud (VERDICT r4 #3): a throwing query is reported under "errors"
   * with its message and EXCLUDED from the per-query map and the total —
@@ -19,7 +28,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "6").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -48,6 +57,10 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val best = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
+    // raw per-pass samples (sidecar only): the self-adjudication data —
+    // outlier mins are checked against the floor gauges of their own passes
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+    val floorPasses = scala.collection.mutable.Map[String, Vector[Double]]()
     // Per-query fixed-cost floor, measured INSIDE this window (VERDICT r10
     // #7: the driver window showed a ~0.5 s/query floor vs the builder's
     // 0.08–0.12 s, and the delta was unattributable after the fact). Two
@@ -66,6 +79,7 @@ object Bench {
           mk().write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           if (dt < floor.getOrElse(key, Double.MaxValue)) floor(key) = dt
+          floorPasses(key) = floorPasses.getOrElse(key, Vector()) :+ dt
         } catch { case _: Throwable => () } // floor is advisory, never fatal
       }
       // `spin` — fixed single-thread CPU work (50M LCG steps): a pure
@@ -82,6 +96,7 @@ object Bench {
       if (x == 42L) System.err.print("") // defeat dead-code elimination
       val dt = (System.nanoTime() - t0) / 1e9
       if (dt < floor.getOrElse("spin", Double.MaxValue)) floor("spin") = dt
+      floorPasses("spin") = floorPasses.getOrElse("spin", Vector()) :+ dt
     }
     for (_ <- 0 until runs; name <- "__floor__" +: names) {
       if (name == "__floor__") { probeFloor() } else {
@@ -98,6 +113,7 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+        samples(name) = samples.getOrElse(name, Vector()) :+ dt
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -142,7 +158,8 @@ object Bench {
       try {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outPath),
-          (BenchFormat.fullLine(bestMap, errMap, sfDir, runs, floor.toMap, layout) + "\n")
+          (BenchFormat.fullLine(bestMap, errMap, sfDir, runs, floor.toMap, layout,
+            samples.toMap, floorPasses.toMap) + "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         BenchFormat.jstrFull(outPath)
       } catch {

@@ -83,17 +83,35 @@ object BenchFormat {
       .map { case (k, v) => jstrFull(k) + ":" + jstr(v) }
       .mkString("\"layout\":{", ",", "},")
 
-  /** The sidecar body: complete per-query map, complete errors. */
+  /** `"samples":{...},` / `"floor_passes":{...},` fragments (sidecar
+    * only): the raw per-pass measurements behind each reported min, in
+    * pass order (VERDICT r12 #2). A query whose min looks anomalous is
+    * adjudicated from the artifact itself — its samples are read against
+    * `floor_passes` (same pass index = same window), so "every slow sample
+    * sits in a pass whose bare/spin gauges were elevated" proves a host
+    * spike without a re-run.
+    */
+  private def seriesFrag(name: String, m: Map[String, Seq[Double]]): String =
+    if (m.isEmpty) ""
+    else m.toSeq.sortBy(_._1)
+      .map { case (k, vs) => jstrFull(k) + ":" + vs.map(sec).mkString("[", ",", "]") }
+      .mkString("\"" + name + "\":{", ",", "},")
+
+  /** The sidecar body: complete per-query map, complete errors, raw
+    * per-pass samples and per-pass floor gauges.
+    */
   def fullLine(
       best: Map[String, Double],
       errors: Map[String, String],
       sfDir: String,
       runs: Int,
       floor: Map[String, Double] = Map.empty,
-      layout: Map[String, String] = Map.empty): String = {
+      layout: Map[String, String] = Map.empty,
+      samples: Map[String, Seq[Double]] = Map.empty,
+      floorPasses: Map[String, Seq[Double]] = Map.empty): String = {
     val ok = best.keys.toSeq.sorted
     val fullQs = ok.map(n => jstrFull(n) + ":" + sec(best(n))).mkString("{", ",", "}")
-    s"""{"metric":"total","value":${sec(ok.map(best).sum)},"unit":"sec","queries":$fullQs,"errors":${errObj(errors.toSeq.sortBy(_._1))},${floorFrag(floor)}${layoutFrag(layout)}"sf":${jstrFull(sfDir)},"runs":$runs}"""
+    s"""{"metric":"total","value":${sec(ok.map(best).sum)},"unit":"sec","queries":$fullQs,"errors":${errObj(errors.toSeq.sortBy(_._1))},${floorFrag(floor)}${layoutFrag(layout)}${seriesFrag("samples", samples)}${seriesFrag("floor_passes", floorPasses)}"sf":${jstrFull(sfDir)},"runs":$runs}"""
   }
 
   /** Packs rollup capped to `PackBudget` chars: heaviest packs inline, the

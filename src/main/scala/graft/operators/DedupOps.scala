@@ -1480,6 +1480,20 @@ object DedupOps {
     * the same rows). The DuckDB twin replays the RAW peel (MATERIALIZED
     * CTEs) — the agreement of the two formulations is the check.
     */
+  /** The k-core peel's working set: canonical groups restricted to
+    * edge-incident ∪ (w >= 2). This is the ONLY node set either peel path
+    * may materialize — it is output-sized (O(edges + duplicate groups)),
+    * while the unrestricted canonical-node table is corpus-sized. Exposed
+    * for the spec that pins the driver fast path's collect to this bound.
+    */
+  private[graft] def peelWorkingSet(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val endpoints = edges.select(explode(array(col("a"), col("b"))).as("g"))
+      .distinct()
+    nodes.join(endpoints, Seq("g"), "left_semi")
+      .unionByName(nodes.where(col("w") >= 2L))
+      .distinct()
+  }
+
   def kcorePeel(s: SparkSession, d: String, kCore: Int = 2, rounds: Int = 3,
       minSim: Double = 0.2, maxDf: Long = 1000L,
       smallGraphEdges: Long = 1L << 20): DataFrame = {
@@ -1492,13 +1506,26 @@ object DedupOps {
       .select(col("a"), col("b"))
     val nodes = art.sizes.select(col("doc_id").as("g"))
       .join(art.weights.select(col("canon").as("g"), col("w")), Seq("g"))
-    if (edges.count() <= smallGraphEdges) {
-      // ---- driver fast path: the contracted graph fits comfortably ----
+    // Both paths operate on the RESTRICTED node set only — edge-incident
+    // groups plus multi-doc groups. Non-incident singletons can never
+    // enter `alive` (their degree is 0 < kCore) and contribute nothing to
+    // any round's summary, so they are excluded BEFORE any materialization:
+    // a well-deduplicated corpus of billions of distinct docs and a
+    // handful of near-dup edges collects O(edges + dup groups) rows on the
+    // driver, never O(#canonical docs) (VERDICT r12 #1). Checkpointed once:
+    // the gate count, the driver collect, and the distributed round-0 set
+    // all read the same output-sized materialization.
+    val peelNodes = peelWorkingSet(nodes, edges).localCheckpoint(true)
+    if (edges.count() <= smallGraphEdges &&
+        peelNodes.count() <= 2L * smallGraphEdges) {
+      // ---- driver fast path: the RESTRICTED graph fits comfortably ----
+      // (gated on the restricted set's own count, not just edge count —
+      // a corpus with billions of w>=2 exact-dup groups falls through to
+      // the distributed branch)
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val incident = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
-      val w = nodes.collect().iterator
+      val w = peelNodes.collect().iterator
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      var alive = w.keySet.filter(g => incident(g) || w(g) >= 2L)
+      var alive = w.keySet
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
       def summarize(r: Int): Unit = {
         val nDocs = alive.iterator.map(w).sum
@@ -1524,12 +1551,7 @@ object DedupOps {
     } else {
       // ---- distributed path: identical recurrence, one checkpointed ----
       // ---- survivor set per round                                   ----
-      val endpoints = edges.select(explode(array(col("a"), col("b"))).as("g"))
-        .distinct()
-      val alive0 = nodes.join(endpoints, Seq("g"), "left_semi")
-        .unionByName(nodes.where(col("w") >= 2L))
-        .distinct()
-      var alive = alive0.localCheckpoint(true)
+      var alive = peelNodes
       val summaries = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       def summarize(r: Int, al: DataFrame): DataFrame = {
         val aw = al.select(col("g").as("a"), col("w").as("wa"))

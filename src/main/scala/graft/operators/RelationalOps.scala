@@ -1395,6 +1395,19 @@ object RelationalOps {
     * petabyte-scale revenue sums, and a float threshold reintroduces the
     * rounding-boundary class [[graft.operators.Num]] exists to kill).
     * Part names broadcast onto the surviving slice.
+    *
+    * BANKED DECISION (VERDICT r12 #6, A/B in PERF_r12 §3): the partkey-
+    * bucketed layout costs q11 a consistent ~1.4× LOCALLY (1.77 vs
+    * 1.28 s plain at sf0.1) because Spark plans partial+final
+    * HashAggregate ADJACENT in one stage even when the scan is already
+    * hash-partitioned on the grouping key — two hash passes over a
+    * high-cardinality key, where the plain path's final aggregate runs
+    * after an AQE-coalesced exchange. Locally the exchange the layout
+    * saves is an in-memory copy, so the second hash pass loses; on a
+    * cluster it is the full fact projection over the network, so the
+    * layout wins. KEPT ON THE LAYOUT (the scale-safe choice); revisit
+    * only if Spark grows single-phase aggregation over pre-partitioned
+    * input — do not re-derive this trade.
     */
   def importantParts(s: SparkSession, d: String): DataFrame = {
     val perPart = graft.plans.FactLayout.lineitemByPartOpt(s, d)

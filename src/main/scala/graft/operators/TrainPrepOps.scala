@@ -408,13 +408,19 @@ object TrainPrepOps {
     * codegen break costs one virtual call per shingle, not a pipeline.
     */
   // eval-set Bloom filters per (session, dir, fpp): built once, reused by
-  // repeated calls (bench passes share one), DESTROYED on eviction — the
+  // repeated calls (bench passes share one), RELEASED on eviction — the
   // r11 form re-broadcast a fresh filter per call and never freed any,
-  // accumulating executor-resident broadcasts (ADVICE r11)
+  // accumulating executor-resident broadcasts (ADVICE r11). unpersist,
+  // NOT destroy (ADVICE r12): DataFrames returned by earlier
+  // bloomDecontaminate calls still reference the broadcast through the
+  // captured UDF — destroy() would fail their re-execution after a 5th
+  // distinct (dir, fpp) evicts the entry, while unpersist only drops the
+  // executor copies and lets any later re-execution re-fetch from the
+  // driver.
   private val bloomCache = new graft.SessionCache[
       org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]](
     maxEntries = 4,
-    onEvict = b => try b.destroy() catch { case _: Throwable => () })
+    onEvict = b => try b.unpersist(blocking = false) catch { case _: Throwable => () })
 
   def bloomDecontaminate(s: SparkSession, d: String,
       minFrac: Double = 0.05, fpp: Double = 0.01): DataFrame = {

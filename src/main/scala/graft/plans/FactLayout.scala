@@ -87,14 +87,13 @@ object FactLayout {
       val t0 = System.nanoTime()
       def secs = (System.nanoTime() - t0) / 1e9
       try {
-        val (df, reused) = build(s, d, table, key)
-        record(s, table, key,
-          f"${if (reused) "reused" else "built"}:$secs%.2f")
+        val (df, how) = build(s, d, table, key)
+        record(s, d, table, key, f"$how:$secs%.2f")
         Some(df)
       } catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          record(s, table, key, s"fallback:${msg.take(60)}")
+          record(s, d, table, key, s"fallback:${msg.take(60)}")
           System.err.println(
             s"[graft] bucketed layout for $table unavailable ($msg); " +
               "callers fall back to plain-parquet plans")
@@ -102,51 +101,136 @@ object FactLayout {
       }
     })
 
-  private def record(s: SparkSession, table: String, key: String,
+  private def record(s: SparkSession, d: String, table: String, key: String,
       outcome: String): Unit = outcomes.synchronized {
     outcomes.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    outcomes((s, s"$table:$key")) = outcome
+    // keyed by dataset dir TOO (ADVICE r12): a session touching two
+    // dataset dirs must not overwrite one record with the other
+    outcomes((s, s"$table:$key@$d")) = outcome
   }
 
   /** Layout build report for `s`, for the bench sidecar:
-    * `"lineitem:l_orderkey" -> "built:0.92"`. Empty if no query touched
+    * `"lineitem:l_orderkey@/data/sf1" -> "built:0.92"` — one record per
+    * (dataset dir, table, key); `built` wrote fresh files, `reused`
+    * registered files already on disk, `adopted` lost the cross-JVM write
+    * race and registered the winner's files. Empty if no query touched
     * the layout in this session.
     */
   def report(s: SparkSession): Map[String, String] = outcomes.synchronized {
     outcomes.collect { case ((sess, k), v) if sess eq s => k -> v }.toMap
   }
 
+  /** Strong layout fingerprint (ADVICE r12): SHA-256 over the FULL key —
+    * dataset dir, table, bucket key+count — plus a source-content stamp:
+    * for every data file under the source, its relative name, length,
+    * mtime, and the first+last 64 KiB of bytes. Catches both the 32-bit
+    * collision vector and in-place regeneration that preserves mtime+size
+    * (cp -p, tar): parquet footers live in the digested tail, and two
+    * different datasets virtually never share byte-identical head+tail.
+    * Cost: 128 KiB of I/O per file, metadata otherwise.
+    */
+  private[graft] def fingerprintOf(d: String, table: String, key: String,
+      buckets: Int, src: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def feed(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0.toByte) }
+    feed(d); feed(table); feed(key); feed(buckets.toString)
+    def feedFile(f: java.io.File, rel: String): Unit = {
+      feed(rel); feed(f.length.toString); feed(f.lastModified.toString)
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val take = math.min(f.length, 65536L).toInt
+        val head = new Array[Byte](take)
+        raf.readFully(head); md.update(head)
+        if (f.length > 65536L) {
+          raf.seek(math.max(65536L, f.length - 65536L))
+          val tail = new Array[Byte](
+            (f.length - math.max(65536L, f.length - 65536L)).toInt)
+          raf.readFully(tail); md.update(tail)
+        }
+      } finally raf.close()
+    }
+    if (src.isFile) feedFile(src, src.getName)
+    else Option(src.listFiles()).toSeq.flatten.filter(_.isFile)
+      .sortBy(_.getName).foreach(f => feedFile(f, f.getName))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Delete completed layout dirs for the same (table, key, buckets) with
+    * a DIFFERENT fingerprint — superseded by the layout at `current`. The
+    * source they were built from has changed (or collided); nothing will
+    * ever adopt them again, and without the sweep the layout tmpdir grows
+    * without bound across fixture regenerations (ADVICE r12). In-flight
+    * `.tmp<pid>` build dirs are left alone.
+    */
+  private[graft] def sweepSuperseded(current: java.io.File): Unit = {
+    // name shape: <table>_<key>_<buckets>_<fingerprint> — strip the
+    // fingerprint, keep the trailing underscore
+    val stem = current.getName.lastIndexOf('_') match {
+      case i if i > 0 => current.getName.substring(0, i + 1)
+      case _ => return
+    }
+    Option(current.getParentFile.listFiles()).toSeq.flatten.foreach { f =>
+      if (f.isDirectory && f.getName != current.getName &&
+          f.getName.startsWith(stem) && !f.getName.contains(".tmp"))
+        org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+    }
+  }
+
+  /** Adoption gate (ADVICE r12): files found on disk (or a lost write
+    * race) are only registered after their schema and row count match the
+    * source — a stale or colliding layout dir fails loudly here instead
+    * of silently answering queries with other data. Both checks are
+    * footer-metadata reads, not data scans.
+    */
+  private[graft] def validateAdoption(s: SparkSession, d: String, table: String,
+      stable: java.io.File): Unit = {
+    val got = s.read.parquet(stable.toString)
+    val want = Tables(s, d, table)
+    // names + types, not nullability: parquet round-trips may widen flags
+    def shape(df: DataFrame) = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+    require(shape(got) == shape(want),
+      s"layout dir $stable schema ${got.schema.toDDL} does not match " +
+        s"source $table ${want.schema.toDDL} — stale or colliding layout")
+    val (gn, wn) = (got.count(), want.count())
+    require(gn == wn,
+      s"layout dir $stable holds $gn rows but source $table has $wn — " +
+        "stale or colliding layout")
+  }
+
   private def build(s: SparkSession, d: String,
-      table: String, key: String): (DataFrame, Boolean) = {
+      table: String, key: String): (DataFrame, String) = {
     val buckets = s.conf.getOption("spark.graft.factBuckets")
       .map(_.toInt).getOrElse(32)
-    // layout files live at a STABLE per-machine path keyed by (source
-    // path, source mtime+size, key, buckets): the first session ever
-    // pays the bucketed write, every later session re-REGISTERS the same
-    // files (measured: per-JVM rebuilds at sf1 wrote ~0.5 GB per bench
-    // run, and that sustained write traffic dragged every interleaved
-    // sample in the window — the steady state the bench should measure
-    // is the maintained-at-ingest layout, which this reuse is the local
-    // analog of). A regenerated fixture changes mtime/size → new hash →
-    // fresh build; stale layout dirs are never read again.
+    // layout files live at a STABLE per-machine path keyed by a strong
+    // digest of (dir, table, key, buckets, source content stamp): the
+    // first session ever pays the bucketed write, every later session
+    // re-REGISTERS the same files (measured: per-JVM rebuilds at sf1
+    // wrote ~0.5 GB per bench run, and that sustained write traffic
+    // dragged every interleaved sample in the window — the steady state
+    // the bench should measure is the maintained-at-ingest layout, which
+    // this reuse is the local analog of). A regenerated fixture changes
+    // the stamp → new digest → fresh build + sweep of the superseded dir.
     val src = new java.io.File(s"$d/$table.parquet")
-    val fingerprint = java.lang.Long.toHexString(
-      (d, table, key, buckets, src.lastModified, src.length).hashCode.toLong & 0xffffffffL)
+    val fingerprint = fingerprintOf(d, table, key, buckets, src)
     val name = s"graft_bk_${table}_${key}_$fingerprint"
     val inCatalog = s.catalog.tableExists(name)
-    var wrote = false
+    var how = "reused"
     if (!inCatalog) {
       val stable = new java.io.File(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         s"graft_layout/${table}_${key}_${buckets}_$fingerprint")
-      if (new java.io.File(stable, "_SUCCESS").isFile) {
-        // files already on disk from an earlier session — register an
-        // external bucketed table over them (bucket ids ride the file
-        // names Spark's own bucketed writer produced)
+      def register(): Unit = {
         val schema = s.read.parquet(stable.toString).schema.toDDL
         s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
           s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
           s"LOCATION '${stable.toString}'")
+      }
+      if (new java.io.File(stable, "_SUCCESS").isFile) {
+        // files already on disk from an earlier session — validate, then
+        // register an external bucketed table over them (bucket ids ride
+        // the file names Spark's own bucketed writer produced)
+        validateAdoption(s, d, table, stable)
+        register()
       } else {
         // lost-race losers write to a unique tmp sibling and move in
         // atomically; if another JVM won, adopt its files
@@ -162,7 +246,6 @@ object FactLayout {
           .format("parquet")
           .saveAsTable(tmpName)
         s.sql(s"DROP TABLE $tmpName") // external: files stay
-        wrote = true
         stable.getParentFile.mkdirs()
         val moved =
           try {
@@ -179,12 +262,17 @@ object FactLayout {
         if (!moved && !new java.io.File(stable, "_SUCCESS").isFile)
           throw new IllegalStateException(
             s"layout dir $stable exists without a _SUCCESS marker")
-        val schema = s.read.parquet(stable.toString).schema.toDDL
-        s.sql(s"CREATE TABLE $name ($schema) USING parquet " +
-          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
-          s"LOCATION '${stable.toString}'")
+        if (moved) how = "built"
+        else {
+          // report what actually happened: this JVM's files were thrown
+          // away and the winner's were registered (ADVICE r12)
+          how = "adopted"
+          validateAdoption(s, d, table, stable)
+        }
+        register()
+        sweepSuperseded(stable)
       }
     }
-    (s.table(name), !wrote)
+    (s.table(name), how)
   }
 }

@@ -12,12 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is one import job, no sqlite3 CLI round-trip, no JDBC driver.
   *
   * Scope: read-only walk of the `logs` table b-tree of a CHECKPOINTED
-  * database (no WAL sidecar — `PRAGMA wal_checkpoint` first on a live
-  * deployment; the reference uses rollback journals, which leave the main
-  * file complete). Freelist/pointer-map pages are skipped naturally (the
-  * walk starts at the root). Cross-validated against databases written by
-  * a REAL SQLite in `SqliteExportSpec` — the inverse of the writer's
-  * check (writer → real reader, real writer → this reader).
+  * database. The reference's sqlx connections default to WAL journal mode,
+  * and a WAL database's header read/write-version bytes stay 2 forever —
+  * even after a clean close (which checkpoints and DELETES the -wal
+  * sidecar) — so the header alone says nothing about safety. What matters
+  * is pending frames: committed rows this reader would silently drop live
+  * only in a `<path>-wal` sidecar with at least one frame. [[readDb]]
+  * therefore refuses exactly that case (run `PRAGMA
+  * wal_checkpoint(TRUNCATE)` or stop the writer first) and accepts
+  * WAL-version headers otherwise. Freelist/pointer-map pages are skipped
+  * naturally (the walk starts at the root). Cross-validated against
+  * databases written by a REAL SQLite in `SqliteExportSpec` — the inverse
+  * of the writer's check (writer → real reader, real writer → this
+  * reader).
   */
 object SqliteLogImport {
 
@@ -30,20 +37,27 @@ object SqliteLogImport {
     raf.seek(0); raf.readFully(h)
     require(new String(h, 0, 15, "ISO-8859-1") == "SQLite format 3",
       s"$path: not an SQLite database")
-    // live logsqlite dbs can be mid-write; in WAL mode (file format
-    // read/write version 2, offsets 18/19) committed rows live in the
-    // `-wal` sidecar this reader does not parse — importing the main
-    // file alone would silently DROP them. Fail loudly instead.
-    require(h(18) != 2 && h(19) != 2,
-      s"$path: database is in WAL mode — its -wal sidecar may hold " +
-        "committed rows this reader would miss; run PRAGMA wal_checkpoint " +
-        "(or stop the writer) before importing")
+    // live logsqlite dbs can be mid-write; committed rows this reader
+    // would silently DROP live only in a `-wal` sidecar holding at least
+    // one frame (32-byte header alone = no frames). Gate on THAT, not on
+    // the header version bytes: sqlx (the reference's driver) defaults to
+    // WAL mode and the version bytes stay 2 even after clean close — a
+    // header gate would reject every real logsqlite db, importable or not
+    // (ADVICE r12).
+    locally {
+      val wal = new java.io.File(path + "-wal")
+      require(!wal.isFile || wal.length() <= 32L,
+        s"$path: a non-empty -wal sidecar (${wal.length()} bytes) may hold " +
+          "committed rows this reader would miss; run PRAGMA " +
+          "wal_checkpoint(TRUNCATE) (or stop the writer, which checkpoints " +
+          "and deletes it) before importing")
+    }
     val pageSize: Int = {
       val v = ((h(16) & 0xff) << 8) | (h(17) & 0xff)
       if (v == 1) 65536 else v
     }
     val usable: Int = pageSize - (h(20) & 0xff)
-    private val fileLen = raf.length()
+    val fileLen: Long = raf.length()
 
     def page(no: Int): Array[Byte] = {
       // explicit bounds → "corrupt/truncated" instead of a raw EOFException
@@ -175,7 +189,15 @@ object SqliteLogImport {
           var at = cellPtr(hdr + 8 + 2 * i)
           val (pLen, c1) = readVarint(pg, at); at += c1
           val (rowid, c2) = readVarint(pg, at); at += c2
-          if (pLen < 0 || at + math.min(tableLocal(db, pLen.toInt), pLen) > pg.length)
+          // bound pLen as a LONG before any toInt: a corrupt varint above
+          // Int.MaxValue wraps negative under toInt and would reach
+          // tableLocal/payloadOf as garbage (ADVICE r12) — no real payload
+          // can exceed the file itself
+          if (pLen < 0L || pLen > math.min(db.fileLen, 1000000000L))
+            throw new IllegalStateException(
+              s"page $pageNo: corrupt cell — payload length $pLen exceeds " +
+                s"the ${db.fileLen}-byte file (or SQLITE_MAX_LENGTH)")
+          if (at + math.min(tableLocal(db, pLen.toInt), pLen) > pg.length)
             throw new IllegalStateException(
               s"page $pageNo: corrupt cell — payload length $pLen overruns the page")
           val local = tableLocal(db, pLen.toInt)

@@ -196,4 +196,31 @@ object DocStreamOps {
     }
     docs.writeStream.outputMode(OutputMode.Update()).foreachBatch(fn)
   }
+
+  /** The exactly-once READ face of [[attachStream]]'s at-least-once
+    * output (VERDICT r12 #7): one verdict row per (batch_id, doc_id),
+    * chosen deterministically, so consumers get replay-stable results
+    * without re-deriving the dedup rule from the write contract.
+    *
+    * Why this is safe: a retried micro-batch re-runs the SAME
+    * snapshot-relative attach over the SAME input rows, so duplicate
+    * (batch_id, doc_id) rows can differ only if the retry raced a corpus
+    * snapshot swap — the row_number over the remaining columns makes even
+    * that pathological case a deterministic pick rather than a
+    * flaky-by-file-order one. The window partitions on the pair key, so
+    * at scale this shuffles the verdict table once on its natural key —
+    * verdicts are output-sized (one row per arrived doc), not
+    * corpus-sized.
+    */
+  def attachedVerdicts(s: org.apache.spark.sql.SparkSession,
+      outDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = s.read.parquet(outDir)
+    val rest = raw.columns.filterNot(c => c == "batch_id" || c == "doc_id")
+      .sorted.map(col).toSeq
+    val w = Window.partitionBy(col("batch_id"), col("doc_id"))
+      .orderBy(rest: _*)
+    raw.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
 }

@@ -119,6 +119,25 @@ class BenchFormatSpec extends AnyFunSuite {
       .has("layout"))
   }
 
+  test("per-pass samples + floor gauges ride the sidecar only (VERDICT r12 #2)") {
+    val best = mkBest(148)
+    val samples = best.map { case (n, v) => n -> Seq(v, v * 3.1, v * 1.05) }
+    val fps = Map("bare" -> Seq(0.08, 0.31, 0.09), "spin" -> Seq(0.11, 0.42, 0.12))
+    val full = om.readTree(BenchFormat.fullLine(best, Map.empty, "/sf", 3,
+      Map("bare" -> 0.08), Map.empty, samples, fps))
+    val q = samples.keys.head
+    assert(full.get("samples").get(q).size === 3)
+    assert(math.abs(full.get("samples").get(q).get(1).asDouble - best(q) * 3.1) < 1e-2)
+    assert(full.get("floor_passes").get("spin").size === 3)
+    assert(math.abs(full.get("floor_passes").get("spin").get(1).asDouble - 0.42) < 1e-9)
+    // absent → no fields (old artifacts keep their shape); compact line
+    // never carries them (its budget is the harness stdout window)
+    assert(!om.readTree(BenchFormat.fullLine(best, Map.empty, "/sf", 3)).has("samples"))
+    val line = BenchFormat.compactLine(best, Map.empty, "/sf", 3, "null")
+    assert(!om.readTree(line).has("samples") && !om.readTree(line).has("floor_passes"))
+    assert(line.length <= BenchFormat.Budget)
+  }
+
   test("totals and pack rollups are consistent with the per-query map") {
     val best = Map("q_rel_a" -> 1.0, "q_rel_b" -> 2.0, "q_ts_c" -> 0.5)
     val node = om.readTree(BenchFormat.compactLine(best, Map.empty, "/sf", 1, "null"))

@@ -33,6 +33,35 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // an anchor is a whole comment line of query ids — prose mentions of
+  // the phrase (like this one) never match
+  private val anchorLine = """^\s*// brute-force anchor:((?:\s+q_[a-z0-9_]+)+)\s*$""".r
+
+  private def anchorsIn(sources: Iterator[String]): Set[String] =
+    sources.flatMap(_.linesIterator.flatMap {
+      case anchorLine(ids) => ids.trim.split("\\s+").toSeq
+      case _ => Nil
+    }).toSet
+
+  /** The replay-twin lint core, pure so its FAILURE mode is itself
+    * testable (VERDICT r12 #8): returns the violation messages.
+    */
+  private def lintReplayTwins(
+      twins: Set[String], anchored: Set[String],
+      queries: Set[String], oracles: Set[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val unanchored = twins -- anchored
+    if (unanchored.nonEmpty)
+      out += s"replay twins without an independent brute-force spec anchor: ${unanchored.toSeq.sorted.mkString(", ")}"
+    val ghosts = anchored -- queries
+    if (ghosts.nonEmpty)
+      out += s"anchors naming unregistered queries: ${ghosts.toSeq.sorted.mkString(", ")}"
+    val untwinned = twins -- oracles
+    if (untwinned.nonEmpty)
+      out += s"replayTwins entries without an oracle twin: ${untwinned.toSeq.sorted.mkString(", ")}"
+    out.result()
+  }
+
   test("every replay twin is anchored by a brute-force property spec") {
     // A replay twin (an oracle that unrolls the engine's own algorithm as
     // CTEs) proves determinism, not correctness — its correctness evidence
@@ -44,28 +73,41 @@ class RegistrySpec extends SparkSpec {
     val testRoot = java.nio.file.Paths.get("src/test/scala/graft")
     assert(java.nio.file.Files.isDirectory(testRoot),
       "source-tree lint must run from the repo root")
-    // an anchor is a whole comment line of query ids — prose mentions of
-    // the phrase (like this one) never match
-    val anchorLine = """^\s*// brute-force anchor:((?:\s+q_[a-z0-9_]+)+)\s*$""".r
-    val anchored = java.nio.file.Files.walk(testRoot).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .flatMap { p =>
-        new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8)
-          .linesIterator
-          .flatMap {
-            case anchorLine(ids) => ids.trim.split("\\s+").toSeq
-            case _ => Nil
-          }
-      }.toSet
-    val unanchored = SparkEntry.replayTwins -- anchored
-    assert(unanchored.isEmpty,
-      s"replay twins without an independent brute-force spec anchor: ${unanchored.mkString(", ")}")
-    val ghosts = anchored -- SparkEntry.queries.keySet
-    assert(ghosts.isEmpty,
-      s"anchors naming unregistered queries: ${ghosts.mkString(", ")}")
-    val untwinned = SparkEntry.replayTwins -- SparkEntry.oracleSql.keySet
-    assert(untwinned.isEmpty,
-      s"replayTwins entries without an oracle twin: ${untwinned.mkString(", ")}")
+    val anchored = anchorsIn(
+      java.nio.file.Files.walk(testRoot).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .map(p => new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)))
+    val violations = lintReplayTwins(SparkEntry.replayTwins, anchored,
+      SparkEntry.queries.keySet, SparkEntry.oracleSql.keySet)
+    assert(violations.isEmpty, violations.mkString("; "))
+  }
+
+  test("the replay-twin lint itself fires on an unanchored twin (VERDICT r12 #8)") {
+    // guard the guard: prove the lint's failure paths detect each
+    // violation class, so a regression in the lint (pattern drift, an
+    // always-empty anchor set) can't silently wave unanchored twins
+    // through
+    val src = Iterator(
+      """object X {
+        |  // brute-force anchor: q_fake_anchored
+        |  test("x") {}
+        |  // brute-force anchors are discussed here in prose q_fake_prose
+        |}""".stripMargin)
+    val anchored = anchorsIn(src)
+    assert(anchored === Set("q_fake_anchored"),
+      "anchor parser must match whole anchor lines only")
+    val queries = Set("q_fake_anchored", "q_fake_unanchored")
+    // 1) a twin with no anchor is reported
+    val v1 = lintReplayTwins(Set("q_fake_unanchored"), anchored, queries, queries)
+    assert(v1.exists(_.contains("q_fake_unanchored")), v1.mkString("; "))
+    // 2) an anchor naming a dead query is reported
+    val v2 = lintReplayTwins(Set.empty, anchored, Set("q_other"), Set("q_other"))
+    assert(v2.exists(_.contains("q_fake_anchored")), v2.mkString("; "))
+    // 3) a twin without an oracle is reported
+    val v3 = lintReplayTwins(Set("q_fake_anchored"), anchored, queries, Set.empty)
+    assert(v3.exists(_.contains("oracle twin")), v3.mkString("; "))
+    // 4) the clean case passes
+    assert(lintReplayTwins(Set("q_fake_anchored"), anchored, queries, queries).isEmpty)
   }
 }

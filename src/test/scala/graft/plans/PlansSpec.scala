@@ -120,11 +120,75 @@ class PlansSpec extends SparkSpec {
       // layout, and must match the bucketed path row-for-row
       assert(!plan.contains("graft_bk"), s"fallback still reads the layout:\n$plan")
       assert(rows.map(_.toSeq).toSeq === good.map(_.toSeq).toSeq)
-      // and the attempt is attributable from the report (bench sidecar)
+      // and the attempt is attributable from the report (bench sidecar) —
+      // keyed by dataset dir too, so the sf0001 record is NOT overwritten
+      // by the symlinked dir's failure (ADVICE r12 attribution fix)
       val rep = FactLayout.report(spark)
-      assert(rep.get("lineitem:l_orderkey").exists(_.startsWith("fallback:")),
+      assert(rep.get(s"lineitem:l_orderkey@$link").exists(_.startsWith("fallback:")),
         s"fallback not recorded: $rep")
+      assert(rep.get(s"lineitem:l_orderkey@$sf0001")
+          .exists(v => v.startsWith("built:") || v.startsWith("reused:")),
+        s"the good dir's record must survive the other dir's fallback: $rep")
     } finally spark.conf.unset("spark.graft.factBuckets")
+  }
+
+  test("layout fingerprint digests content; adoption validates; superseded dirs swept (ADVICE r12)") {
+    // fingerprint: deterministic, and sensitive to a content change that
+    // PRESERVES mtime+size (cp -p / in-place regeneration — the r12
+    // silent-stale-adoption vector)
+    val tmp = Files.createTempDirectory("graft-fp")
+    val f = tmp.resolve("lineitem.parquet").toFile
+    val bytes = Array.tabulate[Byte](200000)(i => (i % 251).toByte)
+    java.nio.file.Files.write(f.toPath, bytes)
+    val mt = f.lastModified
+    val fp1 = FactLayout.fingerprintOf(tmp.toString, "lineitem", "l_orderkey", 32, f)
+    assert(fp1 === FactLayout.fingerprintOf(tmp.toString, "lineitem", "l_orderkey", 32, f))
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 1).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    assert(f.setLastModified(mt))
+    val fp2 = FactLayout.fingerprintOf(tmp.toString, "lineitem", "l_orderkey", 32, f)
+    assert(fp2 !== fp1,
+      "content change with preserved mtime+size must change the fingerprint")
+    // the FULL key is digested — dir, bucket key, bucket count all separate
+    assert(FactLayout.fingerprintOf(tmp.toString + "x", "lineitem", "l_orderkey", 32, f) !== fp2)
+    assert(FactLayout.fingerprintOf(tmp.toString, "lineitem", "l_partkey", 32, f) !== fp2)
+    assert(FactLayout.fingerprintOf(tmp.toString, "lineitem", "l_orderkey", 64, f) !== fp2)
+
+    // sweep: superseded completed dirs for the same (table,key,buckets)
+    // are deleted; the current dir, in-flight .tmp builds, and other
+    // projections' dirs survive
+    val lay = Files.createTempDirectory("graft-sweep").toFile
+    def mk(n: String) = { val x = new java.io.File(lay, n); assert(x.mkdirs()); x }
+    val cur = mk("lineitem_l_orderkey_32_aaaa")
+    val old1 = mk("lineitem_l_orderkey_32_bbbb")
+    val inflight = mk("lineitem_l_orderkey_32_cccc.tmp123")
+    val other = mk("lineitem_l_partkey_32_dddd")
+    FactLayout.sweepSuperseded(cur)
+    assert(cur.isDirectory && inflight.isDirectory && other.isDirectory)
+    assert(!old1.exists, "superseded layout dir must be deleted")
+
+    // adoption gate: wrong row count and wrong schema both fail loudly
+    val short = Files.createTempDirectory("graft-adopt-short").toString
+    graft.Tables(spark, sf0001, "lineitem").limit(5)
+      .write.mode("overwrite").parquet(short)
+    val re = intercept[IllegalArgumentException] {
+      FactLayout.validateAdoption(spark, sf0001, "lineitem",
+        new java.io.File(short))
+    }
+    assert(re.getMessage.contains("rows"), re.getMessage)
+    val wrong = Files.createTempDirectory("graft-adopt-schema").toString
+    graft.Tables(spark, sf0001, "orders")
+      .write.mode("overwrite").parquet(wrong)
+    val se = intercept[IllegalArgumentException] {
+      FactLayout.validateAdoption(spark, sf0001, "lineitem",
+        new java.io.File(wrong))
+    }
+    assert(se.getMessage.contains("schema"), se.getMessage)
+    // and a faithful copy passes
+    val ok = Files.createTempDirectory("graft-adopt-ok").toString
+    graft.Tables(spark, sf0001, "lineitem")
+      .write.mode("overwrite").parquet(ok)
+    FactLayout.validateAdoption(spark, sf0001, "lineitem", new java.io.File(ok))
   }
 
   // ---- plan-regression locks: the good plans of r1/r2 must stay good ------

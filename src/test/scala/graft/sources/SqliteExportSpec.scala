@@ -138,16 +138,49 @@ class SqliteExportSpec extends SparkSpec {
     }
     assert(pe.getMessage.contains("corrupt cell pointer"), pe.getMessage)
 
-    // WAL read/write version (header bytes 18/19 = 2): a live logsqlite
-    // db mid-write — committed rows may sit in the -wal sidecar, so the
-    // import must refuse with checkpoint guidance rather than drop them
+    // WAL gating (ADVICE r12): the reference's sqlx driver defaults to
+    // WAL, and header bytes 18/19 stay 2 even after a clean close — so a
+    // WAL-version header with NO pending frames must import fine, and the
+    // refusal must key on a -wal sidecar that actually holds frames
+    // (committed rows the main-file walk would drop).
     val wal = good.clone()
     wal(18) = 2; wal(19) = 2
     Files.write(Paths.get(s"$dir/wal"), wal)
+    // 1) no sidecar (clean close deleted it): importable
+    assert(SqliteLogImport.readDb(s"$dir/wal").length === 400)
+    // 2) sidecar with header only, no frames (post wal_checkpoint before
+    //    TRUNCATE shrank it / fresh connection): importable
+    Files.write(Paths.get(s"$dir/wal-wal"), new Array[Byte](32))
+    assert(SqliteLogImport.readDb(s"$dir/wal").length === 400)
+    // 3) sidecar with at least one frame: refuse with checkpoint guidance
+    Files.write(Paths.get(s"$dir/wal-wal"), new Array[Byte](32 + 24 + 512))
     val we = intercept[IllegalArgumentException] {
       SqliteLogImport.readDb(s"$dir/wal")
     }
     assert(we.getMessage.contains("wal_checkpoint"), we.getMessage)
+
+    // corrupt varint payload length ABOVE Int.MaxValue (ADVICE r12): must
+    // fail as "corrupt cell", not wrap negative under toInt (4294967295
+    // .toInt == -1) and reach tableLocal/payloadOf as garbage. Overwrite
+    // the first leaf cell's payload-length varint with the 5-byte varint
+    // for 2^32-1 (0x8F 0xFF 0xFF 0xFF 0x7F).
+    val pgSize = ((good(16) & 0xff) << 8) | (good(17) & 0xff)
+    val leafPage = (1 until good.length / pgSize)
+      .find(p => (good(p * pgSize) & 0xff) == 0x0d)
+    leafPage.foreach { p =>
+      val base = p * pgSize
+      val cellAt = base + (((good(base + 8) & 0xff) << 8) | (good(base + 9) & 0xff))
+      val huge = good.clone()
+      Seq(0x8f, 0xff, 0xff, 0xff, 0x7f).zipWithIndex.foreach {
+        case (b, i) => huge(cellAt + i) = b.toByte
+      }
+      Files.write(Paths.get(s"$dir/hugelen"), huge)
+      val he = intercept[IllegalStateException] {
+        SqliteLogImport.readDb(s"$dir/hugelen")
+      }
+      assert(he.getMessage.contains("corrupt cell"), he.getMessage)
+    }
+    assert(leafPage.nonEmpty, "fixture db has no table leaf page?")
 
     // the pristine twin still reads fine (the mutations above are the
     // only difference)

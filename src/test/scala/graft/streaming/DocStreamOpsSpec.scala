@@ -177,5 +177,22 @@ class DocStreamOpsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(streamed === direct)
     }
+
+    // exactly-once read face (VERDICT r12 #7): simulate a RETRIED
+    // micro-batch by re-appending batch 0's rows under the same batch_id
+    // — the raw parquet now holds duplicates, attachedVerdicts must not
+    val before = spark.read.parquet(out)
+    before.where(col("batch_id") === 0L)
+      .write.mode("append").parquet(out)
+    val raw = spark.read.parquet(out)
+    assert(raw.count() > before.count(), "retry simulation appended nothing")
+    val dedup = DocStreamOps.attachedVerdicts(spark, out)
+    assert(dedup.count() === before.count(),
+      "attachedVerdicts must collapse retried (batch_id, doc_id) rows")
+    assert(dedup.groupBy(col("batch_id"), col("doc_id")).count()
+      .where(col("count") > 1).count() === 0L)
+    // and the collapsed rows are exactly the pre-retry verdicts
+    assert(dedup.collect().map(_.toSeq).toSet ===
+      before.collect().map(_.toSeq).toSet)
   }
 }
