@@ -98,7 +98,18 @@ object Bench {
       if (dt < floor.getOrElse("spin", Double.MaxValue)) floor("spin") = dt
       floorPasses("spin") = floorPasses.getOrElse("spin", Vector()) :+ dt
     }
-    for (_ <- 0 until runs; name <- "__floor__" +: names) {
+    // Wall-clock budget: 6 passes is the default estimator, but a badly
+    // throttled window must degrade to fewer passes, never to a killed
+    // process and a lost artifact. Passes beyond the second stop starting
+    // once the budget is spent; `floor_passes`/`samples` lengths and the
+    // `passes_done` gauge record what actually ran.
+    val maxSecs = sys.env.getOrElse("SPARK_GRAFT_MAX_SECS", "2400").toDouble
+    val bench0 = System.nanoTime()
+    var passesDone = 0
+    for (pass <- 0 until runs
+         if pass < 2 || (System.nanoTime() - bench0) / 1e9 < maxSecs) {
+      passesDone += 1
+      for (name <- "__floor__" +: names) {
       if (name == "__floor__") { probeFloor() } else {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -119,7 +130,9 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       }
+      }
     }
+    floor("passes_done") = passesDone.toDouble
     // JIT code-cache occupancy at end of run (MB): the 236-query suite
     // generates enough codegen classes to exhaust the JVM's default
     // 240 MB reserved cache, after which stages run INTERPRETED at
