@@ -154,19 +154,22 @@ object BenchFormat {
     val errSorted = errors.toSeq.sortBy(_._1)
     val packs = packsObj(best, ok)
 
-    def prefix(errCount: Int): String = {
+    def prefix(errCount: Int, lay: Map[String, String]): String = {
       val errTruncated = errSorted.size - errCount
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":${jstrFull(sfDir)},"runs":$runs,"n_queries":${ok.size},"full":$fullField,${floorFrag(floor)}${layoutFrag(layout)}"packs":$packs,"errors":${errObj(errSorted.take(errCount))},"errors_truncated":$errTruncated,"queries":{"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":${jstrFull(sfDir)},"runs":$runs,"n_queries":${ok.size},"full":$fullField,${floorFrag(floor)}${layoutFrag(lay)}"packs":$packs,"errors":${errObj(errSorted.take(errCount))},"errors_truncated":$errTruncated,"queries":{"""
     }
 
-    // Whole-line budget: shed inline errors (sidecar keeps them all) until
-    // the fixed prefix leaves room to close the line; the trailing per-query
-    // map then fills whatever remains.
+    // Whole-line budget: shed inline errors first, then the layout report
+    // (the sidecar keeps both in full — layout keys embed the dataset dir
+    // since r13, so arbitrarily long paths must degrade the prefix, never
+    // overflow the line), until room remains to close the line; the
+    // trailing per-query map then fills whatever is left.
     var errCount = math.min(ErrCap, errSorted.size)
-    var head = new StringBuilder(prefix(errCount))
-    while (head.length + 2 > Budget && errCount > 0) {
-      errCount -= 1
-      head = new StringBuilder(prefix(errCount))
+    var lay = layout
+    var head = new StringBuilder(prefix(errCount, lay))
+    while (head.length + 2 > Budget && (errCount > 0 || lay.nonEmpty)) {
+      if (errCount > 0) errCount -= 1 else lay = Map.empty
+      head = new StringBuilder(prefix(errCount, lay))
     }
     var first = true
     for (n <- ok.sortBy(n => (-best(n), n))) {

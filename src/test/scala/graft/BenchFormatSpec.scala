@@ -119,6 +119,32 @@ class BenchFormatSpec extends AnyFunSuite {
       .has("layout"))
   }
 
+  test("oversized layout report degrades off the compact line, stays in the sidecar") {
+    // r13 layout keys embed the dataset dir — an arbitrarily long path
+    // must shed the layout fragment (after inline errors), never push the
+    // line past the harness window
+    val best = mkBest(148)
+    val hugeDir = "/very/" + ("deep/" * 200) + "sf"
+    val layout = Map(
+      s"lineitem:l_orderkey@$hugeDir" -> "built:0.92",
+      s"orders:o_orderkey@$hugeDir" -> "reused:0.04")
+    val line = BenchFormat.compactLine(best, Map("q_x" -> "boom"), "/sf", 3,
+      "\"BENCH_local.json\"", Map("bare" -> 0.08), layout)
+    assert(line.length <= BenchFormat.Budget, s"line is ${line.length} chars")
+    val node = om.readTree(line)
+    assert(!node.has("layout"), "oversized layout must be shed from the compact line")
+    assert(node.get("value").asDouble > 0) // line still parses + carries the total
+    val full = om.readTree(BenchFormat.fullLine(best, Map.empty, "/sf", 3,
+      Map.empty, layout))
+    assert(full.get("layout").get(s"lineitem:l_orderkey@$hugeDir")
+      .asText == "built:0.92", "sidecar keeps the full layout report")
+    // short layouts still ride the compact line untouched
+    val ok = BenchFormat.compactLine(best, Map.empty, "/sf", 3, "null",
+      Map.empty, Map("lineitem:l_orderkey@/sf" -> "built:0.92"))
+    assert(om.readTree(ok).get("layout").get("lineitem:l_orderkey@/sf")
+      .asText == "built:0.92")
+  }
+
   test("per-pass samples + floor gauges ride the sidecar only (VERDICT r12 #2)") {
     val best = mkBest(148)
     val samples = best.map { case (n, v) => n -> Seq(v, v * 3.1, v * 1.05) }
