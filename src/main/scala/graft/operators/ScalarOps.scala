@@ -77,7 +77,9 @@ object ScalarOps {
     * avoid them. All codegen'd built-ins per row, zero shuffle.
     */
   def regexFuncs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // width-pinned: three regex passes per row are the whole query, single
+    // consumer — the TextOps.languageId rationale (3.2 s linear at sf1)
+    Tables.widenSmall(Tables.documents(s, d))
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))

@@ -548,7 +548,9 @@ object TextOps {
     val nTok = size(toks)
     val stop = size(filter(toks, t => t === "the" || t === "a" || t === "of"))
     val nonAlnum = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-    Tables.documents(s, d)
+    // width-pinned: per-row tokenize+regex kernel, single consumer — the
+    // languageId rationale verbatim (3.5 s linear at sf1 before the pin)
+    Tables.widenSmall(Tables.documents(s, d))
       .select(
         col("doc_id"),
         col("n_chars"),
@@ -787,7 +789,13 @@ object TextOps {
       struct(round(scoreOf(col("tk"), prof), 6).as("score"),
              lit(lang).as("lang"))
     }
-    Tables.documents(s, d)
+    // width-pinned (Tables.widenSmall, 512 MB-gated → no-op at corpus
+    // scale): the per-language score closures are the hot stage and the
+    // single-row-group fixture scan would run them ONE-core — measured
+    // linear (not sublinear) ×10 scaling at sf1 (3.4 s = 10 × sf0.1).
+    // Single consumer chain, so the r12 multi-subtree caveat
+    // (RetrievalOps.tfidfSimilarPairs) does not apply.
+    Tables.widenSmall(Tables.documents(s, d))
       .select(col("doc_id"), col("lang").as("lang_actual"),
         tokens(lower(col("text"))).as("tk"))
       .select(col("doc_id"), col("lang_actual"),
