@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger prefixes every line with "[info] ", which is why the
+// driver's tail-parse of Bench's compact JSON line failed ("parsed":
+// null) in every round through r13 (VERDICT r13 #3). With StdoutOutput
+// the compact line lands unprefixed and the driver artifact is
+// self-contained. Unscoped (project-level) so BOTH `run` and `runMain`
+// pick it up via scope delegation.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -128,11 +128,19 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          // placeholder keeps samples index-aligned with floor_passes for
+          // intermittently-erroring queries (ADVICE r13): the adjudication
+          // rule "same pass index = same window" breaks if errored passes
+          // silently compact the vector. -1 is unambiguous (real samples
+          // are positive) and stays valid JSON, unlike NaN.
+          samples(name) = samples.getOrElse(name, Vector()) :+ -1.0
       }
       }
       }
     }
-    floor("passes_done") = passesDone.toDouble
+    // passes_done rides its own top-level field (ADVICE r13): stuffing the
+    // counter into the floor map mixed a count with seconds-valued gauges
+    // and poisoned any min/ratio tooling iterating floor entries as timings.
     // JIT code-cache occupancy at end of run (MB): the 236-query suite
     // generates enough codegen classes to exhaust the JVM's default
     // 240 MB reserved cache, after which stages run INTERPRETED at
@@ -172,7 +180,7 @@ object Bench {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outPath),
           (BenchFormat.fullLine(bestMap, errMap, sfDir, runs, floor.toMap, layout,
-            samples.toMap, floorPasses.toMap) + "\n")
+            samples.toMap, floorPasses.toMap, passesDone) + "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         BenchFormat.jstrFull(outPath)
       } catch {
@@ -181,6 +189,7 @@ object Bench {
       }
     // rc stays 0 — the driver still needs to parse the JSON line; the
     // "errors" object (non-empty = red) is the loud part
-    println(BenchFormat.compactLine(bestMap, errMap, sfDir, runs, fullField, floor.toMap, layout))
+    println(BenchFormat.compactLine(bestMap, errMap, sfDir, runs, fullField,
+      floor.toMap, layout, passesDone))
   }
 }

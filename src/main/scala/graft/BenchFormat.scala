@@ -108,11 +108,20 @@ object BenchFormat {
       floor: Map[String, Double] = Map.empty,
       layout: Map[String, String] = Map.empty,
       samples: Map[String, Seq[Double]] = Map.empty,
-      floorPasses: Map[String, Seq[Double]] = Map.empty): String = {
+      floorPasses: Map[String, Seq[Double]] = Map.empty,
+      passesDone: Int = -1): String = {
     val ok = best.keys.toSeq.sorted
     val fullQs = ok.map(n => jstrFull(n) + ":" + sec(best(n))).mkString("{", ",", "}")
-    s"""{"metric":"total","value":${sec(ok.map(best).sum)},"unit":"sec","queries":$fullQs,"errors":${errObj(errors.toSeq.sortBy(_._1))},${floorFrag(floor)}${layoutFrag(layout)}${seriesFrag("samples", samples)}${seriesFrag("floor_passes", floorPasses)}"sf":${jstrFull(sfDir)},"runs":$runs}"""
+    s"""{"metric":"total","value":${sec(ok.map(best).sum)},"unit":"sec","queries":$fullQs,"errors":${errObj(errors.toSeq.sortBy(_._1))},${floorFrag(floor)}${layoutFrag(layout)}${seriesFrag("samples", samples)}${seriesFrag("floor_passes", floorPasses)}${passesFrag(passesDone)}"sf":${jstrFull(sfDir)},"runs":$runs}"""
   }
+
+  /** `"passes_done":N,` fragment (or "" when not recorded) — its OWN
+    * top-level field (ADVICE r13): it previously rode the floor map, where
+    * a pass COUNT sat among seconds-valued gauges and any tooling folding
+    * floor entries as timings ingested a bogus 6.0-second "floor".
+    */
+  private def passesFrag(passesDone: Int): String =
+    if (passesDone < 0) "" else s""""passes_done":$passesDone,"""
 
   /** Packs rollup capped to `PackBudget` chars: heaviest packs inline, the
     * remainder summed into `_rest` so every query's time stays represented
@@ -148,7 +157,8 @@ object BenchFormat {
       runs: Int,
       fullField: String,
       floor: Map[String, Double] = Map.empty,
-      layout: Map[String, String] = Map.empty): String = {
+      layout: Map[String, String] = Map.empty,
+      passesDone: Int = -1): String = {
     val ok = best.keys.toSeq.sorted
     val total = ok.map(best).sum
     val errSorted = errors.toSeq.sortBy(_._1)
@@ -156,7 +166,7 @@ object BenchFormat {
 
     def prefix(errCount: Int, lay: Map[String, String]): String = {
       val errTruncated = errSorted.size - errCount
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":${jstrFull(sfDir)},"runs":$runs,"n_queries":${ok.size},"full":$fullField,${floorFrag(floor)}${layoutFrag(lay)}"packs":$packs,"errors":${errObj(errSorted.take(errCount))},"errors_truncated":$errTruncated,"queries":{"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":${jstrFull(sfDir)},"runs":$runs,${passesFrag(passesDone)}"n_queries":${ok.size},"full":$fullField,${floorFrag(floor)}${layoutFrag(lay)}"packs":$packs,"errors":${errObj(errSorted.take(errCount))},"errors_truncated":$errTruncated,"queries":{"""
     }
 
     // Whole-line budget: shed inline errors first, then the layout report

@@ -149,22 +149,54 @@ object FactLayout {
         }
       } finally raf.close()
     }
+    // RECURSIVE walk (ADVICE r13): a partitioned/nested source dir (the
+    // engine's own container_id=/date= layout, any real multi-file table)
+    // must be content-stamped, not metadata-stamped — digesting only direct
+    // children let an in-place regeneration of nested files keep the old
+    // fingerprint and silently serve a stale layout. Relative paths feed
+    // the digest so a rename is a content change too; children sorted by
+    // name for determinism.
+    def walk(dir: java.io.File, prefix: String): Unit =
+      Option(dir.listFiles()).toSeq.flatten.sortBy(_.getName).foreach { f =>
+        if (f.isFile) feedFile(f, prefix + f.getName)
+        else walk(f, prefix + f.getName + "/")
+      }
     if (src.isFile) feedFile(src, src.getName)
-    else Option(src.listFiles()).toSeq.flatten.filter(_.isFile)
-      .sortBy(_.getName).foreach(f => feedFile(f, f.getName))
+    else walk(src, "")
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 
-  /** Delete completed layout dirs for the same (table, key, buckets) with
-    * a DIFFERENT fingerprint — superseded by the layout at `current`. The
-    * source they were built from has changed (or collided); nothing will
-    * ever adopt them again, and without the sweep the layout tmpdir grows
-    * without bound across fixture regenerations (ADVICE r12). In-flight
-    * `.tmp<pid>` build dirs are left alone.
+  /** Short digest of the dataset dir identity, embedded in the layout
+    * dir-name STEM (ADVICE r13): the sweep strips only the trailing
+    * fingerprint, so two live datasets (sf0.1 and sf1 on the same machine,
+    * this repo's own bench workflow) each keep their own layout dir —
+    * without this, building one dataset's layout deleted the other's
+    * still-valid dir and alternating benches re-paid the ~0.5 GB write
+    * (or worse, deleted files under a concurrent session mid-run).
+    * Canonical path, so relative/symlinked spellings of one dir agree.
+    */
+  private[graft] def dirHashOf(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val canon =
+      try new java.io.File(d).getCanonicalPath
+      catch { case _: java.io.IOException => new java.io.File(d).getAbsolutePath }
+    md.update(canon.getBytes("UTF-8"))
+    md.digest().take(4).map("%02x".format(_)).mkString
+  }
+
+  /** Delete completed layout dirs for the same (table, key, buckets,
+    * DATASET DIR) with a DIFFERENT fingerprint — superseded by the layout
+    * at `current`. The source they were built from has changed; nothing
+    * will ever adopt them again, and without the sweep the layout tmpdir
+    * grows without bound across fixture regenerations (ADVICE r12).
+    * In-flight `.tmp<pid>` build dirs are left alone, and — ADVICE r13 —
+    * so are layouts of OTHER datasets: the stem includes [[dirHashOf]], so
+    * building the sf1 layout no longer deletes the still-valid sf0.1 one
+    * (same machine, alternating benches, possibly a concurrent session).
     */
   private[graft] def sweepSuperseded(current: java.io.File): Unit = {
-    // name shape: <table>_<key>_<buckets>_<fingerprint> — strip the
-    // fingerprint, keep the trailing underscore
+    // name shape: <table>_<key>_<buckets>_<dirHash>_<fingerprint> — strip
+    // the fingerprint, keep the trailing underscore
     val stem = current.getName.lastIndexOf('_') match {
       case i if i > 0 => current.getName.substring(0, i + 1)
       case _ => return
@@ -218,7 +250,7 @@ object FactLayout {
     if (!inCatalog) {
       val stable = new java.io.File(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        s"graft_layout/${table}_${key}_${buckets}_$fingerprint")
+        s"graft_layout/${table}_${key}_${buckets}_${dirHashOf(d)}_$fingerprint")
       def register(): Unit = {
         val schema = s.read.parquet(stable.toString).schema.toDDL
         s.sql(s"CREATE TABLE $name ($schema) USING parquet " +

@@ -27,6 +27,24 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("queries").has("q_pack8_query148"))
   }
 
+  test("passes_done is a top-level field, never a floor gauge (ADVICE r13)") {
+    val best = mkBest(5)
+    val floor = Map("bare" -> 0.08, "spin" -> 0.11)
+    val line = BenchFormat.compactLine(best, Map.empty, "/sf", 6,
+      "null", floor, Map.empty, 6)
+    val node = om.readTree(line)
+    assert(node.get("passes_done").asInt === 6)
+    assert(!node.get("floor").has("passes_done"),
+      "a pass COUNT among seconds-valued gauges poisons floor min/ratio tooling")
+    val full = om.readTree(BenchFormat.fullLine(best, Map.empty, "/sf", 6,
+      floor, Map.empty, Map.empty, Map.empty, 6))
+    assert(full.get("passes_done").asInt === 6)
+    assert(!full.get("floor").has("passes_done"))
+    // unrecorded (-1) → field absent, line still parses
+    assert(!om.readTree(BenchFormat.compactLine(best, Map.empty, "/sf", 6, "null"))
+      .has("passes_done"))
+  }
+
   test("a heavy-failure round stays inside the window: errors capped, counted") {
     val manyErrors = (1 to 60).map(i =>
       f"q_pack${i % 10}%d_broken$i%03d" ->

@@ -154,17 +154,42 @@ class PlansSpec extends SparkSpec {
     assert(FactLayout.fingerprintOf(tmp.toString, "lineitem", "l_partkey", 32, f) !== fp2)
     assert(FactLayout.fingerprintOf(tmp.toString, "lineitem", "l_orderkey", 64, f) !== fp2)
 
-    // sweep: superseded completed dirs for the same (table,key,buckets)
-    // are deleted; the current dir, in-flight .tmp builds, and other
-    // projections' dirs survive
+    // NESTED sources are content-stamped (ADVICE r13): regenerating a file
+    // inside a partition subdirectory — same size, same mtime — must flip
+    // the fingerprint of the DIRECTORY source
+    val part = Files.createTempDirectory("graft-fp-nested")
+    val sub = part.resolve("date=2024-01-01"); Files.createDirectories(sub)
+    val nestedF = sub.resolve("part-0.parquet").toFile
+    val nb = Array.tabulate[Byte](1000)(i => (i % 127).toByte)
+    java.nio.file.Files.write(nestedF.toPath, nb)
+    val nmt = nestedF.lastModified
+    val nfp1 = FactLayout.fingerprintOf(part.toString, "lineitem", "l_orderkey", 32, part.toFile)
+    nb(0) = (nb(0) ^ 1).toByte
+    java.nio.file.Files.write(nestedF.toPath, nb)
+    assert(nestedF.setLastModified(nmt))
+    val nfp2 = FactLayout.fingerprintOf(part.toString, "lineitem", "l_orderkey", 32, part.toFile)
+    assert(nfp2 !== nfp1,
+      "nested-file content change (size+mtime preserved) must change the fingerprint")
+
+    // sweep: superseded completed dirs for the same (table,key,buckets,
+    // dataset dir) are deleted; the current dir, in-flight .tmp builds,
+    // other projections' dirs, AND other datasets' dirs (ADVICE r13: the
+    // dirHash segment scopes the sweep — sf1's build must not delete the
+    // still-valid sf0.1 layout) survive
     val lay = Files.createTempDirectory("graft-sweep").toFile
     def mk(n: String) = { val x = new java.io.File(lay, n); assert(x.mkdirs()); x }
-    val cur = mk("lineitem_l_orderkey_32_aaaa")
-    val old1 = mk("lineitem_l_orderkey_32_bbbb")
-    val inflight = mk("lineitem_l_orderkey_32_cccc.tmp123")
-    val other = mk("lineitem_l_partkey_32_dddd")
+    val dh = FactLayout.dirHashOf(tmp.toString)
+    val dhOther = FactLayout.dirHashOf(tmp.toString + "x")
+    assert(dh !== dhOther, "distinct dataset dirs must hash distinctly")
+    val cur = mk(s"lineitem_l_orderkey_32_${dh}_aaaa")
+    val old1 = mk(s"lineitem_l_orderkey_32_${dh}_bbbb")
+    val inflight = mk(s"lineitem_l_orderkey_32_${dh}_cccc.tmp123")
+    val other = mk(s"lineitem_l_partkey_32_${dh}_dddd")
+    val otherDataset = mk(s"lineitem_l_orderkey_32_${dhOther}_eeee")
     FactLayout.sweepSuperseded(cur)
     assert(cur.isDirectory && inflight.isDirectory && other.isDirectory)
+    assert(otherDataset.isDirectory,
+      "another dataset's layout dir must survive this dataset's sweep")
     assert(!old1.exists, "superseded layout dir must be deleted")
 
     // adoption gate: wrong row count and wrong schema both fail loudly
