@@ -179,28 +179,36 @@ object DocStreamOps {
     * Contract: verdicts are SNAPSHOT-relative — batches do not see each
     * other (cross-arrival duplicate discovery belongs to the next
     * snapshot rebuild; [[nearDupTags]] is the online cross-arrival
-    * detector). Delivery is at-least-once per micro-batch: a retried
-    * batch re-appends under the same `batch_id`, so exactly-once readers
-    * dedup on (batch_id, doc_id) — or route the write through
-    * `LogIngest.commitBatch`'s manifest protocol where atomicity
-    * matters.
+    * detector). Delivery is EXACTLY-ONCE (VERDICT r13 #5): each batch's
+    * verdicts commit through [[LogIngest.commitBatchFlat]]'s
+    * marker+manifest protocol — a retried batch whose predecessor
+    * committed is a no-op, a torn attempt is cleaned and redone — so the
+    * raw parquet at `outDir` is duplicate-free and [[attachedVerdicts]]
+    * is defense-in-depth (a deterministic read for tables written before
+    * this contract, or polluted out-of-band), no longer the contract.
+    * `namespace` isolates co-writing queries' markers; give each logical
+    * attach query its own (as `LogIngest.commitNamespace` does from the
+    * checkpoint dir).
     */
   def attachStream(docs: Dataset[Doc], corpusDir: String, outDir: String,
-      minSim: Double = 0.2, maxDf: Long = 1000L)
+      minSim: Double = 0.2, maxDf: Long = 1000L, namespace: String = "attach")
       : org.apache.spark.sql.streaming.DataStreamWriter[Doc] = {
     val fn: (Dataset[Doc], Long) => Unit = { (df, batchId) =>
-      DedupOps.incrementalClusters(df.sparkSession, corpusDir,
-          df.select(col("doc_id"), col("text")), minSim, maxDf)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(outDir)
+      LogIngest.commitBatchFlat(
+        DedupOps.incrementalClusters(df.sparkSession, corpusDir,
+            df.select(col("doc_id"), col("text")), minSim, maxDf)
+          .withColumn("batch_id", lit(batchId)),
+        batchId, outDir, namespace)
     }
     docs.writeStream.outputMode(OutputMode.Update()).foreachBatch(fn)
   }
 
-  /** The exactly-once READ face of [[attachStream]]'s at-least-once
-    * output (VERDICT r12 #7): one verdict row per (batch_id, doc_id),
-    * chosen deterministically, so consumers get replay-stable results
-    * without re-deriving the dedup rule from the write contract.
+  /** Deterministic dedup read over an attach output (VERDICT r12 #7): one
+    * verdict row per (batch_id, doc_id). Since [[attachStream]] commits
+    * through the manifest protocol (VERDICT r13 #5) the raw table is
+    * already duplicate-free and this is defense-in-depth — provably a
+    * no-op on a protocol-written table (spec-pinned) — kept for tables
+    * written before that contract or appended to out-of-band.
     *
     * Why this is safe: a retried micro-batch re-runs the SAME
     * snapshot-relative attach over the SAME input rows, so duplicate

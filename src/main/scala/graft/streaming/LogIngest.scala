@@ -269,8 +269,27 @@ object LogIngest {
       batchId: Long,
       tableDir: String,
       writeSaltBuckets: Int = 1,
-      namespace: String = "q"): Unit = {
-    val spark = batch.sparkSession
+      namespace: String = "q"): Unit =
+    manifestCommit(batch.sparkSession, tableDir, batchId, namespace) { staging =>
+      stagePartitioned(batch, batchId, tableDir, staging,
+        writeSaltBuckets, namespace)
+    }
+
+  /** Steps 1–2 and 4–6 of the commit protocol above, shared by
+    * [[commitBatch]] (partitioned log appends) and [[commitBatchFlat]]
+    * (unpartitioned verdict/result appends): marker short-circuit, torn-
+    * attempt cleanup, manifest write, file moves, commit marker, staging
+    * drop, marker pruning. `stage` performs step 3 — write the batch under
+    * the given staging dir and return the (stagedFile → destination)
+    * moves, every destination carrying the `b<namespace>-<batchId>-`
+    * prefix so attempts can never collide.
+    */
+  private def manifestCommit(
+      spark: SparkSession,
+      tableDir: String,
+      batchId: Long,
+      namespace: String)(
+      stage: String => Seq[(org.apache.hadoop.fs.Path, String)]): Unit = {
     val marker = s"$tableDir/_commits/$namespace-$batchId"
     if (FsUtil.exists(spark, marker)) return
     val manifest = s"$tableDir/_commits/$namespace-$batchId.manifest"
@@ -279,6 +298,58 @@ object LogIngest {
         FsUtil.fs(spark, dst).delete(new org.apache.hadoop.fs.Path(dst), false)
       }
     val staging = s"$tableDir/_staging/$namespace-$batchId"
+    val moves = stage(staging)
+    FsUtil.writeString(spark, manifest, moves.map(_._2).mkString("\n"))
+    moves.foreach { case (src, dst) =>
+      val dstPath = new org.apache.hadoop.fs.Path(dst)
+      FsUtil.mkdirs(spark, dstPath.getParent.toString)
+      FsUtil.rename(spark, src, dstPath)
+    }
+    FsUtil.writeString(spark, marker, "")
+    FsUtil.deleteRecursively(spark, staging)
+    FsUtil.fs(spark, manifest).delete(new org.apache.hadoop.fs.Path(manifest), false)
+    FsUtil.listFiles(spark, s"$tableDir/_commits", "").foreach { case (p, _) =>
+      // prune only THIS query's old markers (other namespaces own theirs)
+      if (p.getName.startsWith(s"$namespace-")) {
+        val idStr = p.getName.drop(namespace.length + 1).takeWhile(_.isDigit)
+        if (idStr.nonEmpty && idStr.toLong < batchId - 64)
+          FsUtil.fs(spark, p.toString).delete(p, false)
+      }
+    }
+  }
+
+  /** Exactly-once append of an UNPARTITIONED micro-batch result — the
+    * same marker+manifest protocol as [[commitBatch]] for outputs with no
+    * partition layout (streaming verdict tables, attach results:
+    * [[DocStreamOps.attachStream]] routes here, VERDICT r13 #5). Files
+    * land flat in `tableDir` under the collision-proof
+    * `b<namespace>-<batchId>-` prefix; a replayed batch is a no-op, a torn
+    * attempt is cleaned and redone.
+    */
+  def commitBatchFlat(
+      batch: DataFrame,
+      batchId: Long,
+      tableDir: String,
+      namespace: String = "q"): Unit = {
+    val spark = batch.sparkSession
+    manifestCommit(spark, tableDir, batchId, namespace) { staging =>
+      batch.write.mode("overwrite").parquet(staging)
+      for ((file, _) <- FsUtil.listFiles(spark, staging, ".parquet"))
+        yield (file, s"$tableDir/b$namespace-$batchId-${file.getName}")
+    }
+  }
+
+  /** Step 3 of the protocol for the LOG table: partitioned+sorted staging
+    * write, destinations under `container_id=/date=` dirs.
+    */
+  private def stagePartitioned(
+      batch: DataFrame,
+      batchId: Long,
+      tableDir: String,
+      staging: String,
+      writeSaltBuckets: Int,
+      namespace: String): Seq[(org.apache.hadoop.fs.Path, String)] = {
+    val spark = batch.sparkSession
     // co-locate each container's rows before the partitioned write:
     // without this every decode task writes a file into every partition
     // dir (tasks × containers small files per batch); with it each
@@ -299,30 +370,12 @@ object LogIngest {
     parted
       .sortWithinPartitions("container_id", "date", "ts_nano")
       .write.mode("overwrite").partitionBy("container_id", "date").parquet(staging)
-    val moves =
-      for {
-        cDir <- FsUtil.listDirs(spark, staging, "container_id=")
-        dDir <- FsUtil.listDirs(spark, cDir.toString, "date=")
-        (file, _) <- FsUtil.listFiles(spark, dDir.toString, ".parquet")
-      } yield (file,
-        s"$tableDir/${cDir.getName}/${dDir.getName}/b$namespace-$batchId-${file.getName}")
-    FsUtil.writeString(spark, manifest, moves.map(_._2).mkString("\n"))
-    moves.foreach { case (src, dst) =>
-      val dstPath = new org.apache.hadoop.fs.Path(dst)
-      FsUtil.mkdirs(spark, dstPath.getParent.toString)
-      FsUtil.rename(spark, src, dstPath)
-    }
-    FsUtil.writeString(spark, marker, "")
-    FsUtil.deleteRecursively(spark, staging)
-    FsUtil.fs(spark, manifest).delete(new org.apache.hadoop.fs.Path(manifest), false)
-    FsUtil.listFiles(spark, s"$tableDir/_commits", "").foreach { case (p, _) =>
-      // prune only THIS query's old markers (other namespaces own theirs)
-      if (p.getName.startsWith(s"$namespace-")) {
-        val idStr = p.getName.drop(namespace.length + 1).takeWhile(_.isDigit)
-        if (idStr.nonEmpty && idStr.toLong < batchId - 64)
-          FsUtil.fs(spark, p.toString).delete(p, false)
-      }
-    }
+    for {
+      cDir <- FsUtil.listDirs(spark, staging, "container_id=")
+      dDir <- FsUtil.listDirs(spark, cDir.toString, "date=")
+      (file, _) <- FsUtil.listFiles(spark, dDir.toString, ".parquet")
+    } yield (file,
+      s"$tableDir/${cDir.getName}/${dDir.getName}/b$namespace-$batchId-${file.getName}")
   }
 
   /** Batch view of the ingested log table. */
