@@ -42,6 +42,33 @@ object Sketch {
     new GenericArrayData(seen.toArray(): Array[AnyRef])
   }
 
+  /** POSITIONAL word n-gram hashes: xxh64 (seed 42) of each length-n token
+    * window joined by ' ', in window order — value-identical per position
+    * to `xxhash64(array_join(slice(tokens, i, n), " "))`, as one compiled
+    * pass. Unlike [[shingles]] this keeps duplicates and order (index i ↔
+    * window starting at token i+1), which is what the positional-repeat
+    * kernels (repeatSpans, dupShingleFrac) consume; the HOF spelling they
+    * replaced evaluated interpreted and re-allocated slice+join per
+    * element (measured the dominant 32-task stage of q_text_repeat_spans).
+    */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val num = tokens.numElements()
+    if (num < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](num - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= num - n) {
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      val s = UTF8String.concatWs(sep, parts: _*)
+      out(i) =
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k seeded xxh64 min-hashes over a set of strings (one pass per seed
     * dimension, k×|set| hashes total, no allocation beyond the signature).
     */
@@ -125,6 +152,55 @@ object Sketch {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Intra-document repeat SEEDS in one compiled pass: the (pos, g) pairs
+    * of [[shingleHashes]] windows whose gram hash occurs ≥ 2 times in the
+    * SAME document, in window order (pos is 1-based). Fuses the
+    * repeat-spans selection pipeline — window hashes → sorted-neighbor
+    * duplicate-gram set → per-position membership filter — whose HOF
+    * spelling (array_sort + filter(try_element_at) + transform/filter +
+    * array_contains per position) evaluated interpreted and was the
+    * dominant 32-task stage of q_text_repeat_spans (~11 core-seconds at
+    * sf0.1 for ~1 M positions). Output values are identical: same window
+    * hash (xxh64 seed 42 of the ' '-joined window), same ≥2-occurrence
+    * predicate, same order.
+    */
+  def repeatSeeds(tokens: ArrayData, n: Int): ArrayData = {
+    val num = tokens.numElements()
+    if (num < n) return new GenericArrayData(Array.empty[Any])
+    val m = num - n + 1
+    val hs = new Array[Long](m)
+    val sep = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      val s = UTF8String.concatWs(sep, parts: _*)
+      hs(i) =
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    // duplicate-gram membership via a sorted copy (primitive, no boxing):
+    // h occurs >= 2 times iff a sorted neighbor of ANY of its slots equals
+    // it — binarySearch lands somewhere inside the run, so one equal
+    // neighbor on either side decides.
+    val sorted = hs.clone()
+    java.util.Arrays.sort(sorted)
+    val out = new java.util.ArrayList[Any](16)
+    i = 0
+    while (i < m) {
+      val h = hs(i)
+      val idx = java.util.Arrays.binarySearch(sorted, h)
+      if ((idx > 0 && sorted(idx - 1) == h) ||
+          (idx + 1 < m && sorted(idx + 1) == h)) {
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i + 1, h)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray())
   }
 
   /** Per-document character-distribution scalars in one compiled pass:
@@ -719,9 +795,59 @@ case class Md5SimHashChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `shingle_hashes(tokens, n)`: positional window hashes (array<long>),
+  * see [[Sketch.shingleHashes]].
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Sketch.shingleHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `repeat_seeds(tokens, n)`: in-document repeated-window seed pairs
+  * (array<struct<pos:int, g:bigint>>), see [[Sketch.repeatSeeds]].
+  */
+case class RepeatSeeds(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("g", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "repeat_seeds"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Sketch.repeatSeeds(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketch.repeatSeeds($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): RepeatSeeds =
+    copy(child = newChild)
+}
+
 /** Column-API facade for the sketch expressions. */
 object sketch {
   def wordShingles(tokens: Column, n: Int): Column = column(WordShingles(expression(tokens), n))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    column(ShingleHashes(expression(tokens), n))
+  def repeatSeeds(tokens: Column, n: Int): Column =
+    column(RepeatSeeds(expression(tokens), n))
   def minhashSig(elems: Column, k: Int): Column = column(MinHashSig(expression(elems), k))
   def md5MinhashSig(elems: Column, k: Int): Column =
     column(Md5MinHashSig(expression(elems), k))

@@ -657,14 +657,19 @@ object DedupOps {
     // expands per-group results member-wise. The (doc, fp) pre-rollup is
     // also a map-side combine the raw window form could never do.
     val (members, weights) = contraction(s, d)
+    // xxhash64, not the md5 spelling (r14, the repeatSpans precedent):
+    // `sfp` is a query-internal grouping key — the output carries only
+    // per-doc counts and the oracle computes its own fingerprints — so
+    // the codegen'd native hash applies. md5's MessageDigest + hex +
+    // substring detour was the plan's dominant stage (32 tasks ×
+    // ~370 ms at sf0.1, ~12 core-seconds of pure hashing); same 64-bit
+    // collision scale as the 16-hex-char prefix it replaces, and the
+    // 8-byte long key halves the rollup's shuffle width vs the 16-char
+    // string.
     val m = canonDocsWide(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= n)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"), col("t"))
-      .select(col("doc_id"),
-        substring(md5(array_join(slice(col("t"), col("i"), lit(n)), " ")), 1, 16)
-          .as("sfp"))
+      .select(col("doc_id"), explode(shingleHashes(col("t"), n)).as("sfp"))
       .groupBy(col("doc_id"), col("sfp"))
       .agg(count(lit(1)).as("m"))
     val cnt = m
@@ -691,11 +696,8 @@ object DedupOps {
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       // sequence(1, 0) would count DOWN for docs shorter than n tokens
       .where(size(col("t")) >= n)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"), col("t"))
-      .select(col("doc_id"),
-        substring(md5(array_join(slice(col("t"), col("i"), lit(n)), " ")), 1, 16)
-          .as("sfp"))
+      // query-internal key — native positional hash, same as the dir form
+      .select(col("doc_id"), explode(shingleHashes(col("t"), n)).as("sfp"))
     sh
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("sfp"))))
       .groupBy(col("doc_id"))
@@ -2536,9 +2538,13 @@ object DedupOps {
     val bFps = batch.select(col("doc_id"), md5(col("text")).as("fp"))
     val bGroups = bFps.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("bcanon"), count(lit(1)).as("w"))
-    val bMembers = graft.SessionCache.cut(
+    // NOT cut (r14): single consumer (`stars`), and that consumer's
+    // lineage lands inside the `contracted` checkpoint anyway — the
+    // eager per-call materialization job bought nothing. The bGroups
+    // exchange is shared with the index build via ReuseExchange.
+    val bMembers =
       bFps.join(bGroups.select(col("fp"), col("bcanon")), Seq("fp"))
-        .select(col("doc_id"), col("bcanon")))
+        .select(col("doc_id"), col("bcanon"))
     // canonical batch index; the df cap sees the RAW batch document
     // frequency (Σ group weights per shingle) — identical capped sets
     // to the uncontracted spelling
@@ -2610,9 +2616,18 @@ object DedupOps {
     // microseconds where the iterative propagation pays 2 jobs per
     // generation. Larger graphs take the distributed path unchanged
     // (spec compares the two paths on the same input).
+    // ONE bounded probe instead of count-then-collect (r14): take at most
+    // gate+1 edges — if the limit is not hit the graph is ≤ the gate and
+    // the probe's rows ARE the union-find input (the count action and the
+    // separate collect collapse into one job); if it is hit, fall through
+    // to the distributed path having materialized nothing bigger than the
+    // same ≤16 MB bound the count gate enforced.
+    val lim = (math.min(smallGraphEdges, Int.MaxValue - 1L) + 1L).toInt
+    val probed = contracted.limit(lim).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
     val comp =
-      if (contracted.count() <= smallGraphEdges)
-        unionFindLocal(s, contracted)
+      if (probed.length <= smallGraphEdges)
+        unionFindLocal(s, probed)
       else clusters(contracted) // (doc_id = node, cluster_id)
     // corpus supernodes = distinct contracted `b` endpoints minus batch
     // ids (bb edges also land in `b`); read off the CUT union so the bc
@@ -2635,14 +2650,13 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Driver union-find over a (bounded, pre-counted) edge frame — the
+  /** Driver union-find over a (bounded, pre-probed) edge list — the
     * small-graph fast path of [[incrementalClusters]]. Union by MIN root
     * + path compression, so the final root of every node is the minimum
     * member of its component: bit-identical to [[clusters]]' min-label
     * propagation contract (DedupClusterSpec compares the two paths).
     */
-  private def unionFindLocal(s: SparkSession, edges: DataFrame): DataFrame = {
-    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+  private def unionFindLocal(s: SparkSession, es: Array[(Long, Long)]): DataFrame = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

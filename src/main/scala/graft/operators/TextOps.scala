@@ -344,54 +344,31 @@ object TextOps {
     val docs = docsIn
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .where(size(col("t")) >= k)
-    // xxhash64, not the md5 spelling of the portable sketches: `g` is a
-    // query-internal grouping key (the oracle replays gram STRINGS), so
-    // the codegen'd native hash applies — md5's hex/conv detour measured
-    // ~2× the whole scan stage on the weak-scaling corpus.
-    // Only positions whose gram repeats INSIDE the doc can seed a repeat,
-    // and that set is decidable in-row (sorted-neighbor equality), so the
-    // non-repeating bulk of the corpus never reaches the explode or the
-    // (doc, g) shuffle. `dupg` is tiny on organic text (a handful of
-    // repeated grams per doc), so the per-position membership probe is
-    // O(|dupg|) against a row-local array, not a join. Whole query
-    // 13.8 → 4.2 s on the ×10 weak-scaling corpus vs the md5+self-join
-    // spelling; the remaining cost is the per-position interpreted hash
-    // scan itself, which parallelizes with input splits.
+    // Native fused seed kernel (r14). History: the first spelling hashed
+    // each position via md5 + a gram-string self-join; r13 moved to
+    // in-row xxhash64 HOFs (13.8 → 4.2 s on the ×10 weak-scaling corpus)
+    // whose remaining cost was the INTERPRETED per-element evaluation —
+    // transform(hash) + array_sort + filter(try_element_at) +
+    // transform/filter with an array_contains probe per position was the
+    // query's dominant 32-task stage (~11 core-seconds at sf0.1, measured
+    // by StageProbe this round). `repeatSeeds` fuses the whole selection
+    // — window hashes (xxh64 seed 42 of the ' '-joined window, value-
+    // identical to the HOF spelling), duplicate-gram membership
+    // (sorted-neighbor equality), positional emission — into ONE compiled
+    // pass that participates in whole-stage codegen. Only positions whose
+    // gram repeats INSIDE the doc reach the explode or the (doc, g)
+    // shuffle, as before; `g` stays a query-internal key (the oracle
+    // replays gram STRINGS).
     //
-    // Optimizer landmines, both hit and measured while writing this (a
-    // single task re-running split(text) per position — O(len²)/doc,
-    // 500+ s at ×10 for a pipeline whose honest cost is seconds):
-    //  1. A `.where` on a lambda-derived column is POISON. PushDown-
-    //     Predicates substitutes the condition through every Project
-    //     down to the scan (it only checks determinism, not cost), and
-    //     each substitution step moves the upstream tree INSIDE the
-    //     downstream lambda — once-per-row becomes once-per-element.
-    //     So the prefilter is spelled as the Generate itself: exploding
-    //     an empty pair array emits no rows, and there is no Filter
-    //     node for the optimizer to push.
-    //  2. CollapseProject inlines a non-cheap expression referenced
-    //     ONCE — including a reference sitting inside a lambda body,
-    //     which again multiplies evaluation per element. Every lambda-
-    //     consumed intermediate (t, g_arr, sg, dupg) is therefore kept
-    //     referenced ≥2× in its consuming projection (passthrough +
-    //     use), which CollapseProject refuses to collapse.
-    //  3. Exploding the pair array as an ATTRIBUTE re-arms (1):
-    //     InferFiltersFromGenerate adds size(attr)>0, and pushdown
-    //     substitutes it to the scan. Exploding the (non-cheap) pair
-    //     expression INLINE as the generator child hits the
-    //     SPARK-36715 guard, so no filter is inferred at all.
-    val gs = transform(sequence(lit(1), size(col("t")) - (k - 1)),
-      i => xxhash64(array_join(slice(col("t"), i, lit(k)), " ")))
-    val pgs = filter(
-      transform(col("g_arr"), (g, i) => struct((i + 1).as("pos"), g.as("g"))),
-      p => array_contains(col("dupg"), p.getField("g")))
+    // The r13 optimizer landmines (predicate pushdown into lambdas,
+    // CollapseProject inlining non-cheap expressions referenced once,
+    // InferFiltersFromGenerate on attribute-explodes) are structurally
+    // gone: there are no lambdas left, and the single non-cheap
+    // expression is exploded INLINE as the generator child, which the
+    // SPARK-36715 guard exempts from filter inference.
     val grams = docs
-      .select(col("doc_id"), gs.as("g_arr"))
-      .select(col("doc_id"), col("g_arr"), array_sort(col("g_arr")).as("sg"))
-      .select(col("doc_id"), col("g_arr"),
-        array_distinct(filter(col("sg"),
-          (v, idx) => v === try_element_at(col("sg"), idx + 2))).as("dupg"))
-      .select(col("doc_id"), explode(pgs).as("pg"))
+      .select(col("doc_id"),
+        explode(graft.functions.sketch.repeatSeeds(col("t"), k)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
     // ONE (doc_id, g) rollup; the C(tf,2) position pairs generate IN-ROW
     // from the collected (≤ maxTf) position list — no keep-list join-back

@@ -996,39 +996,54 @@ object VectorOps {
     */
   def simGraphPageRank(s: SparkSession, d: String, iters: Int = 5,
       minSim: Double = 0.4, targetCell: Long = 256L): DataFrame = {
-    val nodes = Tables.embeddings(s, d).select(col("vec_id"))
     // The edge table is read once per iteration plus once for the final
     // degree join — without persistence the whole LSH candidate join
     // re-executes iters+1 times inside one action (measured 3.1 s at
     // sf0.1, ~6× the single-pass cost). Memoized per (dir, params) like
     // every shared table (SessionCache evicts LRU + unpersists).
-    val ed = prCache.getOrElseUpdate(s, s"$d|$minSim|$targetCell") { (ss, _) =>
-      val pairs =
-        nearDupPairsLsh(ss, d, minSim, targetCell).select(col("a"), col("b"))
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      // Persist HASH-PARTITIONED on src: the cached partitioning then
-      // satisfies every iteration's contribution join directly — the
-      // edge table (the big side at scale) crosses the wire once at
-      // build, not once per iteration.
-      graft.SessionCache.cut(
-        edges.join(deg, "src").repartition(col("src")))
+    val (ed, nodeState) = prCache.getOrElseUpdate(s, s"$d|$minSim|$targetCell") {
+      (ss, _) =>
+        val pairs =
+          nearDupPairsLsh(ss, d, minSim, targetCell).select(col("a"), col("b"))
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        // Persist HASH-PARTITIONED on src: the cached partitioning then
+        // satisfies every iteration's contribution join directly — the
+        // edge table (the big side at scale) crosses the wire once at
+        // build, not once per iteration.
+        val edCut = graft.SessionCache.cut(
+          edges.join(deg, "src").repartition(col("src")))
+        // Node state, HASH-PARTITIONED on vec_id (r14): every iteration's
+        // damping update left-joins the full node set against the rank
+        // rollup — the rollup side arrives partitioned on dst from its own
+        // groupBy, so persisting the node side pre-partitioned on the join
+        // key removes one nodes-sized exchange PER ITERATION (5 exchanges
+        // + 5 AQE barriers here; a nodes-sized shuffle per iteration at
+        // corpus scale). base/init ride along as columns — both are pure
+        // functions of n, computed once instead of re-deriving the
+        // crossJoin(count) subtree each iteration.
+        val nodesLocal = Tables.embeddings(ss, d).select(col("vec_id"))
+        val nnB = broadcast(nodesLocal.agg(count(lit(1)).as("n")))
+        val stateCut = graft.SessionCache.cut(nodesLocal.crossJoin(nnB)
+          .select(col("vec_id"),
+            round(lit(0.15) * lit(1e9) / col("n"), 0).cast("long").as("base"),
+            round(lit(1e9) / col("n"), 0).cast("long").as("pq0"))
+          .repartition(col("vec_id")))
+        (edCut, stateCut)
     }
     val deg = ed.groupBy(col("src")).agg(first(col("deg")).as("deg"))
-    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val baseQ = round(lit(0.15) * lit(1e9) / col("n"), 0).cast("long")
-    var pr = nodes.crossJoin(nn)
-      .select(col("vec_id"), round(lit(1e9) / col("n"), 0).cast("long").as("pq"))
+    var pr = nodeState.select(col("vec_id"), col("pq0").as("pq"))
     var it = 0
     while (it < iters) {
       val contribs = ed.join(pr, ed("src") === pr("vec_id"))
         .select(col("dst"), expr("pq div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      pr = nodes.crossJoin(nn)
+      pr = nodeState
         .join(contribs, col("vec_id") === col("dst"), "left")
         .select(col("vec_id"),
-          (baseQ + round(coalesce(col("sc"), lit(0L)) * lit(0.85), 0).cast("long"))
+          (col("base") +
+            round(coalesce(col("sc"), lit(0L)) * lit(0.85), 0).cast("long"))
             .as("pq"))
       it += 1
     }
@@ -1041,8 +1056,11 @@ object VectorOps {
 
   // ---- Logistic-regression label classifier (full-batch GD) -----------
 
-  private val prCache = new graft.SessionCache[org.apache.spark.sql.DataFrame](
-    maxEntries = 8, onEvict = graft.SessionCache.release)
+  private val prCache = new graft.SessionCache[
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+    maxEntries = 8, onEvict = v => {
+      graft.SessionCache.release(v._1); graft.SessionCache.release(v._2)
+    })
 
   // label-sized corpus-aggregate memos (affinity centroids, drift halves)
   private val smallAggCache =

@@ -33,6 +33,66 @@ class SketchSpec extends SparkSpec with PropSpec {
     }
   }
 
+  test("shingle_hashes: positional, value-identical to xxhash64(array_join(slice))") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    forSamples(Gen.listOf(word), n = 60) { words =>
+      val text = if (words.isEmpty) " " else words.mkString(" ")
+      for (k <- Seq(2, 3, 5)) {
+        val short = Seq(text).toDF("text")
+          .select(split(col("text"), " ").as("t"))
+          .where(size(col("t")) < k)
+          .select(shingleHashes(col("t"), k))
+          .collect().map(_.getSeq[Long](0).toSeq)
+        assert(short.forall(_.isEmpty), s"k=$k words=$words (short-doc case)")
+        val rows = Seq(text).toDF("text")
+          .select(split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= k)
+          .select(
+            shingleHashes(col("t"), k).as("native"),
+            transform(sequence(lit(1), size(col("t")) - (k - 1)),
+              i => xxhash64(array_join(slice(col("t"), i, lit(k)), " ")))
+              .as("hof"))
+          .collect()
+        rows.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1),
+          s"k=$k words=$words"))
+      }
+    }
+  }
+
+  test("repeat_seeds: fused selection equals the HOF pipeline it replaced") {
+    import spark.implicits._
+    // words drawn from a tiny alphabet so in-doc gram repeats are common
+    val word = Gen.oneOf("a", "b", "c")
+    forSamples(Gen.listOf(word), n = 80) { words =>
+      val text = if (words.isEmpty) " " else words.mkString(" ")
+      for (k <- Seq(2, 3)) {
+        val hof = Seq(text).toDF("text")
+          .select(split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= k)
+          .select(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+            i => xxhash64(array_join(slice(col("t"), i, lit(k)), " ")))
+            .as("g_arr"))
+          .select(col("g_arr"), array_sort(col("g_arr")).as("sg"))
+          .select(col("g_arr"),
+            array_distinct(filter(col("sg"),
+              (v, idx) => v === try_element_at(col("sg"), idx + 2))).as("dupg"))
+          .select(explode(filter(
+            transform(col("g_arr"), (g, i) => struct((i + 1).as("pos"), g.as("g"))),
+            p => array_contains(col("dupg"), p.getField("g")))).as("pg"))
+          .select(col("pg.pos"), col("pg.g"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        val native = Seq(text).toDF("text")
+          .select(split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= k)
+          .select(explode(repeatSeeds(col("t"), k)).as("pg"))
+          .select(col("pg.pos"), col("pg.g"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        assert(native === hof, s"k=$k words=$words")
+      }
+    }
+  }
+
   test("minhash_sig: k dims, deterministic, permutation-invariant, and containment-monotone") {
     import spark.implicits._
     def sig(elems: Seq[String]): Seq[Long] =
