@@ -357,7 +357,12 @@ object SparkEntry {
         |            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
         |        FROM j) WHERE rn = 1),
         |st AS (SELECT n_name, count(*) AS n_customers,
-        |         round(avg(c_acctbal), 2) AS avg_acctbal
+        |         CASE WHEN sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) >= 0
+        |           THEN ((2 * sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+        |                  + count(*)) // (2 * count(*)))::DOUBLE / 100.0
+        |           ELSE -(((-2) * sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+        |                  + count(*)) // (2 * count(*)))::DOUBLE / 100.0
+        |         END AS avg_acctbal
         |       FROM j GROUP BY n_name)
         |SELECT n_name, top_custkey, top_acctbal, n_customers, avg_acctbal
         |FROM best JOIN st USING (n_name) ORDER BY n_name""".stripMargin,

@@ -899,7 +899,23 @@ object DedupOps {
     * membership, plus every co-member pair of a group WITH a signature
     * (identical signatures collide in every band at estimate 1.0).
     */
+  // Memoized per (session, dir, geometry) — r14: the (32, 8, 0.5)
+  // candidate table is shared by the LSH pair face (minhashLshPairs) and
+  // the calibration audit (sketchCalibration); each paid the banded
+  // self-join + cross-band distinct per call. Same shared-snapshot
+  // stance as the capped shingle index: candidates are a pure function
+  // of (corpus, geometry).
+  private val lshCandCache =
+    new graft.SessionCache[DataFrame](maxEntries = 4,
+      onEvict = graft.SessionCache.release)
+
   private def canonLshCandidates(s: SparkSession, d: String,
+      k: Int, bands: Int, minEst: Double): DataFrame =
+    lshCandCache.getOrElseUpdate(s, s"$d#$k#$bands#$minEst") { (ss, _) =>
+      graft.SessionCache.cut(canonLshCandidatesUncached(ss, d, k, bands, minEst))
+    }
+
+  private def canonLshCandidatesUncached(s: SparkSession, d: String,
       k: Int, bands: Int, minEst: Double): DataFrame = {
     val rows = k / bands
     val sig = canonPortableSigs(s, d, k)
@@ -1291,6 +1307,21 @@ object DedupOps {
   private val winnowIndexCache =
     new graft.SessionCache[DataFrame](maxEntries = 8, onEvict = graft.SessionCache.release)
 
+  // Df-capped winnow artifacts per (session, dir, cap): capped index,
+  // uncapped per-doc fingerprint counts, capped per-doc counts. The cap
+  // is a pure function of (corpus, cap) — the cappedIndex stance: a
+  // pipeline builds its df-capped fingerprint index once and runs many
+  // pair queries against it. Memoizing removes the per-call weighted-df
+  // rollup + semi-join + two size rollups (~6 exchanges) from the warm
+  // path (r14).
+  private val winnowCappedCache =
+    new graft.SessionCache[(DataFrame, DataFrame, DataFrame)](maxEntries = 4,
+      onEvict = v => {
+        graft.SessionCache.release(v._1)
+        graft.SessionCache.release(v._2)
+        graft.SessionCache.release(v._3)
+      })
+
   /** Winnowing-based near-dup pairs (the MOSS detector proper, on top of
     * [[graft.operators.TextOps.winnowProfile]]'s selection): documents
     * sharing ≥ `minShared` winnowed fingerprints, with the shared count
@@ -1318,20 +1349,26 @@ object DedupOps {
     // canonical-only; shared winnow-position arithmetic stays on the
     // corpus-wide TextOps memo.
     val (members, weights) = contraction(s, d)
-    val sel = winnowIndexCache.getOrElseUpdate(s, d) { (ss, dir) =>
-      graft.SessionCache.cut(TextOps.winnowPositions(ss, dir)
-        .where(col("fp").isNotNull)
-        .join(weights.withColumnRenamed("canon", "doc_id"),
-          Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("fp")).distinct())
-    }
-    val capped = sel
-      .join(weights.withColumnRenamed("canon", "doc_id"), Seq("doc_id"))
-      .groupBy(col("fp")).agg(sum(col("w")).as("df"))
-      .where(col("df") <= maxDf).select(col("fp"))
-    val idx = sel.join(capped, Seq("fp"))
-    val nFp = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val cCap = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val (idx, nFp, cCap) =
+      winnowCappedCache.getOrElseUpdate(s, s"$d#$maxDf") { (ss, _) =>
+        val sel = winnowIndexCache.getOrElseUpdate(ss, d) { (ss2, dir) =>
+          graft.SessionCache.cut(TextOps.winnowPositions(ss2, dir)
+            .where(col("fp").isNotNull)
+            .join(weights.withColumnRenamed("canon", "doc_id"),
+              Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("fp")).distinct())
+        }
+        val capped = sel
+          .join(weights.withColumnRenamed("canon", "doc_id"), Seq("doc_id"))
+          .groupBy(col("fp")).agg(sum(col("w")).as("df"))
+          .where(col("df") <= maxDf).select(col("fp"))
+        val idxCut = graft.SessionCache.cut(sel.join(capped, Seq("fp")))
+        val nFpCut = graft.SessionCache.cut(
+          sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp")))
+        val cCapCut = graft.SessionCache.cut(
+          idxCut.groupBy(col("doc_id")).agg(count(lit(1)).as("c")))
+        (idxCut, nFpCut, cCapCut)
+      }
     val cPairs = idx.select(col("doc_id").as("ca"), col("fp"))
       .join(idx.select(col("doc_id").as("cb"), col("fp")), Seq("fp"))
       .where(col("ca") < col("cb"))
@@ -1617,10 +1654,22 @@ object DedupOps {
     // every chunk). The expansion is output-sized, the floor for this
     // audit face's raw-pair result.
     val (members, weights) = contraction(s, d)
+    // The memo also carries the 4×16-bit chunks PACKED into one long
+    // (r14): the Hamming check then is bit_count(sig_a XOR sig_b) — a
+    // single codegen'd expression over an 8-byte column — instead of the
+    // interpreted aggregate(zip_with(bit_count(xor))) HOF over the chunk
+    // arrays, and the two signature joins ship 8 bytes/row instead of the
+    // 4-int array. Identical value: the 64-bit XOR popcount IS the sum of
+    // per-chunk XOR popcounts.
     val docs = sigCache.getOrElseUpdate(s, s"$d#simhashp") { (ss, _) =>
       graft.SessionCache.cut(canonDocsWide(ss, d)
         .select(col("doc_id"),
-          portableSimhashChunks(split(col("text"), " ")).as("cks")))
+          portableSimhashChunks(split(col("text"), " ")).as("cks"))
+        .select(col("doc_id"), col("cks"),
+          (Seq(0, 1, 2, 3).map(i =>
+            shiftleft(element_at(col("cks"), i + 1).cast("long"),
+              48 - 16 * i)): Seq[org.apache.spark.sql.Column])
+            .reduce(_.bitwiseOR(_)).as("sig")))
     }
     val chunked = docs.select(
       col("doc_id"), posexplode(col("cks")).as(Seq("chunk", "ck")))
@@ -1634,13 +1683,11 @@ object DedupOps {
       .select(
         shiftrightunsigned(col("pair"), 32).as("a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
-    val ham = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-        lit(0), (acc, x) => acc + x)
     val canonPairs = cand
-      .join(docs.select(col("doc_id").as("a"), col("cks").as("cka")), Seq("a"))
-      .join(docs.select(col("doc_id").as("b"), col("cks").as("ckb")), Seq("b"))
-      .select(col("a"), col("b"), ham(col("cka"), col("ckb")).as("hamming"))
+      .join(docs.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
       .where(col("hamming") <= maxDist)
     val cross = canonPairs
       .join(members.select(col("canon").as("a"), col("doc_id").as("x")),
