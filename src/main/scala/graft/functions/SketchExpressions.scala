@@ -381,6 +381,79 @@ object Sketch {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Max cosine similarity of `v` against a model-sized vector set, as one
+    * compiled pass: the per-pair arithmetic is [[cosine]]'s loop verbatim
+    * (same accumulation order, same sqrt(na)*sqrt(nb) denominator, same
+    * zero-norm→0 rule — the set side's values are the same doubles the
+    * broadcast row would carry, collected once on the driver), so
+    * max-then-quantize equals the quantize-then-max of the crossJoin
+    * spelling it replaces (quantization is monotone, max commutes).
+    * Callers must guard the empty set (a crossJoin with an empty side
+    * yields no rows; a max over nothing has no defined value here).
+    */
+  def maxCosineVsSet(v: ArrayData, set: Array[Array[Double]],
+      norms: Array[Double], isFloat: Boolean): Double = {
+    // one extraction of v per ROW (not per pair): the 500-pair inner loop
+    // then runs on plain double[] — JIT-vectorizable, no ArrayData
+    // virtual calls. Accumulators are independent, so splitting cosine's
+    // single interleaved loop into per-accumulator loops changes no
+    // double: each accumulator sees the same addends in the same order.
+    val nv = v.numElements()
+    val xs = new Array[Double](nv)
+    var i = 0
+    while (i < nv) {
+      xs(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    var naFull = 0.0
+    i = 0
+    while (i < nv) { naFull += xs(i) * xs(i); i += 1 }
+    val sqrtNaFull = math.sqrt(naFull)
+    var best = Double.NegativeInfinity
+    var j = 0
+    while (j < set.length) {
+      val b = set(j)
+      val c =
+        if (b.length == nv) {
+          // equal lengths (the embedding-table case): cosine()'s n =
+          // min(len) covers both sides fully, so the hoisted row norm and
+          // the precomputed set norm are cosine()'s na/nb exactly
+          var dot = 0.0
+          var k = 0
+          while (k < nv) { dot += xs(k) * b(k); k += 1 }
+          val denom = sqrtNaFull * norms(j)
+          if (denom == 0.0) 0.0 else dot / denom
+        } else {
+          // length mismatch: cosine() truncates BOTH sides to min(len),
+          // making na pair-dependent — replay its loop verbatim
+          val n = math.min(nv, b.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var k = 0
+          while (k < n) {
+            val x = xs(k); val y = b(k)
+            dot += x * y; na += x * x; nb += y * y
+            k += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          if (denom == 0.0) 0.0 else dot / denom
+        }
+      if (c > best) best = c
+      j += 1
+    }
+    best
+  }
+
+  /** The set-side norms [[maxCosineVsSet]] hoists: sqrt of the same
+    * sequential y·y accumulation cosine()'s loop performs.
+    */
+  def setNorms(set: Array[Array[Double]]): Array[Double] =
+    set.map { b =>
+      var nb = 0.0
+      var i = 0
+      while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      math.sqrt(nb)
+    }
+
   // ---- portable (md5-based) sketch kernels ---------------------------------
   // These exist so the oracle-checked dedup queries hash identically in
   // DuckDB: md5 is the one hash both engines share, so signatures derived
@@ -753,6 +826,42 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `max_cosine_sim(v)`: max cosine similarity of a vector against a
+  * model-sized vector set carried BY the expression (driver-collected,
+  * |set|×dim doubles — the [[DistToLabelCentroid]] stance). Replaces a
+  * broadcast crossJoin fanout of |set| rows + partial max with one
+  * codegen'd map-side call per row (see [[Sketch.maxCosineVsSet]] for the
+  * bit-identity argument).
+  */
+case class MaxCosineSim(child: Expression, vecs: Array[Array[Double]])
+    extends UnaryExpression {
+  require(vecs.nonEmpty, "max_cosine_sim needs a non-empty vector set")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_cosine_sim"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.sql}")
+  }
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  // hoisted set-side norms (pure function of vecs — same accumulation as
+  // cosine()'s nb; see Sketch.maxCosineVsSet)
+  private lazy val norms: Array[Double] = Sketch.setNorms(vecs)
+  override protected def nullSafeEval(v: Any): Any =
+    Sketch.maxCosineVsSet(v.asInstanceOf[ArrayData], vecs, norms, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("vecs", vecs, "double[][]")
+    val normRef = ctx.addReferenceObj("norms", norms, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.Sketch.maxCosineVsSet($v, $setRef, $normRef, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MaxCosineSim =
+    copy(child = newChild)
+}
+
 /** `md5_minhash_sig(elems, k)`: portable MinHash signature — md5-based
   * integer arithmetic a SQL oracle replays bit-for-bit (see
   * [[Sketch.md5Minhash]]). One compiled pass; the HOF spelling of the same
@@ -860,6 +969,8 @@ object sketch {
   def sigMatchFrac(a: Column, b: Column): Column =
     column(SigMatchFraction(expression(a), expression(b)))
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def maxCosineSim(v: Column, vecs: Array[Array[Double]]): Column =
+    column(MaxCosineSim(expression(v), vecs))
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(v), centroids))
   def distToLabelCentroid(v: Column, label: Column, labels: Array[Int],

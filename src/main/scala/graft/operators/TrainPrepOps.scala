@@ -321,27 +321,46 @@ object TrainPrepOps {
   /** The per-document taint statistics [[decontaminate]] and
     * [[decontamCurve]] share: (doc_id, n_shingles, n_tainted,
     * tainted_frac) over the train side of the synthetic eval split.
+    *
+    * r14 shape: ONE explode+md5 pass over train — eval membership is a
+    * LEFT join against the DISTINCT eval key set (distinct ⇒ no fanout,
+    * so `count(*)` still counts MY shingles and `count(hit)` the tainted
+    * ones in the same aggregate). The previous totals/hits split
+    * shingled+md5'd the train corpus TWICE and joined two |docs|-sized
+    * rollups (measured: the two 2-task md5 stages dominated the ×10
+    * fixture). Memoized per (session, dir) — the tfidfW-leaf stance: TWO
+    * registered queries ([[decontaminate]], [[decontamCurve]]) consume
+    * this pure function of the corpus, so each warm consumer reads an
+    * output-sized checkpoint instead of re-deriving the shingle join.
     */
-  private def taintTable(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+  private val taintCache = new graft.SessionCache[DataFrame](
+    maxEntries = 4, onEvict = graft.SessionCache.release)
+
+  private def taintTable(s: SparkSession, d: String): DataFrame =
+    taintCache.getOrElseUpdate(s, s"$d#taint") { (ss, _) =>
+      graft.SessionCache.cut(taintTableOf(ss, d))
+    }
+
+  private def taintTableOf(s: SparkSession, d: String): DataFrame = {
+    // width-pin (the r13 widenSmall stance): the shingle+md5 kernel chain
+    // fuses above the scan, and the fixture scan is one row group — the
+    // whole corpus would md5 on one core; no-op at corpus scale
+    val sh = Tables.widenSmall(Tables.documents(s, d))
       .select(col("doc_id"), explode(wordShingles(toks, 3)).as("sh"))
       .select(col("doc_id"), shingleKey(col("sh")).as("shk"))
     val evalKeys = sh.where(col("doc_id") % 10 === 0)
       .select(col("shk")).distinct()
     val train = sh.where(col("doc_id") % 10 =!= 0)
-    val totals = train.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
     // no broadcast() hint: a real benchmark key set is KB-scale and AQE
     // broadcasts it from runtime stats; forcing the hint would encode an
     // OOM cliff for callers whose eval set turns out corpus-sized
-    val hits = train.join(evalKeys, Seq("shk"), "left_semi")
+    train.join(evalKeys.withColumn("hit", lit(1)), Seq("shk"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tainted"))
-    totals.join(hits, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_tainted"))
       .select(
-        col("doc_id"), col("n_shingles"),
-        coalesce(col("n_tainted"), lit(0L)).as("n_tainted"),
-        round(coalesce(col("n_tainted"), lit(0L)).cast("double") /
+        col("doc_id"), col("n_shingles"), col("n_tainted"),
+        round(col("n_tainted").cast("double") /
           col("n_shingles"), 6).as("tainted_frac"))
   }
 
@@ -424,7 +443,10 @@ object TrainPrepOps {
 
   def bloomDecontaminate(s: SparkSession, d: String,
       minFrac: Double = 0.05, fpp: Double = 0.01): DataFrame = {
-    val sh = Tables.documents(s, d)
+    // width-pin as in taintTableOf: the md5+Bloom-probe chain fuses above
+    // a one-row-group fixture scan and would otherwise run one-core
+    val docsW = Tables.widenSmall(Tables.documents(s, d))
+    val sh = docsW
       .select(col("doc_id"), explode(wordShingles(toks, 3)).as("sh"))
       .select(col("doc_id"), shingleKey(col("sh")).as("shk"))
     val evalKeys = sh.where(col("doc_id") % 10 === 0)
@@ -444,8 +466,16 @@ object TrainPrepOps {
     val mightContain =
       udf((k: String) => k != null && bloomBc.value.mightContainString(k))
     val train = sh.where(col("doc_id") % 10 =!= 0)
-    val totals = train.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
+    // per-doc totals from the shingle ARRAY's size, map-side (r14): the
+    // kernel emits distinct shingles, so size(arr) ≡ the exploded
+    // count(*) — the previous explode→md5→groupBy chain re-keyed the
+    // whole train corpus a second time just to count rows; `>= 1` keeps
+    // the doc set identical (explode drops empty/null arrays)
+    val totals = docsW
+      .where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), size(wordShingles(toks, 3)).as("n_shingles"))
+      .where(col("n_shingles") >= 1)
+      .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"))
     val hits = train.where(mightContain(col("shk")))
       .join(evalKeys, Seq("shk"), "left_semi")
       .groupBy(col("doc_id"))

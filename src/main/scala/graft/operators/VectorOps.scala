@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.sketch.{cosineSim, nearestCentroid}
+import graft.functions.sketch.{cosineSim, maxCosineSim, nearestCentroid}
 
 /** Vector-similarity pack over `embeddings` (array<float>, 64-dim).
   *
@@ -831,18 +831,26 @@ object VectorOps {
     * per-vector max-similarity — the columns a contamination dashboard
     * plots per data source.
     *
-    * Plan shape: the eval side is broadcast (eval sets are sample-sized
-    * by construction, exactly the small-dim side Catalyst wants
-    * broadcast), so the screen is ONE scan of train with a
-    * BroadcastNestedLoopJoin fanout of |eval| rows that collapses in the
-    * same stage's partial max on vec_id; the label rollup then moves
-    * |train| constant-width rows. No all-pairs shuffle at any size. For
-    * 100 TB×large-eval, swap the broadcast for the cell-bucketed
-    * candidate join of [[semanticDedupOf]] — kept brute here because
-    * exactness is the point of a decontamination gate. Every pairwise
-    * cosine quantizes to micro-unit longs BEFORE the maxes (long max is
-    * order-independent), and the mean is [[graft.operators.Num.halfUpDiv]]
-    * — hash-identical across engines and partitionings.
+    * Plan shape (r14): the eval side is MODEL STATE — sample-sized by
+    * construction (`evalCap`), collected once and carried by the
+    * codegen'd [[graft.functions.MaxCosineSim]] expression (the
+    * k-means-centroid stance) — so the screen is ONE map-side pass over
+    * train computing each row's max-similarity in a compiled loop, and
+    * the only shuffle is the label rollup's partial-agg exchange
+    * (≤ |labels|×partitions rows). The previous spelling broadcast eval
+    * as rows and fanned every train row out |eval|× through a
+    * BroadcastNestedLoopJoin into a (vec_id,label) partial max: same
+    * arithmetic, but |train|·|eval| materialized rows and a full
+    * |train|-row exchange — measured 7.9 s on 2 tasks at the ×10 fixture
+    * (the scan's 2 row groups bound the stage width; see widenSmall).
+    * The per-pair cosine is [[graft.functions.Sketch.cosine]]'s loop
+    * verbatim and quantization is monotone, so max-then-quantize ≡
+    * quantize-then-max: bit-identical output. For 100 TB×large-eval,
+    * swap the model literal for the cell-bucketed candidate join of
+    * [[semanticDedupOf]] — kept brute here because exactness is the
+    * point of a decontamination gate. The mean is
+    * [[graft.operators.Num.halfUpDiv]] over micro-unit longs —
+    * hash-identical across engines and partitionings.
     *
     * `evalCap` keeps the fixture's modulus-selected stand-in eval set
     * CONSTANT-SIZED (the first `evalCap` hits, a deterministic id
@@ -855,18 +863,38 @@ object VectorOps {
   def semanticDecontam(s: SparkSession, d: String, evalMod: Long = 20L,
       tau: Double = 0.35, evalCap: Long = 500L): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val ev = broadcast(
-      emb.where(col("vec_id") % evalMod === 0 &&
-          col("vec_id") < evalMod * evalCap)
-        .select(col("embedding").as("evv")))
+    // eval set → driver model state: ≤ evalCap × dim doubles by
+    // construction (the same bound that justified broadcasting it).
+    // Floats widen via .toDouble — the identical conversion the codegen'd
+    // cosine applied to the broadcast row's getFloat(i).
+    val evalVecs: Array[Array[Double]] = emb
+      .where(col("vec_id") % evalMod === 0 &&
+        col("vec_id") < evalMod * evalCap)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Any](0).iterator.map {
+        case f: java.lang.Float => f.toDouble
+        case x: java.lang.Double => x.doubleValue
+      }.toArray)
     val tauQ = math.round(tau * 1e6)
-    emb.where(col("vec_id") % evalMod =!= 0)
-      .crossJoin(ev)
-      .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("evv")) * 1e6, 0).cast("long")
-          .as("simq"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(max(col("simq")).as("msimq"))
+    val train = emb.where(col("vec_id") % evalMod =!= 0)
+    if (evalVecs.isEmpty) {
+      // empty eval split: the crossJoin spelling yields ZERO rows (no
+      // pairs → no groups); preserve that contract without the kernel,
+      // which has no defined max over an empty set
+      return train.where(lit(false))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_train"), lit(0L).as("n_flagged"),
+          lit(0.0).as("max_maxsim"), lit(0.0).as("mean_maxsim"))
+        .orderBy(col("label"))
+    }
+    // width-pin (the r13 widenSmall stance): the fixture scan is 1–2 row
+    // groups, so this compute-bound kernel stage would otherwise run on
+    // 1–2 of 32 cores; no-op at corpus scale where the scan is wide
+    Tables.widenSmall(train)
+      .select(col("label"),
+        round(maxCosineSim(col("embedding"), evalVecs) * 1e6, 0)
+          .cast("long").as("msimq"))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_train"),

@@ -189,6 +189,35 @@ class SketchSpec extends SparkSpec with PropSpec {
     }
   }
 
+  test("max_cosine_sim: equals max of per-pair cosine_sim, quantize commutes") {
+    import spark.implicits._
+    // float vectors incl. zero-norm and length mismatches — the exact
+    // surface the crossJoin spelling covered
+    val comp = Gen.chooseNum(-2.0f, 2.0f)
+    val vec = Gen.chooseNum(1, 5).flatMap(k => Gen.listOfN(k, comp))
+    val zero = Gen.chooseNum(1, 5).map(k => List.fill(k)(0.0f))
+    val gen = for {
+      evs <- Gen.nonEmptyListOf(Gen.frequency(4 -> vec, 1 -> zero))
+      v <- Gen.frequency(4 -> vec, 1 -> zero)
+    } yield (v, evs)
+    forSamples(gen, n = 60) { case (v, evs) =>
+      val evalVecs = evs.map(_.map(_.toDouble).toArray).toArray
+      val rows = Seq(v).toDF("emb")
+        .select(col("emb").cast("array<float>").as("emb"))
+      val fused = rows
+        .select(round(maxCosineSim(col("emb"), evalVecs) * 1e6, 0)
+          .cast("long"))
+        .collect().head.getLong(0)
+      val pairwise = rows
+        .crossJoin(evs.map(e => Tuple1(e)).toDF("evv")
+          .select(col("evv").cast("array<float>").as("evv")))
+        .select(round(cosineSim(col("emb"), col("evv")) * 1e6, 0)
+          .cast("long").as("simq"))
+        .agg(max(col("simq"))).collect().head.getLong(0)
+      assert(fused === pairwise, s"v=$v evs=$evs")
+    }
+  }
+
   test("expressions survive the interpreted (non-codegen) path too") {
     // eval() is exercised directly via the kernel + a filter that Catalyst
     // constant-folds (constant folding uses interpreted eval)
