@@ -33,14 +33,24 @@ object Tables {
     * driver fixtures are single-row-group parquet files, so a scan is ONE
     * split and AQE coalesces small exchanges to one partition — either
     * way a regex/hash/signature kernel fused above it runs single-core on
-    * a 32-thread box. Size-gated: past the threshold the input is already
-    * wide (many files / row groups at corpus scale) and no exchange is
-    * forced, so nothing text-sized ever shuffles on account of this.
+    * a 32-thread box. Size-gated: past the upper threshold the input is
+    * already wide (many files / row groups at corpus scale) and no
+    * exchange is forced, so nothing text-sized ever shuffles on account
+    * of this.
+    *
+    * `minBytes` (r14) is the LOWER gate: below it the serial kernel work
+    * is cheaper than the exchange roundtrip the pin inserts, so the pin
+    * must stand down — measured b2b at sf0.1 (tiny inputs) the
+    * unconditional pin cost 1.4–2× per query while the same pin won
+    * 1.5–2× at the ×10 fixture. Callers pick minBytes per kernel weight;
+    * 0 keeps the r13 unconditional behavior.
     */
-  private[graft] def widenSmall(df: DataFrame): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < (512L << 20))
+  private[graft] def widenSmall(df: DataFrame, minBytes: Long = 0L): DataFrame = {
+    val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sz >= minBytes && sz < (512L << 20))
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

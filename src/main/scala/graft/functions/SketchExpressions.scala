@@ -454,6 +454,84 @@ object Sketch {
       math.sqrt(nb)
     }
 
+  /** Best language profile for a (lowered) token array — one compiled
+    * pass over the tokens, value-identical to the HOF spelling
+    * `greatest(struct(round(size(filter(toks, t -> t IN profile)) /
+    * greatest(size(toks), 1), 6), lang) …)`:
+    *  - hits count every occurrence (filter keeps duplicates), null
+    *    tokens never match (`t === w` is null → filtered);
+    *  - the score replicates Catalyst Round's HALF_UP BigDecimal path;
+    *  - `greatest` over (score, lang) structs is field-order comparison —
+    *    strictly-greater score wins, ties fall to the binary-greater lang.
+    * Scores are finite (denominator ≥ 1), so plain double compare is the
+    * nan-safe compare.
+    */
+  def bestLang(toks: ArrayData, langs: Array[UTF8String],
+      profiles: Array[Array[UTF8String]])
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = toks.numElements()
+    val denom = math.max(n, 1).toDouble
+    var bestScore = Double.NegativeInfinity
+    var bestL: UTF8String = null
+    var p = 0
+    while (p < profiles.length) {
+      val prof = profiles(p)
+      var hits = 0
+      var i = 0
+      while (i < n) {
+        if (!toks.isNullAt(i)) {
+          val t = toks.getUTF8String(i)
+          var j = 0
+          var found = false
+          while (j < prof.length && !found) {
+            if (t.equals(prof(j))) found = true
+            j += 1
+          }
+          if (found) hits += 1
+        }
+        i += 1
+      }
+      val score = java.math.BigDecimal.valueOf(hits.toDouble / denom)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (score > bestScore ||
+          (score == bestScore && (bestL == null || langs(p).compareTo(bestL) > 0))) {
+        bestScore = score; bestL = langs(p)
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestScore, bestL))
+  }
+
+  /** Sign-bit coarse-quantizer cell id: Σ 2^i over the first `bits` dims
+    * with v(i) > 0 — value-identical to the HOF spelling
+    * `aggregate(transform(sequence(0, bits-1), i -> when(v[i+1] > 0,
+    * pow(2, i))...), cast long)`: the double sum of distinct powers of
+    * two below 2^53 is exact, so summing longs directly changes nothing;
+    * out-of-range dims contribute 0 (element_at → null → otherwise-0);
+    * the comparison replicates Spark's nan-safe float semantics (NaN
+    * compares GREATER than any value, so NaN > 0 is true — Java's
+    * primitive `>` alone would flip it).
+    */
+  def signCell(v: ArrayData, bits: Int, isFloat: Boolean): Long = {
+    val n = math.min(bits, v.numElements())
+    var cell = 0L
+    var i = 0
+    while (i < n) {
+      val positive =
+        if (isFloat) {
+          val x = v.getFloat(i)
+          x > 0f || java.lang.Float.isNaN(x)
+        } else {
+          val x = v.getDouble(i)
+          x > 0d || java.lang.Double.isNaN(x)
+        }
+      if (positive) cell |= (1L << i)
+      i += 1
+    }
+    cell
+  }
+
   // ---- portable (md5-based) sketch kernels ---------------------------------
   // These exist so the oracle-checked dedup queries hash identically in
   // DuckDB: md5 is the one hash both engines share, so signatures derived
@@ -862,6 +940,71 @@ case class MaxCosineSim(child: Expression, vecs: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** `best_lang(toks)`: winning (score, lang) over the expression-carried
+  * language profiles (see [[Sketch.bestLang]]) — replaces |profiles|
+  * interpreted filter-lambdas per row with one compiled pass.
+  */
+case class BestLang(child: Expression, langs: Array[String],
+    profiles: Array[Array[String]]) extends UnaryExpression {
+  require(langs.nonEmpty && langs.length == profiles.length,
+    s"lang/profile model mismatch: ${langs.length} vs ${profiles.length}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("lang", StringType, nullable = false)))
+  override def prettyName: String = "best_lang"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  @transient private lazy val langsU: Array[UTF8String] =
+    langs.map(UTF8String.fromString)
+  @transient private lazy val profilesU: Array[Array[UTF8String]] =
+    profiles.map(_.map(UTF8String.fromString))
+  override protected def nullSafeEval(input: Any): Any =
+    Sketch.bestLang(input.asInstanceOf[ArrayData], langsU, profilesU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val langsRef = ctx.addReferenceObj("langs", langsU,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val profRef = ctx.addReferenceObj("profiles", profilesU,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketch.bestLang($c, $langsRef, $profRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BestLang =
+    copy(child = newChild)
+}
+
+/** `sign_cell(v, bits)`: sign-bit coarse-quantizer cell id (see
+  * [[Sketch.signCell]]). Replaces the interpreted HOF chain
+  * (sequence→transform→pow→aggregate per row) with one compiled pass;
+  * `bits` stays an expression so the corpus-adaptive bit count (a
+  * broadcast-count CASE) rides through unchanged.
+  */
+case class SignCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_cell"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, int), got ${l.sql}, ${r.sql}")
+  }
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(v: Any, bits: Any): Any =
+    Sketch.signCell(v.asInstanceOf[ArrayData], bits.asInstanceOf[Int], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b) =>
+      s"graft.functions.Sketch.signCell($v, $b, $isFloat)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignCell =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `md5_minhash_sig(elems, k)`: portable MinHash signature — md5-based
   * integer arithmetic a SQL oracle replays bit-for-bit (see
   * [[Sketch.md5Minhash]]). One compiled pass; the HOF spelling of the same
@@ -971,6 +1114,11 @@ object sketch {
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def maxCosineSim(v: Column, vecs: Array[Array[Double]]): Column =
     column(MaxCosineSim(expression(v), vecs))
+  def signCell(v: Column, bits: Column): Column =
+    column(SignCell(expression(v), expression(bits)))
+  def bestLang(toks: Column, langs: Array[String],
+      profiles: Array[Array[String]]): Column =
+    column(BestLang(expression(toks), langs, profiles))
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expression(v), centroids))
   def distToLabelCentroid(v: Column, label: Column, labels: Array[Int],

@@ -47,16 +47,23 @@ object CurationOps {
       minTokens: Int = 20, minQuality: Double = 0.5): DataFrame = {
     val nTok = nTokensCol
     val quality = qualityCol
-    val scored = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, prof) =>
-      struct(round(TextOps.langIdScore(col("text"), prof), 6).as("score"),
-        lit(lang).as("lang"))
-    }
+    // language ID is the native best_lang kernel (r14): the greatest-of-
+    // structs HOF spelling evaluated 5 interpreted filter lambdas per
+    // row (the dominant cost of the signal stage — a single-task 2.8 s
+    // stage at the ×10 fixture); one compiled pass is value-identical
+    // (BestLang's scaladoc carries the equivalence argument) and cheap
+    // enough that no width-pin is needed at any scale (a widenSmall pin
+    // here measured 0.45 → 0.67 s b2b at sf0.1 — reverted).
+    val profs = TextOps.langProfiles.toSeq.sortBy(_._1)
+    val best = graft.functions.sketch.bestLang(
+      TextOps.tokens(lower(col("text"))),
+      profs.map(_._1).toArray, profs.map(_._2.toArray).toArray)
     val sig = Tables.documents(s, d).select(
       col("doc_id"),
       md5(col("text")).as("fp"),
       nTok.as("n_tokens"),
       quality.as("quality"),
-      greatest(scored: _*).as("best"))
+      best.as("best"))
     // fingerprint → smallest doc_id holding that text, as a window min:
     // ONE shuffle on fp at any corpus size. The aggregate+join-back form
     // costs the same shuffle plus a join whose build side (one row per
@@ -94,6 +101,12 @@ object CurationOps {
     */
   def qualityCalibration(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT width-pinned (r14, measured): `sig` feeds TWO consumers (the
+    // fp window and the quantile bounds), so a widenSmall pin makes both
+    // re-read a text-sized repartition exchange and recompute the signal
+    // block above it — b2b min-of-6 at the ×10 fixture: 1.21 → 2.27 s,
+    // the r12 multi-subtree caveat in action. [[curate]]'s single-
+    // consumer chain is pinned; this one stays on the bare scan.
     val sig = Tables.documents(s, d).select(
       col("doc_id"), md5(col("text")).as("fp"),
       qualityCol.as("quality"), nTokensCol.as("n_tokens"))

@@ -162,6 +162,10 @@ object RetrievalOps {
     * both shuffles carry (term, id, count) — never text.
     */
   def invertedIndex(s: SparkSession, d: String): DataFrame =
+    // NOT width-pinned (r14, measured): sf1 won 2.17 → 1.90 b2b but
+    // sf0.1 lost 0.58 → 0.98 — the text exchange outprices the fused
+    // explode stage's serialism at small inputs, and the documents file
+    // sizes (0.59 vs 0.91 MB) give a byte gate nothing to separate
     invertedIndexOf(Tables.documents(s, d))
 
   /** [[invertedIndex]] over an arbitrary `(doc_id, text)` frame. */
@@ -289,6 +293,12 @@ object RetrievalOps {
     // (and whose lineage re-runs the corpus scan) in every consumer.
     // At 100 TB the passes themselves are the floor: 4 pruned corpus
     // scans, no corpus-sized shuffle anywhere — see per-stage notes.
+    // NOT width-pinned (r14, measured): `docs` is consumed by THREE
+    // sequential ACTIONS, and each action re-plans the frame — a
+    // widenSmall repartition re-executes its text-sized exchange under
+    // every action instead of being reused (b2b min-of-8 at the ×10
+    // fixture: 2.77 → 9.2 s, samples to 67 s). The single-core tokenize
+    // passes over the fixture's one-row-group scan are the cheaper evil.
     val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
     // round-1 state runs over the memoized pruned projection shared with
     // bm25TopK/hybrid/RBO — same (dir, terms) key, so in a session that

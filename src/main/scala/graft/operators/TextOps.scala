@@ -1062,6 +1062,10 @@ object TextOps {
     * no engine-divergent float accumulation anywhere.
     */
   def termBurstiness(s: SparkSession, d: String, topN: Int = 20): DataFrame =
+    // NOT width-pinned (r14, measured): the pin won ~0.1 s at the ×10
+    // fixture but cost 0.33 → 0.69 s b2b at sf0.1 — the text exchange
+    // outprices the explode stage's serialism below ~1 MB inputs, and a
+    // byte gate cannot separate the two fixtures (0.59 vs 0.91 MB files)
     termBurstinessOf(Tables.documents(s, d), topN)
 
   /** [[termBurstiness]] over an arbitrary `(doc_id, text)` frame. */

@@ -341,7 +341,7 @@ object TrainPrepOps {
       graft.SessionCache.cut(taintTableOf(ss, d))
     }
 
-  private def taintTableOf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def taintTableOf(s: SparkSession, d: String): DataFrame = {
     // width-pin (the r13 widenSmall stance): the shingle+md5 kernel chain
     // fuses above the scan, and the fixture scan is one row group — the
     // whole corpus would md5 on one core; no-op at corpus scale
@@ -443,9 +443,11 @@ object TrainPrepOps {
 
   def bloomDecontaminate(s: SparkSession, d: String,
       minFrac: Double = 0.05, fpp: Double = 0.01): DataFrame = {
-    // width-pin as in taintTableOf: the md5+Bloom-probe chain fuses above
-    // a one-row-group fixture scan and would otherwise run one-core
-    val docsW = Tables.widenSmall(Tables.documents(s, d))
+    // NOT width-pinned (r14, measured): three consumers (eval keys, the
+    // probe chain, totals) each re-read a text exchange; b2b at sf0.1 the
+    // pin+fusion read 0.98 → 1.60 s while the fusion alone keeps the
+    // second explode+md5 chain out — the pin was the regression
+    val docsW = Tables.documents(s, d)
     val sh = docsW
       .select(col("doc_id"), explode(wordShingles(toks, 3)).as("sh"))
       .select(col("doc_id"), shingleKey(col("sh")).as("shk"))

@@ -58,11 +58,13 @@ object VectorOps {
     * you'd raise this so cells ≈ file-partition granularity.)
     */
   def cell(v: Column, bits: Int = 4): Column =
-    aggregate(
-      zip_with(slice(asD(v), 1, bits),
-               transform(sequence(lit(0), lit(bits - 1)), i => pow(lit(2.0), i)),
-               (x, p) => when(x > 0, p).otherwise(lit(0.0))),
-      lit(0.0), (acc, x) => acc + x).cast("long")
+    // native codegen'd kernel (r14): value-identical to the former HOF
+    // chain `aggregate(zip_with(slice(...), pow(2,i), when(x>0,p)))` —
+    // exact powers of two, nan-safe comparison — one compiled pass per
+    // row instead of interpreted sequence/transform/pow allocations
+    // (measured on the ×10 fixture: the 0.9 s cell-assignment stages of
+    // q_vec_neardup_lsh). Still plain arithmetic the oracle replays.
+    graft.functions.sketch.signCell(v, lit(bits))
 
   /** Corpus-adaptive bit count for [[cell]]: the smallest `b` in
     * [minBits, maxBits] with `n ≤ targetCell·2^b`, i.e. mean cell
@@ -83,11 +85,7 @@ object VectorOps {
 
   /** [[cell]] with a per-row dynamic bit count (an int Column). */
   def cellDyn(v: Column, bits: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), bits - 1),
-        i => when(element_at(v, i + 1) > lit(0f), pow(lit(2.0), i))
-          .otherwise(lit(0.0))),
-      lit(0.0), (acc, x) => acc + x).cast("long")
+    graft.functions.sketch.signCell(v, bits)
 
   /** IVF-style ANN: scan only vectors in the query's cell, cosine-rank
     * them. Approximate (recall < 1 vs brute force) but the scan cost drops
@@ -428,7 +426,11 @@ object VectorOps {
     // quantize lambda (per-ELEMENT re-eval) and the q tree five times
     // into one projection: O(dim²)+ per row, 2.3 s at sf0.1 for 2 k×64
     // floats. Staged: 0.1 s, each pass once per row.
-    Tables.embeddings(s, d)
+    // width-pinned above 2 MB (r14): the staged HOF passes fuse over a
+    // 1-row-group fixture scan and ran two-core at the ×10 fixture
+    // (0.6 s × 2 tasks; pin → 1.42 → 0.97 s b2b), but at sf0.1 (0.8 MB)
+    // the pin measured 0.27 → 0.52 s — the lower gate keeps it out there
+    Tables.widenSmall(Tables.embeddings(s, d), minBytes = 2L << 20)
       .select(col("vec_id"), col("label"), asD(col("embedding")).as("e"))
       .select(col("vec_id"), col("label"), col("e"),
         greatest(array_max(transform(col("e"), x => abs(x))), lit(1e-12))
@@ -875,6 +877,9 @@ object VectorOps {
       .map(_.getSeq[Any](0).iterator.map {
         case f: java.lang.Float => f.toDouble
         case x: java.lang.Double => x.doubleValue
+        // a null element read 0.0 through the broadcast row's
+        // UnsafeArrayData.getFloat in the crossJoin spelling — mirror it
+        case null => 0.0
       }.toArray)
     val tauQ = math.round(tau * 1e6)
     val train = emb.where(col("vec_id") % evalMod =!= 0)

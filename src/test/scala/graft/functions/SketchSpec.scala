@@ -218,6 +218,61 @@ class SketchSpec extends SparkSpec with PropSpec {
     }
   }
 
+  test("sign_cell: equals both HOF spellings it replaced (cell and cellDyn)") {
+    import spark.implicits._
+    val comp = Gen.frequency(8 -> Gen.chooseNum(-2.0f, 2.0f), 1 -> Gen.const(0.0f))
+    val vec = Gen.chooseNum(0, 10).flatMap(k => Gen.listOfN(k, comp))
+    val gen = for { v <- vec; bits <- Gen.chooseNum(1, 8) } yield (v, bits)
+    forSamples(gen, n = 60) { case (v, bits) =>
+      val df = Seq(v).toDF("emb")
+        .select(col("emb").cast("array<float>").as("v"))
+      val asD = transform(col("v"), x => x.cast("double"))
+      val hofStatic = df.select(aggregate(
+        zip_with(slice(asD, 1, bits),
+          transform(sequence(lit(0), lit(bits - 1)), i => pow(lit(2.0), i)),
+          (x, p) => when(x > 0, p).otherwise(lit(0.0))),
+        lit(0.0), (acc, x) => acc + x).cast("long")).collect().head.getLong(0)
+      val native = df.select(signCell(col("v"), lit(bits)))
+        .collect().head.getLong(0)
+      assert(native === hofStatic, s"static v=$v bits=$bits")
+      // the dyn spelling's element_at is ANSI-strict — its production
+      // domain is dim(64) >= bits, where the index never overruns
+      if (v.length >= bits) {
+        val hofDyn = df.select(aggregate(
+          transform(sequence(lit(0), lit(bits) - 1),
+            i => when(element_at(col("v"), i + 1) > lit(0f), pow(lit(2.0), i))
+              .otherwise(lit(0.0))),
+          lit(0.0), (acc, x) => acc + x).cast("long")).collect().head.getLong(0)
+        assert(native === hofDyn, s"dyn v=$v bits=$bits")
+      }
+    }
+  }
+
+  test("best_lang: equals greatest(struct(round(filter-score), lang))") {
+    import spark.implicits._
+    val profs = graft.operators.TextOps.langProfiles.toSeq.sortBy(_._1)
+    // alphabet mixes profile words (so ties and non-zero scores happen)
+    // with noise
+    val word = Gen.oneOf("the", "la", "de", "que", "und", "noise", "x", "的")
+    forSamples(Gen.listOf(word), n = 80) { words =>
+      val text = if (words.isEmpty) " " else words.mkString(" ")
+      val df = Seq(text).toDF("text")
+      val toksL = split(lower(col("text")), " ")
+      val hof = df.select(greatest(profs.map { case (lang, prof) =>
+        struct(
+          round(size(filter(toksL,
+            t => prof.map(w => t === lit(w)).reduce(_ || _))).cast("double") /
+            greatest(size(toksL), lit(1)), 6).as("score"),
+          lit(lang).as("lang"))
+      }: _*).as("b")).select(col("b.score"), col("b.lang")).collect().head
+      val native = df.select(bestLang(toksL,
+        profs.map(_._1).toArray, profs.map(_._2.toArray).toArray).as("b"))
+        .select(col("b.score"), col("b.lang")).collect().head
+      assert(native.getDouble(0) === hof.getDouble(0), s"score words=$words")
+      assert(native.getString(1) === hof.getString(1), s"lang words=$words")
+    }
+  }
+
   test("expressions survive the interpreted (non-codegen) path too") {
     // eval() is exercised directly via the kernel + a filter that Catalyst
     // constant-folds (constant folding uses interpreted eval)

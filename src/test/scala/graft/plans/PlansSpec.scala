@@ -403,13 +403,19 @@ class PlansSpec extends SparkSpec {
       s"block dedup is fp-window + doc-rollup, got $hashExchanges:\n$plan")
   }
 
-  test("decontaminate still semi-joins with no cartesian after dropping the broadcast hint") {
+  test("decontaminate: marker join on eval keys, no cartesian, un-hinted") {
+    // r14 shape: the semi-join + separate totals rollup fused into ONE
+    // LEFT OUTER marker join against the DISTINCT eval key set (no
+    // fanout), so both counts come from one aggregate. The lock keeps the
+    // two load-bearing properties: no cartesian, and AQE still picks a
+    // hash join for the benchmark-sized key set without a hint.
+    // (decontaminate's warm path reads the session-memoized taint leaf;
+    // lock the un-memoized builder so the REAL join shape is asserted.)
     val plan = executedPlan(
-      graft.operators.TrainPrepOps.decontaminate(spark, sf0001))
+      graft.operators.TrainPrepOps.taintTableOf(spark, sf0001))
     assert(!plan.contains("CartesianProduct"), s"cartesian appeared:\n$plan")
-    // AQE should still pick a broadcast/hash semi join for the benchmark-
-    // sized key set — LeftSemi must survive un-hinted
-    assert(plan.contains("LeftSemi"), s"eval-key semi-join vanished:\n$plan")
+    assert(plan.contains("LeftOuter") && plan.contains("HashJoin"),
+      s"eval-key marker join vanished:\n$plan")
   }
 
   // ---- corpus-audit pack locks --------------------------------------------
