@@ -443,12 +443,14 @@ object TrainPrepOps {
 
   def bloomDecontaminate(s: SparkSession, d: String,
       minFrac: Double = 0.05, fpp: Double = 0.01): DataFrame = {
-    // NOT width-pinned (r14, measured): three consumers (eval keys, the
-    // probe chain, totals) each re-read a text exchange; b2b at sf0.1 the
-    // pin+fusion read 0.98 → 1.60 s while the fusion alone keeps the
-    // second explode+md5 chain out — the pin was the regression
-    val docsW = Tables.documents(s, d)
-    val sh = docsW
+    // UNCHANGED this round after two measured dead ends (r14, b2b): a
+    // widenSmall pin on the shingle chain read 0.98 → 1.60 s at sf0.1
+    // (three consumers re-reading a text exchange), and replacing the
+    // totals rollup with map-side size(word_shingles) read 3.29 → 4.87 s
+    // at the ×10 fixture (the second kernel eval lands fused into the
+    // serial final-join stage instead of the parallel post-exchange one).
+    // The two-branch explode form below is the measured best.
+    val sh = Tables.documents(s, d)
       .select(col("doc_id"), explode(wordShingles(toks, 3)).as("sh"))
       .select(col("doc_id"), shingleKey(col("sh")).as("shk"))
     val evalKeys = sh.where(col("doc_id") % 10 === 0)
@@ -468,16 +470,8 @@ object TrainPrepOps {
     val mightContain =
       udf((k: String) => k != null && bloomBc.value.mightContainString(k))
     val train = sh.where(col("doc_id") % 10 =!= 0)
-    // per-doc totals from the shingle ARRAY's size, map-side (r14): the
-    // kernel emits distinct shingles, so size(arr) ≡ the exploded
-    // count(*) — the previous explode→md5→groupBy chain re-keyed the
-    // whole train corpus a second time just to count rows; `>= 1` keeps
-    // the doc set identical (explode drops empty/null arrays)
-    val totals = docsW
-      .where(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), size(wordShingles(toks, 3)).as("n_shingles"))
-      .where(col("n_shingles") >= 1)
-      .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"))
+    val totals = train.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
     val hits = train.where(mightContain(col("shk")))
       .join(evalKeys, Seq("shk"), "left_semi")
       .groupBy(col("doc_id"))
