@@ -83,6 +83,32 @@ private[graft] object SessionCache {
   def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.localCheckpoint(true)
 
+  /** [[cut]] for a frame whose physical LAYOUT is the point — a
+    * `repartition(key)[.sortWithinPartitions(key)]` leaf feeding
+    * key-equal self-joins or per-iteration joins. Under AQE the eager
+    * localCheckpoint's executed plan is an AdaptiveSparkPlanExec whose
+    * `outputPartitioning` reads `UnknownPartitioning(0)`, so the
+    * checkpointed LogicalRDD FORGETS it was hash-partitioned and every
+    * consumer re-shuffles — observed in the r15 q_vec_neardup_lsh plan:
+    * both self-join sides re-exchanged on `cell` directly above the
+    * leaf, i.e. the r14 "partitioned leaf" memos never physically
+    * carried their layout. Disabling AQE for just this one
+    * materialization lets LogicalRDD capture the HashPartitioning (and
+    * any sortWithinPartitions ordering), which consumers'
+    * EnsureRequirements then recognize — the join runs with ZERO
+    * Exchange (and zero Sort when the ordering is captured too). The
+    * frame is a built-once memo leaf, so AQE's runtime re-optimization
+    * buys nothing here; the conf flip is restored in a finally and the
+    * build path is already synchronous per memo contract.
+    */
+  def cutLayout(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.get(key)
+    conf.set(key, "false")
+    try df.localCheckpoint(true) finally conf.set(key, prev)
+  }
+
   /** Free a memoized frame's storage on eviction: the plan-cache entry
     * (persisted frames) AND, for [[cut]] frames, the checkpointed RDD's
     * blocks — the LogicalRDD leaf holds the only reference, and waiting

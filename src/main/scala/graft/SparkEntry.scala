@@ -79,6 +79,11 @@ object SparkEntry {
           maxLines = Some(40L))
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
         .orderBy(col("event_id"))),
+    // NOT width-pinned (r15, measured): a ≥300k-events row-gated pin
+    // before the regex normalize read 1.54 → 2.36 s b2b at the ×10
+    // fixture — the roundrobin exchange of the full (type, props) rows
+    // outprices the serial regex stage it parallelizes; the groupBy's
+    // map-side partial agg already bounds what crosses the real shuffle
     "q_log_templates" -> ((s, d) =>
       LogOps.templates(ev(s, d), "user_id", "event_id", "ts_nano",
         concat_ws(" ", col("event_type"), col("props")))),
@@ -90,6 +95,10 @@ object SparkEntry {
     // seeing a fragment.
     "q_log_partials" -> ((s, d) => {
       val chunk = 256
+      // NOT width-pinned (r15, measured): a ≥20k-docs row-gated pin on
+      // the fragmentation explode read 1.45 → 1.63 s b2b at the ×10
+      // fixture — the reassembly windows (partial_id ordering), not the
+      // per-row chunking map, are this query's cost
       val exploded = Tables.documents(s, d).select(
         col("doc_id"),
         expr(s"posexplode(transform(sequence(0, int((greatest(length(text), 1) - 1) div $chunk)), i -> substring(text, i * $chunk + 1, $chunk)))")

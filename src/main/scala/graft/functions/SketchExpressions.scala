@@ -514,6 +514,13 @@ object Sketch {
     * primitive `>` alone would flip it).
     */
   def signCell(v: ArrayData, bits: Int, isFloat: Boolean): Long = {
+    // `1L << i` wraps silently at i >= 64 (and the documented value-identity
+    // to the double-sum HOF only holds below 2^53): an out-of-domain bit
+    // count must fail loudly, never alias cells (ADVICE r14). `bits` is a
+    // runtime Column (adaptiveBits), so the guard lives here, per row — one
+    // predictable branch, free next to the dim loop.
+    require(bits <= 63,
+      s"sign_cell: bits must be <= 63 (cell ids are one long), got $bits")
     val n = math.min(bits, v.numElements())
     var cell = 0L
     var i = 0
@@ -910,6 +917,14 @@ case class CosineSim(left: Expression, right: Expression)
   * broadcast crossJoin fanout of |set| rows + partial max with one
   * codegen'd map-side call per row (see [[Sketch.maxCosineVsSet]] for the
   * bit-identity argument).
+  *
+  * Known limitation (shared with [[NearestCentroid]]/[[BestLang]], ADVICE
+  * r14): the model state is an `Array` case-class param, and array
+  * equality is reference-based, so two semantically identical instances
+  * never compare equal — plan canonicalization / exchange reuse can't
+  * dedup across separately-built copies. Harmless here: each operator
+  * collects the model once per call and every consumer of that call
+  * shares the single instance.
   */
 case class MaxCosineSim(child: Expression, vecs: Array[Array[Double]])
     extends UnaryExpression {

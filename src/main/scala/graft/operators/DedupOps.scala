@@ -2605,6 +2605,13 @@ object DedupOps {
       .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
       .join(bGroups.select(col("bcanon").as("doc_id"), col("w")),
         Seq("doc_id"))
+    // cut stays (r15, measured): replacing this eager checkpoint with a
+    // lazy persist() + unpersist-in-finally (to save the one build job)
+    // read 1.28 → 2.50 s sf0.1 / 1.43 → 2.57 s sf1 solo min-of-6 — the
+    // InMemoryRelation's child-plan stats re-route the five consumers'
+    // join strategies (the checkpoint leaf's unknown-stats conservatism
+    // is what keeps the self-join SMJ), and the broadcast-build job ends
+    // up materializing the cache serially. Do not retry.
     val bIdx = graft.SessionCache.cut {
       if (maxDf <= 0) bIdxRaw.select(col("doc_id"), col("sh_h"))
       else {
@@ -2650,13 +2657,22 @@ object DedupOps {
         "left_semi")
       .select(col("doc_id").as("a"), col("bcanon").as("b"))
     // contract: corpus endpoint → its snapshot label (singletons are
-    // their own supernode)
+    // their own supernode). Edges carry a `corpus` TAG (r15): a bcC `b`
+    // endpoint is ALWAYS corpus-side (a snapshot label or a corpus doc
+    // id) while bb/stars `b` endpoints are ALWAYS batch ids, and batch
+    // ids are disjoint from corpus ids (caller contract, as in
+    // incrementalDedup) — so the tag IS the "b is not a batch id"
+    // predicate, and the supernode count no longer pays a per-call
+    // distinct + anti-join against the batch id set in the final job.
     val bcC = bc
       .join(labels.select(col("doc_id").as("c"), col("cluster_id")),
         Seq("c"), "left")
       .select(col("b").as("a"),
-        coalesce(col("cluster_id"), col("c")).as("b"))
-    val contracted = graft.SessionCache.cut(bcC.union(bb).union(stars))
+        coalesce(col("cluster_id"), col("c")).as("b"),
+        lit(true).as("corpus"))
+    val contracted = graft.SessionCache.cut(bcC
+      .union(bb.select(col("a"), col("b"), lit(false).as("corpus")))
+      .union(stars.select(col("a"), col("b"), lit(false).as("corpus"))))
     // hybrid execution: the contracted graph is batch-sized BY DESIGN, and
     // below `smallGraphEdges` a driver union-find (bounded collect — the
     // count gates it, ≤16 MB at the default bound) converges in
@@ -2671,39 +2687,60 @@ object DedupOps {
     // same ≤16 MB bound the count gate enforced.
     val lim = (math.min(smallGraphEdges, Int.MaxValue - 1L) + 1L).toInt
     val probed = contracted.limit(lim).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val comp =
-      if (probed.length <= smallGraphEdges)
-        unionFindLocal(s, probed)
-      else clusters(contracted) // (doc_id = node, cluster_id)
-    // corpus supernodes = distinct contracted `b` endpoints minus batch
-    // ids (bb edges also land in `b`); read off the CUT union so the bc
-    // subtree isn't recomputed for this side-count
-    val supStats = comp
-      .join(contracted.select(col("b").as("doc_id")).distinct()
-        .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti"),
-        Seq("doc_id"), "left_semi")
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_corpus_clusters"))
-    batch.select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left")
-      .join(supStats, Seq("cluster_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster"),
-        coalesce(col("n_corpus_clusters"), lit(0L)).as("n_corpus_clusters"))
-      .withColumn("status",
-        when(col("n_corpus_clusters") === 0L, lit("new"))
-          .when(col("n_corpus_clusters") === 1L, lit("joined"))
-          .otherwise(lit("merged")))
-      .orderBy(col("doc_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val statusOf = (df: DataFrame) => df.withColumn("status",
+      when(col("n_corpus_clusters") === 0L, lit("new"))
+        .when(col("n_corpus_clusters") === 1L, lit("joined"))
+        .otherwise(lit("merged")))
+    if (probed.length <= smallGraphEdges) {
+      // driver fast path (r15): the probe already holds EVERY edge and
+      // its tag, so the component labels AND the per-component corpus-
+      // supernode counts are both computed here, in the same bounded
+      // memory the union-find always used. The final job collapses to
+      // batch ids → ONE broadcast join against the local verdict table
+      // → output sort, where the previous spelling re-read the
+      // checkpointed edge union and paid a distinct + anti-join +
+      // rollup + semi-join (3 exchanges) to rediscover per-cluster
+      // counts the driver was already holding (guide §2.4/§5).
+      statusOf(batch.select(col("doc_id"))
+        .join(broadcast(unionFindVerdicts(s, probed)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster"),
+          coalesce(col("n_corpus_clusters"), lit(0L))
+            .as("n_corpus_clusters")))
+        .orderBy(col("doc_id"))
+    } else {
+      val comp = clusters(contracted.select(col("a"), col("b")))
+      // corpus supernodes read straight off the tag (no batch anti-join)
+      val supStats = comp
+        .join(contracted.where(col("corpus"))
+          .select(col("b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_corpus_clusters"))
+      statusOf(batch.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .join(supStats, Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster"),
+          coalesce(col("n_corpus_clusters"), lit(0L))
+            .as("n_corpus_clusters")))
+        .orderBy(col("doc_id"))
+    }
   }
 
-  /** Driver union-find over a (bounded, pre-probed) edge list — the
-    * small-graph fast path of [[incrementalClusters]]. Union by MIN root
-    * + path compression, so the final root of every node is the minimum
-    * member of its component: bit-identical to [[clusters]]' min-label
-    * propagation contract (DedupClusterSpec compares the two paths).
+  /** Driver union-find over a (bounded, pre-probed) TAGGED edge list —
+    * the small-graph fast path of [[incrementalClusters]]. Union by MIN
+    * root + path compression, so the final root of every node is the
+    * minimum member of its component: bit-identical to [[clusters]]'
+    * min-label propagation contract (DedupClusterSpec compares the two
+    * paths). Alongside the labels it counts each component's DISTINCT
+    * corpus-tagged `b` endpoints — exactly the supernode statistic the
+    * distributed path aggregates — so the verdict table leaves the
+    * driver complete.
     */
-  private def unionFindLocal(s: SparkSession, es: Array[(Long, Long)]): DataFrame = {
+  private def unionFindVerdicts(
+      s: SparkSession, es: Array[(Long, Long, Boolean)]): DataFrame = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -2715,13 +2752,23 @@ object DedupOps {
       r
     }
     val nodes = scala.collection.mutable.SortedSet.empty[Long]
-    es.foreach { case (a, b) =>
+    es.foreach { case (a, b, _) =>
       nodes += a; nodes += b
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
+    val corpusByRoot =
+      scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    es.foreach { case (_, b, isCorpus) =>
+      if (isCorpus)
+        corpusByRoot.getOrElseUpdate(find(b),
+          scala.collection.mutable.Set.empty[Long]) += b
+    }
     import s.implicits._
-    nodes.toSeq.map(x => (x, find(x))).toDF("doc_id", "cluster_id")
+    nodes.toSeq.map { x =>
+      val r = find(x)
+      (x, r, corpusByRoot.get(r).map(_.size.toLong).getOrElse(0L))
+    }.toDF("doc_id", "cluster_id", "n_corpus_clusters")
   }
 
   /** Hybrid near-dup verification: lexical candidates (the memoized

@@ -162,11 +162,14 @@ object RetrievalOps {
     * both shuffles carry (term, id, count) — never text.
     */
   def invertedIndex(s: SparkSession, d: String): DataFrame =
-    // NOT width-pinned (r14, measured): sf1 won 2.17 → 1.90 b2b but
-    // sf0.1 lost 0.58 → 0.98 — the text exchange outprices the fused
-    // explode stage's serialism at small inputs, and the documents file
-    // sizes (0.59 vs 0.91 MB) give a byte gate nothing to separate
-    invertedIndexOf(Tables.documents(s, d))
+    // ROW-gated width pin (r15, VERDICT r14 #4): r14 measured the
+    // unconditional pin winning at sf1 (2.17 → 1.90 b2b) but losing at
+    // sf0.1 (0.58 → 0.98), and the documents file sizes (0.59 vs
+    // 0.91 MB) gave a byte gate nothing to separate; the parquet-footer
+    // row gate (≥20k docs) fires exactly where the win was measured
+    invertedIndexOf(
+      Tables.widenSmallRows(s, d, "documents", Tables.documents(s, d),
+        20000L))
 
   /** [[invertedIndex]] over an arbitrary `(doc_id, text)` frame. */
   def invertedIndexOf(docs: DataFrame): DataFrame = {
@@ -534,7 +537,12 @@ object RetrievalOps {
     * constant-size (2-char key) shuffle rows.
     */
   def bpePairCounts(s: SparkSession, d: String, k: Int = 30): DataFrame =
-    bpePairCountsOf(Tables.documents(s, d), k)
+    // row-gated width pin (r15, VERDICT r14 #4): the double explode +
+    // substr projection runs fused over the ONE-row-group fixture scan
+    // (sf1 = 4.8× the sf0.1 time at 10× data, 1-task stage)
+    bpePairCountsOf(
+      Tables.widenSmallRows(s, d, "documents", Tables.documents(s, d),
+        20000L), k)
 
   /** [[bpePairCounts]] over an arbitrary `(text)` frame. */
   def bpePairCountsOf(docs: DataFrame, k: Int = 30): DataFrame =

@@ -16,7 +16,11 @@ object ScalarOps {
     * regexp extraction, padding, replacement, concat.
     */
   def stringFuncs(s: SparkSession, d: String): DataFrame =
-    Tables.part(s, d)
+    // row-gated width pin (r15, VERDICT r14 #4): ten string kernels per
+    // row fused over part's ONE-row-group fixture scan (sf1 read 4.6×
+    // the sf0.1 time at 10× data — a 1-task stage); part is 10× smaller
+    // than documents per SF, hence the lower gate
+    Tables.widenSmallRows(s, d, "part", Tables.part(s, d), 100000L)
       .select(
         col("p_partkey"),
         upper(col("p_name")).as("name_upper"),

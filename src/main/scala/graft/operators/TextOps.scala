@@ -24,7 +24,11 @@ object TextOps {
     * proxy that matches on both engines' regex dialects).
     */
   def tokenStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // row-gated width pin (r15, VERDICT r14 #4): the fused split/regex
+    // projection is the whole query and the fixture scan is ONE row
+    // group, so ≥20k docs ran it 1-task (sf1 read 6.2× the sf0.1 time
+    // at 10× data); measured b2b at both SFs in OPTIMIZATION_r15 §
+    Tables.widenSmallRows(s, d, "documents", Tables.documents(s, d), 20000L)
       .select(
         col("doc_id"),
         size(tokens(col("text"))).as("n_tokens"),
@@ -1062,11 +1066,14 @@ object TextOps {
     * no engine-divergent float accumulation anywhere.
     */
   def termBurstiness(s: SparkSession, d: String, topN: Int = 20): DataFrame =
-    // NOT width-pinned (r14, measured): the pin won ~0.1 s at the ×10
-    // fixture but cost 0.33 → 0.69 s b2b at sf0.1 — the text exchange
-    // outprices the explode stage's serialism below ~1 MB inputs, and a
-    // byte gate cannot separate the two fixtures (0.59 vs 0.91 MB files)
-    termBurstinessOf(Tables.documents(s, d), topN)
+    // ROW-gated width pin (r15, VERDICT r14 #4): r14's byte gate could
+    // not separate the fixtures (0.59 vs 0.91 MB files for 50k vs 500k
+    // docs) and the unconditional pin lost at sf0.1 (0.33 → 0.69 s b2b)
+    // while winning at sf1; the parquet-footer row gate fires at ≥20k
+    // docs only — sf0.1 stays un-pinned, the ×10 fixture parallelizes
+    termBurstinessOf(
+      Tables.widenSmallRows(s, d, "documents", Tables.documents(s, d),
+        20000L), topN)
 
   /** [[termBurstiness]] over an arbitrary `(doc_id, text)` frame. */
   def termBurstinessOf(docs: DataFrame, topN: Int = 20): DataFrame = {

@@ -138,12 +138,7 @@ object VectorOps {
     */
   def nearDupPairsLsh(s: SparkSession, d: String, minSim: Double = 0.4,
       targetCell: Long = 256L): DataFrame = {
-    val n = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vec"))
-    val emb = Tables.embeddings(s, d)
-      .crossJoin(broadcast(n)) // 1 row — the corpus size
-      .select(col("vec_id"), col("embedding"),
-        cellDyn(col("embedding"),
-          adaptiveBits(col("n_vec"), targetCell)).as("cell"))
+    val emb = cellEmb(s, d, targetCell)
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"), col("cell"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"), col("cell"))
     a.join(b, Seq("cell"))
@@ -152,6 +147,39 @@ object VectorOps {
       .where(col("cos_sim") >= minSim)
       .orderBy(col("a"), col("b"))
   }
+
+  /** Cell-assigned embedding leaf, hash-partitioned on `cell` and memoized
+    * per (session, dir, targetCell). The sign-bit cell is a pure function
+    * of (corpus, targetCell), and THREE registered queries consume the
+    * same candidates-share-a-cell geometry over it — [[nearDupPairsLsh]]
+    * (q_vec_neardup_lsh), its edge set under q_vec_sim_pagerank, and
+    * [[semanticDedup]] (q_vec_semdedup) — the multi-consumer condition
+    * every memo in this repo requires. Checkpointing the
+    * `repartition(cell)` output hands each consumer's self-join BOTH
+    * sides already partitioned on the join key, so the warm path runs the
+    * within-cell join with ZERO Exchange (guide §2.4 "two operations
+    * keyed the same way share one exchange") — previously each call
+    * re-counted the corpus (adaptiveBits), re-assigned cells per join
+    * side, and shuffled the full embedding payload twice.
+    */
+  private val cellEmbCache = new graft.SessionCache[DataFrame](
+    maxEntries = 4, onEvict = graft.SessionCache.release)
+
+  private def cellEmb(s: SparkSession, d: String, targetCell: Long): DataFrame =
+    cellEmbCache.getOrElseUpdate(s, s"$d#$targetCell") { (ss, _) =>
+      val n = Tables.embeddings(ss, d).agg(count(lit(1)).as("n_vec"))
+      // cutLayout (not cut): the leaf must PHYSICALLY carry the
+      // hash-partitioning + within-partition order, or every consumer
+      // re-exchanges and re-sorts on cell (see SessionCache.cutLayout)
+      graft.SessionCache.cutLayout(
+        Tables.embeddings(ss, d)
+          .crossJoin(broadcast(n)) // 1 row — the corpus size
+          .select(col("vec_id"), col("embedding"),
+            cellDyn(col("embedding"),
+              adaptiveBits(col("n_vec"), targetCell)).as("cell"))
+          .repartition(col("cell"))
+          .sortWithinPartitions(col("cell")))
+    }
 
   /** Materialized IVF layout: embeddings written partitioned by cell id.
     * A probe then reads ONE partition directory (partition pruning), which
@@ -794,9 +822,13 @@ object VectorOps {
     */
   def semanticDedup(s: SparkSession, d: String, minSim: Double = 0.4,
       targetCell: Long = 256L): DataFrame =
-    semanticDedupOf(Tables.embeddings(s, d), minSim, targetCell)
+    // dir form rides the memoized cell-partitioned leaf (see [[cellEmb]]):
+    // the within-cell candidate join runs exchange-free on the warm path
+    semanticDedupCells(cellEmb(s, d, targetCell), minSim)
 
-  /** [[semanticDedup]] over an arbitrary `(vec_id, embedding)` frame. */
+  /** [[semanticDedup]] over an arbitrary `(vec_id, embedding)` frame
+    * (uncached cell assignment — the dir form reuses the memoized leaf).
+    */
   def semanticDedupOf(embIn: DataFrame, minSim: Double = 0.4,
       targetCell: Long = 256L): DataFrame = {
     val n = embIn.agg(count(lit(1)).as("n_vec"))
@@ -805,6 +837,13 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"),
         cellDyn(col("embedding"),
           adaptiveBits(col("n_vec"), targetCell)).as("cell"))
+    semanticDedupCells(emb, minSim)
+  }
+
+  /** [[semanticDedup]]'s verdict body over a cell-assigned
+    * `(vec_id, embedding, cell)` frame.
+    */
+  private def semanticDedupCells(emb: DataFrame, minSim: Double): DataFrame = {
     val y = emb.select(col("vec_id"), col("cell"), col("embedding").as("vy"))
     val x = emb.select(col("vec_id").as("anchor_id"), col("cell").as("xcell"),
       col("embedding").as("vx"))
@@ -873,6 +912,10 @@ object VectorOps {
       .where(col("vec_id") % evalMod === 0 &&
         col("vec_id") < evalMod * evalCap)
       .select(col("embedding"))
+      // a NULL embedding row contributed nothing in the crossJoin spelling
+      // (cosine → null → ignored by max); skip it instead of NPE-ing the
+      // model-state collect (ADVICE r14)
+      .where(col("embedding").isNotNull)
       .collect()
       .map(_.getSeq[Any](0).iterator.map {
         case f: java.lang.Float => f.toDouble
@@ -1045,8 +1088,27 @@ object VectorOps {
         // satisfies every iteration's contribution join directly — the
         // edge table (the big side at scale) crosses the wire once at
         // build, not once per iteration.
-        val edCut = graft.SessionCache.cut(
-          edges.join(deg, "src").repartition(col("src")))
+        // The layout leaf (cutLayout: partitioning + order physically
+        // carried) is SCALE-GATED on the corpus row count: below the
+        // gate the per-iteration rollup is broadcast-sized, AQE plans
+        // BHJ over 1-task stages, and advertising the 32-way layout
+        // only forces 32-task zero-exchange SMJs whose scheduling
+        // outprices the joins (measured b2b min-of-6: sf0.1 0.73 →
+        // 1.59 s, sf1 1.09 → 3.10 s with the leaf unconditional).
+        // Above it (~10 MB of 16-byte rank rows — the practical
+        // broadcast boundary) every iteration's damping join goes SMJ
+        // and the carried layout deletes one nodes-sized exchange +
+        // sort per iteration, which is the r14 §2.7 rationale this
+        // gate finally makes physically true (the plain cut() leaf
+        // FORGETS its partitioning — see SessionCache.cutLayout).
+        val bigGraph =
+          Tables.tableRows(ss, d, "embeddings") >= 1000000L
+        def cutL(df: org.apache.spark.sql.DataFrame, key: String) =
+          if (bigGraph)
+            graft.SessionCache.cutLayout(
+              df.repartition(col(key)).sortWithinPartitions(col(key)))
+          else graft.SessionCache.cut(df.repartition(col(key)))
+        val edCut = cutL(edges.join(deg, "src"), "src")
         // Node state, HASH-PARTITIONED on vec_id (r14): every iteration's
         // damping update left-joins the full node set against the rank
         // rollup — the rollup side arrives partitioned on dst from its own
@@ -1058,11 +1120,10 @@ object VectorOps {
         // crossJoin(count) subtree each iteration.
         val nodesLocal = Tables.embeddings(ss, d).select(col("vec_id"))
         val nnB = broadcast(nodesLocal.agg(count(lit(1)).as("n")))
-        val stateCut = graft.SessionCache.cut(nodesLocal.crossJoin(nnB)
+        val stateCut = cutL(nodesLocal.crossJoin(nnB)
           .select(col("vec_id"),
             round(lit(0.15) * lit(1e9) / col("n"), 0).cast("long").as("base"),
-            round(lit(1e9) / col("n"), 0).cast("long").as("pq0"))
-          .repartition(col("vec_id")))
+            round(lit(1e9) / col("n"), 0).cast("long").as("pq0")), "vec_id")
         (edCut, stateCut)
     }
     val deg = ed.groupBy(col("src")).agg(first(col("deg")).as("deg"))
